@@ -1,0 +1,79 @@
+"""SparkSession factory and session preparation.
+
+Reference analog: the ActorSystem + Materializer + fixed thread-pool setup in
+``part2/SingleWorkloadExample.scala:50-53``.  In Spark the session IS the
+engine; everything else (admission control, parallelism caps) is config.
+
+Scale posture (100 TB target):
+- AQE on: runtime shuffle-partition coalescing + skew-join splitting replace
+  the reference's hand-tuned ``StreamParallelism`` knobs.
+- Arrow on: every Python-side exchange is vectorized.
+- UTC session timezone: deterministic timestamp semantics across engines
+  (the DuckDB oracle reads parquet timestamps as naive/UTC).
+- shuffle.partitions defaults to the core count locally; on a real cluster
+  AQE coalesces from a high initial number, so the default is a floor, not a
+  ceiling.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to ANY session we are handed (the driver
+# constructs its own SparkSession for verification, so these must not rely on
+# builder-time configuration).
+_RUNTIME_CONFS: dict[str, str] = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # parquet scans: keep filter pushdown + vectorized reader on (defaults,
+    # but pinned so a misconfigured parent session can't silently regress)
+    "spark.sql.parquet.filterPushdown": "true",
+    # the driver's events table stores TIMESTAMP(NANOS) which Spark 4 rejects
+    # by default; read as long nanos, converted in sources.tables.load_table
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-created session (idempotent)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # non-runtime-settable in this deployment — leave as-is
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "pulsar-pekko-streams-example-spark",
+    cpus: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or fetch) the engine session.
+
+    ``cpus`` defaults to $SPARK_GRAFT_CPUS or all local cores.  On a real
+    cluster the master/resource settings come from spark-submit; this factory
+    only pins semantics + optimizer posture.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS") or os.cpu_count() or 4
+    shuffle = shuffle_partitions or int(cpus)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return prepare_session(builder.getOrCreate())
