@@ -1,0 +1,139 @@
+"""Deduplication operators over the documents table.
+
+Scale-first designs (the 100 TB rationale, per operator):
+
+- exact dedup: hash-groupBy on a 64-ish-bit fingerprint — one shuffle of
+  (fingerprint, doc_id), never of the text itself.
+- n-gram Jaccard: inverted-index self-join (explode shingles → join on
+  shingle → count per pair).  NEVER the O(n²) cross join: cost is bounded by
+  Σ df(shingle)², and frequent-shingle capping keeps that linear-ish.
+- MinHash+LSH: constant-size signature per doc (k=8 permutations), banded
+  (4×2) so candidate generation is an equi-join on (band, signature) —
+  the classic shingle→minhash→band→bucket-join pipeline.
+- SimHash: frequency-weighted bit votes from word hashes → 16-bit fingerprint;
+  hamming-near docs collide on the fingerprint directly.
+
+All hashing is engine-portable arithmetic (functions/hashing.py) so the
+DuckDB oracle reproduces every value exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pulsar_pekko_streams_example_spark.functions import hashing as H
+
+SHINGLE_N = 3
+
+
+def tokenized(docs: DataFrame) -> DataFrame:
+    """documents + tokens array column ``w``."""
+    return docs.withColumn("w", F.expr(H.tokens("text", "spark")))
+
+
+def shingle_postings(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, s) — one row per distinct n-gram shingle per doc."""
+    return (
+        tokenized(docs)
+        .select("doc_id", F.explode(F.expr(H.shingles(n, "spark"))).alias("s"))
+    )
+
+
+def shingle_sizes(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, sz) — distinct-shingle count per doc."""
+    return tokenized(docs).select(
+        "doc_id", F.size(F.expr(H.shingles(n, "spark"))).cast("long").alias("sz")
+    )
+
+
+def jaccard_pairs(docs: DataFrame, threshold: float, n: int = SHINGLE_N) -> DataFrame:
+    """Near-duplicate pairs by exact shingle Jaccard ≥ threshold.
+
+    Inverted-index join: shuffle on shingle, aggregate intersection counts
+    per pair, then derive the union from per-doc sizes.
+    """
+    posting = shingle_postings(docs, n)
+    sizes = shingle_sizes(docs, n)
+    a = posting.alias("a")
+    b = posting.alias("b")
+    inter = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, m0..m{k-1}) MinHash signature from shingle hashes."""
+    posting = shingle_postings(docs, n)
+    hashed = posting.withColumn("h", F.expr(H.word_hash("s", "spark")))
+    aggs = [
+        F.min(F.expr(H.minhash_perm(i, "h"))).alias(f"m{i}") for i in range(H.N_MINHASH)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """(doc_id, band, sig) — 2 signature rows combined per band."""
+    rows_per_band = H.N_MINHASH // H.N_BANDS
+    band_structs = []
+    for b in range(H.N_BANDS):
+        lo = b * rows_per_band
+        combined = " + ".join(
+            f"m{lo + r} * {31 ** (rows_per_band - 1 - r)}" for r in range(rows_per_band)
+        )
+        band_structs.append(f"struct({b}L AS band, CAST({combined} AS LONG) AS sig)")
+    return sigs.select(
+        "doc_id", F.explode(F.expr("array(" + ", ".join(band_structs) + ")")).alias("bs")
+    ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
+def minhash_lsh_pairs(docs: DataFrame, threshold: float, n: int = SHINGLE_N) -> DataFrame:
+    """Full dedup pipeline: minhash → banded LSH buckets → candidate pairs →
+    exact-Jaccard verification ≥ threshold."""
+    bands = lsh_bands(minhash_signatures(docs, n))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    verified = jaccard_pairs(docs, threshold, n)
+    return cand.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, fingerprint): 16-bit frequency-weighted SimHash over
+    word hashes + full-text polynomial rolling-hash fingerprint."""
+    words = tokenized(docs).select("doc_id", F.explode("w").alias("t"))
+    wh = words.withColumn("h", F.expr(H.word_hash("t", "spark")))
+    vote_aggs = [
+        F.sum(
+            F.expr(f"CASE WHEN {H.simhash_bit(j, 'h', 'spark')} = 1 THEN 1 ELSE -1 END")
+        ).alias(f"s{j}")
+        for j in range(H.SIMHASH_BITS)
+    ]
+    votes = wh.groupBy("doc_id").agg(*vote_aggs)
+    simhash_expr = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(H.SIMHASH_BITS)
+    )
+    sim = votes.select("doc_id", F.expr(f"CAST({simhash_expr} AS LONG)").alias("simhash"))
+    fp = docs.select("doc_id", F.expr(H.word_hash("text", "spark")).alias("fingerprint"))
+    return sim.join(fp, "doc_id").select("doc_id", "simhash", "fingerprint")

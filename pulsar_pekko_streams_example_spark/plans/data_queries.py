@@ -1,0 +1,295 @@
+"""Training-data-pipeline queries: dedup, similarity search, text analysis.
+
+These are the north-star extensions beyond the reference's own surface
+(BASELINE.json): each operator has a Spark-first implementation in
+``operators/`` and (where expressible) a DuckDB oracle twin built from the
+SAME arithmetic-hash expressions, so candidate sets and scores match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_pekko_streams_example_spark.functions import hashing as H
+from pulsar_pekko_streams_example_spark.functions.numeric import davg, sql_davg
+from pulsar_pekko_streams_example_spark.operators import dedup, similarity, textstats
+from pulsar_pekko_streams_example_spark.plans.registry import register
+from pulsar_pekko_streams_example_spark.sources.tables import load_table
+
+JACCARD_THRESHOLD = 0.7
+ANN_K = 5
+ANN_QUERY_FILTER = "vec_id % 100 = 0"
+
+# --- shared DuckDB CTEs -----------------------------------------------------
+
+DUCK_DOC_CTE = f"""
+docw AS (
+  SELECT doc_id, lang, source, n_chars, {H.tokens('text', 'duckdb')} AS w FROM documents
+),
+docsh AS (SELECT doc_id, {H.shingles(dedup.SHINGLE_N, 'duckdb')} AS sh FROM docw),
+posting AS (SELECT doc_id, unnest(sh) AS s FROM docsh),
+sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM docsh)
+"""
+
+DUCK_INTER_CTE = """
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS inter
+  FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jac AS (
+  SELECT doc_a, doc_b,
+         CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) AS jaccard
+  FROM inter
+  JOIN sizes sa ON inter.doc_a = sa.doc_id
+  JOIN sizes sb ON inter.doc_b = sb.doc_id
+)
+"""
+
+
+def _duck_dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup — fingerprint hash-groupBy
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_by_source",
+    oracle=f"""
+        SELECT source,
+               COUNT(*) AS docs,
+               COUNT(DISTINCT text) AS distinct_texts,
+               COUNT(DISTINCT {H.word_hash('text', 'duckdb')}) AS distinct_fingerprints
+        FROM documents GROUP BY source
+        """,
+    doc="Exact dedup: rolling-hash fingerprint per doc, distinct counts per "
+    "source — at scale the shuffle carries (fingerprint, doc_id), not text.",
+    tags=("dedup",),
+)
+def dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.countDistinct("text").alias("distinct_texts"),
+        F.countDistinct(F.expr(H.word_hash("text", "spark"))).alias("distinct_fingerprints"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# N-gram Jaccard near-dup pairs — inverted-index join
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_jaccard_pairs",
+    oracle=f"""
+        WITH {DUCK_DOC_CTE}, {DUCK_INTER_CTE}
+        SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+        """,
+    doc="Near-dup pairs by exact 3-gram shingle Jaccard ≥ 0.7 via inverted-"
+    "index self-join (shuffle on shingle, never O(n²) cross join).",
+    tags=("dedup", "join"),
+)
+def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.jaccard_pairs(docs, JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH banded candidates, exact-verify
+# ---------------------------------------------------------------------------
+def _duck_minhash_sql() -> str:
+    mins = ", ".join(
+        f"MIN({H.minhash_perm(i, 'h')}) AS m{i}" for i in range(H.N_MINHASH)
+    )
+    rows_per_band = H.N_MINHASH // H.N_BANDS
+    band_selects = []
+    for b in range(H.N_BANDS):
+        lo = b * rows_per_band
+        combined = " + ".join(
+            f"m{lo + r} * {31 ** (rows_per_band - 1 - r)}" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, CAST({b} AS BIGINT) AS band, CAST({combined} AS BIGINT) AS sig FROM sigs"
+        )
+    bands_union = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH {DUCK_DOC_CTE},
+        shh AS (SELECT doc_id, {H.word_hash('s', 'duckdb')} AS h FROM posting),
+        sigs AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id),
+        bands AS ({bands_union}),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        ),
+        {DUCK_INTER_CTE}
+        SELECT c.doc_a, c.doc_b, j.jaccard
+        FROM cand c JOIN jac j ON c.doc_a = j.doc_a AND c.doc_b = j.doc_b
+        WHERE j.jaccard >= {JACCARD_THRESHOLD}
+        """
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=_duck_minhash_sql(),
+    doc="MinHash(k=8) → banded LSH(4×2) → bucket equi-join candidates → "
+    "exact-Jaccard verify: the scale path for near-dedup (constant-size "
+    "signatures; candidate join touches only bucket collisions).",
+    tags=("dedup", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, JACCARD_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# SimHash + rolling-hash fingerprints per doc
+# ---------------------------------------------------------------------------
+def _duck_fingerprints_sql() -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN {H.simhash_bit(j, 'h', 'duckdb')} = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(H.SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(H.SIMHASH_BITS)
+    )
+    return f"""
+        WITH docw AS (SELECT doc_id, {H.tokens('text', 'duckdb')} AS w FROM documents),
+        wordh AS (
+          SELECT doc_id, {H.word_hash('t', 'duckdb')} AS h
+          FROM (SELECT doc_id, unnest(w) AS t FROM docw)
+        ),
+        votes AS (SELECT doc_id, {votes} FROM wordh GROUP BY doc_id)
+        SELECT v.doc_id, CAST({sim} AS BIGINT) AS simhash, f.fingerprint
+        FROM votes v
+        JOIN (SELECT doc_id, {H.word_hash('text', 'duckdb')} AS fingerprint FROM documents) f
+          ON v.doc_id = f.doc_id
+        """
+
+
+@register(
+    "doc_fingerprints",
+    oracle=_duck_fingerprints_sql(),
+    doc="Per-doc 16-bit frequency-weighted SimHash + full-text rolling-hash "
+    "fingerprint — hamming-near docs collide directly on the fingerprint.",
+    tags=("dedup", "fingerprint"),
+)
+def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.doc_fingerprints(docs)
+
+
+# ---------------------------------------------------------------------------
+# ANN: brute-force cosine top-k (oracle) + numpy fast path (rows-only)
+# ---------------------------------------------------------------------------
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+        WITH q AS (
+          SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {ANN_QUERY_FILTER}
+        ),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 {_duck_dot('qe', 'c.embedding')}
+                   / (sqrt({_duck_dot('qe', 'qe')}) * sqrt({_duck_dot('c.embedding', 'c.embedding')}))
+                   AS cosine
+          FROM q CROSS JOIN embeddings c
+          WHERE q.query_id <> c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored
+        ) t WHERE rnk <= {ANN_K}
+        """,
+    doc="Brute-force cosine top-k over array<float> embeddings: broadcast "
+    "query set, JVM-side fold dot products, rank window per query.",
+    tags=("similarity",),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, ANN_QUERY_FILTER, ANN_K)
+
+
+@register(
+    "ann_cosine_topk_vectorized",
+    oracle=None,  # numpy GEMM reorders float adds — same neighbors, not bit-identical scores
+    doc="Throughput ANN path: Arrow-batched mapInPandas numpy GEMM per "
+    "partition + partial top-k; validated against ann_cosine_topk in tests.",
+    tags=("similarity", "pandas-udf"),
+)
+def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk_numpy(emb, ANN_QUERY_FILTER, ANN_K)
+
+
+# ---------------------------------------------------------------------------
+# Text analysis: language/quality profile + histograms
+# ---------------------------------------------------------------------------
+@register(
+    "lang_quality_stats",
+    oracle=f"""
+        WITH {textstats.SQL_FEATURES_CTE.strip()}
+        SELECT lang,
+               COUNT(*) AS docs,
+               {sql_davg('token_count')} AS avg_tokens,
+               {sql_davg('n_chars')} AS avg_chars,
+               {sql_davg('quality')} AS avg_quality
+        FROM scored GROUP BY lang
+        """,
+    doc="Per-language profile: token counts, char lengths, heuristic quality "
+    "score (length saturation + lexical diversity + stopword ratio).",
+    tags=("text",),
+)
+def lang_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = textstats.with_text_features(docs)
+    return feats.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("docs"),
+        davg("token_count").alias("avg_tokens"),
+        davg("n_chars").alias("avg_chars"),
+        davg("quality").alias("avg_quality"),
+    )
+
+
+@register(
+    "quality_histogram",
+    oracle=f"""
+        WITH {textstats.SQL_FEATURES_CTE.strip()}
+        SELECT CAST(floor(quality * 10) AS BIGINT) AS quality_decile, COUNT(*) AS docs
+        FROM scored GROUP BY 1
+        """,
+    doc="Quality-score distribution in 0.1 buckets (floor keeps bucketing "
+    "engine-exact; no midpoint rounding).",
+    tags=("text",),
+)
+def quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = textstats.with_text_features(docs)
+    return feats.groupBy(
+        F.floor(F.col("quality") * 10).cast("long").alias("quality_decile")
+    ).agg(F.count(F.lit(1)).alias("docs"))
+
+
+@register(
+    "token_count_histogram",
+    oracle=f"""
+        SELECT (CAST(len({H.tokens('text', 'duckdb')}) AS BIGINT) // 25) * 25 AS token_bucket,
+               COUNT(*) AS docs
+        FROM documents GROUP BY 1
+        """,
+    doc="Token-count histogram (25-token buckets) — the whitespace tokenizer "
+    "as a standalone counting op.",
+    tags=("text",),
+)
+def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.expr(
+        f"(CAST(size({H.tokens('text', 'spark')}) AS BIGINT) div 25) * 25"
+    ).alias("token_bucket")
+    return docs.groupBy(bucket).agg(F.count(F.lit(1)).alias("docs"))

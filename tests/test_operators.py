@@ -1,0 +1,45 @@
+"""Operator-level semantics tests beyond the oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from pulsar_pekko_streams_example_spark.operators import dedup, similarity
+from pulsar_pekko_streams_example_spark.plans import data_queries
+from pulsar_pekko_streams_example_spark.sources.tables import load_table
+
+from tests.conftest import SF_CORRECT
+
+
+def test_vectorized_ann_matches_declarative(spark):
+    """The numpy GEMM path must return the same neighbor sets (and ranks,
+    modulo float-sum ties) as the declarative fold path."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    slow = similarity.cosine_topk(emb, data_queries.ANN_QUERY_FILTER, data_queries.ANN_K)
+    fast = similarity.cosine_topk_numpy(emb, data_queries.ANN_QUERY_FILTER, data_queries.ANN_K)
+    s = {(r.query_id, r.neighbor_id, r.rnk) for r in slow.collect()}
+    f = {(r.query_id, r.neighbor_id, r.rnk) for r in fast.collect()}
+    assert s == f
+
+
+def test_minhash_recall_vs_exact(spark):
+    """LSH candidates must recover (almost all of) the exact-Jaccard pairs;
+    with J>0.9 dups and 4×2 banding the expected miss rate is <1%."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    exact = {(r.doc_a, r.doc_b) for r in dedup.jaccard_pairs(docs, 0.7).collect()}
+    lsh = {(r.doc_a, r.doc_b) for r in dedup.minhash_lsh_pairs(docs, 0.7).collect()}
+    assert lsh <= exact  # verification step guarantees no false positives
+    assert len(exact) > 0
+    assert len(lsh) >= 0.9 * len(exact)
+
+
+def test_fingerprint_collision_free_on_distinct_texts(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    n_docs = docs.count()
+    n_fp = (
+        docs.select(F.expr(dedup.H.word_hash("text", "spark")).alias("fp"))
+        .distinct()
+        .count()
+    )
+    n_texts = docs.select("text").distinct().count()
+    assert n_fp == n_texts <= n_docs
