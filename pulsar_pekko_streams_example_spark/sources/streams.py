@@ -1,0 +1,65 @@
+"""Streaming source helpers.
+
+Reference: the backpressured Pulsar source (S1,
+``part1/PulsarPekkoSource.scala:44-131``) and consumer construction (S2,
+``util/PulsarClientWrapper.scala:203-226``).  In Spark the source is a
+``readStream`` and backpressure is admission (micro-batch pull): the broker
+(or filesystem) holds the backlog, matching the reference's zero-buffer
+design (``part2/PekkoStreamGenerator.scala:91-94``).
+
+For a real Pulsar topic the StreamNative pulsar-spark connector exposes the
+same envelope columns; it isn't installed here, so ``envelope_file_stream``
+serves the driver-testable path: a file-based stream with identical schema.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+from pulsar_pekko_streams_example_spark.session import prepare_session
+
+# canonical envelope for streamed attempts (FIXTURES.md F1 subset)
+ATTEMPT_STREAM_SCHEMA = (
+    "message_id string, event_id long, topic string, key string, seq long, "
+    "attempt long, status string, publish_time timestamp"
+)
+
+
+def envelope_file_stream(
+    spark: SparkSession,
+    path: str,
+    schema: str | StructType = ATTEMPT_STREAM_SCHEMA,
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """Backpressured file source: one micro-batch pulls at most
+    ``max_files_per_trigger`` files — the receiver-queue-size analog
+    (S2 receiverQueueSize, util/PulsarClientWrapper.scala:169)."""
+    prepare_session(spark)
+    reader = spark.readStream.schema(schema)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(path)
+
+
+def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
+    """Synthetic keyed source (for lifecycle tests): rate source mapped onto
+    the envelope shape."""
+    prepare_session(spark)
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    return df.select(
+        F.col("value").cast("string").alias("message_id"),
+        F.col("value").alias("event_id"),
+        F.lit("persistent://testing/rate/topic-0").alias("topic"),
+        F.concat(F.lit("key-"), (F.col("value") % 4).cast("string")).alias("key"),
+        F.col("value").alias("seq"),
+        F.lit(1).cast("long").alias("attempt"),
+        F.lit("success").alias("status"),
+        F.col("timestamp").alias("publish_time"),
+    )

@@ -1,0 +1,16 @@
+from pulsar_pekko_streams_example_spark.streaming.processor import (
+    ProcessorResult,
+    apply_processor,
+    simulated_processor,
+)
+from pulsar_pekko_streams_example_spark.streaming.retry import RetryRouter
+from pulsar_pekko_streams_example_spark.streaming.workload import Workload, WorkloadManager
+
+__all__ = [
+    "ProcessorResult",
+    "apply_processor",
+    "simulated_processor",
+    "RetryRouter",
+    "Workload",
+    "WorkloadManager",
+]

@@ -1,0 +1,105 @@
+"""K2 — per-key ordered serial processing (the Key_Shared contract).
+
+Reference: ZIO ``groupByKey(msg.getKey, buffer=1){ mapZIOPar(1) }`` — at most
+one in-flight message per key, per-key arrival order preserved
+(``part5/OrderedStreamGenerator.scala:137-161``; Key_Shared subscription
+``:190-196``).
+
+Spark-first: ``applyInPandasWithState`` over ``groupBy(key)``.  Within a
+micro-batch Spark hands each key's rows to exactly one state function call —
+that *is* per-key serialization; we sort the group by ``seq`` and carry
+``last_seq``/``processed`` in GroupState so order and continuity hold across
+micro-batches (checkpointed state = the consumer's per-key cursor).
+
+Redelivered messages (attempt > 1) re-enter their key's queue: rows with
+seq ≤ last_seq are processed again (at-least-once) but flagged, so downstream
+can distinguish first-pass order from redelivery — the exact semantics the
+reference gets from broker redelivery on a Key_Shared subscription.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    BooleanType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+OUTPUT_SCHEMA = StructType(
+    [
+        StructField("key", StringType()),
+        StructField("message_id", StringType()),
+        StructField("seq", LongType()),
+        StructField("processing_index", LongType()),  # per-key total order of processing
+        StructField("is_redelivery", BooleanType()),
+        StructField("in_order", BooleanType()),
+    ]
+)
+
+STATE_SCHEMA = "last_seq LONG, processed LONG"
+
+
+def _process_key(
+    key: Tuple[Any, ...],
+    pdfs: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        last_seq, processed = state.get
+    else:
+        last_seq, processed = -1, 0
+
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    # serial, ordered pass over this key's backlog — mapZIOPar(1) analog
+    rows = rows.sort_values(["seq", "attempt"], kind="mergesort").reset_index(drop=True)
+
+    out = {
+        "key": [],
+        "message_id": [],
+        "seq": [],
+        "processing_index": [],
+        "is_redelivery": [],
+        "in_order": [],
+    }
+    for r in rows.itertuples(index=False):
+        redelivery = r.seq <= last_seq
+        out["key"].append(key[0])
+        out["message_id"].append(r.message_id)
+        out["seq"].append(int(r.seq))
+        out["processing_index"].append(processed)
+        out["is_redelivery"].append(bool(redelivery))
+        out["in_order"].append(bool(redelivery or r.seq == last_seq + 1 or last_seq == -1))
+        if not redelivery:
+            last_seq = int(r.seq)
+        processed += 1
+
+    state.update((last_seq, processed))
+    yield pd.DataFrame(out)
+
+
+def ordered_per_key(stream_df: DataFrame) -> DataFrame:
+    """Apply the per-key ordered stateful processor.
+
+    ``stream_df`` must carry (key, message_id, seq, attempt).  Each key's
+    state is its consumer cursor; the shuffle on key is the Key_Shared
+    routing — at 1000 executors every key still lands on exactly one task
+    per micro-batch.
+    """
+    return (
+        stream_df.groupBy("key")
+        .applyInPandasWithState(
+            _process_key,
+            outputStructType=OUTPUT_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,84 @@
+"""The processor-as-UDF contract (T1/T4).
+
+Reference: ``SimpleProcessor.processMessage: Message[T] => Future[ProcessingResult]``
+(``part2/MessageProcessor.scala:19-21`` trait, ``:47-71`` impl) applied with
+bounded-parallel unordered completion (``mapAsyncUnordered``,
+``part2/PekkoStreamGenerator.scala:40-56``), exceptions captured into
+``ProcessFailure`` rather than failing the stream.
+
+Spark-first shape: the user supplies a *vectorized* function
+``pandas.DataFrame -> pandas.Series[bool]`` (or raises); we wrap it in
+mapInPandas so each Arrow batch is one "async chunk", exceptions are captured
+per-batch into ``(ok, error)`` columns, and parallelism is task parallelism —
+Spark's default unordered completion matches mapAsyncUnordered semantics.
+Pure column-expression processors should skip this and use plain
+``withColumn`` (the fast path; stays in codegen).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+
+@dataclass(frozen=True)
+class ProcessorResult:
+    """ProcessingResult ADT analog (util/StandardTestTools.scala:9-14):
+    ok=True ⇒ ProcessSuccess, else ProcessFailure(error)."""
+
+    ok: bool
+    error: str | None = None
+
+
+def apply_processor(
+    df: DataFrame,
+    fn: Callable[[pd.DataFrame], pd.Series],
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Run a user processor over every row, capturing failures as data.
+
+    Adds ``ok: boolean`` and ``error: string`` columns (the ProcessedMessage
+    envelope, util/StandardTestTools.scala:28-31).  ``parallelism`` maps the
+    reference's StreamParallelism.processingParallelism to a repartition —
+    omit to keep the upstream partitioning (usually right at scale).
+    """
+    if parallelism:
+        df = df.repartition(parallelism)
+    out_schema = StructType.fromJson(df.schema.jsonValue())
+    out_schema = out_schema.add("ok", "boolean").add("error", "string")
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            try:
+                ok = fn(pdf)
+                pdf = pdf.assign(ok=ok.astype(bool), error=None)
+            except Exception as e:  # ProcessFailure path: capture, don't fail the stream
+                pdf = pdf.assign(ok=False, error=f"{type(e).__name__}: {e}")
+            yield pdf
+
+    return df.mapInPandas(run, out_schema)
+
+
+def simulated_processor(failure_mod: int = 10) -> Callable[[pd.DataFrame], pd.Series]:
+    """Deterministic stand-in for the reference's simulated processor
+    (sleep + Random.nextInt(10)==0 failure, part2/MessageProcessor.scala:47-71):
+    fails every ``failure_mod``-th message by id, no sleep."""
+
+    def fn(pdf: pd.DataFrame) -> pd.Series:
+        return pdf["event_id"] % failure_mod != 0
+
+    return fn
+
+
+def route_outcomes(df: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """T2 ack/nack routing (part2/PekkoStreamGenerator.scala:57-89):
+    split processed rows into (ack_df, nack_df)."""
+    return df.filter(F.col("ok")), df.filter(~F.col("ok"))

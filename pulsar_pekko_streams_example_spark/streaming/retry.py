@@ -1,0 +1,75 @@
+"""Retry/DLQ delivery semantics (S6/S7) without a broker.
+
+Reference behavior: ack on success (``part2/PekkoStreamGenerator.scala:62-75``),
+negative-ack on failure → broker redelivers after 10 s
+(``:77-87`` + ``util/PulsarClientWrapper.scala:171``), up to effectively
+unbounded attempts.
+
+Spark has no broker nack; the idiomatic replacement is delivery-state-as-data:
+
+- success rows  → the sink table (offset commit analog: the micro-batch
+  checkpoint makes this exactly-once per sink partition file)
+- failure rows  → a retry table with ``available_at = now + delay`` and
+  ``attempt + 1``; a re-ingestion pass filters ``available_at <= now``
+- rows exceeding ``max_attempts`` → the DLQ table
+
+Everything is a plain DataFrame write inside ``foreachBatch`` (streaming) or
+a direct call (batch) — idempotent, checkpointable, and at scale the retry
+table is tiny relative to the main stream (≤ failure rate × traffic).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@dataclass
+class RetryRouter:
+    """Routes processed rows (with ok/error columns) to sink / retry / DLQ."""
+
+    sink_path: str
+    retry_path: str
+    dlq_path: str
+    redelivery_delay_s: int = 10  # PulsarClientWrapper.scala:171
+    max_attempts: int = 5
+
+    def route_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
+        """foreachBatch body: one call per micro-batch."""
+        batch = batch.persist()
+        try:
+            acks, nacks = batch.filter(F.col("ok")), batch.filter(~F.col("ok"))
+            acks.write.mode("append").parquet(self.sink_path)
+
+            retry = nacks.filter(F.col("attempt") < self.max_attempts).withColumn(
+                "attempt", F.col("attempt") + F.lit(1)
+            ).withColumn(
+                "available_at",
+                F.current_timestamp() + F.expr(f"INTERVAL {self.redelivery_delay_s} SECONDS"),
+            )
+            if retry.limit(1).count():
+                retry.write.mode("append").parquet(self.retry_path)
+
+            dlq = nacks.filter(F.col("attempt") >= self.max_attempts)
+            if dlq.limit(1).count():
+                dlq.write.mode("append").parquet(self.dlq_path)
+        finally:
+            batch.unpersist()
+
+    def due_retries(self, spark: SparkSession, as_of=None) -> DataFrame:
+        """Re-ingestion scan: rows whose redelivery delay has elapsed."""
+        if not os.path.exists(self.retry_path):
+            return spark.createDataFrame([], "message_id string")
+        df = spark.read.parquet(self.retry_path)
+        cutoff = F.lit(as_of).cast("timestamp") if as_of is not None else F.current_timestamp()
+        return df.filter(F.col("available_at") <= cutoff)
+
+    def attach(self, stream_df: DataFrame, checkpoint: str):
+        """Wire the router into a streaming query via foreachBatch."""
+        return (
+            stream_df.writeStream.foreachBatch(self.route_batch)
+            .option("checkpointLocation", checkpoint)
+        )

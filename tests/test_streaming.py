@@ -1,0 +1,189 @@
+"""Structured Streaming runtime tests: processor contract, retry/DLQ loop,
+per-key ordered state, workload lifecycle, admission config."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_pekko_streams_example_spark.envelope import attempts_ledger
+from pulsar_pekko_streams_example_spark.sources.streams import (
+    envelope_file_stream,
+    rate_stream,
+)
+from pulsar_pekko_streams_example_spark.streaming import (
+    RetryRouter,
+    Workload,
+    WorkloadManager,
+    apply_processor,
+    simulated_processor,
+)
+from pulsar_pekko_streams_example_spark.streaming.ordered_state import ordered_per_key
+from pulsar_pekko_streams_example_spark.streaming.permits import (
+    PermitConfig,
+    admission_options,
+    fair_scheduler_confs,
+)
+from pulsar_pekko_streams_example_spark.sources.tables import load_table
+
+from tests.conftest import SF_SMOKE
+
+
+@pytest.fixture()
+def tmpdir():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+def test_processor_contract_batch(spark):
+    """T1/T4: exceptions and failures become (ok, error) data, never stream
+    failure; deterministic 1-in-10 failure rate."""
+    ev = load_table(spark, SF_SMOKE, "events")
+    out = apply_processor(ev, simulated_processor(10))
+    agg = out.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.when(~F.col("ok"), 1)).alias("failures"),
+    ).collect()[0]
+    expected_failures = ev.filter(F.col("event_id") % 10 == 0).count()
+    assert agg.failures == expected_failures
+    assert agg.n == ev.count()
+
+    def boom(pdf):
+        raise RuntimeError("kaboom")
+
+    crashed = apply_processor(ev.limit(50), boom)
+    rows = crashed.select("ok", "error").collect()
+    assert all((not r.ok) and "kaboom" in r.error for r in rows)
+
+
+def test_retry_dlq_loop_streaming(spark, tmpdir):
+    """S6/S7: failures land in the retry table with attempt+1 and a
+    redelivery delay; successes land in the sink; DLQ catches max-attempts."""
+    src = os.path.join(tmpdir, "src")
+    ledger = attempts_ledger(spark, SF_SMOKE).filter(F.col("attempt") == 1)
+    (
+        ledger.select(
+            "message_id", "event_id", "topic", "key", "seq", "attempt", "status", "publish_time"
+        )
+        .coalesce(1)
+        .write.parquet(src)
+    )
+
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+        redelivery_delay_s=10,
+        max_attempts=2,
+    )
+    stream = envelope_file_stream(spark, src)
+    processed = stream.withColumn("ok", F.col("status") == "success")
+    q = (
+        router.attach(processed, os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    n_ok = spark.read.parquet(router.sink_path).count()
+    retry = spark.read.parquet(router.retry_path)
+    total = ledger.count()
+    failures = ledger.filter(F.col("status") == "failure").count()
+    assert n_ok == total - failures
+    assert retry.count() == failures
+    r = retry.select("attempt", "available_at").first()
+    assert r.attempt == 2 and r.available_at is not None
+    # due_retries honors the redelivery delay
+    assert router.due_retries(spark, as_of="2000-01-01 00:00:00").count() == 0
+    assert router.due_retries(spark, as_of="2100-01-01 00:00:00").count() == failures
+    assert not os.path.exists(router.dlq_path)  # nothing exceeded max_attempts
+
+    # second delivery cycle: replay the due retries as attempt 2 with all-success
+    replay = router.due_retries(spark, as_of="2100-01-01 00:00:00")
+    router.route_batch(replay.withColumn("ok", F.lit(True)).drop("available_at"))
+    assert spark.read.parquet(router.sink_path).count() == total
+
+
+def test_ordered_per_key_across_microbatches(spark, tmpdir):
+    """K2: per-key processing order follows seq across micro-batches; the
+    checkpointed cursor survives batch boundaries."""
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    ledger = (
+        attempts_ledger(spark, SF_SMOKE)
+        .filter(F.col("attempt") == 1)
+        .select("message_id", "event_id", "topic", "key", "seq", "attempt", "status", "publish_time")
+    )
+    median = ledger.approxQuantile("seq", [0.5], 0.0)[0]
+    # two files written in seq order → maxFilesPerTrigger=1 gives 2 micro-batches
+    ledger.filter(F.col("seq") <= median).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    time.sleep(1.1)  # file-source orders by modification time
+    ledger.filter(F.col("seq") > median).coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    stream = envelope_file_stream(
+        spark, src + "/*", max_files_per_trigger=1
+    )
+    out = ordered_per_key(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ordered_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    res = spark.table("ordered_out").collect()
+    assert len(res) == ledger.count()
+    by_key: dict[str, list] = {}
+    for r in res:
+        by_key.setdefault(r.key, []).append(r)
+    for key, rows in by_key.items():
+        rows.sort(key=lambda r: r.processing_index)
+        seqs = [r.seq for r in rows if not r.is_redelivery]
+        assert seqs == sorted(seqs), f"out-of-order processing for {key}"
+        assert seqs == list(range(1, len(seqs) + 1)), f"gaps in cursor for {key}"
+        assert all(r.in_order for r in rows)
+
+
+def test_workload_manager_lifecycle(spark):
+    """L1–L6: duplicate-start filter, reconciliation diff, graceful stop."""
+
+    def factory(w: Workload):
+        return (
+            rate_stream(spark, rows_per_second=5)
+            .writeStream.format("noop")
+            .queryName(w.workload_name)
+            .start()
+        )
+
+    mgr = WorkloadManager(spark=spark, stream_factory=factory)
+    cats = Workload("cats", "topic-cats")
+    dogs = Workload("dogs", "topic-dogs")
+    assert mgr.start(cats) is True
+    assert mgr.start(cats) is False  # T6 duplicate filter
+    report = mgr.reconcile({cats, dogs})
+    assert {w.workload_name for w in report.workloads_to_start} == {"dogs"}
+    assert mgr.running() == {"cats", "dogs"}
+
+    report = mgr.reconcile({dogs})
+    assert {w.workload_name for w in report.workloads_to_delete} == {"cats"}
+    assert mgr.running() == {"dogs"}
+    assert not any(q.name == "cats" and q.isActive for q in spark.streams.active)
+
+    mgr.shutdown_all()
+    assert mgr.running() == set()
+    assert not any(q.name in ("cats", "dogs") and q.isActive for q in spark.streams.active)
+
+
+def test_permit_confs(spark):
+    cfg = PermitConfig(global_permit_limit=5, max_tasks_queued=20)
+    confs = fair_scheduler_confs(cfg)
+    assert confs["spark.scheduler.mode"] == "FAIR"
+    assert os.path.exists(confs["spark.scheduler.allocation.file"])
+    assert admission_options(cfg)["maxFilesPerTrigger"] == "2"
