@@ -119,6 +119,55 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float, n: int = SHINGLE_N) -> 
     return cand.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 
 
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
+
+    Banded LSH over the 16-bit simhash: 4 bands × 4 bits, candidates are
+    pairs colliding on any band, verified with ``bit_count(a ^ b)``.  With
+    ``max_hamming ≤ 3`` and 4 bands this is EXACT by pigeonhole (3 differing
+    bits can dirty at most 3 of the 4 bands), so the plain O(n²) hamming join
+    is a valid oracle while the engine only ever joins bucket collisions —
+    the property that makes simhash dedup linear-ish at 100 TB.
+    """
+    assert max_hamming < 4, "4-band exactness requires max_hamming <= 3"
+    sims = doc_fingerprints(docs).select("doc_id", "simhash")
+    bands = sims.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({b}L AS band, CAST((simhash div {16 ** b}) % 16 AS LONG) AS val)"
+                    for b in range(4)
+                )
+                + ")"
+            )
+        ).alias("bv"),
+    ).select("doc_id", "simhash", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(sim_a ^ sim_b) AS LONG)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash, fingerprint): 16-bit frequency-weighted SimHash over
     word hashes + full-text polynomial rolling-hash fingerprint."""

@@ -37,9 +37,101 @@ DOT = (
     "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
 )
 
+# Random-hyperplane LSH: bit j of the signature = sign(embedding · hp_j).
+# Hyperplane components are deterministic integer pseudo-noise so the DuckDB
+# oracle regenerates them exactly: hp_j[i] = ((Aj*(i+1) + Bj) % 97) - 48.
+N_HYPERPLANES = 16
+HP_A = [(2654435761 * (j + 1) + 40503) % 1_000_003 for j in range(N_HYPERPLANES)]
+HP_B = [(97 * (j + 1) * (j + 7) + 13) % 1_000_003 for j in range(N_HYPERPLANES)]
+
 
 def _norm(col: str) -> str:
     return f"sqrt({DOT.format(a=col, b=col)})"
+
+
+def hyperplane_bit(j: int, emb: str, dialect: str) -> str:
+    """SQL for signature bit j (0/1) of array column ``emb``, identical in
+    both dialects: left-fold dot product with the integer hyperplane."""
+    coef = f"(({HP_A[j]} * i + {HP_B[j]}) % 97 - 48)"
+    if dialect == "spark":
+        dot = (
+            f"aggregate(sequence(1, size({emb})), CAST(0.0 AS DOUBLE), "
+            f"(acc, i) -> acc + CAST(element_at({emb}, i) AS DOUBLE) * {coef})"
+        )
+    else:
+        dot = (
+            f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+            f"list_transform(range(1, len({emb}) + 1), "
+            f"i -> CAST({emb}[i] AS DOUBLE) * {coef})), (acc, x) -> acc + x)"
+        )
+    return f"(CASE WHEN {dot} >= 0 THEN 1 ELSE 0 END)"
+
+
+def hyperplane_signature(emb: str, dialect: str) -> str:
+    """16-bit signature int64 from the hyperplane bits."""
+    return (
+        "("
+        + " + ".join(
+            f"{hyperplane_bit(j, emb, dialect)} * {2 ** j}"
+            for j in range(N_HYPERPLANES)
+        )
+        + ")"
+    )
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
+    signature → 4×4-bit bands → bucket-collision candidates → exact-cosine
+    verify ≥ threshold.
+
+    The scale path for embedding dedup: candidate generation is an equi-join
+    on (band, value) over constant-size signatures — the corpus-sized cross
+    join never happens.  LSH recall (<100%) is part of the operator's
+    contract; the oracle replicates the same banding, so results are exact.
+    """
+    sig = emb.select(
+        "vec_id",
+        "embedding",
+        F.expr(hyperplane_signature("embedding", "spark")).alias("sig"),
+    )
+    bands = sig.select(
+        "vec_id",
+        "embedding",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({b}L AS band, CAST((sig div {16 ** b}) % 16 AS LONG) AS val)"
+                    for b in range(4)
+                )
+                + ")"
+            )
+        ).alias("bv"),
+    ).select("vec_id", "embedding", F.col("bv.band"), F.col("bv.val"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.val") == F.col("b.val"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.col("a.embedding").alias("ea"),
+            F.col("b.embedding").alias("eb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    cos = F.expr(DOT.format(a="ea", b="eb")) / (
+        F.expr(_norm("ea")) * F.expr(_norm("eb"))
+    )
+    return (
+        cand.withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
 
 
 def cosine_topk(emb: DataFrame, query_filter: str, k: int) -> DataFrame:

@@ -46,6 +46,59 @@ def quality_expr() -> Column:
     )
 
 
+# --- language-ID --------------------------------------------------------
+# Heuristic lexicon classifier: score each language by function-word hits,
+# argmax with a fixed priority tie-break.  Real language-ID swaps these stub
+# lexicons for char-n-gram profiles (the synthetic corpus shares one English
+# vocabulary across lang labels, so the lexicons here are calibration stubs);
+# the operator shape — per-token scoring folded JVM-side, no UDF — is the
+# 100 TB-real part.
+LANG_LEXICONS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and"),
+    "de": ("der", "die", "und", "stream", "row"),
+    "fr": ("le", "la", "et", "query", "scan"),
+    "es": ("el", "los", "y", "value", "join"),
+    "zh": ("de5", "shi4", "table", "group"),
+}
+_LANG_ORDER = tuple(LANG_LEXICONS)  # priority order for ties
+
+
+def _lex_pred(var: str, words: tuple[str, ...]) -> str:
+    return " OR ".join(f"{var} = '{w}'" for w in words)
+
+
+def lang_scores_sql(dialect: str) -> list[str]:
+    """One ``<filtered token count> AS score_<lang>`` expression per language,
+    over a tokens-array column ``w`` (counts with multiplicity — exact in
+    both engines, unlike set-intersection)."""
+    size_fn, filt = ("size", "filter") if dialect == "spark" else ("len", "list_filter")
+    return [
+        f"CAST({size_fn}({filt}(w, t -> {_lex_pred('t', ws)})) AS BIGINT) AS score_{lang}"
+        for lang, ws in LANG_LEXICONS.items()
+    ]
+
+
+def predicted_lang_sql() -> str:
+    """Dialect-neutral argmax CASE chain over the score columns; earlier
+    languages in _LANG_ORDER win ties."""
+    branches = []
+    langs = list(_LANG_ORDER)
+    for i, lang in enumerate(langs[:-1]):
+        rest = langs[i + 1 :]
+        cond = " AND ".join(f"score_{lang} >= score_{r}" for r in rest)
+        branches.append(f"WHEN {cond} THEN '{lang}'")
+    return "CASE " + " ".join(branches) + f" ELSE '{langs[-1]}' END"
+
+
+def with_predicted_lang(docs: DataFrame) -> DataFrame:
+    """documents + score_<lang> columns + ``predicted_lang``."""
+    d = docs.withColumn("w", F.expr(H.tokens("text", "spark")))
+    for expr in lang_scores_sql("spark"):
+        body, alias = expr.rsplit(" AS ", 1)
+        d = d.withColumn(alias, F.expr(body))
+    return d.withColumn("predicted_lang", F.expr(predicted_lang_sql()))
+
+
 SQL_FEATURES_CTE = f"""
 feats AS (
   SELECT *,

@@ -13,7 +13,12 @@ from pyspark.sql import functions as F
 
 from pulsar_pekko_streams_example_spark.functions import hashing as H
 from pulsar_pekko_streams_example_spark.functions.numeric import davg, sql_davg
-from pulsar_pekko_streams_example_spark.operators import dedup, similarity, textstats
+from pulsar_pekko_streams_example_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    textstats,
+)
 from pulsar_pekko_streams_example_spark.plans.registry import register
 from pulsar_pekko_streams_example_spark.sources.tables import load_table
 
@@ -185,6 +190,98 @@ def doc_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SimHash near-pairs — banded LSH that is provably exact for hamming ≤ 3
+# ---------------------------------------------------------------------------
+def _duck_simhash_pairs_sql(max_hamming: int) -> str:
+    votes = ", ".join(
+        f"SUM(CASE WHEN {H.simhash_bit(j, 'h', 'duckdb')} = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(H.SIMHASH_BITS)
+    )
+    sim = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(H.SIMHASH_BITS)
+    )
+    return f"""
+        WITH docw AS (SELECT doc_id, {H.tokens('text', 'duckdb')} AS w FROM documents),
+        wordh AS (
+          SELECT doc_id, {H.word_hash('t', 'duckdb')} AS h
+          FROM (SELECT doc_id, unnest(w) AS t FROM docw)
+        ),
+        votes AS (SELECT doc_id, {votes} FROM wordh GROUP BY doc_id),
+        sims AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM votes)
+        SELECT CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming,
+               COUNT(*) AS pairs
+        FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+        GROUP BY 1
+        """
+
+
+@register(
+    "simhash_near_pairs",
+    oracle=_duck_simhash_pairs_sql(3),
+    doc="SimHash near-dup pairs, hamming ≤ 3 via 4×4-bit banded LSH — exact "
+    "by pigeonhole (3 flipped bits can dirty at most 3 of 4 bands), so the "
+    "oracle is the brute-force hamming join while the engine only joins "
+    "bucket collisions.  Output is the hamming histogram: the pair set is "
+    "quadratic-ish on this shared-vocabulary corpus, so only the aggregate "
+    "leaves the cluster.",
+    tags=("dedup", "simhash"),
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=3)
+    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("pairs"))
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup — random-hyperplane LSH, exact-cosine verify
+# ---------------------------------------------------------------------------
+EMB_NEAR_THRESHOLD = 0.4
+
+
+def _duck_embedding_near_dup_sql(threshold: float) -> str:
+    sig = similarity.hyperplane_signature("embedding", "duckdb")
+    bands_union = " UNION ALL ".join(
+        f"SELECT vec_id, CAST({b} AS BIGINT) AS band, "
+        f"CAST((sig // {16 ** b}) % 16 AS BIGINT) AS val FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+        WITH sigs AS (SELECT vec_id, {sig} AS sig FROM embeddings),
+        bands AS ({bands_union}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+        ),
+        n AS (
+          SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT c.vec_a, c.vec_b,
+                 {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+          FROM cand c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id
+        )
+        SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
+        """
+
+
+@register(
+    "embedding_near_dup",
+    oracle=_duck_embedding_near_dup_sql(EMB_NEAR_THRESHOLD),
+    doc="Embedding-cosine near-duplicate pairs: 16-bit random-hyperplane "
+    "signatures → 4×4-bit banded buckets → equi-join candidates → exact "
+    "cosine ≥ 0.4.  LSH recall is part of the contract; the oracle replicates "
+    "the banding, so results match exactly.",
+    tags=("dedup", "similarity", "lsh"),
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup(emb, EMB_NEAR_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
 # ANN: brute-force cosine top-k (oracle) + numpy fast path (rows-only)
 # ---------------------------------------------------------------------------
 @register(
@@ -293,3 +390,62 @@ def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(CAST(size({H.tokens('text', 'spark')}) AS BIGINT) div 25) * 25"
     ).alias("token_bucket")
     return docs.groupBy(bucket).agg(F.count(F.lit(1)).alias("docs"))
+
+
+# ---------------------------------------------------------------------------
+# Language-ID: lexicon argmax classifier, confusion matrix vs the label
+# ---------------------------------------------------------------------------
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+        WITH tok AS (
+          SELECT lang, {H.tokens('text', 'duckdb')} AS w FROM documents
+        ),
+        scored AS (SELECT lang, {', '.join(textstats.lang_scores_sql('duckdb'))} FROM tok)
+        SELECT lang, {textstats.predicted_lang_sql()} AS predicted_lang, COUNT(*) AS docs
+        FROM scored GROUP BY 1, 2
+        """,
+    doc="Language-ID confusion matrix: per-token lexicon scoring folded "
+    "JVM-side, argmax with fixed tie-break.  Lexicons are calibration stubs "
+    "(synthetic corpus shares one vocabulary); the operator shape is real.",
+    tags=("text", "lang-id"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textstats.with_predicted_lang(docs)
+    return scored.groupBy("lang", "predicted_lang").agg(
+        F.count(F.lit(1)).alias("docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: image decode/feature-extract over binary columns
+# ---------------------------------------------------------------------------
+@register(
+    "image_meta_features",
+    oracle="""
+        SELECT 16 + (ascii(text[1]) % 240) AS width,
+               COUNT(*) AS docs,
+               CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(MAX(3) AS INT) AS channels
+        FROM documents GROUP BY 1
+        """,
+    doc="Multimodal plumbing end-to-end: text bytes stand in for image blobs "
+    "(no codecs in this container — operators/multimodal.py stubs the header "
+    "parse deterministically), mapInPandas Arrow-batched decode emits typed "
+    "metadata columns, aggregated by decoded width.  The oracle recomputes "
+    "the stub parse arithmetically.",
+    tags=("multimodal", "pandas-udf"),
+)
+def image_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    feats = multimodal.decode_image_features(media)
+    return feats.groupBy("width").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n_bytes").alias("total_bytes"),
+        F.max("channels").alias("channels"),
+    )

@@ -1,0 +1,154 @@
+"""Temporal / ordered-semantics queries: as-of join, range join,
+sessionization, CUBE.
+
+These extend the reference's per-key ordered-processing surface
+(part5/OrderedStreamGenerator.scala:137-161: per-key arrival order is the
+only temporal guarantee) into the declarative temporal operators a Spark
+engine owes its users.  The as-of oracle uses DuckDB's native ASOF JOIN —
+an implementation-independent check of our union+window construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_pekko_streams_example_spark.functions.numeric import dsum, sql_dsum
+from pulsar_pekko_streams_example_spark.operators import temporal
+from pulsar_pekko_streams_example_spark.plans.registry import register
+from pulsar_pekko_streams_example_spark.sources.tables import load_table
+
+
+# ---------------------------------------------------------------------------
+# As-of join: each error event → most recent prior click of the same user
+# ---------------------------------------------------------------------------
+@register(
+    "asof_last_click",
+    oracle="""
+        WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'),
+             clk AS (SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+        SELECT e.event_id, e.user_id,
+               c.value AS last_click_value,
+               CAST(epoch_us(e.ts) - epoch_us(c.ts) AS DOUBLE) / 1000000.0 AS gap_s
+        FROM err e ASOF LEFT JOIN clk c ON e.user_id = c.user_id AND e.ts >= c.ts
+        """,
+    doc="As-of join (union + ordered window carry-forward, one shuffle — no "
+    "inequality nested-loop join): for each error, the latest click of the "
+    "same user at or before it.  Oracle is DuckDB's native ASOF JOIN.",
+    tags=("temporal", "asof"),
+)
+def asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    clk = ev.filter(F.col("event_type") == "click").select("user_id", "ts", "value")
+    joined = temporal.asof_join_last(err, clk, "user_id", "ts", ["value"])
+    gap = (
+        (F.unix_micros("ts") - F.unix_micros("asof_ts")).cast("double")
+        / F.lit(1_000_000.0)
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.col("asof_value").alias("last_click_value"),
+        gap.alias("gap_s"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Range join: events within 10 minutes after each error, same user
+# ---------------------------------------------------------------------------
+@register(
+    "range_following_counts",
+    oracle=f"""
+        WITH err AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error')
+        SELECT e.event_id, e.user_id, COUNT(v.ts) AS following_events
+        FROM err e LEFT JOIN events v
+          ON v.user_id = e.user_id
+         AND epoch_us(v.ts) > epoch_us(e.ts)
+         AND epoch_us(v.ts) <= epoch_us(e.ts) + {temporal.RANGE_WINDOW_S * 1_000_000}
+        GROUP BY e.event_id, e.user_id
+        """,
+    doc="Interval range join via time-bucketed equi-join (×2 bucket fan-out, "
+    "no inequality nested loop): activity of the same user in the 10 minutes "
+    "after each error.",
+    tags=("temporal", "range-join"),
+)
+def range_following_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    return temporal.range_count_following(err, ev, "user_id", "ts")
+
+
+# ---------------------------------------------------------------------------
+# Sessionization: 30-minute-gap sessions per user
+# ---------------------------------------------------------------------------
+@register(
+    "user_sessions",
+    oracle=f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {temporal.SESSION_GAP_S * 1_000_000}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        ),
+        per_sess AS (SELECT user_id, session_id, COUNT(*) AS n FROM sess GROUP BY 1, 2)
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS sessions,
+               CAST(SUM(n) AS BIGINT) AS events,
+               CAST(MAX(n) AS BIGINT) AS max_session_events
+        FROM per_sess GROUP BY user_id
+        """,
+    doc="Gap-based sessionization (lag flag + running sum, one partitioning, "
+    "zero joins); batch twin of Structured Streaming's session_window().",
+    tags=("temporal", "session"),
+)
+def user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    sess = temporal.sessionize(ev, "user_id", "ts")
+    per_sess = sess.groupBy("user_id", "session_id").agg(F.count(F.lit(1)).alias("n"))
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("sessions"),
+        F.sum("n").alias("events"),
+        F.max("n").alias("max_session_events"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CUBE: all grouping-set rollups of (event_type, hour)
+# ---------------------------------------------------------------------------
+@register(
+    "cube_event_stats",
+    oracle=f"""
+        SELECT COALESCE(event_type, 'ALL') AS event_type,
+               COALESCE(event_hour, -1) AS event_hour,
+               COUNT(*) AS events,
+               {sql_dsum('value')} AS total_value
+        FROM (SELECT event_type, CAST(hour(ts) AS INT) AS event_hour, value FROM events)
+        GROUP BY CUBE(event_type, event_hour)
+        """,
+    doc="CUBE over (event_type, hour): all four grouping sets in one pass "
+    "(Spark expands to a single shuffle with grouping-id).",
+    tags=("agg", "cube"),
+)
+def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("event_hour"), "value"
+    )
+    return (
+        ev.cube("event_type", "event_hour")
+        .agg(F.count(F.lit(1)).alias("events"), dsum("value").alias("total_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("event_hour", F.lit(-1)).alias("event_hour"),
+            "events",
+            "total_value",
+        )
+    )

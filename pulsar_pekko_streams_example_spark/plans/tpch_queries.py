@@ -258,17 +258,22 @@ def distinct_counts_per_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT c_mktsegment, COUNT(*) AS customers
         FROM customer c
-        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        WHERE NOT EXISTS (
+          SELECT 1 FROM orders o
+          WHERE o.o_custkey = c.c_custkey AND o.o_orderpriority = '1-URGENT'
+        )
         GROUP BY c_mktsegment
         """,
     doc="Left-anti join (NOT EXISTS) — the L4 reconciliation shape on the star "
-    "schema.",
+    "schema.  Restricted to urgent orders so the anti side is non-empty at "
+    "every scale factor (every customer has some order in this data).",
     tags=("join", "anti"),
 )
 def customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     c, o = load_table(spark, sf_dir, "customer"), load_table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT")
     return (
-        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        c.join(urgent, c.c_custkey == urgent.o_custkey, "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count(F.lit(1)).alias("customers"))
     )
