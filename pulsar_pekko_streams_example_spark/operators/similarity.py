@@ -92,11 +92,13 @@ def embedding_near_dup(emb: DataFrame, threshold: float) -> DataFrame:
     sig = emb.select(
         "vec_id",
         "embedding",
+        F.expr(_norm("embedding")).alias("nrm"),
         F.expr(hyperplane_signature("embedding", "spark")).alias("sig"),
     )
     bands = sig.select(
         "vec_id",
         "embedding",
+        "nrm",
         F.explode(
             F.expr(
                 "array("
@@ -107,7 +109,7 @@ def embedding_near_dup(emb: DataFrame, threshold: float) -> DataFrame:
                 + ")"
             )
         ).alias("bv"),
-    ).select("vec_id", "embedding", F.col("bv.band"), F.col("bv.val"))
+    ).select("vec_id", "embedding", "nrm", F.col("bv.band"), F.col("bv.val"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -121,12 +123,12 @@ def embedding_near_dup(emb: DataFrame, threshold: float) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.col("a.embedding").alias("ea"),
             F.col("b.embedding").alias("eb"),
+            F.col("a.nrm").alias("na"),
+            F.col("b.nrm").alias("nb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    cos = F.expr(DOT.format(a="ea", b="eb")) / (
-        F.expr(_norm("ea")) * F.expr(_norm("eb"))
-    )
+    cos = F.expr(DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     return (
         cand.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
@@ -138,16 +140,21 @@ def cosine_topk(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
     """Brute-force cosine top-k: queries × corpus via broadcast nested-loop,
     declarative dot products, rank window per query."""
     q = emb.filter(F.expr(query_filter)).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.expr(_norm("embedding")).alias("qn"),
     )
-    c = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    c = emb.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.expr(_norm("embedding")).alias("nn"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            F.expr(DOT.format(a="qe", b="ne"))
-            / (F.expr(_norm("qe")) * F.expr(_norm("ne"))),
+            F.expr(DOT.format(a="qe", b="ne")) / (F.col("qn") * F.col("nn")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

@@ -1,0 +1,120 @@
+"""Sketch queries: count-min heavy hitters, Bloom-filter membership.
+
+Both sketches are rebuilt identically by the DuckDB oracle (engine-portable
+integer hashing), so estimates/false-positives match exactly — the sketch
+behavior itself is under test, not just the happy path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pulsar_pekko_streams_example_spark.functions import sketches as SK
+from pulsar_pekko_streams_example_spark.plans.registry import register
+from pulsar_pekko_streams_example_spark.sources.tables import load_table
+
+HH_THRESHOLD = 80
+BLOOM_SEGMENT = "BUILDING"
+
+
+def _duck_cms_sql() -> str:
+    probe_union = " UNION ALL ".join(
+        f"SELECT user_id AS k, CAST({j} AS BIGINT) AS j, "
+        f"CAST({SK.cms_bucket(j, 'user_id')} AS BIGINT) AS bucket FROM events"
+        for j in range(SK.CMS_DEPTH)
+    )
+    return f"""
+        WITH probes AS ({probe_union}),
+        grid AS (SELECT j, bucket, COUNT(*) AS cnt FROM probes GROUP BY j, bucket),
+        keyprobes AS (SELECT DISTINCT k, j, bucket FROM probes),
+        est AS (
+          SELECT k, MIN(cnt) AS est
+          FROM keyprobes JOIN grid USING (j, bucket) GROUP BY k
+        ),
+        exact AS (SELECT user_id AS k, COUNT(*) AS exact FROM events GROUP BY user_id)
+        SELECT e.k AS user_id, e.est, x.exact
+        FROM est e JOIN exact x ON e.k = x.k
+        WHERE e.est >= {HH_THRESHOLD}
+        """
+
+
+@register(
+    "cms_heavy_hitters",
+    oracle=_duck_cms_sql(),
+    doc="Count-min sketch (4×256 integer-hash grid) heavy hitters over "
+    "events.user_id, with the exact count alongside to expose the "
+    "one-sided overestimate.  Build is one map-combinable groupBy of "
+    "fixed size — the sketch never grows with the data.",
+    tags=("sketch", "agg"),
+)
+def cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    est = SK.cms_estimates(ev, "user_id")
+    exact = ev.groupBy(F.col("user_id").alias("k")).agg(
+        F.count(F.lit(1)).alias("exact")
+    )
+    return (
+        est.join(exact, ["k"], "inner")
+        .filter(F.col("est") >= HH_THRESHOLD)
+        .select(F.col("k").alias("user_id"), "est", "exact")
+    )
+
+
+def _duck_bloom_sql() -> str:
+    member_bits = " UNION ALL ".join(
+        f"SELECT CAST({SK.bloom_bit(j, 'c_custkey')} AS BIGINT) AS bit "
+        f"FROM customer WHERE c_mktsegment = '{BLOOM_SEGMENT}'"
+        for j in range(SK.BLOOM_K)
+    )
+    cand_probes = " UNION ALL ".join(
+        f"SELECT k, CAST({SK.bloom_bit(j, 'k')} AS BIGINT) AS bit FROM cand"
+        for j in range(SK.BLOOM_K)
+    )
+    return f"""
+        WITH bits AS (SELECT DISTINCT bit FROM ({member_bits})),
+        cand AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        probes AS ({cand_probes}),
+        hits AS (
+          SELECT k, COUNT(*) AS bits_set
+          FROM probes WHERE bit IN (SELECT bit FROM bits) GROUP BY k
+        ),
+        flags AS (
+          SELECT c.k,
+                 COALESCE(h.bits_set, 0) = {SK.BLOOM_K} AS in_bloom,
+                 EXISTS (
+                   SELECT 1 FROM customer m
+                   WHERE m.c_custkey = c.k AND m.c_mktsegment = '{BLOOM_SEGMENT}'
+                 ) AS actual_member
+          FROM cand c LEFT JOIN hits h ON c.k = h.k
+        )
+        SELECT in_bloom, actual_member, COUNT(*) AS custkeys
+        FROM flags GROUP BY 1, 2
+        """
+
+
+@register(
+    "bloom_membership",
+    oracle=_duck_bloom_sql(),
+    doc="Bloom filter (k=5, m=8192) over one market segment's custkeys, "
+    "probed by every ordering custkey — in_bloom × actual_member contingency "
+    "exposes the false-positive mass.  At scale the filter replaces a "
+    "broadcast semi-join of raw keys with an m/8-byte bitset.",
+    tags=("sketch", "join"),
+)
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    members = cust.filter(F.col("c_mktsegment") == BLOOM_SEGMENT)
+    bits = SK.bloom_build_bits(members, "c_custkey")
+    cand = orders.select(F.col("o_custkey").alias("o_custkey")).distinct()
+    flags = SK.bloom_probe(cand, "o_custkey", bits)
+    actual = members.select(F.col("c_custkey").alias("k")).withColumn(
+        "actual_member", F.lit(True)
+    )
+    return (
+        flags.join(actual, ["k"], "left")
+        .withColumn("actual_member", F.coalesce("actual_member", F.lit(False)))
+        .groupBy("in_bloom", "actual_member")
+        .agg(F.count(F.lit(1)).alias("custkeys"))
+    )
