@@ -187,3 +187,67 @@ def test_permit_confs(spark):
     assert confs["spark.scheduler.mode"] == "FAIR"
     assert os.path.exists(confs["spark.scheduler.allocation.file"])
     assert admission_options(cfg)["maxFilesPerTrigger"] == "2"
+
+
+def test_watermark_windowed_aggregation(spark, tmpdir):
+    """§2.7 addition: event-time tumbling windows + watermark over the
+    envelope stream; late data beyond the watermark is dropped by the engine.
+    Batch twin of the windowed_throughput query."""
+    src = os.path.join(tmpdir, "in")
+    out_dir = os.path.join(tmpdir, "sink")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    os.makedirs(src)
+
+    base = spark.range(200).select(
+        F.col("id").cast("string").alias("message_id"),
+        F.col("id").alias("event_id"),
+        F.lit("persistent://t/ns/topic-0").alias("topic"),
+        F.concat(F.lit("k"), (F.col("id") % 5).cast("string")).alias("key"),
+        F.col("id").alias("seq"),
+        F.lit(1).cast("long").alias("attempt"),
+        F.lit("success").alias("status"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id") * 6)).alias("publish_time"),
+    )
+    base.coalesce(1).write.parquet(src, mode="append")
+
+    stream = envelope_file_stream(spark, src)
+    windowed = (
+        stream.withWatermark("publish_time", "2 minutes")
+        .groupBy(F.window("publish_time", "5 minutes").alias("w"), F.col("key"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("win_start"), "key", "n")
+    )
+    q = (
+        windowed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # append-mode emits only watermark-closed windows; feed a late batch to
+    # advance the watermark past the last window, then drain again
+    late = base.withColumn(
+        "publish_time", F.col("publish_time") + F.expr("INTERVAL 1 HOUR")
+    )
+    late.coalesce(1).write.parquet(src, mode="append")
+    q2 = (
+        windowed.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = spark.read.parquet(out_dir)
+    # 200 events * 6s = 20 min => four 5-min windows, 5 keys each, all closed
+    # by the late batch's watermark advance
+    first_hour = got.filter(F.col("win_start") < "2024-01-01 01:00:00")
+    assert first_hour.count() == 4 * 5
+    total = first_hour.agg(F.sum("n").alias("s")).collect()[0].s
+    assert total == 200
