@@ -449,3 +449,27 @@ def image_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_bytes").alias("total_bytes"),
         F.max("channels").alias("channels"),
     )
+
+
+@register(
+    "video_frame_samples",
+    oracle="""
+        SELECT CAST(LEAST(4, GREATEST(1, strlen(text) // 64)) AS BIGINT) AS frames,
+               COUNT(*) AS docs
+        FROM documents GROUP BY 1
+        """,
+    doc="Multimodal frame sampling: fixed-stride byte slicing stands in for "
+    "keyframe seeks (operators/multimodal.py), one blob fanning out to ≤4 "
+    "frame rows inside the Arrow batch; oracle recomputes the frame count "
+    "arithmetically.",
+    tags=("multimodal", "pandas-udf"),
+)
+def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    frames = multimodal.sample_frames(media)
+    per_doc = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("frames"))
+    return per_doc.groupBy("frames").agg(F.count(F.lit(1)).alias("docs"))

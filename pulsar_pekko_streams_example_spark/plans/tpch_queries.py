@@ -389,3 +389,46 @@ def order_date_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("orders"),
         F.countDistinct("o_custkey").alias("customers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ranking windows: customer spend deciles (ntile + percent_rank)
+# ---------------------------------------------------------------------------
+@register(
+    "customer_spend_deciles",
+    oracle="""
+        WITH spend AS (
+          SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+          FROM orders GROUP BY o_custkey
+        ),
+        ranked AS (
+          SELECT o_custkey, spend,
+                 ntile(10) OVER (ORDER BY spend, o_custkey) AS decile
+          FROM spend
+        )
+        SELECT CAST(decile AS INT) AS decile,
+               COUNT(*) AS customers,
+               CAST(MIN(spend) AS DOUBLE) AS min_spend,
+               CAST(MAX(spend) AS DOUBLE) AS max_spend
+        FROM ranked GROUP BY decile
+        """,
+    doc="ntile decile ranking over per-customer spend (deterministic "
+    "tie-break on custkey so both engines bucket identically); the "
+    "global-sort window is the one shape that cannot shard — at 100 TB "
+    "swap ntile for approx percentile boundaries + a broadcast bucket join.",
+    tags=("window", "rank"),
+)
+def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from pulsar_pekko_streams_example_spark.functions.numeric import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("spend"))
+    w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
+    ranked = spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
+    return ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("customers"),
+        F.min("spend").alias("min_spend"),
+        F.max("spend").alias("max_spend"),
+    )
