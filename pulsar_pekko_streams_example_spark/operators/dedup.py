@@ -115,7 +115,12 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float, n: int = SHINGLE_N) -> 
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    verified = jaccard_pairs(docs, threshold, n)
+    # exact-verify ONLY docs that appear in some candidate pair: the inverted-
+    # index join runs over the (usually tiny) candidate subset, not the corpus
+    cand_docs = (
+        cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
+    )
+    verified = jaccard_pairs(docs.join(cand_docs, ["doc_id"], "left_semi"), threshold, n)
     return cand.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 
 

@@ -91,14 +91,12 @@ def embedding_near_dup(emb: DataFrame, threshold: float) -> DataFrame:
     """
     sig = emb.select(
         "vec_id",
-        "embedding",
-        F.expr(_norm("embedding")).alias("nrm"),
         F.expr(hyperplane_signature("embedding", "spark")).alias("sig"),
     )
+    # candidate generation shuffles (band, val, vec_id) only — the embedding
+    # arrays re-attach AFTER pair dedup, so the wide columns never fan out
     bands = sig.select(
         "vec_id",
-        "embedding",
-        "nrm",
         F.explode(
             F.expr(
                 "array("
@@ -109,7 +107,7 @@ def embedding_near_dup(emb: DataFrame, threshold: float) -> DataFrame:
                 + ")"
             )
         ).alias("bv"),
-    ).select("vec_id", "embedding", "nrm", F.col("bv.band"), F.col("bv.val"))
+    ).select("vec_id", F.col("bv.band"), F.col("bv.val"))
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
@@ -121,16 +119,25 @@ def embedding_near_dup(emb: DataFrame, threshold: float) -> DataFrame:
         .select(
             F.col("a.vec_id").alias("vec_a"),
             F.col("b.vec_id").alias("vec_b"),
-            F.col("a.embedding").alias("ea"),
-            F.col("b.embedding").alias("eb"),
-            F.col("a.nrm").alias("na"),
-            F.col("b.nrm").alias("nb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    base = emb.select("vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm"))
+    ea = base.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    eb = base.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
     cos = F.expr(DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
     return (
-        cand.withColumn("cosine", cos)
+        cand.join(ea, ["vec_a"])  # AQE broadcasts when the vector side is small
+        .join(eb, ["vec_b"])
+        .withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
     )
