@@ -516,3 +516,29 @@ def payload_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg(k).alias("avg_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@register(
+    "skew_safe_distinct_users",
+    oracle="""
+        SELECT event_type,
+               COUNT(DISTINCT user_id) AS users,
+               COUNT(*) AS events
+        FROM events GROUP BY event_type
+        """,
+    doc="Skew-safe distinct: pre-aggregate on (event_type, user_id) so the "
+    "first shuffle is diluted across the full composite key (an event_type "
+    "hot key — 5 types over billions of rows — never lands on one reducer), "
+    "then the tiny second phase counts groups per type.  Same result as "
+    "COUNT(DISTINCT), immune to key skew at 100 TB.",
+    tags=("agg", "skew"),
+)
+def skew_safe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_pair = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_pair.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum("c").alias("events"),
+    )
