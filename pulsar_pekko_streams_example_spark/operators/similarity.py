@@ -204,19 +204,19 @@ def cosine_topk_numpy(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             nn = np.linalg.norm(mat, axis=1)
             scores = (qm @ mat.T) / (qn[:, None] * nn[None, :])  # queries × batch
-            for qi in range(len(ids)):
-                mask = nid != ids[qi]
-                srow = scores[qi][mask]
-                nrow = nid[mask]
-                top = min(k, len(srow))
-                idx = np.argpartition(-srow, top - 1)[:top] if top else []
-                yield pd.DataFrame(
-                    {
-                        "query_id": ids[qi],
-                        "neighbor_id": nrow[idx],
-                        "cosine": srow[idx],
-                    }
-                )
+            scores[ids[:, None] == nid[None, :]] = -np.inf  # mask self-matches
+            top = min(k, scores.shape[1])
+            # one argpartition over the whole matrix — no per-query Python loop
+            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            rows = np.take_along_axis(scores, idx, axis=1)
+            keep = np.isfinite(rows.ravel())
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, top)[keep],
+                    "neighbor_id": nid[idx].ravel()[keep],
+                    "cosine": rows.ravel()[keep],
+                }
+            )
 
     partial = emb.select("vec_id", "embedding").mapInPandas(part_topk, _TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

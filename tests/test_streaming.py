@@ -251,3 +251,53 @@ def test_watermark_windowed_aggregation(spark, tmpdir):
     assert first_hour.count() == 4 * 5
     total = first_hour.agg(F.sum("n").alias("s")).collect()[0].s
     assert total == 200
+
+
+def test_redelivery_reenters_ordered_key_queue(spark, tmpdir):
+    """Hard part #1 (SURVEY §7): a nacked message redelivered in a LATER
+    micro-batch re-enters its key's serial queue — flagged as redelivery,
+    processed within the key's single-threaded order, without disturbing the
+    first-pass cursor (broker-redelivery semantics on Key_Shared)."""
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+
+    def rows_df(rows):
+        return spark.createDataFrame(
+            [
+                (f"m-{seq}-{att}", seq, "persistent://t/ns/topic-0", key, seq, att,
+                 status, None)
+                for (key, seq, att, status) in rows
+            ],
+            schema="message_id string, event_id long, topic string, key string, "
+            "seq long, attempt long, status string, publish_time timestamp",
+        )
+
+    # batch 1: k1 processes seq 1..3; seq 2 fails (will be redelivered)
+    rows_df([("k1", 1, 1, "success"), ("k1", 2, 1, "failure"), ("k1", 3, 1, "success")]) \
+        .coalesce(1).write.parquet(os.path.join(src, "b1"))
+    time.sleep(1.1)
+    # batch 2: redelivery of seq 2 (attempt 2) + new seqs 4, 5
+    rows_df([("k1", 2, 2, "success"), ("k1", 4, 1, "success"), ("k1", 5, 1, "success")]) \
+        .coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    stream = envelope_file_stream(spark, src + "/*", max_files_per_trigger=1)
+    q = (
+        ordered_per_key(stream)
+        .writeStream.format("memory")
+        .queryName("redelivery_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    rows = sorted(spark.table("redelivery_out").collect(), key=lambda r: r.processing_index)
+    assert [r.seq for r in rows] == [1, 2, 3, 2, 4, 5]
+    assert [r.processing_index for r in rows] == list(range(6))  # serial per key
+    redelivered = [r for r in rows if r.is_redelivery]
+    assert [(r.seq, r.message_id) for r in redelivered] == [(2, "m-2-2")]
+    # first-pass cursor is undisturbed: non-redelivery seqs stay gap-free
+    firsts = [r.seq for r in rows if not r.is_redelivery]
+    assert firsts == [1, 2, 3, 4, 5]
+    assert all(r.in_order for r in rows)
