@@ -1,0 +1,34 @@
+"""The five reference example scenarios must run green end-to-end.
+
+Each example module self-asserts its reference invariant; these tests just
+execute them against the shared session (mirroring the reference's README
+walkthrough, but automated)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from examples import (  # noqa: F401  (docs the mapping)
+    part1_backpressured_source,
+    part2_single_workload,
+    part3_multiple_workloads,
+    part4_workload_discovery,
+    part5_ordered_workloads,
+)
+
+EXAMPLES = [
+    part1_backpressured_source,
+    part2_single_workload,
+    part3_multiple_workloads,
+    part4_workload_discovery,
+    part5_ordered_workloads,
+]
+
+
+@pytest.mark.parametrize("mod", EXAMPLES, ids=lambda m: m.__name__.rsplit(".", 1)[-1])
+def test_example_scenario(mod, spark):
+    with tempfile.TemporaryDirectory() as d:
+        summary = mod.run(spark, d)
+    assert summary  # every example returns a non-empty metrics dict
