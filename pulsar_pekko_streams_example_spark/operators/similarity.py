@@ -79,23 +79,14 @@ def hyperplane_signature(emb: str, dialect: str) -> str:
     )
 
 
-def embedding_near_dup(emb: DataFrame, threshold: float) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
-    signature → 4×4-bit bands → bucket-collision candidates → exact-cosine
-    verify ≥ threshold.
-
-    The scale path for embedding dedup: candidate generation is an equi-join
-    on (band, value) over constant-size signatures — the corpus-sized cross
-    join never happens.  LSH recall (<100%) is part of the operator's
-    contract; the oracle replicates the same banding, so results are exact.
-    """
+def signature_bands(emb: DataFrame) -> DataFrame:
+    """(vec_id, band, val): 4×4-bit bands of the 16-bit hyperplane signature —
+    the shared coarse quantizer for near-dup and bucketed ANN."""
     sig = emb.select(
         "vec_id",
         F.expr(hyperplane_signature("embedding", "spark")).alias("sig"),
     )
-    # candidate generation shuffles (band, val, vec_id) only — the embedding
-    # arrays re-attach AFTER pair dedup, so the wide columns never fan out
-    bands = sig.select(
+    return sig.select(
         "vec_id",
         F.explode(
             F.expr(
@@ -108,6 +99,69 @@ def embedding_near_dup(emb: DataFrame, threshold: float) -> DataFrame:
             )
         ).alias("bv"),
     ).select("vec_id", F.col("bv.band"), F.col("bv.val"))
+
+
+def ann_lsh_topk(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
+    """LSH-bucketed ANN: each query searches only vectors sharing at least one
+    signature band — the scale path where the corpus-sized cross join never
+    happens.  Recall < 100% is the contract (the oracle replicates the
+    bucketing); rank/score of returned neighbors are exact cosine."""
+    bands = signature_bands(emb)
+    qb = bands.filter(F.expr(query_filter)).alias("q")
+    cb = bands.alias("c")
+    cand = (
+        qb.join(
+            cb,
+            (F.col("q.band") == F.col("c.band"))
+            & (F.col("q.val") == F.col("c.val"))
+            & (F.col("q.vec_id") != F.col("c.vec_id")),
+        )
+        .select(
+            F.col("q.vec_id").alias("query_id"),
+            F.col("c.vec_id").alias("neighbor_id"),
+        )
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    base = emb.select("vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm"))
+    qe = base.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    ne = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    scored = (
+        cand.join(qe, ["query_id"])
+        .join(ne, ["neighbor_id"])
+        .withColumn(
+            "cosine",
+            F.expr(DOT.format(a="qe", b="ne")) / (F.col("qn") * F.col("nn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
+def embedding_near_dup(emb: DataFrame, threshold: float) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
+    signature → 4×4-bit bands → bucket-collision candidates → exact-cosine
+    verify ≥ threshold.
+
+    The scale path for embedding dedup: candidate generation is an equi-join
+    on (band, value) over constant-size signatures — the corpus-sized cross
+    join never happens.  LSH recall (<100%) is part of the operator's
+    contract; the oracle replicates the same banding, so results are exact.
+    """
+    # candidate generation shuffles (band, val, vec_id) only — the embedding
+    # arrays re-attach AFTER pair dedup, so the wide columns never fan out
+    bands = signature_bands(emb)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -473,3 +473,53 @@ def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = multimodal.sample_frames(media)
     per_doc = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("frames"))
     return per_doc.groupBy("frames").agg(F.count(F.lit(1)).alias("docs"))
+
+
+def _duck_ann_lsh_sql(k: int) -> str:
+    sig = similarity.hyperplane_signature("embedding", "duckdb")
+    bands_union = " UNION ALL ".join(
+        f"SELECT vec_id, CAST({b} AS BIGINT) AS band, "
+        f"CAST((sig // {16 ** b}) % 16 AS BIGINT) AS val FROM sigs"
+        for b in range(4)
+    )
+    return f"""
+        WITH sigs AS (SELECT vec_id, {sig} AS sig FROM embeddings),
+        bands AS ({bands_union}),
+        cand AS (
+          SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          FROM bands q JOIN bands c
+            ON q.band = c.band AND q.val = c.val AND q.vec_id <> c.vec_id
+          WHERE q.vec_id % 100 = 0
+        ),
+        n AS (
+          SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT cd.query_id, cd.neighbor_id,
+                 {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+          FROM cand cd
+          JOIN n q ON cd.query_id = q.vec_id
+          JOIN n c ON cd.neighbor_id = c.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM scored
+        ) t WHERE rnk <= {k}
+        """
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=_duck_ann_lsh_sql(ANN_K),
+    doc="LSH-bucketed ANN (the scale path of ann_cosine_topk): each query "
+    "scores only vectors sharing a signature band — candidate generation is "
+    "an equi-join on (band, val), never queries × corpus.  Bucket recall is "
+    "the contract (oracle replicates the banding); scores are exact cosine.",
+    tags=("similarity", "lsh"),
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(emb, ANN_QUERY_FILTER, ANN_K)
