@@ -152,3 +152,66 @@ def cube_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PIVOT: daily event counts, one column per event type
+# ---------------------------------------------------------------------------
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "pivot_daily_event_counts",
+    oracle=f"""
+        SELECT CAST(ts AS DATE) AS day,
+               {', '.join(f"COALESCE(COUNT(*) FILTER (event_type = '{t}'), 0) AS {t}"
+                          for t in EVENT_TYPES)}
+        FROM events GROUP BY 1
+        """,
+    doc="PIVOT reshaping: one row per day, one column per event type "
+    "(explicit value list so the output schema is static — the only sane "
+    "form at scale; Spark plans it as a single conditional aggregate, no "
+    "second pass to discover values).",
+    tags=("reshape", "pivot"),
+)
+def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.col("ts").cast("date").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .count()
+        .na.fill(0, list(EVENT_TYPES))
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT/melt: wide lineitem measures → long (metric, value) form
+# ---------------------------------------------------------------------------
+UNPIVOT_METRICS = ("l_quantity", "l_discount", "l_tax")
+
+
+@register(
+    "unpivot_lineitem_measures",
+    oracle=f"""
+        WITH long AS (
+          {' UNION ALL '.join(
+              f"SELECT '{m}' AS metric, {m} AS value FROM lineitem"
+              for m in UNPIVOT_METRICS)}
+        )
+        SELECT metric, COUNT(*) AS n, {sql_dsum('value')} AS total
+        FROM long GROUP BY metric
+        """,
+    doc="UNPIVOT (melt): wide measure columns to long (metric, value) rows — "
+    "Spark's unpivot expands in-place in the scan stage (no shuffle added); "
+    "aggregated back down so the driver compares a 3-row result.",
+    tags=("reshape", "unpivot"),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    long = l.unpivot(
+        ids=[], values=list(UNPIVOT_METRICS), variableColumnName="metric",
+        valueColumnName="value",
+    )
+    return long.groupBy("metric").agg(
+        F.count(F.lit(1)).alias("n"), dsum("value").alias("total")
+    )
