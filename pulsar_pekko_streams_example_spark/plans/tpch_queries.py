@@ -432,3 +432,75 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("spend").alias("min_spend"),
         F.max("spend").alias("max_spend"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Set operators: EXCEPT ALL / INTERSECT on key sets
+# ---------------------------------------------------------------------------
+@register(
+    "custkey_set_ops",
+    oracle="""
+        WITH with_orders AS (SELECT DISTINCT o_custkey AS k FROM orders),
+        building AS (SELECT c_custkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'),
+        only_ordered AS (SELECT k FROM with_orders EXCEPT SELECT k FROM building),
+        both_sets AS (SELECT k FROM with_orders INTERSECT SELECT k FROM building)
+        SELECT (SELECT COUNT(*) FROM only_ordered) AS ordered_not_building,
+               (SELECT COUNT(*) FROM both_sets) AS ordered_and_building
+        """,
+    doc="EXCEPT / INTERSECT set semantics (the L4 reconciliation diff as a "
+    "first-class operator, part4/WorkloadManagementService.scala:44-50): "
+    "Spark plans both as hash joins (left-anti / left-semi) after distinct.",
+    tags=("setop",),
+)
+def custkey_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    with_orders = o.select(F.col("o_custkey").alias("k")).distinct()
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("k")
+    )
+    only_ordered = with_orders.exceptAll(building).agg(
+        F.count(F.lit(1)).alias("ordered_not_building")
+    )
+    both_sets = with_orders.intersect(building).agg(
+        F.count(F.lit(1)).alias("ordered_and_building")
+    )
+    # one plan, no driver-side counts: two scalar aggregates cross-joined
+    return only_ordered.crossJoin(both_sets)
+
+
+# ---------------------------------------------------------------------------
+# Correlated scalar aggregate: parts priced above their brand's average
+# ---------------------------------------------------------------------------
+@register(
+    "parts_above_brand_avg",
+    oracle=f"""
+        WITH pa AS (
+          SELECT p_brand, p_retailprice,
+                 CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6)))
+                        OVER (PARTITION BY p_brand) AS DOUBLE)
+                   / COUNT(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
+          FROM part
+        )
+        SELECT p_brand, COUNT(*) AS above_avg_parts
+        FROM pa WHERE p_retailprice > brand_avg
+        GROUP BY p_brand
+        """,
+    doc="Correlated scalar aggregate (price > per-brand average) decorrelated "
+    "into a single window pass — one shuffle on brand instead of a "
+    "re-aggregating self-join.",
+    tags=("window", "subquery"),
+)
+def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    pa = p.withColumn(
+        "brand_avg",
+        (F.sum(F.col("p_retailprice").cast("decimal(38,6)")).over(w).cast("double"))
+        / F.count("p_retailprice").over(w),
+    )
+    return (
+        pa.filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .groupBy("p_brand")
+        .agg(F.count(F.lit(1)).alias("above_avg_parts"))
+    )
