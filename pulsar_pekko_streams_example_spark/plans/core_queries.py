@@ -542,3 +542,27 @@ def skew_safe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("users"),
         F.sum("c").alias("events"),
     )
+
+
+@register(
+    "value_percentiles",
+    oracle="""
+        SELECT event_type,
+               quantile_cont(value, 0.5) AS p50,
+               quantile_cont(value, 0.95) AS p95,
+               quantile_cont(value, 0.99) AS p99
+        FROM events GROUP BY event_type
+        """,
+    doc="Exact interpolated percentiles per event type (G5's latency "
+    "percentile shape, util/StandardTestTools.scala:54-60).  Exact "
+    "percentile = per-group sort; at 100 TB swap in percentile_approx "
+    "(t-digest-style mergeable sketch) — same query shape, bounded memory.",
+    tags=("agg", "percentile"),
+)
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.expr("percentile(value, 0.99)").alias("p99"),
+    )

@@ -1,0 +1,50 @@
+"""Batch/stream sinks: partitioned table layout + the republish path.
+
+Reference analogs: the producer sink (S3, ``util/PulsarClientWrapper.scala:48-49``
+— republish with hop counter ``PulsarClientSetup.scala:17``) and key-hash
+routing (S4, JavaStringHash → partition, ``:158``).
+
+At 100 TB the sink *layout* is the performance feature: partitioning by a
+low-cardinality routing column turns downstream topic/day-scoped reads into
+partition-pruned scans (Spark plans them with PartitionFilters — zero I/O
+outside the requested partitions), and bucketing by key co-locates joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def republish(df: DataFrame) -> DataFrame:
+    """The producer republish transform: hop counter + 1
+    (util/PulsarClientSetup.scala:17)."""
+    return df.withColumn("attempt", F.col("attempt") + 1)
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write a table partitioned by routing columns (topic/day/...).
+
+    ``fmt`` ∈ parquet|json|csv: parquet for engine tables, json/csv for
+    interchange — all three share the same partition layout and pruning."""
+    writer = df.write.format(fmt).mode(mode).partitionBy(*partition_by)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    writer.save(path)
+
+
+def read_partitioned(
+    spark: SparkSession, path: str, fmt: str = "parquet", schema: str | None = None
+) -> DataFrame:
+    reader = spark.read.format(fmt)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    if schema:
+        reader = reader.schema(schema)
+    return reader.load(path)

@@ -1,0 +1,61 @@
+"""Partitioned sink layout: round-trips across formats and — the scale
+property — partition-pruned reads (PartitionFilters in the scan, not a
+post-hoc filter over all partitions)."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_pekko_streams_example_spark.sources.sinks import (
+    read_partitioned,
+    republish,
+    write_partitioned,
+)
+from pulsar_pekko_streams_example_spark.sources.tables import load_table
+
+from tests.conftest import SF_SMOKE
+from tests.test_plans import plan_of
+
+
+@pytest.fixture()
+def tmpdir():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+def test_partitioned_roundtrip_all_formats(spark, tmpdir):
+    ev = load_table(spark, SF_SMOKE, "events").withColumn(
+        "day", F.col("ts").cast("date").cast("string")
+    )
+    n = ev.count()
+    for fmt in ("parquet", "json", "csv"):
+        path = os.path.join(tmpdir, fmt)
+        write_partitioned(ev, path, ["event_type"], fmt=fmt)
+        back = read_partitioned(spark, path, fmt=fmt)
+        assert back.count() == n
+        assert set(back.select("event_type").distinct().toPandas()["event_type"]) == {
+            "click", "error", "purchase", "signup", "view",
+        }
+
+
+def test_partition_pruning_in_scan(spark, tmpdir):
+    ev = load_table(spark, SF_SMOKE, "events")
+    path = os.path.join(tmpdir, "by_type")
+    write_partitioned(ev, path, ["event_type"])
+    pruned = read_partitioned(spark, path).filter(F.col("event_type") == "error")
+    plan = plan_of(pruned.select("event_id"))
+    assert "PartitionFilters" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "event_type" in pf  # the predicate prunes directories, not rows
+
+
+def test_republish_increments_hop(spark, tmpdir):
+    from examples._common import seed_messages
+
+    msgs = seed_messages(spark, 20)
+    out = republish(msgs)
+    assert out.agg(F.min("attempt"), F.max("attempt")).collect()[0] == (2, 2)
