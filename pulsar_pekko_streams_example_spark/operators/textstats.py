@@ -7,7 +7,7 @@ the final small aggregate shuffling.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pulsar_pekko_streams_example_spark.functions import hashing as H
@@ -21,8 +21,13 @@ def _stop_pred(var: str) -> str:
 
 
 def with_text_features(docs: DataFrame) -> DataFrame:
-    """Adds token_count, distinct_ratio, stop_ratio, quality (all deterministic
-    double arithmetic, reproducible in the oracle)."""
+    """Adds token_count, distinct_ratio, stop_ratio, quality_milli, quality.
+
+    ``quality_milli`` is an EXACT integer on a 0–1000 scale (floor division),
+    so quality aggregates sum integers — bit-identical across engines and
+    partitionings.  A double→decimal cast of the raw score is NOT exact:
+    engines round half-way doubles differently (caught at sf0.1).
+    """
     d = docs.withColumn("w", F.expr(H.tokens("text", "spark")))
     d = d.withColumn("token_count", F.size("w").cast("long"))
     d = d.withColumn(
@@ -33,17 +38,16 @@ def with_text_features(docs: DataFrame) -> DataFrame:
         "stop_ratio",
         F.size(F.expr(f"filter(w, t -> {_stop_pred('t')})")).cast("double") / F.col("token_count"),
     )
-    return d.withColumn("quality", quality_expr())
-
-
-def quality_expr() -> Column:
-    """Quality score: length saturation + lexical diversity − function-word
-    degeneracy.  Mirrors the heuristic quality filters of LLM data pipelines."""
-    return (
-        F.lit(0.4) * F.least(F.lit(1.0), F.col("token_count") / F.lit(100.0))
-        + F.lit(0.3) * F.col("distinct_ratio")
-        + F.lit(0.3) * (F.lit(1.0) - F.col("stop_ratio"))
+    d = d.withColumn(
+        "quality_milli",
+        F.expr(
+            "4 * least(token_count, 100L) "
+            "+ (300 * size(array_distinct(w))) div token_count "
+            f"+ (300 * (token_count - size(filter(w, t -> {_stop_pred('t')})))) div token_count"
+        ).cast("long"),
     )
+    # single integer/1000 division: correctly-rounded IEEE op, engine-identical
+    return d.withColumn("quality", F.col("quality_milli") / F.lit(1000.0))
 
 
 # --- language-ID --------------------------------------------------------
@@ -103,15 +107,18 @@ SQL_FEATURES_CTE = f"""
 feats AS (
   SELECT *,
          CAST(len(w) AS BIGINT) AS token_count,
-         CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS distinct_ratio,
-         CAST(len(list_filter(w, t -> {_stop_pred('t')})) AS DOUBLE) / len(w) AS stop_ratio
+         CAST(len(list_distinct(w)) AS BIGINT) AS distinct_tokens,
+         CAST(len(list_filter(w, t -> {_stop_pred('t')})) AS BIGINT) AS stop_tokens
   FROM (SELECT *, list_filter(string_split(text, ' '), t -> t <> '') AS w FROM documents)
 ),
 scored AS (
   SELECT *,
-         0.4 * least(1.0, token_count / 100.0)
-         + 0.3 * distinct_ratio
-         + 0.3 * (1.0 - stop_ratio) AS quality
+         CAST(4 * least(token_count, 100)
+              + (300 * distinct_tokens) // token_count
+              + (300 * (token_count - stop_tokens)) // token_count AS BIGINT) AS quality_milli,
+         CAST(4 * least(token_count, 100)
+              + (300 * distinct_tokens) // token_count
+              + (300 * (token_count - stop_tokens)) // token_count AS BIGINT) / 1000.0 AS quality
   FROM feats
 )
 """

@@ -336,7 +336,7 @@ def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS docs,
                {sql_davg('token_count')} AS avg_tokens,
                {sql_davg('n_chars')} AS avg_chars,
-               {sql_davg('quality')} AS avg_quality
+               CAST(SUM(quality_milli) AS DOUBLE) / (1000.0 * COUNT(*)) AS avg_quality
         FROM scored GROUP BY lang
         """,
     doc="Per-language profile: token counts, char lengths, heuristic quality "
@@ -350,7 +350,11 @@ def lang_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("docs"),
         davg("token_count").alias("avg_tokens"),
         davg("n_chars").alias("avg_chars"),
-        davg("quality").alias("avg_quality"),
+        # integer sum → one double division: exact at any scale/partitioning
+        (
+            F.sum("quality_milli").cast("double")
+            / (F.lit(1000.0) * F.count(F.lit(1)))
+        ).alias("avg_quality"),
     )
 
 
@@ -358,18 +362,18 @@ def lang_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quality_histogram",
     oracle=f"""
         WITH {textstats.SQL_FEATURES_CTE.strip()}
-        SELECT CAST(floor(quality * 10) AS BIGINT) AS quality_decile, COUNT(*) AS docs
+        SELECT CAST(quality_milli // 100 AS BIGINT) AS quality_decile, COUNT(*) AS docs
         FROM scored GROUP BY 1
         """,
-    doc="Quality-score distribution in 0.1 buckets (floor keeps bucketing "
-    "engine-exact; no midpoint rounding).",
+    doc="Quality-score distribution in 0.1 buckets (bucketed on the exact "
+    "integer milli score — no float boundary effects).",
     tags=("text",),
 )
 def quality_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     feats = textstats.with_text_features(docs)
     return feats.groupBy(
-        F.floor(F.col("quality") * 10).cast("long").alias("quality_decile")
+        F.expr("quality_milli div 100").cast("long").alias("quality_decile")
     ).agg(F.count(F.lit(1)).alias("docs"))
 
 
