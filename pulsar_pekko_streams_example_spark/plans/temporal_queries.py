@@ -215,3 +215,51 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return long.groupBy("metric").agg(
         F.count(F.lit(1)).alias("n"), dsum("value").alias("total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Native session_window — cross-checked against the first-principles oracle
+# ---------------------------------------------------------------------------
+@register(
+    "session_window_native",
+    oracle=f"""
+        WITH flagged AS (
+          SELECT user_id, ts, event_id,
+                 CASE WHEN lag(ts) OVER w IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {temporal.SESSION_GAP_S * 1_000_000}
+                      THEN 1 ELSE 0 END AS new_s
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        sess AS (
+          SELECT user_id, ts,
+                 SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL '{temporal.SESSION_GAP_S} seconds' AS session_end,
+               COUNT(*) AS n
+        FROM sess GROUP BY user_id, session_id
+        """,
+    doc="Spark's NATIVE session_window aggregation (the streaming-capable "
+    "session operator, batch mode) cross-checked against the hand-derived "
+    "lag/cumsum session oracle — the two constructions must agree exactly.",
+    tags=("temporal", "session"),
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.session_window("ts", f"{temporal.SESSION_GAP_S} seconds").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n",
+        )
+    )
