@@ -527,3 +527,47 @@ def _duck_ann_lsh_sql(k: int) -> str:
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(emb, ANN_QUERY_FILTER, ANN_K)
+
+
+def _duck_components_sql() -> str:
+    return f"""
+        WITH RECURSIVE {DUCK_DOC_CTE}, {DUCK_INTER_CTE},
+        pairs AS (
+          SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+        ),
+        comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node)
+        SELECT component AS canonical_doc, COUNT(*) AS cluster_size
+        FROM comp GROUP BY component
+        """
+
+
+@register(
+    "neardup_components",
+    oracle=_duck_components_sql(),
+    doc="Near-dup clustering: connected components over the Jaccard≥0.7 pair "
+    "graph via iterative min-label propagation (driver-controlled loop, one "
+    "equi-join shuffle per round — the standard Spark shape for iterative "
+    "algorithms).  The canonical doc per cluster is the min id — the "
+    "keep-one step of a real dedup pipeline.  Oracle: recursive-CTE "
+    "transitive closure.",
+    tags=("dedup", "graph", "iterative"),
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_pekko_streams_example_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, JACCARD_THRESHOLD)
+    comps = graph.connected_components(pairs, src="doc_a", dst="doc_b")
+    return comps.groupBy(F.col("component").alias("canonical_doc")).agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
