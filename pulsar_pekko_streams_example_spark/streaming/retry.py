@@ -36,13 +36,30 @@ class RetryRouter:
     dlq_path: str
     redelivery_delay_s: int = 10  # PulsarClientWrapper.scala:171
     max_attempts: int = 5
+    idempotent: bool = True
+
+    def _write(self, df: DataFrame, path: str, batch_id: int) -> None:
+        """Idempotent micro-batch write: partition by batch id with dynamic
+        overwrite, so a REPLAYED batch (crash between sink write and offset
+        commit) overwrites its own partition instead of duplicating —
+        foreachBatch's at-least-once becomes effectively-once."""
+        if self.idempotent:
+            (
+                df.withColumn("_batch_id", F.lit(batch_id))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("_batch_id")
+                .parquet(path)
+            )
+        else:
+            df.write.mode("append").parquet(path)
 
     def route_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         """foreachBatch body: one call per micro-batch."""
         batch = batch.persist()
         try:
             acks, nacks = batch.filter(F.col("ok")), batch.filter(~F.col("ok"))
-            acks.write.mode("append").parquet(self.sink_path)
+            self._write(acks, self.sink_path, batch_id)
 
             retry = nacks.filter(F.col("attempt") < self.max_attempts).withColumn(
                 "attempt", F.col("attempt") + F.lit(1)
@@ -51,11 +68,11 @@ class RetryRouter:
                 F.current_timestamp() + F.expr(f"INTERVAL {self.redelivery_delay_s} SECONDS"),
             )
             if retry.limit(1).count():
-                retry.write.mode("append").parquet(self.retry_path)
+                self._write(retry, self.retry_path, batch_id)
 
             dlq = nacks.filter(F.col("attempt") >= self.max_attempts)
             if dlq.limit(1).count():
-                dlq.write.mode("append").parquet(self.dlq_path)
+                self._write(dlq, self.dlq_path, batch_id)
         finally:
             batch.unpersist()
 

@@ -104,7 +104,11 @@ def test_retry_dlq_loop_streaming(spark, tmpdir):
 
     # second delivery cycle: replay the due retries as attempt 2 with all-success
     replay = router.due_retries(spark, as_of="2100-01-01 00:00:00")
-    router.route_batch(replay.withColumn("ok", F.lit(True)).drop("available_at"))
+    # a new delivery cycle gets its own batch id (foreachBatch ids are unique;
+    # reusing one means "replay" and is idempotently absorbed)
+    router.route_batch(
+        replay.withColumn("ok", F.lit(True)).drop("available_at"), batch_id=1_000_001
+    )
     assert spark.read.parquet(router.sink_path).count() == total
 
 
@@ -301,3 +305,30 @@ def test_redelivery_reenters_ordered_key_queue(spark, tmpdir):
     firsts = [r.seq for r in rows if not r.is_redelivery]
     assert firsts == [1, 2, 3, 4, 5]
     assert all(r.in_order for r in rows)
+
+
+def test_idempotent_batch_replay(spark, tmpdir):
+    """S6 exactly-once depth: replaying a micro-batch (crash between sink
+    write and offset commit) must not duplicate rows — the batch-id
+    partition overwrite absorbs the replay."""
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+    )
+    batch = spark.range(50).select(
+        F.concat(F.lit("m-"), F.col("id")).alias("message_id"),
+        F.lit(1).cast("long").alias("attempt"),
+        (F.col("id") % 10 != 0).alias("ok"),
+        F.lit(None).cast("string").alias("error"),
+    )
+    router.route_batch(batch, batch_id=7)
+    router.route_batch(batch, batch_id=7)  # replay of the SAME batch
+    router.route_batch(batch, batch_id=8)  # a genuinely new batch
+
+    sink = spark.read.parquet(router.sink_path)
+    assert sink.count() == 45 * 2  # batches 7 and 8 once each, no replay dups
+    assert sink.filter("_batch_id = 7").count() == 45
+    retry = spark.read.parquet(router.retry_path)
+    assert retry.count() == 5 * 2
+    assert retry.agg(F.min("attempt")).collect()[0][0] == 2
