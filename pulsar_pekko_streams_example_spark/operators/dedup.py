@@ -75,9 +75,16 @@ def jaccard_pairs(docs: DataFrame, threshold: float, n: int = SHINGLE_N) -> Data
 
 
 def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, m0..m{k-1}) MinHash signature from shingle hashes."""
+    """(doc_id, m0..m{k-1}) MinHash signature from shingle hashes.
+
+    The char-fold hash runs once per DISTINCT shingle (the vocabulary),
+    then joins back to the postings — at any scale the vocabulary is orders
+    of magnitude smaller than the posting list, and the join broadcasts."""
     posting = shingle_postings(docs, n)
-    hashed = posting.withColumn("h", F.expr(H.word_hash("s", "spark")))
+    shingle_hashes = (
+        posting.select("s").distinct().withColumn("h", F.expr(H.word_hash("s", "spark")))
+    )
+    hashed = posting.join(shingle_hashes, ["s"])
     aggs = [
         F.min(F.expr(H.minhash_perm(i, "h"))).alias(f"m{i}") for i in range(H.N_MINHASH)
     ]
@@ -177,7 +184,11 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash, fingerprint): 16-bit frequency-weighted SimHash over
     word hashes + full-text polynomial rolling-hash fingerprint."""
     words = tokenized(docs).select("doc_id", F.explode("w").alias("t"))
-    wh = words.withColumn("h", F.expr(H.word_hash("t", "spark")))
+    # fold-hash each distinct token once; instances join the (tiny) map
+    token_hashes = (
+        words.select("t").distinct().withColumn("h", F.expr(H.word_hash("t", "spark")))
+    )
+    wh = words.join(token_hashes, ["t"])
     vote_aggs = [
         F.sum(
             F.expr(f"CASE WHEN {H.simhash_bit(j, 'h', 'spark')} = 1 THEN 1 ELSE -1 END")
