@@ -332,3 +332,80 @@ def test_idempotent_batch_replay(spark, tmpdir):
     retry = spark.read.parquet(router.retry_path)
     assert retry.count() == 5 * 2
     assert retry.agg(F.min("attempt")).collect()[0][0] == 2
+
+
+def test_stream_stream_interval_join(spark, tmpdir):
+    """Stream-stream join with watermarks: each error joined to clicks of the
+    same user within the preceding 10 minutes — both sides streaming, state
+    bounded by the watermark + interval condition (the streaming twin of the
+    range_following_counts batch query)."""
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    base = spark.range(300).select(
+        F.concat(F.lit("m-"), F.col("id")).alias("message_id"),
+        F.col("id").alias("event_id"),
+        F.lit("persistent://t/ns/topic-0").alias("topic"),
+        F.concat(F.lit("k"), (F.col("id") % 10)).alias("key"),
+        F.col("id").alias("seq"),
+        F.lit(1).cast("long").alias("attempt"),
+        F.when(F.col("id") % 3 == 0, "error").otherwise("click").alias("status"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id") * 30)).alias("publish_time"),
+    )
+    base.coalesce(1).write.parquet(src, mode="append")
+
+    stream = envelope_file_stream(spark, src)
+    errors = (
+        stream.filter(F.col("status") == "error")
+        .select(
+            F.col("event_id").alias("err_id"),
+            F.col("key").alias("err_key"),
+            F.col("publish_time").alias("err_ts"),
+        )
+        .withWatermark("err_ts", "1 minute")
+    )
+    clicks = (
+        stream.filter(F.col("status") == "click")
+        .select(
+            F.col("event_id").alias("clk_id"),
+            F.col("key").alias("clk_key"),
+            F.col("publish_time").alias("clk_ts"),
+        )
+        .withWatermark("clk_ts", "1 minute")
+    )
+    joined = errors.join(
+        clicks,
+        F.expr(
+            "err_key = clk_key AND clk_ts < err_ts "
+            "AND clk_ts >= err_ts - INTERVAL 10 MINUTES"
+        ),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    got = {(r.err_id, r.clk_id) for r in spark.table("ss_join").collect()}
+    # batch reference computed on the same data
+    b = base.select("event_id", "key", "status", "publish_time")
+    be = b.filter("status = 'error'")
+    bc = b.filter("status = 'click'")
+    expected = {
+        (r.event_id, r.clk_id)
+        for r in be.join(
+            bc.select(
+                F.col("event_id").alias("clk_id"),
+                F.col("key").alias("clk_key"),
+                F.col("publish_time").alias("clk_ts"),
+            ),
+            (F.col("key") == F.col("clk_key"))
+            & (F.col("clk_ts") < F.col("publish_time"))
+            & (F.col("clk_ts") >= F.col("publish_time") - F.expr("INTERVAL 10 MINUTES")),
+        ).collect()
+    }
+    assert got == expected and len(expected) > 0
