@@ -3,10 +3,16 @@ from pulsar_pekko_streams_example_spark.streaming.processor import (
     apply_processor,
     simulated_processor,
 )
+from pulsar_pekko_streams_example_spark.streaming.metrics import (
+    MetricsListener,
+    with_engine_metrics,
+)
 from pulsar_pekko_streams_example_spark.streaming.retry import RetryRouter
 from pulsar_pekko_streams_example_spark.streaming.workload import Workload, WorkloadManager
 
 __all__ = [
+    "MetricsListener",
+    "with_engine_metrics",
     "ProcessorResult",
     "apply_processor",
     "simulated_processor",

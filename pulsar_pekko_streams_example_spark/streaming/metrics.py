@@ -1,0 +1,85 @@
+"""Observable metrics: the reference's MetricsCollector on Spark's observe API.
+
+Reference: ``util/StandardTestTools.scala:36-44`` (MetricsCollector trait),
+``:49-75`` (SingleStreamCollector — success/error/retry counters + latency),
+in-progress gauges logged on fixed schedules
+(``part2/MessageProcessor.scala:33-40``).
+
+Spark-first: ``df.observe(name, exprs...)`` attaches aggregates that are
+computed INSIDE the existing job (zero extra passes — the metrics ride the
+micro-batch), and a ``StreamingQueryListener`` receives them per batch.
+Batch queries use the same ``observe`` + a collected-metrics accessor.
+"""
+
+from __future__ import annotations
+
+import threading
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQueryListener
+
+OBSERVATION_NAME = "engine_metrics"
+
+
+def with_engine_metrics(df: DataFrame, name: str = OBSERVATION_NAME) -> DataFrame:
+    """Attach the SingleStreamCollector counter set to any DataFrame carrying
+    an ``ok`` column: processed / successes / failures per batch."""
+    return df.observe(
+        name,
+        F.count(F.lit(1)).alias("processed"),
+        F.count(F.when(F.col("ok"), 1)).alias("successes"),
+        F.count(F.when(~F.col("ok"), 1)).alias("failures"),
+    )
+
+
+@dataclass
+class MetricsListener(StreamingQueryListener):
+    """Collects per-micro-batch observed metrics (the logging collector
+    analog; swap the list for a metrics backend in production)."""
+
+    rows: list = field(default_factory=list)
+    _lock: threading.Lock = field(default_factory=threading.Lock)
+
+    def onQueryStarted(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryProgress(self, event) -> None:  # noqa: N802
+        observed = event.progress.observedMetrics or {}
+        m = observed.get(OBSERVATION_NAME)
+        if m is not None:
+            with self._lock:
+                self.rows.append(
+                    {
+                        "batch_id": event.progress.batchId,
+                        "processed": m["processed"],
+                        "successes": m["successes"],
+                        "failures": m["failures"],
+                    }
+                )
+
+    def onQueryIdle(self, event) -> None:  # noqa: N802
+        pass
+
+    def onQueryTerminated(self, event) -> None:  # noqa: N802
+        pass
+
+    def totals(self) -> dict:
+        with self._lock:
+            return {
+                "processed": sum(r["processed"] for r in self.rows),
+                "successes": sum(r["successes"] for r in self.rows),
+                "failures": sum(r["failures"] for r in self.rows),
+                "batches": len(self.rows),
+            }
+
+
+def install(spark: SparkSession) -> MetricsListener:
+    listener = MetricsListener()
+    spark.streams.addListener(listener)
+    return listener
+
+
+def uninstall(spark: SparkSession, listener: MetricsListener) -> None:
+    spark.streams.removeListener(listener)

@@ -409,3 +409,43 @@ def test_stream_stream_interval_join(spark, tmpdir):
         ).collect()
     }
     assert got == expected and len(expected) > 0
+
+
+def test_observe_metrics_listener(spark, tmpdir):
+    """G1/G4/G5 via observe(): counters computed inside the micro-batch job
+    (no extra pass), delivered to a StreamingQueryListener per batch —
+    the SingleStreamCollector analog (util/StandardTestTools.scala:49-75)."""
+    from pulsar_pekko_streams_example_spark.streaming import metrics as M
+
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    for i in range(2):
+        spark.range(100).select(
+            F.concat(F.lit(f"b{i}-"), F.col("id")).alias("message_id"),
+            (F.col("id") % 10 != 0).alias("ok"),
+        ).coalesce(1).write.parquet(os.path.join(src, f"f{i}"))
+        time.sleep(1.1)
+
+    listener = M.install(spark)
+    try:
+        stream = spark.readStream.schema("message_id string, ok boolean").option(
+            "maxFilesPerTrigger", "1"
+        ).parquet(src + "/*")
+        observed = M.with_engine_metrics(stream)
+        q = (
+            observed.writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        deadline = time.time() + 30
+        while time.time() < deadline and M and listener.totals()["batches"] < 2:
+            time.sleep(0.5)
+        totals = listener.totals()
+        assert totals["batches"] == 2  # one observation per micro-batch
+        assert totals["processed"] == 200
+        assert totals["failures"] == 20
+        assert totals["successes"] == 180
+    finally:
+        M.uninstall(spark, listener)
