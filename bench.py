@@ -66,9 +66,25 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # longest-processing-time-first submission: heavy queries start first so
+    # the mix drains evenly (classic LPT makespan reduction); the rest run
+    # alphabetically behind them
+    heavy = [
+        "neardup_components",
+        "dedup_minhash_lsh",
+        "dedup_jaccard_pairs",
+        "simhash_near_pairs",
+        "embedding_near_dup",
+        "ann_lsh_topk",
+        "ann_cosine_topk",
+        "ann_cosine_topk_vectorized",
+    ]
+    order = [n for n in heavy if n in queries] + sorted(
+        n for n in queries if n not in heavy
+    )
     t_start = time.perf_counter()
     with ThreadPoolExecutor(max_workers=THREADS) as pool:
-        for f in [pool.submit(run_one, n) for n in sorted(queries)]:
+        for f in [pool.submit(run_one, n) for n in order]:
             f.result()  # propagate failures
     total = round(time.perf_counter() - t_start, 3)
     print(
