@@ -103,3 +103,75 @@ def ordered_per_key(stream_df: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Spark 4 transformWithStateInPandas variant — same contract, modern API
+# ---------------------------------------------------------------------------
+try:  # Spark 4.x only; the runtime additionally needs google.protobuf for
+    # the state-server protocol — absent in some containers, so gate on both
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class OrderedKeyProcessor(StatefulProcessor):
+        """K2 on the transformWithState API: ValueState carries the per-key
+        cursor (last_seq, processed); semantics identical to _process_key.
+        Requires the RocksDB state store provider (bundled)."""
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._cursor = handle.getValueState("cursor", STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            import pandas as pd
+
+            if self._cursor.exists():
+                last_seq, processed = self._cursor.get()
+            else:
+                last_seq, processed = -1, 0
+            pdf = pd.concat(list(rows), ignore_index=True).sort_values(
+                ["seq", "attempt"], kind="mergesort"
+            )
+            out = []
+            for r in pdf.itertuples(index=False):
+                redelivery = r.seq <= last_seq
+                out.append(
+                    (
+                        key[0],
+                        r.message_id,
+                        int(r.seq),
+                        processed,
+                        bool(redelivery),
+                        bool(redelivery or r.seq == last_seq + 1 or last_seq == -1),
+                    )
+                )
+                if not redelivery:
+                    last_seq = int(r.seq)
+                processed += 1
+            self._cursor.update((last_seq, processed))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "key", "message_id", "seq", "processing_index",
+                    "is_redelivery", "in_order",
+                ],
+            )
+
+        def close(self) -> None:
+            pass
+
+    def ordered_per_key_tws(stream_df: DataFrame) -> DataFrame:
+        """ordered_per_key on the Spark 4 transformWithState API (RocksDB
+        state store).  Same output contract as ordered_per_key."""
+        return (
+            stream_df.groupBy("key")
+            .transformWithStateInPandas(
+                statefulProcessor=OrderedKeyProcessor(),
+                outputStructType=OUTPUT_SCHEMA,
+                outputMode="append",
+                timeMode="none",
+            )
+        )
+
+    HAVE_TWS = True
+except ImportError:  # pragma: no cover - older Spark
+    HAVE_TWS = False

@@ -449,3 +449,60 @@ def test_observe_metrics_listener(spark, tmpdir):
         assert totals["successes"] == 180
     finally:
         M.uninstall(spark, listener)
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, tmpdir):
+    """The Spark 4 transformWithState variant must produce the identical
+    per-key ordered output as the applyInPandasWithState implementation."""
+    from pulsar_pekko_streams_example_spark.streaming import ordered_state as OS
+
+    if not OS.HAVE_TWS:
+        pytest.skip("transformWithState unavailable")
+
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    ledger = (
+        attempts_ledger(spark, SF_SMOKE)
+        .filter(F.col("attempt") == 1)
+        .select("message_id", "event_id", "topic", "key", "seq", "attempt", "status", "publish_time")
+    )
+    ledger.coalesce(1).write.parquet(os.path.join(src, "b1"))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = envelope_file_stream(spark, src + "/*")
+        q = (
+            OS.ordered_per_key_tws(stream)
+            .writeStream.format("memory")
+            .queryName("tws_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt_tws"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+    stream2 = envelope_file_stream(spark, src + "/*")
+    q2 = (
+        ordered_per_key(stream2)
+        .writeStream.format("memory")
+        .queryName("aip_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt_aip"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(180)
+
+    tws = sorted(map(tuple, spark.table("tws_out").collect()))
+    aip = sorted(map(tuple, spark.table("aip_out").collect()))
+    assert tws == aip and len(tws) == ledger.count()
