@@ -571,3 +571,43 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return comps.groupBy(F.col("component").alias("canonical_doc")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
+
+
+CDC_MOD = 16  # ~1 boundary per 16 tokens => expected chunk ≈ 16 tokens
+
+
+@register(
+    "cdc_chunk_stats",
+    oracle=f"""
+        WITH docw AS (
+          SELECT doc_id, {H.tokens('text', 'duckdb')} AS w FROM documents
+        ),
+        per_doc AS (
+          SELECT doc_id,
+                 CAST(len(w) AS BIGINT) AS token_count,
+                 CAST(1 + len(list_filter(w, t -> ({H.word_hash('t', 'duckdb')}) % {CDC_MOD} = 0))
+                      AS BIGINT) AS chunks
+          FROM docw
+        )
+        SELECT chunks, COUNT(*) AS docs, CAST(SUM(token_count) AS BIGINT) AS tokens
+        FROM per_doc GROUP BY chunks
+        """,
+    doc="Content-defined chunking stats: boundaries where the token's "
+    "rolling hash ≡ 0 (mod 16) — content-defined, so an insertion shifts "
+    "only its local chunk, never the rest of the doc (the property that "
+    "makes chunk-level dedup stable).  Token-granular boundary rule; the "
+    "same expression chunks the corpus for chunk-level MinHash.",
+    tags=("text", "chunking"),
+)
+def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = H.tokens("text", "spark")
+    boundary = f"{H.word_hash('t', 'spark')} % {CDC_MOD} = 0"
+    per_doc = docs.select(
+        F.expr(f"CAST(size({w}) AS LONG)").alias("token_count"),
+        F.expr(f"CAST(1 + size(filter({w}, t -> {boundary})) AS LONG)").alias("chunks"),
+    )
+    return per_doc.groupBy("chunks").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("token_count").alias("tokens"),
+    )
