@@ -71,6 +71,7 @@ def main() -> None:
     # alphabetically behind them
     heavy = [
         "neardup_components",
+        "chunk_shared_pairs",
         "dedup_minhash_lsh",
         "dedup_jaccard_pairs",
         "simhash_near_pairs",

@@ -611,3 +611,75 @@ def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("docs"),
         F.sum("token_count").alias("tokens"),
     )
+
+
+MIN_SHARED_CHUNKS = 2
+
+
+def _duck_chunk_pairs_sql() -> str:
+    bound = f"({H.word_hash('t', 'duckdb')}) % {CDC_MOD} = 0"
+    return f"""
+        WITH docw AS (SELECT doc_id, {H.tokens('text', 'duckdb')} AS w FROM documents),
+        tok AS (
+          SELECT doc_id, w[pos] AS t, pos
+          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM docw)
+        ),
+        flagged AS (SELECT doc_id, t, pos, CASE WHEN {bound} THEN 1 ELSE 0 END AS b FROM tok),
+        chunked AS (
+          SELECT doc_id, t, pos,
+                 SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS chunk_id
+          FROM flagged
+        ),
+        chunks AS (
+          SELECT doc_id, chunk_id, string_agg(t, ' ' ORDER BY pos) AS chunk_text
+          FROM chunked GROUP BY doc_id, chunk_id
+        ),
+        ch AS (SELECT doc_id, {H.word_hash('chunk_text', 'duckdb')} AS h FROM chunks),
+        pairs AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS shared_chunks
+          FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, shared_chunks FROM pairs
+        WHERE shared_chunks >= {MIN_SHARED_CHUNKS}
+        """
+
+
+@register(
+    "chunk_shared_pairs",
+    oracle=_duck_chunk_pairs_sql(),
+    doc="Chunk-level dedup: content-defined chunks (cdc_chunk_stats boundary "
+    "rule) fingerprinted and inverted-index joined — detects docs sharing "
+    "copied PASSAGES that whole-doc fingerprints miss.  Shuffle carries "
+    "(chunk_hash, doc_id) only; the chunk build is one posexplode + one "
+    "running-sum window over the doc partitioning.",
+    tags=("dedup", "chunking"),
+)
+def chunk_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = H.tokens("text", "spark")
+    tok = docs.select(
+        "doc_id", F.posexplode(F.expr(w)).alias("pos", "t")
+    )
+    bound = F.expr(f"CASE WHEN ({H.word_hash('t', 'spark')}) % {CDC_MOD} = 0 THEN 1 ELSE 0 END")
+    running = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    chunked = tok.withColumn("chunk_id", F.sum(bound).over(running))
+    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
+        F.concat_ws(
+            " ",
+            F.expr("transform(array_sort(collect_list(struct(pos, t))), x -> x.t)"),
+        ).alias("chunk_text")
+    )
+    ch = chunks.select("doc_id", F.expr(H.word_hash("chunk_text", "spark")).alias("h"))
+    a, b = ch.alias("a"), ch.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("shared_chunks"))
+        .filter(F.col("shared_chunks") >= MIN_SHARED_CHUNKS)
+    )
