@@ -683,3 +683,32 @@ def chunk_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("shared_chunks"))
         .filter(F.col("shared_chunks") >= MIN_SHARED_CHUNKS)
     )
+
+
+BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "bpe_token_histogram",
+    oracle=f"""
+        SELECT (CAST(len(regexp_extract_all(text, '{BPE_PATTERN}')) AS BIGINT) // 25) * 25
+                 AS token_bucket,
+               COUNT(*) AS docs,
+               CAST(SUM(len(regexp_extract_all(text, '{BPE_PATTERN}'))) AS BIGINT) AS total_tokens
+        FROM documents GROUP BY 1
+        """,
+    doc="Sub-word-style token counting: a BPE-ish regex (letter runs / digit "
+    "runs / single punctuation) complementing the whitespace tokenizer "
+    "(token_count_histogram) — the pre-pass of a real tokenizer-count "
+    "pipeline, entirely JVM-side regexp.",
+    tags=("text", "tokenize"),
+)
+def bpe_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    n = f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0))"
+    return docs.groupBy(
+        F.expr(f"(CAST({n} AS BIGINT) div 25) * 25").alias("token_bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.expr(f"CAST(SUM({n}) AS BIGINT)").alias("total_tokens"),
+    )
