@@ -7,7 +7,9 @@ Timing methodology: each query is built and fully materialized
 (``df.write.format("noop")``) — wall clock per query, cold plans, shared
 warmed session (JVM startup excluded; that's harness cost, not engine cost).
 
-Queries run CONCURRENTLY ($SPARK_GRAFT_BENCH_THREADS, default 4) under the
+Queries run CONCURRENTLY ($SPARK_GRAFT_BENCH_THREADS, default 8; measured
+best makespan on local[32] — 4 underpacks the cores, 12 thrashes the driver)
+under the
 FAIR scheduler, one pool per worker — the engine's admission-control layer
 (streaming/permits.py, reference part3/PermittedTaskExecutor.scala:41-167)
 driving a real multi-tenant mix: small interactive queries are not starved
@@ -23,6 +25,7 @@ import json
 import os
 import sys
 import time
+import zlib
 from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -31,7 +34,7 @@ from pulsar_pekko_streams_example_spark.plans.registry import REGISTRY, all_quer
 from pulsar_pekko_streams_example_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-THREADS = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "4"))
+THREADS = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "8"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -57,9 +60,11 @@ def main() -> None:
 
     def run_one(name: str) -> None:
         # pool per worker thread: FAIR-share the task slots across in-flight
-        # queries (permit-system analog; undeclared pools get default weight)
+        # queries (permit-system analog; undeclared pools get default weight).
+        # crc32, not hash(): Python salts str hash per process, which would
+        # reshuffle pool assignment — and the makespan — on every run
         spark.sparkContext.setLocalProperty(
-            "spark.scheduler.pool", f"bench-{hash(name) % THREADS}"
+            "spark.scheduler.pool", f"bench-{zlib.crc32(name.encode()) % THREADS}"
         )
         t0 = time.perf_counter()
         df = queries[name](spark, SF_DIR)
@@ -71,14 +76,14 @@ def main() -> None:
     # alphabetically behind them
     heavy = [
         "neardup_components",
-        "chunk_shared_pairs",
         "dedup_minhash_lsh",
+        "chunk_shared_pairs",
         "dedup_jaccard_pairs",
-        "simhash_near_pairs",
         "embedding_near_dup",
+        "simhash_near_pairs",
+        "ann_cosine_topk_vectorized",
         "ann_lsh_topk",
         "ann_cosine_topk",
-        "ann_cosine_topk_vectorized",
     ]
     order = [n for n in heavy if n in queries] + sorted(
         n for n in queries if n not in heavy

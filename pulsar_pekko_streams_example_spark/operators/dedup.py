@@ -23,13 +23,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from pulsar_pekko_streams_example_spark.functions import hashing as H
+from pulsar_pekko_streams_example_spark.operators.partitioning import spread
 
 SHINGLE_N = 3
 
 
 def tokenized(docs: DataFrame) -> DataFrame:
-    """documents + tokens array column ``w``."""
-    return docs.withColumn("w", F.expr(H.tokens("text", "spark")))
+    """documents + tokens array column ``w`` (input spread so the explode /
+    hash work downstream parallelizes even off a single-split scan)."""
+    return spread(docs).withColumn("w", F.expr(H.tokens("text", "spark")))
 
 
 def shingle_postings(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
@@ -41,9 +43,13 @@ def shingle_postings(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 
 
 def shingle_sizes(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, sz) — distinct-shingle count per doc."""
-    return tokenized(docs).select(
-        "doc_id", F.size(F.expr(H.shingles(n, "spark"))).cast("long").alias("sz")
+    """(doc_id, sz) — distinct-shingle count per doc.
+
+    Derived from the postings (shingles are distinct per doc) so the plan
+    shares the scan→tokenize→explode subtree with the inverted-index join
+    instead of re-tokenizing the corpus."""
+    return shingle_postings(docs, n).groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("sz")
     )
 
 
@@ -51,14 +57,25 @@ def jaccard_pairs(docs: DataFrame, threshold: float, n: int = SHINGLE_N) -> Data
     """Near-duplicate pairs by exact shingle Jaccard ≥ threshold.
 
     Inverted-index join: shuffle on shingle, aggregate intersection counts
-    per pair, then derive the union from per-doc sizes.
+    per pair, then derive the union from per-doc sizes.  The self-join is
+    hinted to a shuffled-hash join so BOTH sides are the identical
+    hashpartitioning(s) exchange — computed once and reused — rather than a
+    one-sided broadcast that forces a second evaluation of the postings (and
+    whose driver-side build would not survive a corpus-scale posting list).
+    Per-doc sizes (one row per doc) join back onto the surviving pairs; AQE
+    picks broadcast when that side measures small, shuffle join otherwise —
+    the right call at both bench scale and corpus scale.
     """
     posting = shingle_postings(docs, n)
     sizes = shingle_sizes(docs, n)
     a = posting.alias("a")
     b = posting.alias("b")
     inter = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.hint("shuffle_hash")
+        .join(
+            b.hint("shuffle_hash"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
@@ -121,6 +138,11 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float, n: int = SHINGLE_N) -> 
         )
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
+        # the pair set is referenced twice below (verify join + candidate-doc
+        # semi-join); materialize it ONCE so the whole minhash/banding pipeline
+        # isn't replayed per reference.  Candidates are pairs of ids — tiny
+        # relative to the corpus at any scale (that's the point of LSH)
+        .localCheckpoint(eager=True)
     )
     # exact-verify ONLY docs that appear in some candidate pair: the inverted-
     # index join runs over the (usually tiny) candidate subset, not the corpus
@@ -177,6 +199,75 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
         cand.withColumn("hamming", F.expr("CAST(bit_count(sim_a ^ sim_b) AS LONG)"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+    )
+
+
+def simhash_hamming_histogram(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(hamming, pairs): histogram of near-pair counts by hamming distance,
+    equal to ``simhash_near_pairs(docs).groupBy(hamming).count()`` but
+    computed over DISTINCT simhash values.
+
+    Docs sharing a fingerprint are interchangeable for this aggregate, so
+    collapse to (simhash, cnt) first — with a 16-bit fingerprint there are at
+    most 65 536 distinct values no matter the corpus size — then run the
+    banded candidate join on the value histogram and weight each surviving
+    value pair by cnt_u·cnt_v (C(cnt,2) on the diagonal).  Work scales with
+    distinct fingerprints², not with the quadratic-ish doc-pair set: the
+    aggregate-before-expand shape that keeps this O(1)-ish at 100 TB.
+    """
+    assert max_hamming < 4, "4-band exactness requires max_hamming <= 3"
+    vals = (
+        doc_fingerprints(docs)
+        .groupBy("simhash")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bands = vals.select(
+        "simhash",
+        "cnt",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(
+                    f"struct({b}L AS band, CAST((simhash div {16 ** b}) % 16 AS LONG) AS val)"
+                    for b in range(4)
+                )
+                + ")"
+            )
+        ).alias("bv"),
+    ).select("simhash", "cnt", F.col("bv.band").alias("band"), F.col("bv.val").alias("val"))
+    u, v = bands.alias("u"), bands.alias("v")
+    cand = (
+        u.join(
+            v,
+            (F.col("u.band") == F.col("v.band"))
+            & (F.col("u.val") == F.col("v.val"))
+            & (F.col("u.simhash") <= F.col("v.simhash")),
+        )
+        .select(
+            F.col("u.simhash").alias("sim_u"),
+            F.col("v.simhash").alias("sim_v"),
+            F.col("u.cnt").alias("cnt_u"),
+            F.col("v.cnt").alias("cnt_v"),
+        )
+        .distinct()
+    )
+    weighted = (
+        cand.withColumn("hamming", F.expr("CAST(bit_count(sim_u ^ sim_v) AS LONG)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .withColumn(
+            "pairs",
+            F.when(
+                F.col("sim_u") == F.col("sim_v"),
+                (F.col("cnt_u") * (F.col("cnt_u") - F.lit(1)) / 2).cast("long"),
+            ).otherwise(F.col("cnt_u") * F.col("cnt_v")),
+        )
+    )
+    return (
+        weighted.groupBy("hamming")
+        .agg(F.sum("pairs").alias("pairs"))
+        # the diagonal contributes 0 pairs for singleton fingerprints; drop
+        # empty buckets so the histogram matches the pair-join formulation
+        .filter(F.col("pairs") > 0)
     )
 
 

@@ -32,6 +32,8 @@ from pyspark.sql.types import (
 )
 from pyspark.sql.window import Window
 
+from pulsar_pekko_streams_example_spark.operators.partitioning import spread
+
 DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
     "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
@@ -82,6 +84,7 @@ def hyperplane_signature(emb: str, dialect: str) -> str:
 def signature_bands(emb: DataFrame) -> DataFrame:
     """(vec_id, band, val): 4×4-bit bands of the 16-bit hyperplane signature —
     the shared coarse quantizer for near-dup and bucketed ANN."""
+    emb = spread(emb)
     sig = emb.select(
         "vec_id",
         F.expr(hyperplane_signature("embedding", "spark")).alias("sig"),
@@ -106,6 +109,7 @@ def ann_lsh_topk(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
     signature band — the scale path where the corpus-sized cross join never
     happens.  Recall < 100% is the contract (the oracle replicates the
     bucketing); rank/score of returned neighbors are exact cosine."""
+    emb = spread(emb)
     bands = signature_bands(emb)
     qb = bands.filter(F.expr(query_filter)).alias("q")
     cb = bands.alias("c")
@@ -159,6 +163,7 @@ def embedding_near_dup(emb: DataFrame, threshold: float) -> DataFrame:
     join never happens.  LSH recall (<100%) is part of the operator's
     contract; the oracle replicates the same banding, so results are exact.
     """
+    emb = spread(emb)
     # candidate generation shuffles (band, val, vec_id) only — the embedding
     # arrays re-attach AFTER pair dedup, so the wide columns never fan out
     bands = signature_bands(emb)
@@ -200,6 +205,7 @@ def embedding_near_dup(emb: DataFrame, threshold: float) -> DataFrame:
 def cosine_topk(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
     """Brute-force cosine top-k: queries × corpus via broadcast nested-loop,
     declarative dot products, rank window per query."""
+    emb = spread(emb)
     q = emb.filter(F.expr(query_filter)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -272,7 +278,7 @@ def cosine_topk_numpy(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
                 }
             )
 
-    partial = emb.select("vec_id", "embedding").mapInPandas(part_topk, _TOPK_SCHEMA)
+    partial = spread(emb).select("vec_id", "embedding").mapInPandas(part_topk, _TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         partial.withColumn("rnk", F.row_number().over(w).cast("long"))

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from pulsar_pekko_streams_example_spark.functions import hashing as H
 from pulsar_pekko_streams_example_spark.functions.numeric import davg, sql_davg
+from pulsar_pekko_streams_example_spark.operators.partitioning import spread
 from pulsar_pekko_streams_example_spark.operators import (
     dedup,
     multimodal,
@@ -224,13 +225,14 @@ def _duck_simhash_pairs_sql(max_hamming: int) -> str:
     "oracle is the brute-force hamming join while the engine only joins "
     "bucket collisions.  Output is the hamming histogram: the pair set is "
     "quadratic-ish on this shared-vocabulary corpus, so only the aggregate "
-    "leaves the cluster.",
+    "leaves the cluster — computed over DISTINCT fingerprint values "
+    "(≤ 2^16 rows regardless of corpus size) weighted by their doc counts, "
+    "never over the doc-pair set itself.",
     tags=("dedup", "simhash"),
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.simhash_near_pairs(docs, max_hamming=3)
-    return pairs.groupBy("hamming").agg(F.count(F.lit(1)).alias("pairs"))
+    return dedup.simhash_hamming_histogram(docs, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------
@@ -600,7 +602,7 @@ CDC_MOD = 16  # ~1 boundary per 16 tokens => expected chunk ≈ 16 tokens
     tags=("text", "chunking"),
 )
 def cdc_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     w = H.tokens("text", "spark")
     boundary = f"{H.word_hash('t', 'spark')} % {CDC_MOD} = 0"
     per_doc = docs.select(
@@ -659,7 +661,7 @@ def _duck_chunk_pairs_sql() -> str:
 def chunk_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     w = H.tokens("text", "spark")
     tok = docs.select(
         "doc_id", F.posexplode(F.expr(w)).alias("pos", "t")
@@ -704,7 +706,7 @@ BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
     tags=("text", "tokenize"),
 )
 def bpe_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
+    docs = spread(load_table(spark, sf_dir, "documents"))
     n = f"size(regexp_extract_all(text, '{BPE_PATTERN}', 0))"
     return docs.groupBy(
         F.expr(f"(CAST({n} AS BIGINT) div 25) * 25").alias("token_bucket")

@@ -33,7 +33,14 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table.  Keeps the scan bare so filter pushdown and
     column pruning reach the parquet reader (verify with .explain: the scan
-    should show PushedFilters / a narrow ReadSchema)."""
+    should show PushedFilters / a narrow ReadSchema).
+
+    Deliberately NOT wrapped in ``operators.partitioning.spread``: scan-then-
+    aggregate queries are fine at the scan's natural parallelism, and blanket
+    repartitioning taxed every light query with an extra exchange (measured:
+    bench total 24 s → 42 s).  Fan-out operators that DO need pre-shuffle
+    parallelism (shingle explode, signature hashing) call spread themselves.
+    """
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     prepare_session(spark)
