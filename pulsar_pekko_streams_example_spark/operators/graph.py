@@ -50,6 +50,10 @@ def connected_components(
             .groupBy("a")
             .agg(F.min("label").alias("new_label"))
             .withColumnRenamed("a", "node")
+            # materialize each round: the convergence count below executes the
+            # plan anyway, and without truncation round k's lineage replays
+            # rounds 1..k-1 — O(rounds²) work and an ever-deeper DAG
+            .localCheckpoint(eager=True)
         )
         changed = (
             labels.join(neighbor_labels, ["node"])

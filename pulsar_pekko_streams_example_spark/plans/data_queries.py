@@ -714,3 +714,67 @@ def bpe_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("docs"),
         F.expr(f"CAST(SUM({n}) AS BIGINT)").alias("total_tokens"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repetition signals — duplicate / most-frequent 2-gram fractions per doc
+# ---------------------------------------------------------------------------
+def _duck_repetition_sql() -> str:
+    return f"""
+        WITH docw AS (SELECT doc_id, {H.tokens('text', 'duckdb')} AS w FROM documents),
+        grams AS (
+          SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || '_' || w[i + 1])) AS g
+          FROM docw WHERE len(w) >= 2
+        ),
+        gcnt AS (SELECT doc_id, g, COUNT(*) AS cnt FROM grams GROUP BY 1, 2),
+        per_doc AS (
+          SELECT doc_id,
+                 SUM(cnt) AS total,
+                 COUNT(*) AS n_distinct,
+                 MAX(cnt) AS top
+          FROM gcnt GROUP BY doc_id
+        )
+        SELECT CAST(((total - n_distinct) * 1000 // total) // 100 AS BIGINT) AS dup_decile,
+               COUNT(*) AS docs,
+               CAST(SUM((top * 1000 // total)) AS BIGINT) AS sum_top_milli
+        FROM per_doc GROUP BY 1
+        """
+
+
+@register(
+    "repetition_signals",
+    oracle=_duck_repetition_sql(),
+    doc="Repetition-based quality signals (the Gopher-rules shape): per doc, "
+    "the duplicate-2-gram fraction (1 - distinct/total) and the most-frequent-"
+    "2-gram share, binned to deciles.  All ratios are exact integer milli-"
+    "scale floor arithmetic (see quality_milli precedent) so the histogram "
+    "hash-matches the oracle at any SF.  Shuffle carries (doc_id, gram) "
+    "pre-aggregated counts; only the decile histogram leaves the cluster.",
+    tags=("text", "quality", "dedup"),
+)
+def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = dedup.tokenized(docs)
+    grams = tok.filter(F.expr("size(w) >= 2")).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> concat(element_at(w, i), '_', element_at(w, i + 1)))"
+            )
+        ).alias("g"),
+    )
+    gcnt = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    per_doc = gcnt.groupBy("doc_id").agg(
+        F.sum("cnt").alias("total"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("cnt").alias("top"),
+    )
+    return per_doc.groupBy(
+        F.expr(
+            "CAST((((total - n_distinct) * 1000) div total) div 100 AS BIGINT)"
+        ).alias("dup_decile")
+    ).agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.expr("CAST(SUM((top * 1000) div total) AS BIGINT)").alias("sum_top_milli"),
+    )
