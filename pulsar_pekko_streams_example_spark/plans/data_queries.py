@@ -654,29 +654,34 @@ def _duck_chunk_pairs_sql() -> str:
     doc="Chunk-level dedup: content-defined chunks (cdc_chunk_stats boundary "
     "rule) fingerprinted and inverted-index joined — detects docs sharing "
     "copied PASSAGES that whole-doc fingerprints miss.  Shuffle carries "
-    "(chunk_hash, doc_id) only; the chunk build is one posexplode + one "
-    "running-sum window over the doc partitioning.",
+    "(chunk_hash, doc_id) only; chunking itself is a single per-doc fold "
+    "(one higher-order aggregate splitting the token array at boundary "
+    "tokens) — embarrassingly parallel, NO window shuffle and no "
+    "collect_list re-sort, so at corpus scale the only shuffles are the "
+    "hash join and the final pair aggregation.  The oracle keeps the "
+    "window+string_agg formulation as an implementation-independent twin.",
     tags=("dedup", "chunking"),
 )
 def chunk_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql.window import Window
-
     docs = spread(load_table(spark, sf_dir, "documents"))
     w = H.tokens("text", "spark")
-    tok = docs.select(
-        "doc_id", F.posexplode(F.expr(w)).alias("pos", "t")
-    )
-    bound = F.expr(f"CASE WHEN ({H.word_hash('t', 'spark')}) % {CDC_MOD} = 0 THEN 1 ELSE 0 END")
-    running = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    chunked = tok.withColumn("chunk_id", F.sum(bound).over(running))
-    chunks = chunked.groupBy("doc_id", "chunk_id").agg(
-        F.concat_ws(
-            " ",
-            F.expr("transform(array_sort(collect_list(struct(pos, t))), x -> x.t)"),
-        ).alias("chunk_text")
-    )
+    bound_t = f"({H.word_hash('t', 'spark')}) % {CDC_MOD} = 0"
+    # fold tokens left-to-right: a boundary token closes the current chunk
+    # and starts the next one (matching running-sum-of-flags chunk ids)
+    chunk_arr = f"""
+        aggregate(
+          {w},
+          named_struct('done', CAST(array() AS ARRAY<STRING>), 'cur', CAST(NULL AS STRING)),
+          (acc, t) -> CASE
+              WHEN ({bound_t}) AND acc.cur IS NOT NULL
+                THEN named_struct('done', array_append(acc.done, acc.cur), 'cur', t)
+              WHEN acc.cur IS NULL THEN named_struct('done', acc.done, 'cur', t)
+              ELSE named_struct('done', acc.done, 'cur', concat(acc.cur, ' ', t)) END,
+          acc -> CASE WHEN acc.cur IS NULL THEN acc.done
+                      ELSE array_append(acc.done, acc.cur) END
+        )
+    """
+    chunks = docs.select("doc_id", F.explode(F.expr(chunk_arr)).alias("chunk_text"))
     ch = chunks.select("doc_id", F.expr(H.word_hash("chunk_text", "spark")).alias("h"))
     a, b = ch.alias("a"), ch.alias("b")
     return (

@@ -40,13 +40,20 @@ _RUNTIME_CONFS: dict[str, str] = {
 
 
 def prepare_session(spark: SparkSession) -> SparkSession:
-    """Apply runtime confs to an externally-created session (idempotent)."""
+    """Apply runtime confs to an externally-created session (idempotent).
+
+    Guarded per session object: load_table calls this on every load, and
+    each conf.set is a driver py4j round-trip — hundreds of wasted calls per
+    bench run without the guard."""
+    if getattr(spark, "_ppes_prepared", False):
+        return spark
     for k, v in _RUNTIME_CONFS.items():
         try:
             spark.conf.set(k, v)
         except Exception:
             # non-runtime-settable in this deployment — leave as-is
             pass
+    spark._ppes_prepared = True
     return spark
 
 
