@@ -1,17 +1,22 @@
 """Connected components over near-duplicate pair graphs — the clustering
 step of large-scale dedup (pairs → clusters → one canonical doc per cluster).
 
-Algorithm: iterative min-label propagation (a.k.a. hash-to-min).  Every node
-starts labeled with itself; each round every node adopts the minimum label in
-its neighborhood; fixpoint = components.  Rounds needed = graph diameter
-(near-dup clusters are shallow — a handful of rounds), each round is one
-shuffle-join on node id.  This is the standard Spark formulation of an
-inherently iterative algorithm: the DRIVER controls the loop (cheap — one
-count per round to test convergence), the DATA never leaves the cluster.
+Algorithm: min-label propagation accelerated with pointer jumping.  Every
+node starts labeled with itself; each round every node adopts the minimum of
+(a) the labels in its neighborhood and (b) its label's own label —
+``label(label(n))``, the pointer-jumping step that makes label chains halve
+every round, so rounds needed are O(log diameter) instead of O(diameter).
+Fixpoint = components.  The DRIVER controls the loop (cheap — one aggregate
+per round to test convergence), the DATA never leaves the cluster.
+
+Convergence test: labels are per-node monotone non-increasing (the
+neighborhood min includes the node's own label via the self-loop), so the
+label SUM strictly decreases until fixpoint — one agg on the just-checkpointed
+round output, no extra join.
 
 At 100 TB: edges ≪ corpus (only near-dup pairs), labels are (long, long)
-pairs, and each round's join is AQE-optimizable; checkpoint every few rounds
-to truncate lineage for deep graphs.
+pairs, and each round's joins are AQE-optimizable; the per-round
+localCheckpoint truncates lineage so round k never replays rounds 1..k-1.
 """
 
 from __future__ import annotations
@@ -29,39 +34,56 @@ def connected_components(
     Nodes appearing in no edge are not emitted (callers union isolated nodes
     with label=self if needed).
     """
-    sym = edges.select(
-        F.col(src).alias("a"), F.col(dst).alias("b")
-    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    # materialize the pair list ONCE before mirroring: the union's two sides
+    # would otherwise each evaluate the (possibly expensive) upstream plan
+    # that produced the pairs — and every round re-reads the edge set
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
     # adjacency including self-loop so a node retains its own label
     adj = sym.unionByName(
         sym.select(F.col("a"), F.col("a").alias("b"))
     ).distinct()
-    # materialize ONCE: every round re-reads the edge set, and without this
-    # each iteration would recompute the (possibly expensive) upstream plan
-    # that produced the pairs — the standard checkpoint for iterative bases
     adj = adj.localCheckpoint(eager=True)
 
-    labels = adj.groupBy("a").agg(F.min("b").alias("label")).withColumnRenamed("a", "node")
+    labels = (
+        adj.groupBy("a")
+        .agg(F.min("b").alias("label"))
+        .withColumnRenamed("a", "node")
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
 
     for _ in range(max_iter):
-        # propagate: each node takes the min label among its neighbors (and itself)
-        neighbor_labels = (
+        # neighborhood min (self-loop carries the node's own label) ...
+        neighbor_min = (
             adj.join(labels.withColumnRenamed("node", "b"), ["b"])
             .groupBy("a")
-            .agg(F.min("label").alias("new_label"))
+            .agg(F.min("label").alias("nmin"))
             .withColumnRenamed("a", "node")
-            # materialize each round: the convergence count below executes the
+        )
+        # ... plus pointer jumping: label(label(n)) — label chains halve every
+        # round, so shallow AND deep graphs converge in O(log diameter)
+        jumped = labels.join(
+            labels.select(
+                F.col("node").alias("label"), F.col("label").alias("jmp")
+            ),
+            ["label"],
+        ).select("node", "jmp")
+        labels = (
+            neighbor_min.join(jumped, ["node"], "left")
+            .select(
+                "node",
+                F.least(F.col("nmin"), F.coalesce("jmp", "nmin")).alias("label"),
+            )
+            # materialize each round: the convergence agg below executes the
             # plan anyway, and without truncation round k's lineage replays
             # rounds 1..k-1 — O(rounds²) work and an ever-deeper DAG
             .localCheckpoint(eager=True)
         )
-        changed = (
-            labels.join(neighbor_labels, ["node"])
-            .filter(F.col("new_label") < F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = neighbor_labels.withColumnRenamed("new_label", "label")
-        if changed == 0:
+        new_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if new_sum == prev_sum:
             break
+        prev_sum = new_sum
     return labels.select("node", F.col("label").alias("component"))
