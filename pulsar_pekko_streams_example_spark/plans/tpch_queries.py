@@ -13,6 +13,15 @@ operator-coverage probe with a DuckDB oracle twin:
 - ROLLUP grouping sets
 - distinct aggregates
 - outer-join + re-aggregation distribution
+- argmin per group as ONE hash aggregate over (value, key) structs (Q2)
+- disjunctive nation-pair / OR-of-ANDs predicates with residual pushdown (Q7, Q19)
+- conditional-sum ratios with exact decimal accumulation (Q8, Q14)
+- per-group aggregate filtered against a broadcast global scalar (Q11)
+- correlated AVG decorrelated via join-back (Q17) — window-form twin in
+  parts_above_brand_avg
+- HAVING on a fact aggregate probing dims with a tiny key set (Q18)
+- global top-k as TakeOrderedAndProject, never a full sort (Q3, Q10, Q18)
+- EXISTS + NOT-EXISTS pair decorrelated to one per-order aggregate (Q21)
 
 Scale posture: filters are written against raw columns (pushed to parquet),
 dimension sides of joins stay broadcast-able, and no query collects more than
@@ -503,4 +512,474 @@ def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         pa.filter(F.col("p_retailprice") > F.col("brand_avg"))
         .groupBy("p_brand")
         .agg(F.count(F.lit(1)).alias("above_avg_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2-style: argmin join-back — cheapest part per (brand, type)
+# ---------------------------------------------------------------------------
+@register(
+    "q2_cheapest_part_per_type",
+    oracle="""
+        SELECT p_brand, p_type, p_partkey, p_retailprice
+        FROM (
+          SELECT p_brand, p_type, p_partkey, p_retailprice,
+                 ROW_NUMBER() OVER (PARTITION BY p_brand, p_type
+                                    ORDER BY p_retailprice, p_partkey) AS rn
+          FROM part
+        ) t WHERE rn = 1
+        """,
+    doc="Q2's min-cost-supplier shape on the available schema: the argmin per "
+    "group computed as ONE partial/final MIN aggregate over (price, key) "
+    "structs — map-side combinable, no rank window, no join-back.  (Struct "
+    "buffers aren't hash-aggregable so Spark plans a SortAggregate; the sort "
+    "keys are the 150 group keys, not the data.)  The oracle uses the "
+    "implementation-independent rank-window formulation.",
+    tags=("tpch", "agg", "argmin"),
+)
+def q2_cheapest_part_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = load_table(spark, sf_dir, "part")
+    m = (
+        p.groupBy("p_brand", "p_type")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("p_retailprice").alias("price"),
+                    F.col("p_partkey").alias("key"),
+                )
+            ).alias("m")
+        )
+    )
+    return m.select(
+        "p_brand",
+        "p_type",
+        F.col("m.key").alias("p_partkey"),
+        F.col("m.price").alias("p_retailprice"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q7-style: nation trade volume with OR'd nation-pair predicate
+# ---------------------------------------------------------------------------
+@register(
+    "q7_nation_trade_volume",
+    oracle=f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INT) AS ship_year,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+           OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+        GROUP BY 1, 2, 3
+        """,
+    doc="Q7 volume shipping: 6-table join with a disjunctive nation-pair "
+    "predicate.  The nation filter collapses to an IN-pair before the fact "
+    "joins (Catalyst pushes it through the broadcast dims), so the lineitem "
+    "scan is the only large input.",
+    tags=("tpch", "join"),
+)
+def q7_nation_trade_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s, l, o, c, n = (
+        load_table(spark, sf_dir, t)
+        for t in ("supplier", "lineitem", "orders", "customer", "nation")
+    )
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_name").alias("cust_nation"))
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        s.join(l, s.s_suppkey == l.l_suppkey)
+        .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q8-style: market share (conditional-sum ratio) per order year
+# ---------------------------------------------------------------------------
+@register(
+    "q8_market_share",
+    oracle=f"""
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INT) AS order_year,
+               {sql_dsum("CASE WHEN n1.n_name = 'NATION_1' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+                 / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS mkt_share
+        FROM lineitem l
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        JOIN region r   ON n2.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+        GROUP BY 1
+        """,
+    doc="Q8 market share: NATION_1 suppliers' revenue share of the ASIA "
+    "customer market per order year — a conditional-sum ratio where both "
+    "sums accumulate exactly (decimal) so the final double division is "
+    "deterministic across engines and partitionings.",
+    tags=("tpch", "join", "ratio"),
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o, c, s, n, r = (
+        load_table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "customer", "supplier", "nation", "region")
+    )
+    n1 = n.select(F.col("n_nationkey").alias("nk1"), F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("nk2"), F.col("n_regionkey").alias("rk2"))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .join(s, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("nk1"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("nk2"))
+        .join(F.broadcast(r), F.col("rk2") == F.col("r_regionkey"))
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy(F.year("o_orderdate").cast("int").alias("order_year"))
+        .agg(
+            (
+                dsum(F.when(F.col("supp_nation") == "NATION_1", rev).otherwise(F.lit(0.0)))
+                / dsum(rev)
+            ).alias("mkt_share")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q10-style: returned-item revenue top 20
+# ---------------------------------------------------------------------------
+@register(
+    "q10_returned_item_revenue",
+    oracle=f"""
+        SELECT c.c_custkey, c.c_name,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               c.c_acctbal, n.n_name AS nation
+        FROM customer c
+        JOIN orders o   ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN nation n   ON c.c_nationkey = n.n_nationkey
+        WHERE l.l_returnflag = 'R'
+        GROUP BY 1, 2, 4, 5
+        ORDER BY revenue DESC, c.c_custkey
+        LIMIT 20
+        """,
+    doc="Q10 returned-item report: selective fact filter (returnflag pushed "
+    "to the scan), two shuffle joins + broadcast nation, global top-20 with "
+    "deterministic tiebreak (TakeOrderedAndProject — no full sort).",
+    tags=("tpch", "join", "topk"),
+)
+def q10_returned_item_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, o, l, n = (
+        load_table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem", "nation")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l.filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "nation")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q11-style: aggregate filtered against a global scalar subquery
+# ---------------------------------------------------------------------------
+@register(
+    "q11_nation_balance_concentration",
+    oracle=f"""
+        WITH per_nation AS (
+          SELECT n.n_name, {sql_dsum('s.s_acctbal')} AS balance
+          FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+          GROUP BY n.n_name
+        )
+        SELECT n_name, balance FROM per_nation
+        WHERE balance > (SELECT {sql_dsum('s_acctbal')} * 0.045 FROM supplier)
+        """,
+    doc="Q11 'important stock' shape: per-group aggregate kept only when it "
+    "exceeds a fraction of the GLOBAL aggregate — the scalar subquery becomes "
+    "a broadcast cross-join of a 1-row aggregate, so the comparison never "
+    "shuffles the grouped side.",
+    tags=("tpch", "agg", "subquery"),
+)
+def q11_nation_balance_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    per_nation = (
+        s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("s_acctbal").alias("balance"))
+    )
+    total = s.agg((dsum("s_acctbal") * F.lit(0.045)).alias("threshold"))
+    return (
+        per_nation.crossJoin(F.broadcast(total))
+        .filter(F.col("balance") > F.col("threshold"))
+        .select("n_name", "balance")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q14-style: promo revenue ratio over a date window
+# ---------------------------------------------------------------------------
+@register(
+    "q14_promo_revenue_ratio",
+    oracle=f"""
+        SELECT {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")} AS promo_revenue,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS total_revenue,
+               100.0 * {sql_dsum("CASE WHEN p.p_type = 'PROMO' THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END")}
+                 / {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS promo_pct
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l.l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+        """,
+    doc="Q14 promo revenue: date-windowed fact scan (range pushed to parquet "
+    "row groups), broadcast part join, conditional-sum percentage with exact "
+    "decimal accumulation.",
+    tags=("tpch", "join", "ratio"),
+)
+def q14_promo_revenue_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            dsum(promo).alias("promo_revenue"),
+            dsum(rev).alias("total_revenue"),
+            (F.lit(100.0) * dsum(promo) / dsum(rev)).alias("promo_pct"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q17-style: small-quantity revenue vs per-part average (decorrelated join-back)
+# ---------------------------------------------------------------------------
+@register(
+    "q17_small_quantity_revenue",
+    oracle=f"""
+        WITH brand_lines AS (
+          SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_brand = 'Brand#1'
+        ),
+        part_avg AS (
+          SELECT l_partkey, {sql_davg('l_quantity')} AS avg_qty
+          FROM brand_lines GROUP BY l_partkey
+        )
+        SELECT {sql_dsum('b.l_extendedprice')} / 7.0 AS avg_yearly,
+               COUNT(*) AS small_lines
+        FROM brand_lines b JOIN part_avg a ON b.l_partkey = a.l_partkey
+        WHERE b.l_quantity < 0.2 * a.avg_qty
+        """,
+    doc="Q17 small-quantity order revenue: the correlated per-part AVG is "
+    "decorrelated into a small per-part aggregate joined BACK to the lines "
+    "(broadcast — one row per part), the alternative decorrelation to "
+    "parts_above_brand_avg's window form.  Exact decimal avg makes the "
+    "0.2×avg threshold comparison engine-portable.",
+    tags=("tpch", "join", "subquery"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    brand_lines = (
+        l.join(F.broadcast(p.filter(F.col("p_brand") == "Brand#1")), l.l_partkey == p.p_partkey)
+        .select("l_partkey", "l_quantity", "l_extendedprice")
+    )
+    part_avg = brand_lines.groupBy("l_partkey").agg(davg("l_quantity").alias("avg_qty"))
+    return (
+        brand_lines.join(F.broadcast(part_avg), ["l_partkey"])
+        .filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            (dsum("l_extendedprice") / F.lit(7.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("small_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q18-style: large-volume customers (HAVING on fact agg, join back to dims)
+# ---------------------------------------------------------------------------
+@register(
+    "q18_large_volume_customers",
+    oracle=f"""
+        WITH big AS (
+          SELECT l_orderkey, {sql_dsum('l_quantity')} AS sum_qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING {sql_dsum('l_quantity')} > 300
+        )
+        SELECT c.c_custkey, c.c_name, o.o_orderkey,
+               CAST(o.o_orderdate AS DATE) AS orderdate,
+               o.o_totalprice, b.sum_qty
+        FROM big b
+        JOIN orders o   ON o.o_orderkey = b.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY o.o_totalprice DESC, o.o_orderkey
+        LIMIT 20
+        """,
+    doc="Q18 large-volume customers: the HAVING aggregate runs fact-side "
+    "first (map-side combinable sum per orderkey), and only qualifying "
+    "orderkeys — a tiny set at any scale — join back to orders/customer, so "
+    "the dims see a broadcast-size probe.",
+    tags=("tpch", "agg", "having"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o, c = (
+        load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "customer")
+    )
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(c, F.col("c_custkey") == F.col("o_custkey"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q19-style: disjunctive multi-attribute predicate (OR-of-ANDs pushdown)
+# ---------------------------------------------------------------------------
+@register(
+    "q19_disjunctive_revenue",
+    oracle=f"""
+        SELECT {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+               COUNT(*) AS line_items
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#11' AND p.p_size BETWEEN 1 AND 10
+               AND l.l_quantity BETWEEN 1 AND 15)
+           OR (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 11 AND 25
+               AND l.l_quantity BETWEEN 10 AND 25)
+           OR (p.p_brand = 'Brand#13' AND p.p_size BETWEEN 26 AND 50
+               AND l.l_quantity BETWEEN 20 AND 35)
+        """,
+    doc="Q19 discounted revenue: an OR-of-ANDs predicate spanning both join "
+    "sides.  Catalyst derives the single-side residuals (brand/size prune "
+    "the part scan, quantity range prunes the fact scan) before the "
+    "broadcast join evaluates the full disjunction.",
+    tags=("tpch", "join", "pushdown"),
+)
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    cond = (
+        (
+            (F.col("p_brand") == "Brand#11")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(1, 15)
+        )
+        | (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(11, 25)
+            & F.col("l_quantity").between(10, 25)
+        )
+        | (
+            (F.col("p_brand") == "Brand#13")
+            & F.col("p_size").between(26, 50)
+            & F.col("l_quantity").between(20, 35)
+        )
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(cond)
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count(F.lit(1)).alias("line_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q21-style: sole late supplier in multi-supplier orders (EXISTS + NOT EXISTS)
+# ---------------------------------------------------------------------------
+@register(
+    "q21_sole_late_supplier",
+    oracle="""
+        WITH late AS (
+          SELECT DISTINCT l1.l_suppkey, l1.l_orderkey
+          FROM lineitem l1 JOIN orders o ON o.o_orderkey = l1.l_orderkey
+          WHERE l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+            AND EXISTS (
+              SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+            )
+            AND NOT EXISTS (
+              SELECT 1 FROM lineitem l3 JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+              WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+            )
+        )
+        SELECT n.n_name, COUNT(*) AS waiting_orders
+        FROM late t
+        JOIN supplier s ON t.l_suppkey = s.s_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+        """,
+    doc="Q21 'suppliers who kept orders waiting': the correlated "
+    "EXISTS/NOT-EXISTS pair is decorrelated into ONE per-order aggregate "
+    "(distinct suppliers, distinct late suppliers) joined back to the late "
+    "lines — a single fact shuffle on orderkey replaces two correlated "
+    "re-scans of lineitem.  Oracle keeps the textbook EXISTS formulation.",
+    tags=("tpch", "join", "subquery"),
+)
+def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o, s, n = (
+        load_table(spark, sf_dir, t) for t in ("lineitem", "orders", "supplier", "nation")
+    )
+    lo = (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "l_orderkey",
+            "l_suppkey",
+            (F.col("l_shipdate") > F.expr("o_orderdate + INTERVAL 60 DAYS")).alias("late"),
+        )
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    sole = (
+        lo.filter(F.col("late"))
+        .select("l_orderkey", "l_suppkey")
+        .distinct()
+        .join(
+            per_order.filter((F.col("n_supp") >= 2) & (F.col("n_late") == 1)),
+            ["l_orderkey"],
+            "left_semi",
+        )
+    )
+    return (
+        sole.join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("waiting_orders"))
     )

@@ -85,3 +85,42 @@ def test_range_join_is_equi_join(spark):
     plan = plan_of(REGISTRY["range_following_counts"].build(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_global_topk_avoids_full_sort(spark):
+    """Q3/Q10/Q18-style ORDER BY + LIMIT must plan as TakeOrderedAndProject
+    (per-partition top-k + merge), never a global Sort exchange."""
+    for name in ("q3_shipping_priority", "q10_returned_item_revenue",
+                 "q18_large_volume_customers"):
+        plan = plan_of(REGISTRY[name].build(spark, SF_SMOKE))
+        assert "TakeOrderedAndProject" in plan, name
+
+
+def test_argmin_aggregate_has_no_window(spark):
+    """Q2's per-group argmin must be a single partial/final aggregate over
+    (value, key) structs — no rank window, no join-back.  (Struct buffers are
+    not hash-aggregable, so Spark plans a SortAggregate; the partial side is
+    still map-combinable, which is what matters at scale.)"""
+    plan = plan_of(REGISTRY["q2_cheapest_part_per_type"].build(spark, SF_SMOKE))
+    assert "Window" not in plan
+    assert "Join" not in plan
+    assert "partial_min" in plan
+
+
+def test_disjunctive_predicate_joins_broadcast(spark):
+    """Q19's OR-of-ANDs spanning both join sides must still broadcast the part
+    dim and derive a fact-side quantity residual — never a nested loop."""
+    plan = plan_of(REGISTRY["q19_disjunctive_revenue"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # Catalyst extracts l_quantity bounds from the disjunction and pushes them
+    # into the lineitem scan as a residual filter
+    assert "l_quantity" in plan.split("PushedFilters:")[1].split("]")[0]
+
+
+def test_q21_decorrelation_has_no_nested_loop(spark):
+    """The EXISTS/NOT-EXISTS decorrelation must stay equi-join only."""
+    plan = plan_of(REGISTRY["q21_sole_late_supplier"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
