@@ -1,0 +1,328 @@
+"""Training-data pipeline operators: TF-IDF ranking, deterministic stratified
+sampling, a portable HyperLogLog sketch, and an end-to-end curation funnel.
+
+These extend the LLM-data-pipeline surface (BASELINE.json north star) beyond
+dedup/similarity: relevance scoring, reproducible sampling, cheap cardinality
+estimation, and the single-pass funnel accounting a 100 TB curation run needs.
+
+Cross-engine posture (see functions/hashing.py): every pseudo-random choice is
+integer arithmetic replicated in the DuckDB oracle, TF-IDF uses a log-free
+integer score (one final double division), and the HLL estimator sums exact
+integer register weights before its single double division.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pulsar_pekko_streams_example_spark.functions import hashing as H
+from pulsar_pekko_streams_example_spark.operators.partitioning import spread
+from pulsar_pekko_streams_example_spark.plans.registry import register
+from pulsar_pekko_streams_example_spark.sources.tables import load_table
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document (log-free, integer-exact ranking)
+# ---------------------------------------------------------------------------
+TFIDF_K = 3
+
+
+def _duck_tfidf_sql(k: int) -> str:
+    toks = H.tokens("text", "duckdb")
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({toks}) AS term FROM documents
+        ),
+        tf AS (
+          SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
+        ),
+        df AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+          SELECT tf.doc_id, tf.term,
+                 CAST((tf.tf * 1000000 * n.n_docs) // df.df AS BIGINT) AS score_micro
+          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+        )
+        SELECT doc_id, term, score_micro, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                       ORDER BY score_micro DESC, term) AS rnk
+          FROM scored
+        ) t WHERE rnk <= {k}
+        """
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=_duck_tfidf_sql(TFIDF_K),
+    doc="Top-3 TF-IDF terms per document.  Term frequencies and document "
+    "frequencies are two hash aggregates off one tokenize pass; the doc-"
+    "frequency table (vocabulary-sized — orders of magnitude smaller than "
+    "the corpus) broadcasts back onto the term counts.  The idf weight is "
+    "the log-free rational tf*N/df floored at micro precision, so ranking "
+    "is pure int64 arithmetic — bit-identical across engines; swap in "
+    "ln((N+1)/(df+1)) at deploy time if calibrated scores matter more than "
+    "exact replay.",
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        "doc_id", F.explode(F.expr(H.tokens("text", "spark"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(df), ["term"])
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.expr("CAST((tf * 1000000 * n_docs) div df AS LONG)").alias("score_micro"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score_micro").desc(), F.col("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic stratified sampling (hash-gate per stratum)
+# ---------------------------------------------------------------------------
+SAMPLE_PERMILLE = 100  # 10 %
+
+
+def _doc_gate(dialect: str) -> str:
+    """Deterministic membership gate: polynomial hash of the doc id's decimal
+    digits, mod 1000 — identical in both engines, stable across reruns."""
+    cast = "STRING" if dialect == "spark" else "VARCHAR"
+    return f"({H.word_hash(f'CAST(doc_id AS {cast})', dialect)}) % 1000"
+
+
+@register(
+    "stratified_sample_counts",
+    oracle=f"""
+        WITH g AS (
+          SELECT lang,
+                 CAST(len(list_filter(string_split(text, ' '), t -> t <> '')) AS BIGINT) AS tc,
+                 ({_doc_gate('duckdb')}) < {SAMPLE_PERMILLE} AS keep
+          FROM documents
+        )
+        SELECT lang,
+               COUNT(*) AS total_docs,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+               CAST(SUM(CASE WHEN keep THEN tc ELSE 0 END) AS BIGINT) AS sampled_tokens
+        FROM g GROUP BY lang
+        """,
+    doc="Per-language 10% sample via a deterministic hash gate on doc_id — "
+    "reproducible across reruns/partitionings (unlike rand()-based "
+    "df.sample), no shuffle beyond the final small aggregate, and the gate "
+    "composes with any downstream operator as a pushed filter.  The "
+    "training-data answer to 'which exact rows were in last month's mix?'.",
+    tags=("sampling",),
+)
+def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    keep = F.expr(f"({_doc_gate('spark')}) < {SAMPLE_PERMILLE}")
+    tc = F.expr(f"CAST(size({H.tokens('text', 'spark')}) AS LONG)")
+    return (
+        docs.select("lang", keep.alias("keep"), tc.alias("tc"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("total_docs"),
+            F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("long").alias("sampled_docs"),
+            F.sum(F.when(F.col("keep"), F.col("tc")).otherwise(0)).cast("long").alias("sampled_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog distinct-count sketch (64 registers)
+# ---------------------------------------------------------------------------
+HLL_M = 64  # registers
+HLL_CAP = 25  # rho cap (hash payload is < 2^24 after register extraction)
+
+
+def _rho_case(var: str, div: str) -> str:
+    """1 + trailing-zero-count of ``var`` as a CASE chain — identical text in
+    both dialects (``div``/``%`` integer ops only)."""
+    clauses = [f"WHEN {var} = 0 THEN {HLL_CAP}"]
+    for b in range(1, HLL_CAP - 1):
+        clauses.append(f"WHEN ({var}) % {2 ** b} = {2 ** (b - 1)} THEN {b}")
+    return "CASE " + " ".join(clauses) + f" ELSE {HLL_CAP - 1} END"
+
+
+def _hll_exprs(dialect: str) -> tuple[str, str]:
+    """(register, rho) expressions over a string column ``uid``."""
+    h = H.word_hash("uid", dialect)
+    div = "div" if dialect == "spark" else "//"
+    reg = f"({h}) % {HLL_M}"
+    payload = f"(({h}) {div} {HLL_M})"
+    return reg, _rho_case(payload, div)
+
+
+def _duck_hll_sql() -> str:
+    reg, rho = _hll_exprs("duckdb")
+    return f"""
+        WITH u AS (SELECT CAST(user_id AS VARCHAR) AS uid FROM events),
+        regs AS (
+          SELECT {reg} AS reg, MAX({rho}) AS m FROM u GROUP BY 1
+        ),
+        tot AS (
+          SELECT COUNT(*) AS used,
+                 SUM(CAST(2 AS BIGINT) ** (30 - m)) AS present_weight
+          FROM regs
+        )
+        SELECT CAST(used AS BIGINT) AS registers_used,
+               (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users,
+               (0.709 * {HLL_M} * {HLL_M} * 1073741824.0)
+                 / (present_weight + ({HLL_M} - used) * 1073741824) AS hll_estimate
+        FROM tot
+        """
+
+
+@register(
+    "hll_distinct_users",
+    oracle=_duck_hll_sql(),
+    doc="HyperLogLog distinct-user estimate with 64 registers, built from "
+    "engine-portable integer arithmetic: register = hash%64, rho = trailing-"
+    "zero rank of the hash payload, registers combine by MAX (map-side "
+    "combinable, mergeable across any partitioning — the property that "
+    "makes the sketch constant-size at 100 TB).  Register weights 2^(30-M) "
+    "sum as exact integers so the single final double division is bit-"
+    "identical in both engines; exact count emitted alongside for error "
+    "inspection.  Raw estimator only (the linear-counting small-range "
+    "branch needs ln(), which is not bit-portable).",
+    tags=("sketch", "agg"),
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, sf_dir, "events"))
+    reg, rho = _hll_exprs("spark")
+    u = ev.select(F.expr("CAST(user_id AS STRING)").alias("uid"))
+    regs = u.groupBy(F.expr(reg).alias("reg")).agg(F.expr(f"MAX({rho})").alias("m"))
+    tot = regs.agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.expr("shiftleft(1L, 30 - m)")).alias("present_weight"),
+    )
+    exact = ev.agg(F.countDistinct("user_id").alias("exact_users"))
+    return (
+        tot.crossJoin(F.broadcast(exact))
+        .select(
+            F.col("used").cast("long").alias("registers_used"),
+            "exact_users",
+            F.expr(
+                f"(0.709 * {HLL_M} * {HLL_M} * 1073741824.0)"
+                f" / (present_weight + ({HLL_M} - used) * 1073741824)"
+            ).alias("hll_estimate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel: lang filter → quality gate → exact dedup → sample, ONE pass
+# ---------------------------------------------------------------------------
+FUNNEL_QUALITY_MIN = 640
+
+
+def _duck_funnel_sql() -> str:
+    toks = H.tokens("text", "duckdb")
+    fp = H.word_hash("text", "duckdb")
+    gate = _doc_gate("duckdb")
+    return f"""
+        WITH base AS (
+          SELECT doc_id, lang,
+                 {toks} AS w,
+                 {fp} AS fp,
+                 ({gate}) % 2 = 0 AS sampled
+          FROM documents
+        ),
+        feat AS (
+          SELECT doc_id, lang, fp, sampled,
+                 CAST(len(w) AS BIGINT) AS tc,
+                 CAST(len(list_distinct(w)) AS BIGINT) AS dt,
+                 CAST(len(list_filter(w, t -> t = 'the' OR t = 'a' OR t = 'of'
+                       OR t = 'and' OR t = 'to' OR t = 'in')) AS BIGINT) AS st
+          FROM base
+        ),
+        q AS (
+          SELECT *, 4 * least(tc, 100) + (300 * dt) // tc
+                    + (300 * (tc - st)) // tc AS qm
+          FROM feat
+        ),
+        keeper AS (
+          SELECT fp, MIN(doc_id) AS keep_id FROM q
+          WHERE lang = 'en' AND qm >= {FUNNEL_QUALITY_MIN}
+          GROUP BY fp
+        ),
+        lvl AS (
+          SELECT q.doc_id, q.tc,
+                 CASE WHEN q.lang <> 'en' THEN 0
+                      WHEN q.qm < {FUNNEL_QUALITY_MIN} THEN 1
+                      WHEN q.doc_id <> k.keep_id THEN 2
+                      WHEN NOT q.sampled THEN 3
+                      ELSE 4 END AS stage_level
+          FROM q LEFT JOIN keeper k ON q.fp = k.fp
+        )
+        SELECT CAST(stage AS BIGINT) AS stage,
+               COUNT(*) AS docs,
+               CAST(SUM(tc) AS BIGINT) AS tokens
+        FROM (SELECT unnest(generate_series(0, stage_level)) AS stage, tc FROM lvl) t
+        GROUP BY stage
+        """
+
+
+@register(
+    "pipeline_funnel_counts",
+    oracle=_duck_funnel_sql(),
+    doc="Curation-funnel accounting — docs/tokens surviving each stage of "
+    "raw → lang='en' → quality ≥ 640 → exact dedup (keep min doc_id per "
+    "text fingerprint) → deterministic 50% sample.  Computed as ONE corpus "
+    "scan: each doc gets its deepest-stage level (the dedup-survivor test "
+    "is a per-fingerprint argmin joined back, the only shuffle), then a "
+    "sequence-explode turns levels into cumulative stage counts — five "
+    "stage reports without five re-scans.",
+    tags=("pipeline", "dedup", "sampling"),
+)
+def pipeline_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    toks = H.tokens("text", "spark")
+    stop = " OR ".join(
+        f"t = '{w}'" for w in ("the", "a", "of", "and", "to", "in")
+    )
+    q = docs.select(
+        "doc_id",
+        "lang",
+        F.expr(H.word_hash("text", "spark")).alias("fp"),
+        F.expr(f"({_doc_gate('spark')}) % 2 = 0").alias("sampled"),
+        F.expr(f"CAST(size({toks}) AS LONG)").alias("tc"),
+        F.expr(f"CAST(size(array_distinct({toks})) AS LONG)").alias("dt"),
+        F.expr(f"CAST(size(filter({toks}, t -> {stop})) AS LONG)").alias("st"),
+    ).withColumn(
+        "qm",
+        F.expr("4 * least(tc, 100L) + (300 * dt) div tc + (300 * (tc - st)) div tc"),
+    )
+    keeper = (
+        q.filter((F.col("lang") == "en") & (F.col("qm") >= FUNNEL_QUALITY_MIN))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_id"))
+    )
+    lvl = q.join(F.broadcast(keeper), ["fp"], "left").select(
+        "tc",
+        F.expr(
+            f"CASE WHEN lang <> 'en' THEN 0 "
+            f"WHEN qm < {FUNNEL_QUALITY_MIN} THEN 1 "
+            f"WHEN doc_id <> keep_id THEN 2 "
+            f"WHEN NOT sampled THEN 3 ELSE 4 END"
+        ).alias("stage_level"),
+    )
+    return (
+        lvl.select(F.explode(F.expr("sequence(0, stage_level)")).alias("stage"), "tc")
+        .groupBy(F.col("stage").cast("long").alias("stage"))
+        .agg(F.count(F.lit(1)).alias("docs"), F.sum("tc").alias("tokens"))
+    )

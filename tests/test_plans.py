@@ -124,3 +124,21 @@ def test_q21_decorrelation_has_no_nested_loop(spark):
     plan = plan_of(REGISTRY["q21_sole_late_supplier"].build(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tfidf_df_table_broadcasts(spark):
+    """TF-IDF's document-frequency table (vocabulary-sized) must broadcast
+    back onto term counts — never shuffle the corpus-sized tf side for it."""
+    plan = plan_of(REGISTRY["tfidf_top_terms"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_is_single_scan(spark):
+    """The five-stage curation funnel must read the documents parquet ONCE —
+    stage accounting is a level column + explode, not five re-scans."""
+    plan = plan_of(REGISTRY["pipeline_funnel_counts"].build(spark, SF_SMOKE))
+    # formatted explain mentions each scan twice (tree + details) — count the
+    # tree section only: main scan + the broadcast keeper side
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Scan parquet") <= 2
