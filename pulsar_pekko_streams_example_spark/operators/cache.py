@@ -1,0 +1,79 @@
+"""Session-scoped materialization cache for subtrees shared across queries.
+
+Several registry queries are stages of ONE logical pipeline over the same
+corpus: shingle postings feed exact-Jaccard, MinHash-LSH and near-dup
+clustering; hyperplane signature bands feed both embedding near-dup and
+bucketed ANN; the SimHash fingerprint table feeds the fingerprint report and
+the hamming histogram.  Run standalone, each query re-derives the subtree —
+correct, but when one session runs many registry queries over the same data
+(the bench, the driver's correctness sweep, a real curation run) the same
+corpus-wide fan-out is recomputed per consumer.
+
+``shared_df`` memoizes and persists such a subtree once per (application,
+key): the first caller materializes it (MEMORY_AND_DISK — corpus-scale
+entries like the posting list spill instead of evicting), every later
+caller — including concurrently scheduled queries on other threads — reuses
+the cached partitions.  This is the Spark-idiomatic equivalent of the
+staging tables a production multi-consumer pipeline checkpoints between
+stages: in a sequential curation run you materialize exactly these (posting
+lists, signatures, verified pair sets) once and fan consumers out from
+them, not re-derive them per query.
+
+Keys embed the dataset directory and the operator parameters, so different
+scale factors or thresholds never collide.  Entries live for the Spark
+application; re-running a query in the same session is a cache read.
+
+**Deliberately NOT wired into the registry queries.**  Measured on the
+concurrent FAIR-pool bench at sf0.1 (local[32]): wiring shared subtrees
+into the dedup/similarity queries REGRESSED makespan ~20s → ~27-33s across
+every variant tried (full posting-list cache; small-outputs-only cache; 8
+and 16 worker threads).  Under saturated concurrency the redundant
+recompute overlaps with other queries' work anyway, while the cache adds a
+persist/serialization barrier (breaking scan→explode codegen fusion), a
+build lock that idles waiting consumers, and removes none of the dominant
+shuffle-join cost.  Use ``shared_df`` where it wins: a *sequential* or
+low-concurrency multi-consumer pipeline (one curation run fanning out into
+report + clustering + sampling stages) over data large enough that the
+subtree recompute, not the downstream shuffles, dominates.
+"""
+
+from __future__ import annotations
+
+import threading
+from typing import Callable, Hashable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.storagelevel import StorageLevel
+
+_REGISTRY_LOCK = threading.Lock()
+_BUILT: dict[tuple, DataFrame] = {}
+_BUILDING: dict[tuple, threading.Lock] = {}
+
+
+def shared_df(
+    spark: SparkSession,
+    key: tuple[Hashable, ...],
+    build: Callable[[], DataFrame],
+) -> DataFrame:
+    """Return the persisted DataFrame for ``key``, building it on first use.
+
+    Build-and-materialize happens under a per-key lock: concurrent queries
+    needing the same subtree wait for one materialization instead of racing
+    to compute the same partitions.  Distinct keys build concurrently.
+    """
+    full_key = (spark.sparkContext.applicationId,) + key
+    with _REGISTRY_LOCK:
+        df = _BUILT.get(full_key)
+        if df is not None:
+            return df
+        key_lock = _BUILDING.setdefault(full_key, threading.Lock())
+    with key_lock:
+        with _REGISTRY_LOCK:
+            df = _BUILT.get(full_key)
+            if df is not None:
+                return df
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        df.count()  # materialize eagerly so waiting queries reuse, not race
+        with _REGISTRY_LOCK:
+            _BUILT[full_key] = df
+    return df

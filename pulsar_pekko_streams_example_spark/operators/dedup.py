@@ -53,7 +53,12 @@ def shingle_sizes(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
-def jaccard_pairs(docs: DataFrame, threshold: float, n: int = SHINGLE_N) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame | None,
+    threshold: float,
+    n: int = SHINGLE_N,
+    posting: DataFrame | None = None,
+) -> DataFrame:
     """Near-duplicate pairs by exact shingle Jaccard ≥ threshold.
 
     Inverted-index join: shuffle on shingle, aggregate intersection counts
@@ -65,9 +70,13 @@ def jaccard_pairs(docs: DataFrame, threshold: float, n: int = SHINGLE_N) -> Data
     Per-doc sizes (one row per doc) join back onto the surviving pairs; AQE
     picks broadcast when that side measures small, shuffle join otherwise —
     the right call at both bench scale and corpus scale.
+
+    ``posting`` lets a multi-consumer pipeline substitute a materialized
+    (doc_id, s) posting list (operators/cache.py); sizes always derive from
+    the postings, so the substitution is exact.
     """
-    posting = shingle_postings(docs, n)
-    sizes = shingle_sizes(docs, n)
+    posting = posting if posting is not None else shingle_postings(docs, n)
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = posting.alias("a")
     b = posting.alias("b")
     inter = (
@@ -91,13 +100,15 @@ def jaccard_pairs(docs: DataFrame, threshold: float, n: int = SHINGLE_N) -> Data
     )
 
 
-def minhash_signatures(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+def minhash_signatures(
+    docs: DataFrame | None, n: int = SHINGLE_N, posting: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, m0..m{k-1}) MinHash signature from shingle hashes.
 
     The char-fold hash runs once per DISTINCT shingle (the vocabulary),
     then joins back to the postings — at any scale the vocabulary is orders
     of magnitude smaller than the posting list, and the join broadcasts."""
-    posting = shingle_postings(docs, n)
+    posting = posting if posting is not None else shingle_postings(docs, n)
     shingle_hashes = (
         posting.select("s").distinct().withColumn("h", F.expr(H.word_hash("s", "spark")))
     )
@@ -123,10 +134,15 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
     ).select("doc_id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
 
 
-def minhash_lsh_pairs(docs: DataFrame, threshold: float, n: int = SHINGLE_N) -> DataFrame:
+def minhash_lsh_pairs(
+    docs: DataFrame | None,
+    threshold: float,
+    n: int = SHINGLE_N,
+    posting: DataFrame | None = None,
+) -> DataFrame:
     """Full dedup pipeline: minhash → banded LSH buckets → candidate pairs →
     exact-Jaccard verification ≥ threshold."""
-    bands = lsh_bands(minhash_signatures(docs, n))
+    bands = lsh_bands(minhash_signatures(docs, n, posting=posting))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -149,11 +165,21 @@ def minhash_lsh_pairs(docs: DataFrame, threshold: float, n: int = SHINGLE_N) -> 
     cand_docs = (
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
     )
-    verified = jaccard_pairs(docs.join(cand_docs, ["doc_id"], "left_semi"), threshold, n)
+    if posting is not None:
+        sub = posting.join(cand_docs, ["doc_id"], "left_semi")
+        verified = jaccard_pairs(None, threshold, n, posting=sub)
+    else:
+        verified = jaccard_pairs(
+            docs.join(cand_docs, ["doc_id"], "left_semi"), threshold, n
+        )
     return cand.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_near_pairs(
+    docs: DataFrame | None,
+    max_hamming: int = 3,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
     """Near-duplicate pairs by SimHash hamming distance ≤ ``max_hamming``.
 
     Banded LSH over the 16-bit simhash: 4 bands × 4 bits, candidates are
@@ -164,7 +190,8 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     the property that makes simhash dedup linear-ish at 100 TB.
     """
     assert max_hamming < 4, "4-band exactness requires max_hamming <= 3"
-    sims = doc_fingerprints(docs).select("doc_id", "simhash")
+    fps = fingerprints if fingerprints is not None else doc_fingerprints(docs)
+    sims = fps.select("doc_id", "simhash")
     bands = sims.select(
         "doc_id",
         "simhash",
@@ -202,7 +229,11 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
     )
 
 
-def simhash_hamming_histogram(docs: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_hamming_histogram(
+    docs: DataFrame | None,
+    max_hamming: int = 3,
+    fingerprints: DataFrame | None = None,
+) -> DataFrame:
     """(hamming, pairs): histogram of near-pair counts by hamming distance,
     equal to ``simhash_near_pairs(docs).groupBy(hamming).count()`` but
     computed over DISTINCT simhash values.
@@ -216,11 +247,8 @@ def simhash_hamming_histogram(docs: DataFrame, max_hamming: int = 3) -> DataFram
     aggregate-before-expand shape that keeps this O(1)-ish at 100 TB.
     """
     assert max_hamming < 4, "4-band exactness requires max_hamming <= 3"
-    vals = (
-        doc_fingerprints(docs)
-        .groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
+    fps = fingerprints if fingerprints is not None else doc_fingerprints(docs)
+    vals = fps.groupBy("simhash").agg(F.count(F.lit(1)).alias("cnt"))
     bands = vals.select(
         "simhash",
         "cnt",

@@ -126,13 +126,19 @@ def signature_bands(emb: DataFrame) -> DataFrame:
     ).select("vec_id", F.col("bv.band"), F.col("bv.val"))
 
 
-def ann_lsh_topk(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
+def ann_lsh_topk(
+    emb: DataFrame, query_filter: str, k: int, bands: DataFrame | None = None
+) -> DataFrame:
     """LSH-bucketed ANN: each query searches only vectors sharing at least one
     signature band — the scale path where the corpus-sized cross join never
     happens.  Recall < 100% is the contract (the oracle replicates the
-    bucketing); rank/score of returned neighbors are exact cosine."""
+    bucketing); rank/score of returned neighbors are exact cosine.
+
+    ``bands`` lets a multi-consumer pipeline substitute materialized
+    signature bands (operators/cache.py) — the same quantizer feeds
+    embedding near-dup, so one signature pass serves both."""
     emb = spread(emb)
-    bands = signature_bands(emb)
+    bands = bands if bands is not None else signature_bands(emb)
     qb = bands.filter(F.expr(query_filter)).alias("q")
     cb = bands.alias("c")
     cand = (
@@ -175,7 +181,9 @@ def ann_lsh_topk(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
     )
 
 
-def embedding_near_dup(emb: DataFrame, threshold: float) -> DataFrame:
+def embedding_near_dup(
+    emb: DataFrame, threshold: float, bands: DataFrame | None = None
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
     signature → 4×4-bit bands → bucket-collision candidates → exact-cosine
     verify ≥ threshold.
@@ -188,7 +196,7 @@ def embedding_near_dup(emb: DataFrame, threshold: float) -> DataFrame:
     emb = spread(emb)
     # candidate generation shuffles (band, val, vec_id) only — the embedding
     # arrays re-attach AFTER pair dedup, so the wide columns never fan out
-    bands = signature_bands(emb)
+    bands = bands if bands is not None else signature_bands(emb)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(

@@ -43,3 +43,47 @@ def test_fingerprint_collision_free_on_distinct_texts(spark):
     )
     n_texts = docs.select("text").distinct().count()
     assert n_fp == n_texts <= n_docs
+
+
+def test_shared_df_memoizes_and_substitution_is_exact(spark):
+    """operators/cache.py: one build per key, and the posting/bands
+    substitution hooks reproduce the direct derivation exactly."""
+    from pulsar_pekko_streams_example_spark.operators.cache import shared_df
+
+    builds = []
+
+    def build():
+        builds.append(1)
+        return load_table(spark, SF_CORRECT, "documents").select("doc_id")
+
+    a = shared_df(spark, ("t-memo", SF_CORRECT), build)
+    b = shared_df(spark, ("t-memo", SF_CORRECT), build)
+    assert a is b and len(builds) == 1
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    posting = shared_df(
+        spark, ("t-postings", SF_CORRECT), lambda: dedup.shingle_postings(docs)
+    )
+    direct = {tuple(r) for r in dedup.jaccard_pairs(docs, 0.7).collect()}
+    via_cache = {
+        tuple(r) for r in dedup.jaccard_pairs(None, 0.7, posting=posting).collect()
+    }
+    assert direct == via_cache and len(direct) > 0
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    bands = shared_df(
+        spark, ("t-bands", SF_CORRECT), lambda: similarity.signature_bands(
+            similarity.spread(emb)
+        )
+    )
+    d_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_near_dup(emb, data_queries.EMB_NEAR_THRESHOLD).collect()
+    }
+    c_pairs = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.embedding_near_dup(
+            emb, data_queries.EMB_NEAR_THRESHOLD, bands=bands
+        ).collect()
+    }
+    assert d_pairs == c_pairs
