@@ -983,3 +983,307 @@ def q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("waiting_orders"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Q6-style: forecast revenue change — the pure pushdown probe
+# ---------------------------------------------------------------------------
+@register(
+    "q6_forecast_revenue",
+    oracle=f"""
+        SELECT {sql_dsum('l_extendedprice * l_discount')} AS revenue,
+               COUNT(*) AS qualifying_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+        """,
+    doc="Q6 forecast revenue: every predicate is a raw-column comparison, so "
+    "the ENTIRE filter reaches the parquet scan (PushedFilters) and row "
+    "groups outside the date range never leave disk — at 100 TB this query "
+    "is I/O-bound on the surviving fraction, nothing else.",
+    tags=("tpch", "agg", "pushdown"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"),
+            F.count(F.lit(1)).alias("qualifying_lines"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q9-style: product-line profit by supplier nation and year
+# (adapted: the schema has no partsupp, so profit = discounted revenue)
+# ---------------------------------------------------------------------------
+@register(
+    "q9_product_profit",
+    oracle=f"""
+        SELECT n.n_name AS nation, CAST(year(o.o_orderdate) AS INT) AS o_year,
+               {sql_dsum('l.l_extendedprice * (1 - l.l_discount)')} AS profit
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE p.p_name LIKE '%widget%'
+        GROUP BY nation, o_year
+        """,
+    doc="Q9 product profit (partsupp-free adaptation): 5-way join where only "
+    "orders co-shuffles with the fact on orderkey; part/supplier/nation stay "
+    "broadcast.  The part name LIKE filters the fact EARLY through the "
+    "broadcast join, so the orderkey shuffle carries only matching lines.",
+    tags=("tpch", "join", "agg"),
+)
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, o, s, n, p = (
+        load_table(spark, sf_dir, t)
+        for t in ("lineitem", "orders", "supplier", "nation", "part")
+    )
+    return (
+        l.join(F.broadcast(p.filter(F.col("p_name").like("%widget%"))),
+               F.col("l_partkey") == F.col("p_partkey"))
+        .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q12-style: shipping-latency buckets vs order priority
+# (adapted: no l_shipmode column — latency class plays its role)
+# ---------------------------------------------------------------------------
+@register(
+    "q12_ship_latency_priority",
+    oracle="""
+        SELECT CASE WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 30 THEN 'fast'
+                    WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'medium'
+                    ELSE 'slow' END AS latency_class,
+               SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+               SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+        WHERE l.l_shipdate >= o.o_orderdate
+        GROUP BY latency_class
+        """,
+    doc="Q12 shipmode/priority shape on the available schema: fact-fact join "
+    "on orderkey with a derived bucketing key and conditional counts — one "
+    "shuffle for the join, map-side partials for the aggregate (3 groups).",
+    tags=("tpch", "join", "agg"),
+)
+def q12_ship_latency_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o, l = load_table(spark, sf_dir, "orders"), load_table(spark, sf_dir, "lineitem")
+    delay = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    latency = (
+        F.when(delay <= 30, "fast").when(delay <= 90, "medium").otherwise("slow")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(l, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .groupBy(latency.alias("latency_class"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q15-style: top supplier by quarterly revenue (view + global max)
+# ---------------------------------------------------------------------------
+@register(
+    "q15_top_supplier",
+    oracle=f"""
+        WITH revenue AS (
+          SELECT l_suppkey AS supplier_no,
+                 {sql_dsum('l_extendedprice * (1 - l_discount)')} AS total_revenue
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+          GROUP BY l_suppkey
+        )
+        SELECT s.s_suppkey, s.s_name, r.total_revenue
+        FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+        WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+        """,
+    doc="Q15 top supplier: the revenue 'view' is computed ONCE and reused for "
+    "both the max scalar and the equality filter (self-referencing scalar "
+    "subquery becomes a broadcast 1-row cross join); exact decimal "
+    "accumulation makes the double equality deterministic cross-engine.",
+    tags=("tpch", "agg", "subquery"),
+)
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, s = load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "supplier")
+    revenue = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    top = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q16-style: supplier variety per part segment
+# (adapted: lineitem is the part↔supplier bridge — no partsupp table)
+# ---------------------------------------------------------------------------
+@register(
+    "q16_part_supplier_variety",
+    oracle="""
+        SELECT p.p_brand, p.p_type, p.p_size,
+               COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+        FROM part p JOIN lineitem l ON p.p_partkey = l.l_partkey
+        WHERE p.p_brand <> 'Brand#1'
+          AND p.p_type NOT LIKE 'PROMO%'
+          AND p.p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+        GROUP BY p.p_brand, p.p_type, p.p_size
+        """,
+    doc="Q16 supplier-variety shape via the lineitem bridge: negated "
+    "predicates (<>, NOT LIKE) stay pushable on the broadcast dim; COUNT "
+    "DISTINCT over the join result is the two-phase partial-distinct "
+    "aggregate — the shuffle carries (brand,type,size,suppkey) pairs, "
+    "already deduplicated map-side, never raw lines.",
+    tags=("tpch", "join", "distinct"),
+)
+def q16_part_supplier_variety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p, l = load_table(spark, sf_dir, "part"), load_table(spark, sf_dir, "lineitem")
+    dim = p.filter(
+        (F.col("p_brand") != "Brand#1")
+        & ~F.col("p_type").like("PROMO%")
+        & F.col("p_size").isin(1, 5, 9, 13, 17, 21, 25, 29)
+    )
+    return (
+        l.join(F.broadcast(dim), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q20-style: suppliers with significant volume in a part class
+# (adapted: shipped quantity from lineitem replaces partsupp availqty)
+# ---------------------------------------------------------------------------
+@register(
+    "q20_prolific_suppliers",
+    oracle="""
+        SELECT s.s_name, s.s_acctbal
+        FROM supplier s JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE n.n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+          AND s.s_suppkey IN (
+            SELECT l.l_suppkey
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            WHERE p.p_name LIKE 'small%'
+              AND l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+            GROUP BY l.l_suppkey
+            HAVING SUM(l.l_quantity) > 50
+          )
+        """,
+    doc="Q20 shape: IN over an aggregated subquery becomes a left-semi join "
+    "against a HAVING-filtered per-supplier aggregate — the fact side "
+    "reduces to ~|suppliers| rows BEFORE touching the supplier dim, and the "
+    "part filter broadcasts into the fact scan.  Quantities are whole "
+    "numbers, so the double SUM is exact in both engines.",
+    tags=("tpch", "join", "semi", "subquery"),
+)
+def q20_prolific_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l, p, s, n = (
+        load_table(spark, sf_dir, t) for t in ("lineitem", "part", "supplier", "nation")
+    )
+    prolific = (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(p.filter(F.col("p_name").like("small%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 50)
+    )
+    return (
+        s.join(
+            F.broadcast(n.filter(F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11"))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(prolific, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q22-style: dormant high-balance customers per nation
+# (adapted: nation replaces the phone country code)
+# ---------------------------------------------------------------------------
+@register(
+    "q22_dormant_customer_balance",
+    oracle=f"""
+        SELECT n.n_name AS cntry, COUNT(*) AS numcust,
+               {sql_dsum('c.c_acctbal')} AS totacctbal
+        FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+        WHERE c.c_acctbal > (
+            SELECT {sql_davg('c_acctbal')} FROM customer WHERE c_acctbal > 0.0
+          )
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = c.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+          )
+        GROUP BY cntry
+        """,
+    doc="Q22 'global sales opportunity' shape: scalar AVG broadcast as a "
+    "1-row cross join, NOT EXISTS as a left-anti join on custkey (dormant = "
+    "no order in the final ~2.5 years — the date filter pushes into the "
+    "orders scan), nation dim broadcast.  The anti-join probes orders with "
+    "only the (already balance-filtered) customer side shuffling.",
+    tags=("tpch", "join", "anti", "subquery"),
+)
+def q22_dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c, n, o = (
+        load_table(spark, sf_dir, t) for t in ("customer", "nation", "orders")
+    )
+    global_avg = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg("c_acctbal").alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(global_avg))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(
+            o.filter(
+                F.col("o_orderdate") >= F.lit("1999-01-01 00:00:00").cast("timestamp")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("cntry"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal").alias("totacctbal"),
+        )
+    )
