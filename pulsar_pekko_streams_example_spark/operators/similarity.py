@@ -315,3 +315,125 @@ def cosine_topk_numpy(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rnk")
     )
+
+
+# --- IVF (inverted-file) ANN -----------------------------------------------
+
+# Deterministic strided coarse quantizer: centroid set = every 64th vector.
+# Production would train centroids with sampled k-means (spark.ml KMeans on a
+# corpus sample); a fixed stride keeps the quantizer a pure function of the
+# data so the DuckDB oracle replicates the index bit-for-bit.  The IVF
+# *structure* — assign each vector to its nearest centroid once, probe only
+# nprobe lists per query — is exactly the production shape.
+IVF_CENT_STRIDE = 64
+IVF_CENT_OFFSET = 7
+IVF_NPROBE = 2
+
+
+def ivf_assignments(emb: DataFrame) -> DataFrame:
+    """(vec_id, cent_id): each vector's nearest centroid by cosine.
+
+    The centroid table broadcasts (it is corpus/STRIDE rows — at a real
+    deployment, O(sqrt(corpus)) trained centroids), so scoring is a map-only
+    pass over the embeddings; the argmax collapses to ONE hash aggregate of
+    max(struct(csim, -cent_id)) with map-side partials — the only shuffle
+    carries a single row per vector, never the score matrix."""
+    base = emb.select("vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm"))
+    cent = base.filter(
+        (F.col("vec_id") % IVF_CENT_STRIDE) == IVF_CENT_OFFSET
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        (
+            F.expr(DOT.format(a="embedding", b="ce")) / (F.col("nrm") * F.col("cn"))
+        ).alias("csim"),
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("csim").alias("csim"), (-F.col("cent_id")).alias("neg"))
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.neg")).alias("cent_id"))
+    )
+
+
+def ann_ivf_topk(
+    emb: DataFrame, query_filter: str, k: int, nprobe: int = IVF_NPROBE
+) -> DataFrame:
+    """IVF ANN: nearest-centroid inverted lists, queries probe only their
+    ``nprobe`` closest lists, exact-cosine re-score + top-k inside them.
+
+    The scale path where neither the corpus cross join nor a corpus-wide
+    shuffle ever happens: per query the search touches ~corpus·nprobe/C
+    vectors, and the candidate join is an equi-join on cent_id against
+    inverted lists that are partitioned by cent_id.  Recall < 100% is the
+    contract (the oracle replicates the quantizer and probing exactly);
+    returned scores/ranks are exact cosine."""
+    emb = spread(emb)
+    base = emb.select("vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm"))
+    cent = base.filter(
+        (F.col("vec_id") % IVF_CENT_STRIDE) == IVF_CENT_OFFSET
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        (
+            F.expr(DOT.format(a="embedding", b="ce")) / (F.col("nrm") * F.col("cn"))
+        ).alias("csim"),
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("csim").alias("csim"), (-F.col("cent_id")).alias("neg"))
+            ).alias("m")
+        )
+        .select("vec_id", (-F.col("m.neg")).alias("cent_id"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    probes = (
+        scored.filter(F.expr(query_filter))
+        .select(F.col("vec_id").alias("query_id"), "cent_id", "csim")
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "cent_id")
+    )
+    lists = assign.join(base, "vec_id").select(
+        "cent_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    q = base.filter(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    # assignment is unique per vector, so (query, neighbor) pairs are already
+    # distinct — no dedup shuffle needed after the list join
+    rescored = (
+        probes.join(lists, "cent_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cosine",
+            F.expr(DOT.format(a="qe", b="ne")) / (F.col("qn") * F.col("nn")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

@@ -531,6 +531,73 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_lsh_topk(emb, ANN_QUERY_FILTER, ANN_K)
 
 
+def _duck_ann_ivf_sql(k: int, nprobe: int) -> str:
+    stride, offset = similarity.IVF_CENT_STRIDE, similarity.IVF_CENT_OFFSET
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings
+        ),
+        cent AS (
+          SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+          FROM base WHERE vec_id % {stride} = {offset}
+        ),
+        scored AS (
+          SELECT b.vec_id, c.cent_id,
+                 {_duck_dot('b.embedding', 'c.ce')} / (b.nrm * c.cn) AS csim
+          FROM base b CROSS JOIN cent c
+        ),
+        assign AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+            FROM scored
+          ) t WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, cent_id FROM (
+            SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+            FROM scored WHERE {ANN_QUERY_FILTER}
+          ) t WHERE rn <= {nprobe}
+        ),
+        cand AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id
+          FROM probes p JOIN assign a ON p.cent_id = a.cent_id
+          WHERE a.vec_id <> p.query_id
+        ),
+        rescored AS (
+          SELECT cd.query_id, cd.neighbor_id,
+                 {_duck_dot('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine
+          FROM cand cd
+          JOIN base q ON cd.query_id = q.vec_id
+          JOIN base n ON cd.neighbor_id = n.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM rescored
+        ) t WHERE rnk <= {k}
+        """
+
+
+@register(
+    "ann_ivf_topk",
+    oracle=_duck_ann_ivf_sql(ANN_K, similarity.IVF_NPROBE),
+    doc="IVF ANN (the partition-pruned scale path): vectors are assigned "
+    "once to their nearest centroid (broadcast quantizer, map-only scoring, "
+    "struct-max argmax as one hash agg), queries probe only nprobe inverted "
+    "lists via an equi-join on cent_id.  List recall is the contract (the "
+    "oracle replicates the deterministic strided quantizer and the probing "
+    "exactly); scores are exact cosine.",
+    tags=("similarity", "ivf"),
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_ivf_topk(emb, ANN_QUERY_FILTER, ANN_K)
+
+
 def _duck_components_sql() -> str:
     return f"""
         WITH RECURSIVE {DUCK_DOC_CTE}, {DUCK_INTER_CTE},

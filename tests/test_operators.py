@@ -87,3 +87,27 @@ def test_shared_df_memoizes_and_substitution_is_exact(spark):
         ).collect()
     }
     assert d_pairs == c_pairs
+
+
+def test_ivf_pruned_search_properties(spark):
+    """IVF invariants on the synthetic corpus.
+
+    The synthetic embeddings are cosine-UNclustered (measured: only 1/25 of
+    true top-5 neighbors share the query's label), so a pruned search that
+    touches ~nprobe/C of the corpus can only recall about that fraction of
+    the true top-k — the recall/cost tradeoff is the operator's contract,
+    exactly as for ann_lsh_topk.  What must hold deterministically:
+    full k results per query, bit-identical cosine on every pair both paths
+    return, and recall above the searched-fraction baseline."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    exact = similarity.cosine_topk(emb, data_queries.ANN_QUERY_FILTER, data_queries.ANN_K)
+    ivf = similarity.ann_ivf_topk(emb, data_queries.ANN_QUERY_FILTER, data_queries.ANN_K)
+    e = {(r.query_id, r.neighbor_id): r.cosine for r in exact.collect()}
+    i = {(r.query_id, r.neighbor_id): r.cosine for r in ivf.collect()}
+    assert len(i) == len(e)  # k full results per query from the probed lists
+    hits = set(e) & set(i)
+    # searched fraction = nprobe/C = 25% at sf0.01; measured deterministic
+    # recall 60% (15/25)
+    assert len(hits) >= 0.4 * len(e)
+    for pair in hits:
+        assert e[pair] == i[pair]  # exact re-scoring, bit-identical
