@@ -15,6 +15,7 @@ from pulsar_pekko_streams_example_spark.functions import hashing as H
 from pulsar_pekko_streams_example_spark.functions.numeric import davg, sql_davg
 from pulsar_pekko_streams_example_spark.operators.partitioning import spread
 from pulsar_pekko_streams_example_spark.operators import (
+    curation,
     dedup,
     multimodal,
     similarity,
@@ -850,3 +851,108 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("docs"),
         F.expr("CAST(SUM((top * 1000) div total) AS BIGINT)").alias("sum_top_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Curation: class rebalancing, sequence packing, decontamination
+# ---------------------------------------------------------------------------
+@register(
+    "lang_rebalance_counts",
+    oracle=f"""
+        WITH cnt AS (SELECT lang, COUNT(*) AS total FROM documents GROUP BY lang),
+        flo AS (SELECT MIN(total) AS min_total FROM cnt),
+        gated AS (
+          SELECT d.lang, c.total,
+                 CASE WHEN {curation._gate_hash()} % c.total < f.min_total
+                      THEN 1 ELSE 0 END AS kept_flag
+          FROM documents d JOIN cnt c USING (lang) CROSS JOIN flo f
+        )
+        SELECT lang, MAX(total) AS total, SUM(kept_flag) AS kept
+        FROM gated GROUP BY lang
+        """,
+    doc="Mixture rebalancing: every language class deterministically "
+    "downsampled to ≈ the minority class size via an exact integer-rational "
+    "hash gate (accept iff h % total < min_total) — per-row predicate, "
+    "reproducible across reruns/partitionings, only the tiny class-count "
+    "table broadcasts.",
+    tags=("curation", "sampling"),
+)
+def lang_rebalance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.rebalance_by_lang(docs)
+
+
+@register(
+    "sequence_packing_stats",
+    oracle=f"""
+        WITH toks AS (
+          SELECT doc_id, source,
+                 CAST(len({H.tokens('text', 'duckdb')}) AS BIGINT) AS tc
+          FROM documents
+        ),
+        staged AS (
+          SELECT source, tc,
+                 COALESCE(SUM(tc) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+          FROM toks
+        ),
+        flags AS (
+          SELECT source, tc,
+                 CASE WHEN cum_before // {curation.PACK_BUDGET}
+                        <> (cum_before + tc - 1) // {curation.PACK_BUDGET}
+                      THEN 1 ELSE 0 END AS straddler
+          FROM staged
+        )
+        SELECT source, COUNT(*) AS docs, SUM(tc) AS total_tokens,
+               (SUM(tc) + {curation.PACK_BUDGET - 1}) // {curation.PACK_BUDGET} AS bins,
+               SUM(straddler) AS straddlers,
+               CAST(SUM(tc) AS DOUBLE)
+                 / (((SUM(tc) + {curation.PACK_BUDGET - 1}) // {curation.PACK_BUDGET})
+                    * {float(curation.PACK_BUDGET)}) AS utilization
+        FROM flags GROUP BY source
+        """,
+    doc="Concat-and-chunk sequence packing stats: documents concatenated in "
+    "doc_id order per source and cut into fixed token-budget training "
+    "sequences; reports bins, boundary-straddling docs and packing "
+    "utilization.  One window per source (the trainer's shard partitioning) "
+    "with an integer running sum — no second pass, no float accumulation.",
+    tags=("curation", "window"),
+)
+def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.sequence_packing_stats(docs)
+
+
+@register(
+    "decontamination_report",
+    oracle=f"""
+        WITH {DUCK_DOC_CTE},
+        src AS (SELECT doc_id, source FROM documents),
+        tp AS (
+          SELECT p.doc_id AS test_doc, p.s FROM posting p
+          JOIN src ON p.doc_id = src.doc_id WHERE src.source = 'src19'
+        ),
+        rp AS (
+          SELECT p.doc_id AS train_doc, p.s FROM posting p
+          JOIN src ON p.doc_id = src.doc_id WHERE src.source <> 'src19'
+        ),
+        overlap AS (
+          SELECT rp.train_doc, tp.test_doc, COUNT(*) AS shared
+          FROM rp JOIN tp USING (s)
+          GROUP BY 1, 2
+          HAVING COUNT(*) >= {curation.DECON_MIN_SHARED}
+        )
+        SELECT test_doc, COUNT(*) AS contaminated_train_docs,
+               MAX(shared) AS max_shared
+        FROM overlap GROUP BY test_doc
+        """,
+    doc="Train/test decontamination: per held-out doc (source=src19), the "
+    "count of training docs sharing ≥2 distinct shingles and the worst "
+    "overlap — an inverted-index equi-join on shingle (cost Σ df·df, never "
+    "|train|×|test|) with the tiny held-out posting side broadcast.",
+    tags=("curation", "dedup"),
+)
+def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return curation.decontamination_report(docs, test_source="src19")
