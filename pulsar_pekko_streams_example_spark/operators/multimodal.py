@@ -90,9 +90,50 @@ def sample_frames(media: DataFrame, every_n_bytes: int = 64, max_frames: int = 4
     return media.mapInPandas(run, FRAME_SAMPLE_SCHEMA)
 
 
-def decode_audio_waveform(media: DataFrame) -> DataFrame:
-    """Audio decode stub: real codecs are unavailable in this container."""
-    raise NotImplementedError(
-        "audio decode requires a codec library not present in this environment; "
-        "the mapInPandas plumbing mirrors decode_image_features"
-    )
+def audio_features_schema(passthrough: tuple[str, ...] = ()) -> str:
+    cols = "".join(f", {c} string" for c in passthrough)
+    return f"media_id long{cols}, n_samples long, duration_s double, silent long, clipped long"
+
+
+def decode_audio_features(
+    media: DataFrame, sample_rate: int = 8000, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
+    """Audio decode + feature extraction.
+
+    No audio codec ships in this container, so the DECODE step is a
+    deterministic stand-in — the byte stream is read as unsigned 8-bit PCM
+    centred at 128 (a real build would call the codec exactly here; the
+    plumbing is identical to decode_image_features).  Everything Spark-side
+    is real: Arrow-batched ``mapInPandas`` over the scan partitioning, blobs
+    never shuffle, only small typed feature columns leave Python, and any
+    ``passthrough`` metadata columns ride along so downstream grouping needs
+    no join back to the media table.
+
+    Features: sample count, duration at ``sample_rate``, near-silence samples
+    (|amplitude| < 16) and clipped samples (|amplitude| >= 96).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):
+                buf = np.frombuffer(bytes(r.content or b""), dtype=np.uint8).astype(np.int16) - 128
+                n = len(buf)
+                rows.append(
+                    (r.media_id,)
+                    + tuple(getattr(r, c) for c in passthrough)
+                    + (
+                        n,
+                        n / float(sample_rate),
+                        int((np.abs(buf) < 16).sum()),
+                        int((np.abs(buf) >= 96).sum()),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", *passthrough, "n_samples", "duration_s", "silent", "clipped"],
+            )
+
+    return media.mapInPandas(run, audio_features_schema(passthrough))

@@ -1,0 +1,213 @@
+"""Advanced analytic-window queries: RANGE frames, sliding event-time
+windows, distribution-based anomaly flags, arbitrary GROUPING SETS.
+
+The reference's only windows are wall-clock metric gauges sampled on fixed
+schedules (part2/MessageProcessor.scala:35-40, part3/PermittedTaskExecutor
+.scala:181-187); a declarative engine owes its users the full window-frame
+surface.  Everything here is one partitioning + one pass — no self-joins for
+rolling math, no per-row subqueries for z-scores.
+
+Scale posture: RANGE frames and sliding windows shuffle once on their
+partition keys; the anomaly query broadcasts a per-group scalar table (one
+row per event_type) back onto the fact scan; grouping sets expand inside a
+single shuffle (Expand operator), not one aggregation pass per set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pulsar_pekko_streams_example_spark.functions.numeric import DEC, dsum, sql_dsum
+from pulsar_pekko_streams_example_spark.plans.registry import register
+from pulsar_pekko_streams_example_spark.sources.tables import load_table
+
+DAY_US = 86_400_000_000
+
+
+# ---------------------------------------------------------------------------
+# RANGE-frame rolling aggregation: trailing-7-day revenue per customer
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_revenue_7d",
+    oracle=f"""
+        WITH o AS (
+          SELECT o_orderkey, o_custkey,
+                 epoch_us(o_orderdate) // {DAY_US} AS day,
+                 o_totalprice
+          FROM orders
+        )
+        SELECT o_orderkey, o_custkey, day,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS rev_7d,
+               COUNT(*) OVER w AS orders_7d
+        FROM o
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                     RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+        """,
+    doc="RANGE-frame window (value-based, not row-count-based): for every "
+    "order, the customer's trailing-7-day revenue and order count.  RANGE "
+    "frames are tie-safe — same-day peer rows always aggregate together, so "
+    "the result is deterministic under any execution order, unlike a ROWS "
+    "frame over a non-unique sort key.  One shuffle on o_custkey; decimal "
+    "window accumulation keeps the doubles engine-exact.",
+    tags=("window", "range-frame"),
+)
+def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        # o_orderdate is TIMESTAMP_NTZ; the session tz is pinned to UTC by
+        # prepare_session, so the cast to TIMESTAMP is exact epoch arithmetic.
+        F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {DAY_US}").alias("day"),
+        "o_totalprice",
+    )
+    w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        "day",
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("rev_7d"),
+        F.count(F.lit(1)).over(w).alias("orders_7d"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding event-time windows: 1-hour windows every 15 minutes
+# ---------------------------------------------------------------------------
+@register(
+    "sliding_window_activity",
+    oracle=f"""
+        SELECT (epoch_us(ts) // 900000000 - k) * 900000000 AS ws_us,
+               event_type,
+               COUNT(*) AS events,
+               {sql_dsum('value')} AS volume
+        FROM events, (SELECT unnest(range(4)) AS k) slots
+        GROUP BY 1, 2
+        """,
+    doc="Sliding event-time windows — F.window(ts, '1 hour', '15 minutes'): "
+    "each event lands in exactly 4 overlapping windows (the streaming twin is "
+    "the same expression under readStream + watermark).  The oracle "
+    "reconstructs Spark's epoch-aligned window-start arithmetic explicitly "
+    "(slot k back-offsets of the 15-min grid).  Window starts are compared "
+    "as integer epoch-micros, never engine-local timestamps.",
+    tags=("window", "sliding", "event-time"),
+)
+def sliding_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("events"), dsum("value").alias("volume"))
+        .select(
+            F.unix_micros("w.start").alias("ws_us"),
+            "event_type",
+            "events",
+            "volume",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution-based anomaly detection: 3-sigma outliers per event_type
+# ---------------------------------------------------------------------------
+@register(
+    "zscore_anomalies",
+    oracle="""
+        WITH stats AS (
+          SELECT event_type,
+                 COUNT(value) AS n,
+                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
+                 CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+          FROM events GROUP BY event_type
+        ),
+        scored AS (
+          SELECT s.event_type, s.n,
+                 s.s1 / CAST(s.n AS DOUBLE) AS mean,
+                 (CAST(s.n AS DOUBLE) * s.s2 - s.s1 * s.s1)
+                   / (CAST(s.n AS DOUBLE) * CAST(s.n - 1 AS DOUBLE)) AS variance,
+                 e.value
+          FROM events e JOIN stats s ON e.event_type = s.event_type
+        )
+        SELECT event_type, n, mean, variance,
+               CAST(SUM(CASE WHEN (value - mean) * (value - mean)
+                                  > 9.0 * variance THEN 1 ELSE 0 END) AS BIGINT)
+                 AS anomalies
+        FROM scored GROUP BY event_type, n, mean, variance
+        """,
+    doc="Two-pass anomaly flagging: per-type mean/variance from decimal-exact "
+    "moment sums (n, Σx, Σx²), broadcast back onto the fact scan, count rows "
+    "beyond 3σ ((x-μ)² > 9σ² — no sqrt needed).  The moment sums make "
+    "variance associative and engine-exact; every subsequent double op is "
+    "written in the same order in both dialects, so even the derived mean/"
+    "variance hash-match bit-for-bit.  At 100 TB the stats table is one row "
+    "per group — always broadcast, never a shuffle of the facts.",
+    tags=("window", "statistics", "anomaly"),
+)
+def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.count("value").alias("n"),
+        dsum("value").alias("s1"),
+        dsum(F.col("value") * F.col("value")).alias("s2"),
+    )
+    nd = F.col("n").cast("double")
+    stats = stats.select(
+        "event_type",
+        "n",
+        (F.col("s1") / nd).alias("mean"),
+        ((nd * F.col("s2") - F.col("s1") * F.col("s1")) / (nd * (F.col("n") - 1).cast("double"))).alias(
+            "variance"
+        ),
+    )
+    scored = ev.join(F.broadcast(stats), "event_type")
+    dev = F.col("value") - F.col("mean")
+    return scored.groupBy("event_type", "n", "mean", "variance").agg(
+        F.sum(F.when(dev * dev > F.lit(9.0) * F.col("variance"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("anomalies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary GROUPING SETS (beyond CUBE/ROLLUP): nation × order-priority
+# ---------------------------------------------------------------------------
+@register(
+    "grouping_sets_revenue",
+    oracle=f"""
+        SELECT n_name, o_orderpriority,
+               CAST(GROUPING(n_name) AS INT) AS g_nation,
+               CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+               COUNT(*) AS orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, o_orderpriority), (n_name),
+                                (o_orderpriority), ())
+        """,
+    doc="Arbitrary GROUPING SETS via DataFrame.groupingSets — all four "
+    "aggregation granularities from ONE shuffle (Catalyst's Expand operator "
+    "replicates rows per set; no union of four scans).  GROUPING() flags "
+    "disambiguate 'NULL because rolled up' from a genuinely null key.  "
+    "Completes the grouping-analytics family next to cube_event_stats and "
+    "rollup_order_priority.",
+    tags=("aggregation", "grouping-sets"),
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    joined = orders.join(
+        customer, F.col("o_custkey") == F.col("c_custkey")
+    ).join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+    return joined.groupingSets(
+        [["n_name", "o_orderpriority"], ["n_name"], ["o_orderpriority"], []],
+        "n_name",
+        "o_orderpriority",
+    ).agg(
+        F.grouping("n_name").cast("int").alias("g_nation"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("orders"),
+        dsum("o_totalprice").alias("revenue"),
+    )

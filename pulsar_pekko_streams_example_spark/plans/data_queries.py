@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from pulsar_pekko_streams_example_spark.functions import hashing as H
-from pulsar_pekko_streams_example_spark.functions.numeric import davg, sql_davg
+from pulsar_pekko_streams_example_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
 from pulsar_pekko_streams_example_spark.operators.partitioning import spread
 from pulsar_pekko_streams_example_spark.operators import (
     curation,
@@ -480,6 +480,53 @@ def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     frames = multimodal.sample_frames(media)
     per_doc = frames.groupBy("media_id").agg(F.count(F.lit(1)).alias("frames"))
     return per_doc.groupBy("frames").agg(F.count(F.lit(1)).alias("docs"))
+
+
+@register(
+    "audio_silence_stats",
+    oracle=f"""
+        WITH feats AS (
+          SELECT source,
+                 strlen(text) AS n_samples,
+                 strlen(text) / 8000.0 AS duration_s,
+                 strlen(text) - strlen(regexp_replace(text, '[q-z{{|}}~]', '', 'g')) AS silent,
+                 strlen(text) - strlen(replace(text, ' ', '')) AS clipped
+          FROM documents
+        )
+        SELECT source,
+               COUNT(*) AS clips,
+               {sql_dsum('duration_s')} AS total_duration_s,
+               CAST(SUM(silent) AS BIGINT) AS silent_samples,
+               CAST(SUM(clipped) AS BIGINT) AS clipped_samples,
+               CAST(SUM(silent) AS DOUBLE) / CAST(SUM(n_samples) AS DOUBLE) AS silence_ratio
+        FROM feats GROUP BY source
+        """,
+    doc="Multimodal audio plumbing end-to-end: text bytes stand in for 8-bit "
+    "PCM clips (no codecs in this container — operators/multimodal.py's "
+    "decode_audio_features stubs the decode deterministically), mapInPandas "
+    "extracts duration/silence/clipping per clip with the source metadata "
+    "column riding through the UDF (no join back), then a per-source rollup.  "
+    "The oracle recomputes the stub decode arithmetically: |amp|<16 ⇔ byte in "
+    "[q-z{|}~], |amp|>=96 ⇔ space, over the ASCII corpus.",
+    tags=("multimodal", "pandas-udf", "audio"),
+)
+def audio_silence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        "source",
+        F.encode("text", "utf-8").alias("content"),
+    )
+    feats = multimodal.decode_audio_features(media, passthrough=("source",))
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).alias("clips"),
+        dsum("duration_s").alias("total_duration_s"),
+        F.sum("silent").alias("silent_samples"),
+        F.sum("clipped").alias("clipped_samples"),
+        (F.sum("silent").cast("double") / F.sum("n_samples").cast("double")).alias(
+            "silence_ratio"
+        ),
+    )
 
 
 def _duck_ann_lsh_sql(k: int) -> str:

@@ -142,3 +142,30 @@ def test_funnel_is_single_scan(spark):
     # tree section only: main scan + the broadcast keeper side
     tree = plan.split("\n\n")[0]
     assert tree.count("Scan parquet") <= 2
+
+
+def test_grouping_sets_single_expand(spark):
+    """All four grouping sets must come from ONE Expand over one shuffle —
+    never a union of four separate aggregation passes."""
+    plan = plan_of(REGISTRY["grouping_sets_revenue"].build(spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]
+    assert "Expand" in tree
+    assert tree.count("Scan parquet") <= 3  # orders + customer + nation, once each
+
+
+def test_zscore_stats_table_broadcasts(spark):
+    """The per-type moment table (one row per event_type) must broadcast back
+    onto the events scan — the facts never shuffle for the join."""
+    plan = plan_of(REGISTRY["zscore_anomalies"].build(spark, SF_SMOKE))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_rolling_range_frame_single_shuffle(spark):
+    """The trailing-7-day RANGE frame must be one Window over one exchange on
+    o_custkey — no self-join re-scan of orders."""
+    plan = plan_of(REGISTRY["rolling_revenue_7d"].build(spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]
+    assert "Window" in tree
+    assert tree.count("Scan parquet") == 1
+    assert "Join" not in tree
