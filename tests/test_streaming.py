@@ -506,3 +506,62 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmpdir):
     tws = sorted(map(tuple, spark.table("tws_out").collect()))
     aip = sorted(map(tuple, spark.table("aip_out").collect()))
     assert tws == aip and len(tws) == ledger.count()
+
+
+def test_drop_duplicates_within_watermark_absorbs_redelivery(spark, tmpdir):
+    """S7 delivery semantics, downstream view: broker redelivery is
+    at-least-once, so the same message_id can arrive in multiple
+    micro-batches.  dropDuplicatesWithinWatermark() turns that into
+    effectively-once for consumers — state holds ids only within the
+    watermark horizon, so it is bounded at 100 TB (unlike a full
+    dropDuplicates whose state grows without bound)."""
+    src = os.path.join(tmpdir, "in")
+    out_dir = os.path.join(tmpdir, "sink")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    os.makedirs(src)
+
+    def envelopes(lo, hi, redelivery_attempt=1):
+        return spark.range(lo, hi).select(
+            F.col("id").cast("string").alias("message_id"),
+            F.col("id").alias("event_id"),
+            F.lit("persistent://t/ns/topic-0").alias("topic"),
+            F.concat(F.lit("k"), (F.col("id") % 5).cast("string")).alias("key"),
+            F.col("id").alias("seq"),
+            F.lit(redelivery_attempt).cast("long").alias("attempt"),
+            F.lit("success").alias("status"),
+            (F.lit("2024-01-01 00:00:00").cast("timestamp")
+             + F.make_interval(secs=F.col("id"))).alias("publish_time"),
+        )
+
+    envelopes(0, 100).coalesce(1).write.parquet(src, mode="append")
+
+    deduped = (
+        envelope_file_stream(spark, src)
+        .withWatermark("publish_time", "10 minutes")
+        .dropDuplicatesWithinWatermark(["message_id"])
+    )
+
+    def drain():
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # broker redelivers 50..99 (nack path, higher attempt counter) alongside
+    # genuinely new messages 100..149
+    envelopes(50, 150, redelivery_attempt=2).coalesce(1).write.parquet(src, mode="append")
+    drain()
+
+    got = spark.read.parquet(out_dir)
+    assert got.count() == 150  # each message exactly once downstream
+    assert got.select("message_id").distinct().count() == 150
+    # the survivors of the redelivered span (50..99) are the FIRST delivery;
+    # only the genuinely-new span (100..149) carries the attempt-2 counter
+    assert got.filter((F.col("event_id") < 100) & (F.col("attempt") == 2)).count() == 0
+    assert got.filter(F.col("attempt") == 2).count() == 50
