@@ -34,6 +34,13 @@ from pyspark.sql.window import Window
 
 from pulsar_pekko_streams_example_spark.operators.partitioning import spread
 
+# Left-fold dot product, identical fold order in both dialects (DuckDB twin
+# is list_reduce(list_prepend(0.0, ...))) so doubles are bit-identical.
+# NOTE (measured, do not revisit): unrolling this to a flat 64-term
+# GetArrayItem sum is ~3× SLOWER end-to-end (embedding_near_dup 2.9s → 8.2s
+# warm at sf0.1) — three 64-term expressions per verify stage blow past the
+# codegen method-size limits, and the split/interpreted fallback loses to the
+# single-pass fold eval despite the fold itself not being codegen-fused.
 DOT = (
     "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
     "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
@@ -75,8 +82,11 @@ def hyperplane_signature(emb: str, dialect: str) -> str:
     Spark dialect folds the array ONCE with an array<double>(16) accumulator
     (per-bit add order identical to the 16 independent folds, so values are
     bit-identical to the DuckDB dialect) — a 16× smaller expression tree than
-    emitting one fold per bit, which dominated planning/codegen time when the
-    signature appears on both sides of the LSH self-join."""
+    emitting one fold per bit.  Unrolling all 16×64 terms into literal
+    arithmetic was measured SLOWER end-to-end (planning + codegen compile of
+    a ~3000-node expression dominates at any corpus size where the 2000-row
+    signature eval is trivial) — same negative result as the DOT unroll, see
+    the note on DOT above."""
     if dialect == "spark":
         arr_a = "array(" + ", ".join(map(str, HP_A)) + ")"
         arr_b = "array(" + ", ".join(map(str, HP_B)) + ")"
