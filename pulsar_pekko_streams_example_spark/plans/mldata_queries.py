@@ -326,3 +326,74 @@ def pipeline_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("stage").cast("long").alias("stage"))
         .agg(F.count(F.lit(1)).alias("docs"), F.sum("tc").alias("tokens"))
     )
+
+
+# ---------------------------------------------------------------------------
+# N-gram language-model quality: bigram surprisal per language
+# ---------------------------------------------------------------------------
+_SPARK_BIGRAMS = (
+    "CASE WHEN size(w) >= 2 THEN transform(sequence(1, size(w) - 1), "
+    "i -> concat(element_at(w, i), '_', element_at(w, i + 1))) "
+    "ELSE array() END"
+)
+_DUCK_BIGRAMS = (
+    "CASE WHEN len(w) >= 2 THEN list_transform(range(1, len(w)), "
+    "i -> w[i] || '_' || w[i + 1]) ELSE [] END"
+)
+
+
+@register(
+    "bigram_surprisal_quality",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, lang, {H.tokens('text', 'duckdb')} AS w FROM documents
+        ),
+        b AS (
+          SELECT doc_id, lang, unnest({_DUCK_BIGRAMS}) AS bigram FROM tok
+        ),
+        freq AS (SELECT bigram, COUNT(*) AS f FROM b GROUP BY bigram),
+        tot AS (SELECT COUNT(*) AS n FROM b),
+        scored AS (
+          SELECT doc_id, lang,
+                 CAST(SUM(n // f) // COUNT(*) AS BIGINT) AS score
+          FROM b JOIN freq USING (bigram) CROSS JOIN tot
+          GROUP BY doc_id, lang
+        )
+        SELECT lang,
+               COUNT(*) AS scored_docs,
+               CAST(SUM(score) AS DOUBLE) / COUNT(*) AS avg_surprisal,
+               CAST(MAX(score) AS BIGINT) AS max_surprisal
+        FROM scored GROUP BY lang
+        """,
+    doc="Language-model-style quality proxy: mean inverse bigram frequency "
+    "('surprisal') per document, rolled up per language.  A doc full of "
+    "corpus-common bigrams scores low; one full of rare transitions scores "
+    "high — the log-free integer surrogate of mean -log p(w_i|w_{i-1}) "
+    "(swap in a real LM at deploy time; the dataflow — n-gram explode, "
+    "vocabulary-sized frequency table joined back, per-doc mean — is "
+    "identical).  All scoring is int64 division (N div f), so results are "
+    "bit-identical across engines; docs with <2 tokens produce no bigrams "
+    "and drop out of scoring.",
+    tags=("text", "lm-quality"),
+)
+def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        "doc_id", "lang", F.expr(H.tokens("text", "spark")).alias("w")
+    )
+    big = tok.select(
+        "doc_id", "lang", F.explode(F.expr(_SPARK_BIGRAMS)).alias("bigram")
+    )
+    freq = big.groupBy("bigram").agg(F.count(F.lit(1)).alias("f"))
+    tot = big.agg(F.count(F.lit(1)).alias("n"))
+    scored = (
+        big.join(freq, ["bigram"])  # vocabulary-sized side; AQE picks broadcast
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "lang")
+        .agg(F.expr("CAST(SUM(n div f) div COUNT(*) AS LONG)").alias("score"))
+    )
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("scored_docs"),
+        (F.sum("score").cast("double") / F.count(F.lit(1))).alias("avg_surprisal"),
+        F.max("score").alias("max_surprisal"),
+    )
