@@ -565,3 +565,61 @@ def test_drop_duplicates_within_watermark_absorbs_redelivery(spark, tmpdir):
     # only the genuinely-new span (100..149) carries the attempt-2 counter
     assert got.filter((F.col("event_id") < 100) & (F.col("attempt") == 2)).count() == 0
     assert got.filter(F.col("attempt") == 2).count() == 50
+
+
+def test_streaming_session_window_matches_batch(spark, tmpdir):
+    """session_window under readStream + watermark must emit exactly the
+    sessions the batch construction computes on the same data — the
+    streaming-capable form of user_sessions/session_window_native."""
+    src = os.path.join(tmpdir, "in")
+    out_dir = os.path.join(tmpdir, "sink")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    os.makedirs(src)
+
+    ev = spark.range(300).select(
+        (F.col("id") % 7).alias("user_id"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         # irregular gaps: mostly dense, a >30min hole every 9th event per user
+         + F.make_interval(secs=F.col("id") * 60 + (F.col("id") % 9) * 2400)).alias("ts"),
+    )
+    ev.coalesce(1).write.parquet(src, mode="append")
+
+    def sessions(df):
+        return (
+            df.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select("user_id", F.col("sw.start").alias("s"), F.col("sw.end").alias("e"), "n")
+        )
+
+    stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
+    q = (
+        sessions(stream.withWatermark("ts", "1 minute"))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # append mode holds back sessions the watermark hasn't closed; push a
+    # far-future heartbeat through the SAME checkpoint to close them all
+    spark.createDataFrame(
+        [(999, "2030-01-01 00:00:00")], "user_id long, ts string"
+    ).select("user_id", F.col("ts").cast("timestamp").alias("ts")).coalesce(1).write.parquet(src, mode="append")
+    q2 = (
+        sessions(stream.withWatermark("ts", "1 minute"))
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    got = sorted(
+        map(tuple, spark.read.parquet(out_dir).filter(F.col("user_id") < 7).collect())
+    )
+    want = sorted(map(tuple, sessions(ev).collect()))
+    assert got == want and len(want) > 7  # multiple sessions per user
