@@ -11,6 +11,7 @@ import tempfile
 import pytest
 
 from examples import (  # noqa: F401  (docs the mapping)
+    curation_pipeline,
     part1_backpressured_source,
     part2_single_workload,
     part3_multiple_workloads,
@@ -24,6 +25,7 @@ EXAMPLES = [
     part3_multiple_workloads,
     part4_workload_discovery,
     part5_ordered_workloads,
+    curation_pipeline,  # extension: training-data funnel end-to-end
 ]
 
 
