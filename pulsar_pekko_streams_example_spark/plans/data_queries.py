@@ -1003,3 +1003,56 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     return curation.decontamination_report(docs, test_source="src19")
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics beyond components: co-occurrence graph triangle listing
+# ---------------------------------------------------------------------------
+COOC_SLOT_US = 300_000_000  # 5-minute co-occurrence windows
+COOC_MIN_SHARED = 3  # edge = users sharing >= 3 windows
+
+
+@register(
+    "cooccurrence_triangles",
+    oracle=f"""
+        WITH w AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // {COOC_SLOT_US} AS slot FROM events
+        ),
+        e AS (
+          SELECT a.user_id AS ua, b.user_id AS ub
+          FROM w a JOIN w b ON a.slot = b.slot AND a.user_id < b.user_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= {COOC_MIN_SHARED}
+        )
+        SELECT e1.ua, e1.ub AS ub, e2.ub AS uc
+        FROM e e1 JOIN e e2 ON e1.ub = e2.ua
+                  JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
+        """,
+    doc="Triangle listing over a behavioral co-occurrence graph: users who "
+    "share >= 3 five-minute activity windows form an edge (inverted-index "
+    "self-join on the window slot — the postings pattern, never user x user); "
+    "triangles enumerate via two edge equi-joins with the a<b<c orientation "
+    "pruning each triangle to ONE canonical ordering.  At 100 TB orient edges "
+    "by degree instead of id to bound the join fan-out on hub nodes; the "
+    "dataflow is identical.  Complements neardup_components: counting "
+    "structure inside components, not just membership.",
+    tags=("graph", "triangles"),
+)
+def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) div {COOC_SLOT_US}").alias("slot")
+    ).distinct()
+    a, b = w.alias("a"), w.alias("b")
+    edges = (
+        a.join(b, (F.col("a.slot") == F.col("b.slot")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .groupBy(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= COOC_MIN_SHARED)
+        .select("ua", "ub")
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.ub") == F.col("e2.ua"))
+        .join(e3, (F.col("e3.ua") == F.col("e1.ua")) & (F.col("e3.ub") == F.col("e2.ub")))
+        .select(F.col("e1.ua").alias("ua"), F.col("e1.ub").alias("ub"), F.col("e2.ub").alias("uc"))
+    )

@@ -169,3 +169,20 @@ def test_rolling_range_frame_single_shuffle(spark):
     assert "Window" in tree
     assert tree.count("Scan parquet") == 1
     assert "Join" not in tree
+
+
+def test_triangle_join_stays_equi(spark):
+    """Edge-edge triangle joins must be hash equi-joins on node ids — never a
+    nested loop over the edge set."""
+    plan = plan_of(REGISTRY["cooccurrence_triangles"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_single_shuffle_aggregations(spark):
+    """Scan→agg queries must shuffle exactly once (partial agg map-side,
+    final agg after ONE exchange) — the shuffle budget at 100 TB."""
+    for name in ("q1_pricing_summary", "q6_forecast_revenue", "lang_quality_stats"):
+        plan = plan_of(REGISTRY[name].build(spark, SF_SMOKE))
+        tree = plan.split("\n\n")[0]
+        assert tree.count("Exchange") == 1, f"{name}: {tree.count('Exchange')} exchanges"
