@@ -397,3 +397,60 @@ def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("score").cast("double") / F.count(F.lit(1))).alias("avg_surprisal"),
         F.max("score").alias("max_surprisal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted deterministic sampling (importance sampling for data mixes)
+# ---------------------------------------------------------------------------
+WEIGHTED_MAX_PERMILLE = 300  # a perfect-quality doc is kept at 30%
+
+from pulsar_pekko_streams_example_spark.operators import textstats  # noqa: E402
+
+
+@register(
+    "quality_weighted_sample_counts",
+    oracle=f"""
+        WITH {textstats.SQL_FEATURES_CTE.strip()},
+        gated AS (
+          SELECT lang, token_count,
+                 ({H.word_hash("('wq-' || CAST(doc_id AS VARCHAR))", 'duckdb')}) % 1000
+                   < (quality_milli * {WEIGHTED_MAX_PERMILLE}) // 1000 AS keep,
+                 (quality_milli * {WEIGHTED_MAX_PERMILLE}) // 1000 AS thresh
+          FROM scored
+        )
+        SELECT lang,
+               COUNT(*) AS total_docs,
+               CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS sampled_docs,
+               CAST(SUM(CASE WHEN keep THEN token_count ELSE 0 END) AS BIGINT) AS sampled_tokens,
+               CAST(SUM(thresh) AS BIGINT) AS expected_sampled_milli
+        FROM gated GROUP BY lang
+        """,
+    doc="Importance sampling for training-data mixing: each doc is kept with "
+    "probability proportional to its quality score (integer threshold "
+    "quality_milli*300 div 1000 against a salted deterministic hash gate on "
+    "doc_id) — reproducible across reruns and partitionings, composing as a "
+    "pushed per-row predicate with zero pre-shuffles.  "
+    "expected_sampled_milli (the sum of per-doc thresholds) lets the caller "
+    "check realized vs expected rates per language.  The 'wq-' salt "
+    "decorrelates this gate from the uniform stratified_sample_counts gate.",
+    tags=("sampling", "curation"),
+)
+def quality_weighted_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    scored = textstats.with_text_features(docs)
+    gate = F.expr(H.word_hash("concat('wq-', CAST(doc_id AS STRING))", "spark")) % 1000
+    thresh = F.expr(f"(quality_milli * {WEIGHTED_MAX_PERMILLE}) div 1000")
+    gated = scored.select(
+        "lang",
+        "token_count",
+        (gate < thresh).alias("keep"),
+        thresh.alias("thresh"),
+    )
+    return gated.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("total_docs"),
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).cast("bigint").alias("sampled_docs"),
+        F.sum(F.when(F.col("keep"), F.col("token_count")).otherwise(0))
+        .cast("bigint")
+        .alias("sampled_tokens"),
+        F.sum("thresh").cast("bigint").alias("expected_sampled_milli"),
+    )

@@ -1287,3 +1287,49 @@ def q22_dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("c_acctbal").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# FULL OUTER join: nations heavy on customers vs heavy on suppliers
+# ---------------------------------------------------------------------------
+@register(
+    "nation_participation_full_outer",
+    oracle="""
+        WITH c AS (
+          SELECT c_nationkey AS nk, COUNT(*) AS customers
+          FROM customer GROUP BY 1 HAVING COUNT(*) >= 60
+        ),
+        s AS (
+          SELECT s_nationkey AS nk, COUNT(*) AS suppliers
+          FROM supplier GROUP BY 1 HAVING COUNT(*) >= 4
+        )
+        SELECT COALESCE(c.nk, s.nk) AS nationkey,
+               COALESCE(customers, 0) AS customers,
+               COALESCE(suppliers, 0) AS suppliers
+        FROM c FULL OUTER JOIN s ON c.nk = s.nk
+        """,
+    doc="FULL OUTER join (completes the join-type surface next to inner/"
+    "left/semi/anti/cross): customer-heavy nations against supplier-heavy "
+    "nations, COALESCE reconciling the one-sided rows.  Both inputs are "
+    "HAVING-filtered aggregates, so each side genuinely contributes "
+    "unmatched keys.",
+    tags=("join", "full-outer"),
+)
+def nation_participation_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, sf_dir, "customer")
+    supplier = load_table(spark, sf_dir, "supplier")
+    c = (
+        customer.groupBy(F.col("c_nationkey").alias("c_nk"))
+        .agg(F.count(F.lit(1)).alias("customers"))
+        .filter(F.col("customers") >= 60)
+    )
+    s = (
+        supplier.groupBy(F.col("s_nationkey").alias("s_nk"))
+        .agg(F.count(F.lit(1)).alias("suppliers"))
+        .filter(F.col("suppliers") >= 4)
+    )
+    return c.join(s, F.col("c_nk") == F.col("s_nk"), "full_outer").select(
+        F.coalesce("c_nk", "s_nk").alias("nationkey"),
+        F.coalesce("customers", F.lit(0)).alias("customers"),
+        F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
+    )
