@@ -211,3 +211,48 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("orders"),
         dsum("o_totalprice").alias("revenue"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Relative-rank windows: percent_rank / cume_dist over the global price order
+# ---------------------------------------------------------------------------
+@register(
+    "priority_price_rank_stats",
+    oracle="""
+        WITH ranked AS (
+          SELECT o_orderpriority,
+                 percent_rank() OVER w AS pr,
+                 cume_dist() OVER w AS cd
+          FROM orders
+          WINDOW w AS (ORDER BY o_totalprice, o_orderkey)
+        )
+        SELECT o_orderpriority,
+               COUNT(*) AS orders,
+               (CAST(SUM(CAST(pr AS DECIMAL(38,6))) AS DOUBLE) / COUNT(pr)) AS avg_percent_rank,
+               (CAST(SUM(CAST(cd AS DECIMAL(38,6))) AS DOUBLE) / COUNT(cd)) AS avg_cume_dist
+        FROM ranked GROUP BY o_orderpriority
+        """,
+    doc="Relative-rank window functions (percent_rank, cume_dist) over the "
+    "global price order with a unique tie-break, rolled up per priority "
+    "class — 'do urgent orders skew expensive?'.  Both functions derive from "
+    "integer rank/count, so per-row doubles are engine-identical; the rollup "
+    "uses decimal-exact averaging.  An unpartitioned window is a global sort "
+    "— at 100 TB swap in approx-quantile bucketing (customer_spend_deciles "
+    "documents the same trade-off for ntile).",
+    tags=("window", "rank"),
+)
+def priority_price_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    ranked = orders.select(
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pr"),
+        F.cume_dist().over(w).alias("cd"),
+    )
+    from pulsar_pekko_streams_example_spark.functions.numeric import davg
+
+    return ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("orders"),
+        davg("pr").alias("avg_percent_rank"),
+        davg("cd").alias("avg_cume_dist"),
+    )
