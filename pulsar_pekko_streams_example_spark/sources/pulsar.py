@@ -1,0 +1,150 @@
+"""Pulsar connector integration (StreamNative pulsar-spark).
+
+Reference analog: consumer/producer construction in
+``util/PulsarClientWrapper.scala:151-226`` — subscription name/type/mode,
+initial position Earliest, receiver queue 1000, nack redelivery 10 s — and
+the Key_Shared subscription of ``part5/OrderedStreamGenerator.scala:190-196``.
+
+This environment ships no Pulsar broker and no connector jar, so the pieces
+that need one (``read_stream``/``write_stream`` materialization) raise
+``ConnectorUnavailable`` with a clear message.  Everything else — option
+construction, delivery-semantics knobs, and the mapping from the connector's
+raw columns to this engine's canonical envelope — is pure, unit-tested code
+that a deployment with the connector jar uses as-is:
+
+    spark-submit --packages io.streamnative.connectors:pulsar-spark-connector_2.13:<ver>
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class ConnectorUnavailable(RuntimeError):
+    """The pulsar-spark connector (or the broker) is not present."""
+
+
+@dataclass(frozen=True)
+class PulsarSourceConfig:
+    """Consumer-side config — defaults mirror PulsarClientWrapper.scala:164-173."""
+
+    service_url: str = "pulsar://localhost:6650"
+    admin_url: str = "http://localhost:8080"
+    topics: tuple[str, ...] = ()
+    subscription_name: str = "engine-subscription"
+    key_shared: bool = False  # Key_Shared ⇒ per-key ordered (part5)
+    starting_offsets: str = "earliest"  # SubscriptionInitialPosition.Earliest
+    max_entries_per_trigger: int | None = 1000  # receiver-queue-size analog
+
+
+@dataclass(frozen=True)
+class PulsarSinkConfig:
+    """Producer-side config — defaults mirror PulsarClientWrapper.scala:151-162."""
+
+    service_url: str = "pulsar://localhost:6650"
+    admin_url: str = "http://localhost:8080"
+    topic: str = ""
+    send_timeout_ms: int = 30_000
+    extra: dict = field(default_factory=dict)
+
+
+def source_options(cfg: PulsarSourceConfig) -> dict[str, str]:
+    """The option map for ``spark.readStream.format('pulsar')``.
+
+    Admission control: ``maxEntriesPerTrigger`` bounds each micro-batch the
+    way the reference's receiver queue bounds the consumer — backlog stays in
+    the broker, never in the engine (PulsarPekkoSource.scala:63-65's
+    pull-based contract, kept by construction in micro-batch Spark).
+    """
+    opts = {
+        "service.url": cfg.service_url,
+        "admin.url": cfg.admin_url,
+        "topics": ",".join(cfg.topics),
+        "predefinedSubscription": cfg.subscription_name,
+        "subscriptionType": "Key_Shared" if cfg.key_shared else "Shared",
+        "startingOffsets": cfg.starting_offsets,
+    }
+    if cfg.max_entries_per_trigger is not None:
+        opts["maxEntriesPerTrigger"] = str(cfg.max_entries_per_trigger)
+    return opts
+
+
+def sink_options(cfg: PulsarSinkConfig) -> dict[str, str]:
+    opts = {
+        "service.url": cfg.service_url,
+        "admin.url": cfg.admin_url,
+        "topic": cfg.topic,
+        "pulsar.producer.sendTimeoutMs": str(cfg.send_timeout_ms),
+    }
+    opts.update({k: str(v) for k, v in cfg.extra.items()})
+    return opts
+
+
+# The connector's raw output columns (its fixed metadata schema).
+RAW_COLUMNS = ("value", "__key", "__topic", "__messageId", "__publishTime", "__eventTime")
+
+
+def to_envelope(raw: DataFrame, payload_schema: str = "name string, numPublishes int") -> DataFrame:
+    """Map the connector's raw columns onto the engine's canonical envelope.
+
+    Works on any DataFrame with RAW_COLUMNS (streaming or batch — unit tests
+    feed a batch frame).  The JSON payload decode mirrors the reference's
+    play-json Schema[T] (PulsarClientSetup.scala:21-29): payload bytes →
+    typed struct, with ``corrupt`` flagging undecodable rows instead of
+    failing the stream (errors-as-data, same policy as the processor UDF).
+    """
+    # PERMISSIVE from_json yields an all-null struct for bad input, so detect
+    # corruption via the standard _corrupt_record side-channel column.
+    decoded = F.from_json(
+        F.col("value").cast("string"), payload_schema + ", _corrupt_record string"
+    )
+    return raw.select(
+        F.hex(F.col("__messageId")).alias("message_id"),
+        F.col("__key").cast("string").alias("key"),
+        F.col("__topic").alias("topic"),
+        F.col("__publishTime").alias("publish_time"),
+        decoded.dropFields("_corrupt_record").alias("payload"),
+        decoded.getField("_corrupt_record").isNotNull().alias("corrupt"),
+    )
+
+
+def read_stream(spark: SparkSession, cfg: PulsarSourceConfig) -> DataFrame:
+    """``readStream.format('pulsar')`` with the engine's option map.
+
+    Raises ConnectorUnavailable when the connector jar is absent (this test
+    environment) — callers fall back to ``sources.streams`` file/rate sources
+    which feed the identical envelope schema.
+    """
+    reader = spark.readStream.format("pulsar")
+    for k, v in source_options(cfg).items():
+        reader = reader.option(k, v)
+    try:
+        return to_envelope(reader.load())
+    except Exception as e:  # connector jar missing → DATA_SOURCE_NOT_FOUND
+        raise ConnectorUnavailable(
+            "pulsar-spark connector not on the classpath; add "
+            "io.streamnative.connectors:pulsar-spark-connector and a broker, "
+            "or use sources.streams file/rate sources for local runs"
+        ) from e
+
+
+def write_stream(df: DataFrame, cfg: PulsarSinkConfig, checkpoint: str):
+    """``writeStream.format('pulsar')`` — hop-counter republish sink (S3):
+    the caller increments ``numPublishes`` before handing the frame over
+    (PulsarClientSetup.scala:17)."""
+    writer = (
+        df.select(F.to_json(F.col("payload")).cast("binary").alias("value"), F.col("key"))
+        .writeStream.format("pulsar")
+        .option("checkpointLocation", checkpoint)
+    )
+    for k, v in sink_options(cfg).items():
+        writer = writer.option(k, v)
+    try:
+        return writer.start()
+    except Exception as e:
+        raise ConnectorUnavailable(
+            "pulsar-spark connector not on the classpath; see read_stream"
+        ) from e

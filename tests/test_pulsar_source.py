@@ -1,0 +1,62 @@
+"""Pulsar connector integration: option construction and envelope mapping
+are pure and tested here; broker-dependent materialization must fail with a
+clear ConnectorUnavailable in this jar-less environment."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_pekko_streams_example_spark.sources.pulsar import (
+    ConnectorUnavailable,
+    PulsarSinkConfig,
+    PulsarSourceConfig,
+    read_stream,
+    sink_options,
+    source_options,
+    to_envelope,
+)
+
+
+def test_source_options_mirror_reference_defaults():
+    cfg = PulsarSourceConfig(topics=("persistent://t/ns/a", "persistent://t/ns/b"))
+    opts = source_options(cfg)
+    assert opts["topics"] == "persistent://t/ns/a,persistent://t/ns/b"
+    assert opts["subscriptionType"] == "Shared"
+    assert opts["startingOffsets"] == "earliest"  # Earliest initial position
+    assert opts["maxEntriesPerTrigger"] == "1000"  # receiver queue analog
+
+
+def test_key_shared_subscription_selected_for_ordered_mode():
+    opts = source_options(PulsarSourceConfig(key_shared=True))
+    assert opts["subscriptionType"] == "Key_Shared"
+
+
+def test_sink_options_carry_send_timeout():
+    opts = sink_options(PulsarSinkConfig(topic="persistent://t/ns/out"))
+    assert opts["topic"] == "persistent://t/ns/out"
+    assert opts["pulsar.producer.sendTimeoutMs"] == "30000"
+
+
+def test_to_envelope_maps_connector_columns(spark):
+    raw = spark.createDataFrame(
+        [
+            (b'{"name": "w1", "numPublishes": 2}', b"key-1", "persistent://t/ns/a",
+             b"\x08\x01", "2024-01-01 00:00:01", "2024-01-01 00:00:00"),
+            (b"not json", b"key-2", "persistent://t/ns/a",
+             b"\x08\x02", "2024-01-01 00:00:02", "2024-01-01 00:00:00"),
+        ],
+        "value binary, __key binary, __topic string, __messageId binary, "
+        "__publishTime string, __eventTime string",
+    ).withColumn("__publishTime", F.col("__publishTime").cast("timestamp"))
+    env = to_envelope(raw).collect()
+    good = next(r for r in env if r.key == "key-1")
+    bad = next(r for r in env if r.key == "key-2")
+    assert good.payload.name == "w1" and good.payload.numPublishes == 2
+    assert not good.corrupt and good.message_id == "0801"
+    assert bad.corrupt and bad.payload.name is None  # errors-as-data, stream survives
+
+
+def test_read_stream_without_connector_raises_clear_error(spark):
+    with pytest.raises(ConnectorUnavailable, match="connector"):
+        read_stream(spark, PulsarSourceConfig(topics=("persistent://t/ns/a",)))
