@@ -31,7 +31,7 @@ def write_partitioned(
 ) -> None:
     """Write a table partitioned by routing columns (topic/day/...).
 
-    ``fmt`` ∈ parquet|json|csv: parquet for engine tables, json/csv for
+    ``fmt`` ∈ parquet|orc|json|csv: columnar formats for engine tables, json/csv for
     interchange — all three share the same partition layout and pruning."""
     writer = df.write.format(fmt).mode(mode).partitionBy(*partition_by)
     if fmt == "csv":

@@ -32,7 +32,7 @@ def test_partitioned_roundtrip_all_formats(spark, tmpdir):
         "day", F.col("ts").cast("date").cast("string")
     )
     n = ev.count()
-    for fmt in ("parquet", "json", "csv"):
+    for fmt in ("parquet", "orc", "json", "csv"):
         path = os.path.join(tmpdir, fmt)
         write_partitioned(ev, path, ["event_type"], fmt=fmt)
         back = read_partitioned(spark, path, fmt=fmt)
