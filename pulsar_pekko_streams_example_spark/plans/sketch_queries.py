@@ -118,3 +118,84 @@ def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("in_bloom", "actual_member")
         .agg(F.count(F.lit(1)).alias("custkeys"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-bin quantile sketch: deterministic p50/p95/p99 per event_type
+# ---------------------------------------------------------------------------
+QSK_BINS = 256
+QSK_WIDTH = 4  # covers [0, 1024); higher values saturate into the top bin
+
+
+def _qsk_threshold(pct: int) -> str:
+    # ceil(n * pct / 100) in pure int64 — identical in both dialects
+    return f"(n * {pct} + 99)"
+
+
+@register(
+    "quantile_sketch_value",
+    oracle=f"""
+        WITH binned AS (
+          SELECT event_type,
+                 LEAST({QSK_BINS - 1}, CAST(FLOOR(value / {QSK_WIDTH}) AS BIGINT)) AS bin,
+                 COUNT(*) AS c
+          FROM events GROUP BY 1, 2
+        ),
+        cum AS (
+          SELECT event_type, bin, c,
+                 SUM(c) OVER (PARTITION BY event_type ORDER BY bin
+                              ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(c) OVER (PARTITION BY event_type) AS n
+          FROM binned
+        )
+        SELECT event_type,
+               CAST(MAX(n) AS BIGINT) AS n,
+               CAST(MIN(CASE WHEN cum * 100 >= {_qsk_threshold(50)} THEN (bin + 1) * {QSK_WIDTH} END) AS BIGINT) AS est_p50,
+               CAST(MIN(CASE WHEN cum * 100 >= {_qsk_threshold(95)} THEN (bin + 1) * {QSK_WIDTH} END) AS BIGINT) AS est_p95,
+               CAST(MIN(CASE WHEN cum * 100 >= {_qsk_threshold(99)} THEN (bin + 1) * {QSK_WIDTH} END) AS BIGINT) AS est_p99
+        FROM cum GROUP BY event_type
+        """,
+    doc="Mergeable fixed-bin quantile sketch (the equi-width-histogram cousin "
+    "of t-digest): 256 bins of width 4 per group, map-side combinable like "
+    "CMS/HLL/Bloom — state is a constant-size int vector regardless of "
+    "corpus size, vs value_percentiles' exact global sort.  Estimates are "
+    "bin upper edges; error is bounded by the bin width and the top bin "
+    "saturates (documented).  The quantile pick (smallest bin whose "
+    "cumulative count reaches ceil(q·n)) is pure int64 arithmetic — "
+    "engine-exact, no floating-point thresholds.",
+    tags=("sketch", "quantile"),
+)
+def quantile_sketch_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    binned = ev.groupBy(
+        "event_type",
+        F.least(
+            F.lit(QSK_BINS - 1), F.floor(F.col("value") / QSK_WIDTH).cast("long")
+        ).alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wc = (
+        Window.partitionBy("event_type")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wn = Window.partitionBy("event_type")
+    cum = binned.select(
+        "event_type",
+        "bin",
+        F.sum("c").over(wc).alias("cum"),
+        F.sum("c").over(wn).alias("n"),
+    )
+    est = lambda pct: F.min(  # noqa: E731
+        F.when(
+            F.col("cum") * 100 >= F.expr(_qsk_threshold(pct)),
+            (F.col("bin") + 1) * QSK_WIDTH,
+        )
+    ).cast("bigint")
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        est(50).alias("est_p50"),
+        est(95).alias("est_p95"),
+        est(99).alias("est_p99"),
+    )

@@ -1333,3 +1333,36 @@ def nation_participation_full_outer(spark: SparkSession, sf_dir: str) -> DataFra
         F.coalesce("customers", F.lit(0)).alias("customers"),
         F.coalesce("suppliers", F.lit(0)).alias("suppliers"),
     )
+
+
+# ---------------------------------------------------------------------------
+# SQL-string API: ONE ANSI-portable text runs on Spark AND the oracle
+# ---------------------------------------------------------------------------
+_PORTABLE_SQL = """
+    SELECT l_returnflag,
+           CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           COUNT(*) AS items,
+           CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE)
+             AS revenue
+    FROM {table}
+    WHERE l_shipdate >= CAST('1998-01-01' AS TIMESTAMP)
+    GROUP BY l_returnflag, CAST(date_trunc('month', l_shipdate) AS DATE)
+"""
+
+
+@register(
+    "sql_api_monthly_returns",
+    oracle=_PORTABLE_SQL.format(table="lineitem"),
+    doc="The spark.sql() entry path: the registry's only query built from "
+    "SQL TEXT instead of the DataFrame DSL — and the text is ANSI-portable "
+    "enough that the IDENTICAL string is the DuckDB oracle (shared "
+    "date_trunc, decimal-exact SUM, explicit casts).  Registers a prefixed "
+    "temp view (idempotent, so bench's concurrent FAIR-pool workers can race "
+    "on it harmlessly) and hands the text to Catalyst, which plans it "
+    "exactly like the DSL queries — same pushdown, same codegen.",
+    tags=("sql-api", "aggregation"),
+)
+def sql_api_monthly_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    lineitem.createOrReplaceTempView("sqlapi_lineitem")
+    return spark.sql(_PORTABLE_SQL.format(table="sqlapi_lineitem"))
