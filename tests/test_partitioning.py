@@ -9,6 +9,7 @@ shuffle of the whole input).
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from pulsar_pekko_streams_example_spark.operators import dedup
@@ -56,3 +57,32 @@ def test_simhash_histogram_equals_pair_join(spark):
         for r in dedup.simhash_hamming_histogram(docs, 3).collect()
     }
     assert via_hist == via_pairs
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salting re-buckets the shuffle but must never change the result —
+    every (key, salt) pair exists on the replicated dim side."""
+    from pulsar_pekko_streams_example_spark.operators.partitioning import salted_join
+
+    # 90% of facts share one hot key
+    facts = spark.range(2000).select(
+        F.when(F.col("id") % 10 < 9, 7).otherwise(F.col("id") % 5).alias("k"),
+        F.col("id").alias("v"),
+    )
+    dim = spark.range(10).select(F.col("id").alias("k"), (F.col("id") * 100).alias("w"))
+
+    plain = facts.join(dim, "k").select("k", "v", "w")
+    salted = salted_join(facts, dim, "k", n_salts=8).select("k", "v", "w")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    semi = salted_join(facts, dim.filter(F.col("k") < 3), "k", how="left_semi")
+    plain_semi = facts.join(dim.filter(F.col("k") < 3), "k", "left_semi")
+    assert sorted(map(tuple, semi.collect())) == sorted(map(tuple, plain_semi.collect()))
+
+
+def test_salted_join_rejects_dim_preserving_types(spark):
+    from pulsar_pekko_streams_example_spark.operators.partitioning import salted_join
+
+    facts = spark.range(5).select(F.col("id").alias("k"))
+    with pytest.raises(ValueError, match="fact-preserving"):
+        salted_join(facts, facts, "k", how="full_outer")
