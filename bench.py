@@ -84,6 +84,11 @@ def main() -> None:
         "ann_cosine_topk_vectorized",
         "ann_lsh_topk",
         "ann_cosine_topk",
+        "ann_ivf_topk",
+        "q21_sole_late_supplier",
+        "cooccurrence_triangles",
+        "bigram_surprisal_quality",
+        "audio_silence_stats",
     ]
     order = [n for n in heavy if n in queries] + sorted(
         n for n in queries if n not in heavy
