@@ -70,6 +70,11 @@ def cmd_check(args: argparse.Namespace) -> int:
     import duckdb
 
     all_queries()
+    if args.all:
+        args.names = sorted(REGISTRY)
+    if not args.names:
+        print("nothing to check: pass query names or --all", file=sys.stderr)
+        return 2
     spark = _spark()
     con = duckdb.connect()
     for t in TABLES:
@@ -117,7 +122,8 @@ def main(argv: list[str] | None = None) -> int:
     sp.set_defaults(fn=cmd_oracle)
 
     sp = sub.add_parser("check", help="run query vs DuckDB oracle and diff")
-    sp.add_argument("names", nargs="+")
+    sp.add_argument("names", nargs="*")
+    sp.add_argument("--all", action="store_true", help="check every registry query")
     sp.add_argument("--sf-dir", default=DEFAULT_SF_DIR)
     sp.set_defaults(fn=cmd_check)
 

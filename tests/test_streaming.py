@@ -623,3 +623,49 @@ def test_streaming_session_window_matches_batch(spark, tmpdir):
     )
     want = sorted(map(tuple, sessions(ev).collect()))
     assert got == want and len(want) > 7  # multiple sessions per user
+
+
+def test_streaming_sliding_window_matches_batch(spark, tmpdir):
+    """The sliding-window aggregation (sliding_window_activity's operator)
+    must emit identical windows under readStream + watermark as in batch."""
+    src = os.path.join(tmpdir, "in")
+    out_dir = os.path.join(tmpdir, "sink")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    os.makedirs(src)
+
+    ev = spark.range(500).select(
+        (F.col("id") % 3).alias("grp"),
+        (F.lit("2024-01-01 00:00:00").cast("timestamp")
+         + F.make_interval(secs=F.col("id") * 17)).alias("ts"),
+    )
+    ev.coalesce(1).write.parquet(src, mode="append")
+
+    def slid(df):
+        return (
+            df.groupBy(F.window("ts", "10 minutes", "150 seconds").alias("w"), "grp")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.unix_micros("w.start").alias("ws_us"), "grp", "n")
+        )
+
+    stream = spark.readStream.schema("grp long, ts timestamp").parquet(src)
+    def drain():
+        q = (
+            slid(stream.withWatermark("ts", "1 minute"))
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    spark.createDataFrame([(99, "2030-01-01 00:00:00")], "grp long, ts string").select(
+        "grp", F.col("ts").cast("timestamp").alias("ts")
+    ).coalesce(1).write.parquet(src, mode="append")
+    drain()  # far-future heartbeat closes every pending window
+
+    got = sorted(map(tuple, spark.read.parquet(out_dir).filter(F.col("grp") < 3).collect()))
+    want = sorted(map(tuple, slid(ev).collect()))
+    assert got == want and len(want) > 10
