@@ -181,8 +181,9 @@ def _duck_hll_sql() -> str:
         )
         SELECT CAST(used AS BIGINT) AS registers_used,
                (SELECT COUNT(DISTINCT user_id) FROM events) AS exact_users,
-               (0.709 * {HLL_M} * {HLL_M} * 1073741824.0)
-                 / (present_weight + ({HLL_M} - used) * 1073741824) AS hll_estimate
+               (CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M} * 1073741824.0)
+                 / CAST(present_weight + ({HLL_M} - used) * 1073741824 AS DOUBLE)
+                 AS hll_estimate
         FROM tot
         """
 
@@ -217,8 +218,11 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("used").cast("long").alias("registers_used"),
             "exact_users",
             F.expr(
-                f"(0.709 * {HLL_M} * {HLL_M} * 1073741824.0)"
-                f" / (present_weight + ({HLL_M} - used) * 1073741824)"
+                # CAST(0.709 AS DOUBLE): a bare 0.709 literal is DECIMAL in
+                # Spark but the mixed expression is DOUBLE in DuckDB — the
+                # decimal division rounds differently at the last ulp
+                f"(CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M} * 1073741824.0)"
+                f" / CAST(present_weight + ({HLL_M} - used) * 1073741824 AS DOUBLE)"
             ).alias("hll_estimate"),
         )
     )
@@ -453,4 +457,104 @@ def quality_weighted_sample_counts(spark: SparkSession, sf_dir: str) -> DataFram
         .cast("bigint")
         .alias("sampled_tokens"),
         F.sum("thresh").cast("bigint").alias("expected_sampled_milli"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL register-merge rollup: per-type sketches merge upward, no rescan
+# ---------------------------------------------------------------------------
+def _hll_estimate_sql(used: str, weight: str) -> str:
+    # identical text in both dialects: exact-integer weights, ONE double
+    # division.  CAST(0.709 AS DOUBLE) is load-bearing: a bare 0.709 literal
+    # is DECIMAL in Spark (decimal division, different last-ulp rounding)
+    # but DOUBLE in the mixed DuckDB expression.
+    return (
+        f"(CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M} * 1073741824.0)"
+        f" / CAST({weight} + ({HLL_M} - {used}) * 1073741824 AS DOUBLE)"
+    )
+
+
+def _duck_hll_rollup_sql() -> str:
+    reg, rho = _hll_exprs("duckdb")
+    est = _hll_estimate_sql("used", "present_weight")
+    return f"""
+        WITH u AS (
+          SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                 user_id, CAST(user_id AS VARCHAR) AS uid
+          FROM events
+        ),
+        regs AS (
+          SELECT day, {reg} AS reg, MAX({rho}) AS m FROM u GROUP BY 1, 2
+        ),
+        merged AS (SELECT '*' AS day, reg, MAX(m) AS m FROM regs GROUP BY reg),
+        allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+        tot AS (
+          SELECT day,
+                 COUNT(*) AS used,
+                 SUM(CAST(2 AS BIGINT) ** (30 - m)) AS present_weight
+          FROM allregs GROUP BY day
+        ),
+        exacts AS (
+          SELECT day, COUNT(DISTINCT user_id) AS exact_users FROM u GROUP BY 1
+          UNION ALL
+          SELECT '*', COUNT(DISTINCT user_id) FROM u
+        )
+        SELECT t.day AS scope,
+               CAST(t.used AS BIGINT) AS registers_used,
+               e.exact_users,
+               {est} AS hll_estimate
+        FROM tot t JOIN exacts e ON t.day = e.day
+        """
+
+
+@register(
+    "hll_daily_rollup",
+    oracle=_duck_hll_rollup_sql(),
+    doc="The property that makes sketches worth their error at 100 TB: "
+    "MERGEABILITY.  Per-event-type HLL register tables roll up to the "
+    "all-types estimate by a register-wise MAX — no second scan of the "
+    "corpus, and the same merge works across partitions, days, or tenants "
+    "(pre-aggregate sketches per partition, merge on demand).  Exact "
+    "distinct counts ride alongside per scope for error inspection; the "
+    "estimator arithmetic is exact-integer weights + one double division, "
+    "engine-identical.",
+    tags=("sketch", "agg", "rollup"),
+)
+def hll_rollup_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, sf_dir, "events"))
+    reg, rho = _hll_exprs("spark")
+    u = ev.select(
+        F.expr("CAST(CAST(ts AS DATE) AS STRING)").alias("day"),
+        "user_id",
+        F.expr("CAST(user_id AS STRING)").alias("uid"),
+    )
+    regs = u.groupBy("day", F.expr(reg).alias("reg")).agg(F.expr(f"MAX({rho})").alias("m"))
+    merged = (
+        regs.groupBy("reg")
+        .agg(F.max("m").alias("m"))
+        .select(F.lit("*").alias("day"), "reg", "m")
+    )
+    allregs = regs.select("day", "reg", "m").unionByName(merged)
+    tot = allregs.groupBy("day").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.expr("shiftleft(1L, 30 - m)")).alias("present_weight"),
+    )
+    exacts = (
+        u.groupBy("day")
+        .agg(F.countDistinct("user_id").alias("exact_users"))
+        .unionByName(
+            u.agg(F.countDistinct("user_id").alias("exact_users")).select(
+                F.lit("*").alias("day"), "exact_users"
+            )
+        )
+    )
+    est = _hll_estimate_sql("used", "present_weight")
+    return (
+        tot.join(exacts, ["day"])
+        .select(
+            F.col("day").alias("scope"),
+            F.col("used").cast("long").alias("registers_used"),
+            "exact_users",
+            F.expr(est).alias("hll_estimate"),
+        )
     )
