@@ -256,3 +256,66 @@ def priority_price_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("pr").alias("avg_percent_rank"),
         davg("cd").alias("avg_cume_dist"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Watermark late-data accounting: which events would a 10-min watermark drop?
+# ---------------------------------------------------------------------------
+WATERMARK_US = 600_000_000  # 10 minutes
+
+
+@register(
+    "late_data_accounting",
+    oracle=f"""
+        WITH arr AS (
+          SELECT event_type, epoch_us(ts) AS ts_us,
+                 MAX(epoch_us(ts)) OVER (ORDER BY epoch_us(ts)
+                                   + ((event_id * 2654435761) % 1000003 % 1800) * 1000000,
+                                 event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING) AS max_seen_us
+          FROM events
+        )
+        SELECT event_type,
+               COUNT(*) AS events,
+               CAST(SUM(CASE WHEN ts_us < max_seen_us - {WATERMARK_US}
+                             THEN 1 ELSE 0 END) AS BIGINT) AS late_events,
+               CAST((SUM(CASE WHEN ts_us < max_seen_us - {WATERMARK_US}
+                              THEN 1 ELSE 0 END) * 1000) // COUNT(*) AS BIGINT)
+                 AS late_permille
+        FROM arr GROUP BY event_type
+        """,
+    doc="The engine's late-data policy, made queryable: replay the stream in "
+    "arrival order (the driver's synthetic stream arrives time-sorted, so "
+    "delivery is simulated with a deterministic 0-30min per-event delay — "
+    "density-independent, so the late fraction stays non-degenerate at "
+    "every scale factor) and flag every event whose event time trails "
+    "the running max-seen event time by more than the 10-minute watermark — "
+    "exactly the rows withWatermark('ts','10 minutes') would drop "
+    "(test_watermark_windowed_aggregation drives the live behavior; this is "
+    "its corpus-wide accounting twin for choosing a watermark).  The global "
+    "running max is a single-partition window here; at scale compute "
+    "per-partition maxima and take the MIN across partitions — precisely "
+    "Spark's own global-watermark mechanism — before the flag pass.",
+    tags=("event-time", "watermark", "window"),
+)
+def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.orderBy(
+        F.expr("unix_micros(ts) + ((event_id * 2654435761) % 1000003 % 1800) * 1000000"),
+        "event_id",
+    ).rowsBetween(Window.unboundedPreceding, -1)
+    arr = ev.select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.max(F.unix_micros("ts")).over(w).alias("max_seen_us"),
+    )
+    late = F.when(F.col("ts_us") < F.col("max_seen_us") - WATERMARK_US, 1).otherwise(0)
+    return arr.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("events"),
+        F.sum(late).cast("bigint").alias("late_events"),
+        F.expr(
+            f"CAST((SUM(CASE WHEN ts_us < max_seen_us - {WATERMARK_US} "
+            "THEN 1 ELSE 0 END) * 1000) div COUNT(*) AS BIGINT)"
+        ).alias("late_permille"),
+    )
