@@ -263,3 +263,68 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort retention: users grouped by first-activity day, tracked by offset
+# ---------------------------------------------------------------------------
+_DAY_US = 86_400_000_000
+
+
+@register(
+    "cohort_retention",
+    oracle=f"""
+        WITH activity AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // {_DAY_US} AS day FROM events
+        ),
+        cohorts AS (
+          SELECT user_id, MIN(day) AS cohort_day FROM activity GROUP BY user_id
+        ),
+        sizes AS (
+          SELECT cohort_day, COUNT(*) AS cohort_users FROM cohorts GROUP BY cohort_day
+        ),
+        joined AS (
+          SELECT c.cohort_day, a.day - c.cohort_day AS offset_days, a.user_id
+          FROM activity a JOIN cohorts c ON a.user_id = c.user_id
+        ),
+        ret AS (
+          SELECT cohort_day, offset_days, COUNT(*) AS active_users
+          FROM joined GROUP BY cohort_day, offset_days
+        )
+        SELECT r.cohort_day, r.offset_days, r.active_users, s.cohort_users,
+               CAST((r.active_users * 1000) // s.cohort_users AS BIGINT)
+                 AS retention_permille
+        FROM ret r JOIN sizes s ON r.cohort_day = s.cohort_day
+        """,
+    doc="Cohort retention — the event-analytics staple: users grouped by "
+    "first-activity day, activity tracked at day offsets from it, retention "
+    "as an integer permille (no float thresholds).  Dataflow: distinct "
+    "(user, day) activity → per-user MIN(day) cohort → join back on user → "
+    "(cohort, offset) counts → join the (tiny, broadcast) cohort sizes.  "
+    "Two shuffles on user_id (distinct + cohort agg share partitioning via "
+    "exchange reuse) + one on cohort_day; at 100 TB the activity distinct "
+    "is the dominant shuffle and prunes to (user_id, day) pairs only.",
+    tags=("temporal", "cohort", "retention"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) div {_DAY_US}").alias("day")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    sizes = cohorts.groupBy("cohort_day").agg(F.count(F.lit(1)).alias("cohort_users"))
+    joined = activity.join(cohorts, ["user_id"]).select(
+        "cohort_day", (F.col("day") - F.col("cohort_day")).alias("offset_days"), "user_id"
+    )
+    ret = joined.groupBy("cohort_day", "offset_days").agg(
+        F.count(F.lit(1)).alias("active_users")
+    )
+    return ret.join(F.broadcast(sizes), ["cohort_day"]).select(
+        "cohort_day",
+        "offset_days",
+        "active_users",
+        "cohort_users",
+        F.expr("CAST((active_users * 1000) div cohort_users AS BIGINT)").alias(
+            "retention_permille"
+        ),
+    )
