@@ -328,3 +328,88 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
             "retention_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel conversion: view → click → purchase, strictly in order
+# ---------------------------------------------------------------------------
+FUNNEL_STEP_US = 24 * 3_600_000_000  # each step must follow within 24 h
+
+
+@register(
+    "funnel_conversion",
+    oracle=f"""
+        WITH s1 AS (
+          SELECT user_id, MIN(epoch_us(ts)) AS t1 FROM events
+          WHERE event_type = 'view' GROUP BY user_id
+        ),
+        s2 AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS t2
+          FROM events e JOIN s1 ON e.user_id = s1.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > s1.t1
+            AND epoch_us(e.ts) <= s1.t1 + {FUNNEL_STEP_US}
+          GROUP BY e.user_id
+        ),
+        s3 AS (
+          SELECT e.user_id, MIN(epoch_us(e.ts)) AS t3
+          FROM events e JOIN s2 ON e.user_id = s2.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > s2.t2
+            AND epoch_us(e.ts) <= s2.t2 + {FUNNEL_STEP_US}
+          GROUP BY e.user_id
+        )
+        SELECT * FROM (
+          SELECT CAST(1 AS BIGINT) AS stage, 'view' AS step,
+                 (SELECT COUNT(*) FROM s1) AS users
+          UNION ALL
+          SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+          UNION ALL
+          SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+        ) t
+        """,
+    doc="Ordered funnel analysis — the other event-analytics staple next to "
+    "cohort_retention: users counted at each stage only if the stage event "
+    "happens STRICTLY AFTER their previous stage's first occurrence and "
+    "within a 24-hour step window (view → click → purchase).  Each stage is a filtered MIN-aggregate "
+    "joined to the previous stage's (small) user set — the user table "
+    "shrinks monotonically down the funnel, so at 100 TB stages 2+ are "
+    "joins against an ever-smaller broadcastable frontier, and the event "
+    "scan's type filter pushes to parquet.",
+    tags=("temporal", "funnel"),
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    us = F.unix_micros("ts")
+    s1 = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t1"))
+    )
+    s2 = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s1, ["user_id"])
+        .filter((us > F.col("t1")) & (us <= F.col("t1") + FUNNEL_STEP_US))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t2"))
+    )
+    s3 = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(s2, ["user_id"])
+        .filter((us > F.col("t2")) & (us <= F.col("t2") + FUNNEL_STEP_US))
+        .groupBy("user_id")
+        .agg(F.min(us).alias("t3"))
+    )
+    rows = [
+        s1.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(1).cast("bigint").alias("stage"), F.lit("view").alias("step"), "users"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(2).cast("bigint").alias("stage"), F.lit("click").alias("step"), "users"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(3).cast("bigint").alias("stage"), F.lit("purchase").alias("step"), "users"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
