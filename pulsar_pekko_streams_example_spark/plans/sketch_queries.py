@@ -127,9 +127,15 @@ QSK_BINS = 256
 QSK_WIDTH = 4  # covers [0, 1024); higher values saturate into the top bin
 
 
-def _qsk_threshold(pct: int) -> str:
-    # ceil(n * pct / 100) in pure int64 — identical in both dialects
-    return f"(n * {pct} + 99)"
+def _qsk_threshold(pct: int, dialect: str) -> str:
+    """Rank of the pct-quantile: ceil(n * pct / 100) in pure int64.
+
+    Integer-divide FIRST, then compare cum >= rank.  (An earlier scaled
+    compare ``cum*100 >= n*pct+99`` was off by one whenever n*pct was a
+    multiple of 100 — found by the hypothesis bound-property test, invisible
+    to the oracle because both dialects shared the same expression.)"""
+    div = "div" if dialect == "spark" else "//"
+    return f"((n * {pct} + 99) {div} 100)"
 
 
 @register(
@@ -150,9 +156,9 @@ def _qsk_threshold(pct: int) -> str:
         )
         SELECT event_type,
                CAST(MAX(n) AS BIGINT) AS n,
-               CAST(MIN(CASE WHEN cum * 100 >= {_qsk_threshold(50)} THEN (bin + 1) * {QSK_WIDTH} END) AS BIGINT) AS est_p50,
-               CAST(MIN(CASE WHEN cum * 100 >= {_qsk_threshold(95)} THEN (bin + 1) * {QSK_WIDTH} END) AS BIGINT) AS est_p95,
-               CAST(MIN(CASE WHEN cum * 100 >= {_qsk_threshold(99)} THEN (bin + 1) * {QSK_WIDTH} END) AS BIGINT) AS est_p99
+               CAST(MIN(CASE WHEN cum >= {_qsk_threshold(50, 'duckdb')} THEN (bin + 1) * {QSK_WIDTH} END) AS BIGINT) AS est_p50,
+               CAST(MIN(CASE WHEN cum >= {_qsk_threshold(95, 'duckdb')} THEN (bin + 1) * {QSK_WIDTH} END) AS BIGINT) AS est_p95,
+               CAST(MIN(CASE WHEN cum >= {_qsk_threshold(99, 'duckdb')} THEN (bin + 1) * {QSK_WIDTH} END) AS BIGINT) AS est_p99
         FROM cum GROUP BY event_type
         """,
     doc="Mergeable fixed-bin quantile sketch (the equi-width-histogram cousin "
@@ -189,7 +195,7 @@ def quantile_sketch_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     est = lambda pct: F.min(  # noqa: E731
         F.when(
-            F.col("cum") * 100 >= F.expr(_qsk_threshold(pct)),
+            F.col("cum") >= F.expr(_qsk_threshold(pct, "spark")),
             (F.col("bin") + 1) * QSK_WIDTH,
         )
     ).cast("bigint")

@@ -77,10 +77,25 @@ class RetryRouter:
             batch.unpersist()
 
     def due_retries(self, spark: SparkSession, as_of=None) -> DataFrame:
-        """Re-ingestion scan: rows whose redelivery delay has elapsed."""
+        """Re-ingestion scan: rows whose redelivery delay has elapsed.
+
+        The retry table is an append-only ledger (idempotent batch writes
+        never delete), so a naive scan would re-deliver superseded attempts
+        forever.  Two filters make the scan a delivery FRONTIER instead:
+        only the LATEST attempt per message (earlier attempts are history,
+        not work), and never a message that already reached the DLQ
+        (terminal state wins over any stale retry row).
+        """
+        from pyspark.sql.window import Window
+
         if not os.path.exists(self.retry_path):
             return spark.createDataFrame([], "message_id string")
         df = spark.read.parquet(self.retry_path)
+        w = Window.partitionBy("message_id").orderBy(F.col("attempt").desc())
+        df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        if os.path.exists(self.dlq_path):
+            dead = spark.read.parquet(self.dlq_path).select("message_id")
+            df = df.join(dead, ["message_id"], "left_anti")
         cutoff = F.lit(as_of).cast("timestamp") if as_of is not None else F.current_timestamp()
         return df.filter(F.col("available_at") <= cutoff)
 

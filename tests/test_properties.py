@@ -82,3 +82,42 @@ def test_sessionize_matches_bruteforce(spark, rows):
             last = s
         actual = {eid: sid for (_, eid, sid) in got[k]}
         assert actual == expected, (k, actual, expected, rows)
+
+
+# --- quantile sketch: bin-width error bound ---------------------------------
+
+qsk_values = st.lists(
+    st.floats(min_value=0.0, max_value=1000.0, allow_nan=False, allow_infinity=False),
+    min_size=1,
+    max_size=30,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=qsk_values)
+def test_quantile_sketch_error_bounded_by_bin_width(spark, values):
+    """For any in-range input, the sketch's estimate must bracket the true
+    quantile from above within one bin width: x_q < est <= x_q + W."""
+    import math
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from pulsar_pekko_streams_example_spark.plans.sketch_queries import (
+        QSK_BINS,
+        QSK_WIDTH,
+        _qsk_threshold,
+    )
+
+    df = spark.createDataFrame([(v,) for v in values], "value double")
+    binned = df.groupBy(
+        F.least(F.lit(QSK_BINS - 1), F.floor(F.col("value") / QSK_WIDTH).cast("long")).alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wc = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = binned.select("bin", F.sum("c").over(wc).alias("cum"), F.lit(len(values)).alias("n"))
+    for pct in (50, 95, 99):
+        est = cum.filter(
+            F.col("cum") >= F.expr(_qsk_threshold(pct, "spark"))
+        ).agg(F.min((F.col("bin") + 1) * QSK_WIDTH).alias("e")).collect()[0].e
+        true_q = sorted(values)[math.ceil(pct * len(values) / 100) - 1]
+        assert true_q < est <= true_q + QSK_WIDTH, (pct, true_q, est, sorted(values))

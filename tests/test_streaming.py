@@ -669,3 +669,38 @@ def test_streaming_sliding_window_matches_batch(spark, tmpdir):
     got = sorted(map(tuple, spark.read.parquet(out_dir).filter(F.col("grp") < 3).collect()))
     want = sorted(map(tuple, slid(ev).collect()))
     assert got == want and len(want) > 10
+
+
+def test_retry_exhaustion_lands_in_dlq(spark, tmpdir):
+    """S7 terminal path: a message that keeps failing cycles through the
+    retry table until attempt reaches max_attempts, then lands in the DLQ —
+    and never re-enters the retry loop."""
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+        redelivery_delay_s=0,
+        max_attempts=3,
+    )
+    batch = spark.createDataFrame(
+        [("m-ok", 1, True), ("m-bad", 1, False)],
+        "message_id string, attempt long, ok boolean",
+    )
+    router.route_batch(batch, batch_id=1)
+    # delivery cycles: re-feed due retries as still-failing until DLQ
+    for cycle in range(2, 6):
+        due = router.due_retries(spark, as_of="2100-01-01 00:00:00")
+        if not due.count():
+            break
+        router.route_batch(
+            due.drop("available_at", "_batch_id").withColumn("ok", F.lit(False)),
+            batch_id=cycle,
+        )
+
+    dlq = spark.read.parquet(router.dlq_path)
+    assert [r.message_id for r in dlq.collect()] == ["m-bad"]
+    assert dlq.first().attempt == 3  # exhausted exactly at max_attempts
+    # the retry ledger keeps history, but the delivery frontier is empty:
+    # latest-attempt-only + DLQ exclusion stop any further redelivery
+    assert router.due_retries(spark, as_of="2100-01-01 00:00:00").count() == 0
+    assert spark.read.parquet(router.sink_path).count() == 1  # just m-ok
