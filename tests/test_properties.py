@@ -121,3 +121,45 @@ def test_quantile_sketch_error_bounded_by_bin_width(spark, values):
         ).agg(F.min((F.col("bin") + 1) * QSK_WIDTH).alias("e")).collect()[0].e
         true_q = sorted(values)[math.ceil(pct * len(values) / 100) - 1]
         assert true_q < est <= true_q + QSK_WIDTH, (pct, true_q, est, sorted(values))
+
+
+# --- CMS / Bloom: one-sided structural guarantees ---------------------------
+
+key_lists = st.lists(st.integers(min_value=0, max_value=50), min_size=1, max_size=40)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(keys=key_lists)
+def test_cms_never_underestimates(spark, keys):
+    """Count-min is ONE-SIDED by construction: est >= exact for every key,
+    on any input (collisions only inflate).  The registry oracle replicates
+    the same expressions, so only a property can falsify the structure."""
+    from pyspark.sql import functions as F
+
+    from pulsar_pekko_streams_example_spark.functions import sketches as SK
+
+    df = spark.createDataFrame([(k,) for k in keys], "user_id long")
+    est = SK.cms_estimates(df, "user_id")
+    exact = df.groupBy(F.col("user_id").alias("k")).agg(F.count(F.lit(1)).alias("exact"))
+    bad = est.join(exact, ["k"]).filter(F.col("est") < F.col("exact")).collect()
+    assert not bad, bad
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    members=st.sets(st.integers(min_value=0, max_value=99), min_size=1, max_size=25),
+    extras=st.sets(st.integers(min_value=100, max_value=199), max_size=25),
+)
+def test_bloom_has_no_false_negatives(spark, members, extras):
+    """Bloom filters may false-positive, never false-negative: every
+    inserted key must probe positive on any input."""
+    from pyspark.sql import functions as F
+
+    from pulsar_pekko_streams_example_spark.functions import sketches as SK
+
+    mdf = spark.createDataFrame([(k,) for k in members], "ck long")
+    cand = spark.createDataFrame([(k,) for k in members | extras], "ck long")
+    bits = SK.bloom_build_bits(mdf, "ck")
+    flags = SK.bloom_probe(cand, "ck", bits)
+    missed = flags.filter(F.col("k").isin(list(members)) & ~F.col("in_bloom")).collect()
+    assert not missed, missed
