@@ -163,3 +163,32 @@ def test_bloom_has_no_false_negatives(spark, members, extras):
     flags = SK.bloom_probe(cand, "ck", bits)
     missed = flags.filter(F.col("k").isin(list(members)) & ~F.col("in_bloom")).collect()
     assert not missed, missed
+
+
+# --- MinHash-LSH: exact duplicates are ALWAYS candidates --------------------
+
+words = st.lists(
+    st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+    min_size=3,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(text_words=words, other_words=words)
+def test_minhash_lsh_always_finds_exact_duplicates(spark, text_words, other_words):
+    """LSH recall < 100% is the contract for NEAR-duplicates, but identical
+    shingle sets give identical signatures, hence identical bands, hence a
+    guaranteed candidate pair with jaccard exactly 1.0 — on any input."""
+    from pyspark.sql import functions as F
+
+    from pulsar_pekko_streams_example_spark.operators import dedup
+
+    text = " ".join(text_words)
+    docs = spark.createDataFrame(
+        [(1, text), (2, text), (3, " ".join(other_words))],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.99).collect()
+    dup = [r for r in pairs if r.doc_a == 1 and r.doc_b == 2]
+    assert len(dup) == 1 and dup[0].jaccard == 1.0, pairs
