@@ -192,3 +192,44 @@ def test_minhash_lsh_always_finds_exact_duplicates(spark, text_words, other_word
     pairs = dedup.minhash_lsh_pairs(docs, threshold=0.99).collect()
     dup = [r for r in pairs if r.doc_a == 1 and r.doc_b == 2]
     assert len(dup) == 1 and dup[0].jaccard == 1.0, pairs
+
+
+# --- RANGE frame: tie-day peers always aggregate together -------------------
+
+orders_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=1),   # customer
+        st.integers(min_value=0, max_value=12),  # day
+        st.integers(min_value=1, max_value=50),  # price (integer-valued)
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=orders_strategy)
+def test_range_frame_matches_bruteforce(spark, rows):
+    """RANGE BETWEEN 6 PRECEDING AND CURRENT ROW over a non-unique day key:
+    every same-day peer row must be included for every row of that day —
+    the tie-safety a ROWS frame cannot give.  Checked against a brute-force
+    Python reference on adversarial duplicate-day inputs."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [(i, c, d, float(p)) for i, (c, d, p) in enumerate(rows)],
+        "okey long, cust long, day long, price double",
+    )
+    w = Window.partitionBy("cust").orderBy("day").rangeBetween(-6, 0)
+    got = {
+        r.okey: (r.rev, r.cnt)
+        for r in df.select(
+            "okey",
+            F.sum(F.col("price").cast("decimal(38,6)")).over(w).cast("double").alias("rev"),
+            F.count(F.lit(1)).over(w).alias("cnt"),
+        ).collect()
+    }
+    for i, (c, d, p) in enumerate(rows):
+        peers = [(cc, dd, pp) for (cc, dd, pp) in rows if cc == c and d - 6 <= dd <= d]
+        assert got[i] == (float(sum(pp for _, _, pp in peers)), len(peers)), (i, rows)
