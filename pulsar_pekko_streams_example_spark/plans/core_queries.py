@@ -316,7 +316,7 @@ def hop_monotonic(spark: SparkSession, sf_dir: str) -> DataFrame:
                  ) AS active
           FROM ticks
         )
-        SELECT topic, MAX(active) AS max_concurrent, CAST(COUNT(*) / 2 AS BIGINT) AS tasks
+        SELECT topic, CAST(MAX(active) AS BIGINT) AS max_concurrent, CAST(COUNT(*) / 2 AS BIGINT) AS tasks
         FROM running GROUP BY topic
         """
     ),

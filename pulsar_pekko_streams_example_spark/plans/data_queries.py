@@ -914,7 +914,7 @@ def repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 1 ELSE 0 END AS kept_flag
           FROM documents d JOIN cnt c USING (lang) CROSS JOIN flo f
         )
-        SELECT lang, MAX(total) AS total, SUM(kept_flag) AS kept
+        SELECT lang, MAX(total) AS total, CAST(SUM(kept_flag) AS BIGINT) AS kept
         FROM gated GROUP BY lang
         """,
     doc="Mixture rebalancing: every language class deterministically "
@@ -951,9 +951,9 @@ def lang_rebalance_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                       THEN 1 ELSE 0 END AS straddler
           FROM staged
         )
-        SELECT source, COUNT(*) AS docs, SUM(tc) AS total_tokens,
-               (SUM(tc) + {curation.PACK_BUDGET - 1}) // {curation.PACK_BUDGET} AS bins,
-               SUM(straddler) AS straddlers,
+        SELECT source, COUNT(*) AS docs, CAST(SUM(tc) AS BIGINT) AS total_tokens,
+               CAST((SUM(tc) + {curation.PACK_BUDGET - 1}) // {curation.PACK_BUDGET} AS BIGINT) AS bins,
+               CAST(SUM(straddler) AS BIGINT) AS straddlers,
                CAST(SUM(tc) AS DOUBLE)
                  / (((SUM(tc) + {curation.PACK_BUDGET - 1}) // {curation.PACK_BUDGET})
                     * {float(curation.PACK_BUDGET)}) AS utilization
