@@ -36,6 +36,11 @@ _RUNTIME_CONFS: dict[str, str] = {
     # the driver's events table stores TIMESTAMP(NANOS) which Spark 4 rejects
     # by default; read as long nanos, converted in sources.tables.load_table
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # timezone-less parquet timestamps (timestamp[us], isAdjustedToUTC=false)
+    # must land as TIMESTAMP (LTZ) not TIMESTAMP_NTZ: the engine's epoch
+    # arithmetic (unix_micros/unix_millis) and the DuckDB oracle both treat
+    # them as instants, and with the UTC session timezone the readings agree
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 
