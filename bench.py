@@ -98,18 +98,19 @@ def main() -> None:
         for f in [pool.submit(run_one, n) for n in order]:
             f.result()  # propagate failures
     total = round(time.perf_counter() - t_start, 3)
-    print(
-        json.dumps(
-            {
-                "metric": "registry_queries_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-                "n_queries": len(timings),
-            }
-        )
-    )
+    # Scalars FIRST, the 101-entry queries dict LAST: a tail-truncated capture
+    # of this line loses per-query detail, not the headline number.
+    summary = {
+        "metric": "registry_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": _sf_from_dir(SF_DIR),
+        "n_queries": len(timings),
+    }
+    print(json.dumps({**summary, "queries": timings}))
+    # Second, compact line (scalars only) so a head-truncated capture still
+    # parses a complete JSON object with the headline value.
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

@@ -111,7 +111,11 @@ def sequence_packing_stats(docs: DataFrame, budget: int = PACK_BUDGET) -> DataFr
 
 
 def decontamination_report(
-    docs: DataFrame, test_source: str, min_shared: int = DECON_MIN_SHARED
+    docs: DataFrame,
+    test_source: str,
+    min_shared: int = DECON_MIN_SHARED,
+    max_df: int | None = dedup.JACCARD_MAX_DF,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """(test_doc, contaminated_train_docs, max_shared): for each held-out
     document, how many training documents share ≥ ``min_shared`` distinct
@@ -120,11 +124,27 @@ def decontamination_report(
     The train/test comparison is an inverted-index equi-join on shingle —
     cost Σ df_train(s)·df_test(s), never |train|×|test|.  The held-out side
     is tiny (one source), so its postings broadcast; the training corpus
-    streams through the join without a corpus-wide shuffle."""
+    streams through the join without a corpus-wide shuffle.
+
+    The frequent-shingle cap (corpus-wide df, same JACCARD_MAX_DF constant as
+    the dedup family and the oracle's posting CTE) keeps a stop-shingle from
+    fanning the join out quadratically — a capped shingle can't plausibly
+    evidence contamination anyway.  The hot set is materialized ONCE
+    (eager localCheckpoint — it is at most total_postings/max_df shingles)
+    and broadcast-anti-joined onto each side, so the per-side postings keep
+    their pushed source filters; production would substitute a maintained
+    document-frequency table for the extra corpus pass."""
     test = docs.filter(F.col("source") == test_source)
     train = docs.filter(F.col("source") != test_source)
     tp = dedup.shingle_postings(test).select(F.col("doc_id").alias("test_doc"), "s")
     rp = dedup.shingle_postings(train).select(F.col("doc_id").alias("train_doc"), "s")
+    if max_df is not None:
+        if hot is None:
+            hot = dedup.hot_shingles(
+                dedup.shingle_postings(docs), max_df
+            ).localCheckpoint(eager=True)
+        tp = tp.join(F.broadcast(hot), ["s"], "left_anti")
+        rp = rp.join(F.broadcast(hot), ["s"], "left_anti")
     overlap = (
         rp.join(F.broadcast(tp), "s")
         .groupBy("train_doc", "test_doc")

@@ -27,6 +27,16 @@ from pulsar_pekko_streams_example_spark.operators.partitioning import spread
 
 SHINGLE_N = 3
 
+# Frequent-shingle cap: postings whose shingle occurs in more than MAX_DF
+# docs are dropped before the inverted-index self-join.  The join's cost is
+# Σ df(shingle)², so ONE stop-shingle ("in the of") with df=10⁶ contributes
+# 10¹² candidate pairs at corpus scale; capping bounds every shingle's
+# contribution at MAX_DF².  The default is far above any df the test corpora
+# produce (so oracle-checked results are unchanged there) while bounding the
+# blow-up at 100 TB.  The DuckDB oracles replicate the cap with the same
+# constant, so semantics stay engine-identical even when the cap bites.
+JACCARD_MAX_DF = 100_000
+
 
 def tokenized(docs: DataFrame) -> DataFrame:
     """documents + tokens array column ``w`` (input spread so the explode /
@@ -53,13 +63,42 @@ def shingle_sizes(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
+def hot_shingles(posting: DataFrame, max_df: int) -> DataFrame:
+    """(s) — shingles with document frequency > ``max_df``.  Tiny by
+    construction: at most total_postings / max_df shingles can exceed the
+    cap.  Callers materialize it ONCE (eager localCheckpoint) — as a lazy
+    subtree it would re-derive the full posting list inside EVERY consumer
+    of the capped postings (measured: 16 parquet scans instead of 4 in the
+    jaccard plan, 2× total bench wall)."""
+    return (
+        posting.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("s")
+    )
+
+
+def cap_postings(posting: DataFrame, max_df: int) -> DataFrame:
+    """Drop postings of shingles with document frequency > ``max_df``.
+
+    One extra map-side-combinable aggregate over the postings (run eagerly,
+    see ``hot_shingles``), then a broadcast anti-join — no new corpus-sized
+    shuffle, and downstream consumers see only the tiny materialized hot
+    set, not a second posting derivation."""
+    hot = hot_shingles(posting, max_df).localCheckpoint(eager=True)
+    return posting.join(F.broadcast(hot), ["s"], "left_anti")
+
+
 def jaccard_pairs(
     docs: DataFrame | None,
     threshold: float,
     n: int = SHINGLE_N,
     posting: DataFrame | None = None,
+    max_df: int | None = JACCARD_MAX_DF,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
-    """Near-duplicate pairs by exact shingle Jaccard ≥ threshold.
+    """Near-duplicate pairs by exact shingle Jaccard ≥ threshold, computed
+    over the shingle universe with document frequency ≤ ``max_df``.
 
     Inverted-index join: shuffle on shingle, aggregate intersection counts
     per pair, then derive the union from per-doc sizes.  The self-join is
@@ -71,11 +110,24 @@ def jaccard_pairs(
     picks broadcast when that side measures small, shuffle join otherwise —
     the right call at both bench scale and corpus scale.
 
+    ``max_df`` (JACCARD_MAX_DF above) bounds the quadratic hot-shingle
+    fan-out; sizes derive from the CAPPED postings, so the result is the
+    exact Jaccard over the reduced shingle universe — a well-defined metric
+    both engines compute identically.  ``None`` disables the cap (used
+    internally when the caller already capped the postings).
+
     ``posting`` lets a multi-consumer pipeline substitute a materialized
     (doc_id, s) posting list (operators/cache.py); sizes always derive from
     the postings, so the substitution is exact.
     """
     posting = posting if posting is not None else shingle_postings(docs, n)
+    if max_df is not None:
+        if hot is None:
+            posting = cap_postings(posting, max_df)
+        else:
+            # caller supplies an already-materialized hot set (e.g. the
+            # session-shared one) — skip the per-query derivation job
+            posting = posting.join(F.broadcast(hot), ["s"], "left_anti")
     sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = posting.alias("a")
     b = posting.alias("b")
@@ -139,10 +191,27 @@ def minhash_lsh_pairs(
     threshold: float,
     n: int = SHINGLE_N,
     posting: DataFrame | None = None,
+    max_df: int | None = JACCARD_MAX_DF,
+    hot: DataFrame | None = None,
 ) -> DataFrame:
     """Full dedup pipeline: minhash → banded LSH buckets → candidate pairs →
-    exact-Jaccard verification ≥ threshold."""
-    bands = lsh_bands(minhash_signatures(docs, n, posting=posting))
+    exact-Jaccard verification ≥ threshold.
+
+    The frequent-shingle cap applies ONCE at pipeline entry (full-corpus
+    document frequencies, materialized eagerly), so signatures, candidates
+    and verification all see the same reduced shingle universe — the oracle
+    replicates exactly that.  The nested ``jaccard_pairs`` runs uncapped
+    because re-deriving df on the candidate subset would under-count and
+    diverge from the oracle."""
+    raw = posting if posting is not None else shingle_postings(docs, n)
+    if max_df is not None:
+        if hot is None:
+            hot = hot_shingles(raw, max_df).localCheckpoint(eager=True)
+        posting = raw.join(F.broadcast(hot), ["s"], "left_anti")
+    else:
+        hot = None
+        posting = raw
+    bands = lsh_bands(minhash_signatures(None, n, posting=posting))
     a = bands.alias("a")
     b = bands.alias("b")
     cand = (
@@ -165,13 +234,18 @@ def minhash_lsh_pairs(
     cand_docs = (
         cand.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id")).distinct()
     )
-    if posting is not None:
-        sub = posting.join(cand_docs, ["doc_id"], "left_semi")
-        verified = jaccard_pairs(None, threshold, n, posting=sub)
+    if docs is not None:
+        # re-tokenize ONLY the candidate docs (tiny — that's the point of
+        # LSH) instead of dragging the corpus-wide posting subtree into the
+        # 4 consumers of the verify join; the capped universe is restored by
+        # anti-joining the SAME materialized hot set, so results are
+        # identical to filtering the full capped postings
+        sub = shingle_postings(docs.join(cand_docs, ["doc_id"], "left_semi"), n)
+        if hot is not None:
+            sub = sub.join(F.broadcast(hot), ["s"], "left_anti")
     else:
-        verified = jaccard_pairs(
-            docs.join(cand_docs, ["doc_id"], "left_semi"), threshold, n
-        )
+        sub = posting.join(cand_docs, ["doc_id"], "left_semi")
+    verified = jaccard_pairs(None, threshold, n, posting=sub, max_df=None)
     return cand.join(verified, ["doc_a", "doc_b"]).select("doc_a", "doc_b", "jaccard")
 
 

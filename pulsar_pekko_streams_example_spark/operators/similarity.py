@@ -7,13 +7,15 @@ Two execution paths:
   oracle-parity path (deterministic left-fold double accumulation identical
   to DuckDB's list_reduce).
 - ``cosine_topk_numpy`` — the throughput path: one Arrow-batched
-  mapInPandas doing a numpy matmul per batch against the broadcast query
-  matrix.  At 100 TB this is the shape you want: embeddings never shuffle,
-  each partition streams through a single GEMM; top-k then reduces
-  (k × queries) rows per partition, not the full score matrix.
+  mapInPandas doing a vectorized fold-ordered matmul per batch against the
+  broadcast query matrix.  At 100 TB this is the shape you want: embeddings
+  never shuffle, each partition streams through one vectorized scoring pass;
+  top-k then reduces (k × queries) rows per partition, not the full score
+  matrix.
 
-Both return identical rows (tested) — cosine in float64, rank by (score
-desc, vec_id).
+Both return BIT-identical rows (tested + oracle-checked) — the numpy path
+accumulates in the same dimension order as the declarative fold, so cosine
+float64 values match exactly; rank by (score desc, vec_id).
 """
 
 from __future__ import annotations
@@ -281,18 +283,82 @@ _TOPK_SCHEMA = StructType(
 )
 
 
-def cosine_topk_numpy(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
-    """Vectorized brute-force ANN baseline: per-partition numpy GEMM against
-    the broadcast query matrix, partial top-k per partition, global top-k
-    reduce.  No shuffle of the corpus; only (partitions × queries × k) rows
-    move."""
+# Ceiling on the broadcast query set: ``query_filter`` is arbitrary user SQL,
+# and a corpus-sized filter would collect the corpus onto the driver.  100k
+# queries × 64 float64 dims ≈ 50 MB — a comfortable broadcast; beyond that the
+# caller should use the LSH/IVF paths (which never collect).
+MAX_BROADCAST_QUERIES = 100_000
+
+
+def _fold_dots(qm, mat):
+    """(queries × batch) dot-product matrix accumulated in DIMENSION ORDER —
+    the same left-fold the declarative DOT expression and the DuckDB
+    list_reduce oracle use, so every double is bit-identical across the three
+    paths (IEEE binary64 add/mul are order-deterministic; a BLAS GEMM's
+    blocked accumulation is not).  Same flop count as the GEMM, still fully
+    vectorized — each step is one rank-1 elementwise multiply-add.
+
+    Tiled over the batch axis so the accumulator slab stays L2-resident:
+    an untiled fold streams the full (queries × batch) matrix from DRAM once
+    per dimension, which under a saturated 32-core bench contends for memory
+    bandwidth with every other running query.  Tiling changes NO per-element
+    accumulation order — bit-exactness is preserved."""
+    import numpy as np
+
+    nq = qm.shape[0]
+    tile = max(1, (1 << 18) // max(nq * 8, 1))  # ~256 KiB accumulator slab
+    dots = np.empty((nq, mat.shape[0]), dtype=np.float64)
+    for s in range(0, mat.shape[0], tile):
+        m = mat[s : s + tile]
+        acc = np.zeros((nq, m.shape[0]), dtype=np.float64)
+        for d in range(mat.shape[1]):
+            acc += qm[:, d][:, None] * m[:, d][None, :]
+        dots[:, s : s + m.shape[0]] = acc
+    return dots
+
+
+def _fold_norms(mat):
+    """sqrt of the dimension-ordered self-dot fold (bit-identical to
+    ``sqrt(DOT(x, x))``)."""
+    import numpy as np
+
+    acc = np.zeros(mat.shape[0], dtype=np.float64)
+    for d in range(mat.shape[1]):
+        acc += mat[:, d] * mat[:, d]
+    return np.sqrt(acc)
+
+
+def cosine_topk_numpy(
+    emb: DataFrame,
+    query_filter: str,
+    k: int,
+    max_queries: int = MAX_BROADCAST_QUERIES,
+) -> DataFrame:
+    """Vectorized brute-force ANN baseline: per-partition numpy fold-ordered
+    matmul against the broadcast query matrix, partial top-k per partition,
+    global top-k reduce.  No shuffle of the corpus; only
+    (partitions × queries × k) rows move.
+
+    Scores are accumulated in dimension order (see ``_fold_dots``) so they are
+    bit-identical to ``cosine_topk`` and to the DuckDB oracle — the throughput
+    path shares the correctness gate instead of a weaker rows-only check.
+    """
     import numpy as np
 
     spark = emb.sparkSession
-    qrows = emb.filter(F.expr(query_filter)).select("vec_id", "embedding").collect()
+    qdf = emb.filter(F.expr(query_filter)).select("vec_id", "embedding")
+    # guard the driver collect: fail fast instead of OOMing on a filter that
+    # matches the corpus (limit+count scans at most max_queries+1 rows)
+    if qdf.limit(max_queries + 1).count() > max_queries:
+        raise ValueError(
+            f"query_filter {query_filter!r} matches more than {max_queries} "
+            "rows; brute-force broadcast requires queries << corpus — use "
+            "ann_lsh_topk / ann_ivf_topk for corpus-scale query sets"
+        )
+    qrows = qdf.collect()
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
-    q_norm = np.linalg.norm(q_mat, axis=1)
+    q_norm = _fold_norms(q_mat)
     bq = spark.sparkContext.broadcast((q_ids, q_mat, q_norm))
 
     def part_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -302,12 +368,15 @@ def cosine_topk_numpy(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
                 continue
             nid = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
-            nn = np.linalg.norm(mat, axis=1)
-            scores = (qm @ mat.T) / (qn[:, None] * nn[None, :])  # queries × batch
+            nn = _fold_norms(mat)
+            scores = _fold_dots(qm, mat) / (qn[:, None] * nn[None, :])
             scores[ids[:, None] == nid[None, :]] = -np.inf  # mask self-matches
             top = min(k, scores.shape[1])
-            # one argpartition over the whole matrix — no per-query Python loop
-            idx = np.argpartition(-scores, top - 1, axis=1)[:, :top]
+            # per-row sort on (-score, neighbor_id): the same tie-break the
+            # global rank window uses, so a tie straddling the batch-local
+            # cut keeps the SAME rows the exact global top-k would keep
+            nid2 = np.broadcast_to(nid, scores.shape)
+            idx = np.lexsort((nid2, -scores), axis=1)[:, :top]
             rows = np.take_along_axis(scores, idx, axis=1)
             keep = np.isfinite(rows.ravel())
             yield pd.DataFrame(

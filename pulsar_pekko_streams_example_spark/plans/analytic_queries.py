@@ -58,8 +58,9 @@ def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders.select(
         "o_orderkey",
         "o_custkey",
-        # o_orderdate is TIMESTAMP_NTZ; the session tz is pinned to UTC by
-        # prepare_session, so the cast to TIMESTAMP is exact epoch arithmetic.
+        # o_orderdate arrives as TIMESTAMP (LTZ): prepare_session disables
+        # inferTimestampNTZ and pins the session tz to UTC, so unix_micros is
+        # exact epoch arithmetic (the cast is a no-op kept for clarity).
         F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {DAY_US}").alias("day"),
         "o_totalprice",
     )
@@ -256,6 +257,92 @@ def priority_price_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         davg("pr").alias("avg_percent_rank"),
         davg("cd").alias("avg_cume_dist"),
     )
+
+
+# Scale-safe variant of priority_price_rank_stats: histogram-bucketed
+# relative ranks instead of a global-sort window.
+_RANK_BINS = 256
+
+
+@register(
+    "priority_price_rank_approx",
+    oracle=f"""
+        WITH o AS (SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price FROM orders),
+        stats AS (SELECT MIN(price) AS mn, MAX(price) AS mx, COUNT(*) AS n FROM o),
+        binned AS (
+          SELECT o_orderpriority,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE LEAST({_RANK_BINS - 1},
+                                 CAST(FLOOR((price - mn) * {_RANK_BINS}.0 / (mx - mn)) AS INT))
+                 END AS bin
+          FROM o, stats
+        ),
+        hist AS (SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin),
+        cum AS (
+          SELECT h.bin, h.cnt, COALESCE(SUM(h2.cnt), 0) AS cum_before
+          FROM hist h LEFT JOIN hist h2 ON h2.bin < h.bin GROUP BY h.bin, h.cnt
+        ),
+        pb AS (
+          SELECT o_orderpriority, bin, COUNT(*) AS cnt_pb
+          FROM binned GROUP BY o_orderpriority, bin
+        )
+        SELECT pb.o_orderpriority,
+               CAST(SUM(pb.cnt_pb) AS BIGINT) AS orders,
+               CAST(SUM(pb.cnt_pb * c.cum_before) AS DOUBLE)
+                 / (CAST(SUM(pb.cnt_pb) AS DOUBLE) * (n - 1)) AS avg_percent_rank,
+               CAST(SUM(pb.cnt_pb * (c.cum_before + c.cnt)) AS DOUBLE)
+                 / (CAST(SUM(pb.cnt_pb) AS DOUBLE) * n) AS avg_cume_dist
+        FROM pb JOIN cum c ON pb.bin = c.bin, stats
+        GROUP BY pb.o_orderpriority, n
+        """,
+    doc="Scale path for relative-rank rollups (the fix "
+    "priority_price_rank_stats' doc names): prices bucket into a 256-bin "
+    "fixed-width histogram; a row's percent_rank is approximated by its "
+    "bin's cumulative-below count / (n-1) and cume_dist by cumulative-"
+    "through / n, then rolled up per priority as exact integer sums with "
+    "one final double division — NO single-partition window, every stage "
+    "shards.  All arithmetic is engine-portable, so the oracle is exact.",
+    tags=("window", "rank", "approx", "scale-variant"),
+)
+def priority_price_rank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    )
+    stats = o.agg(
+        F.min("price").alias("mn"),
+        F.max("price").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = o.join(F.broadcast(stats)).select(
+        "o_orderpriority",
+        F.expr(
+            f"CASE WHEN mx = mn THEN 0 ELSE LEAST({_RANK_BINS - 1}, "
+            f"CAST(FLOOR((price - mn) * {_RANK_BINS}.0 / (mx - mn)) AS INT)) END"
+        ).alias("bin"),
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    h2 = hist.select(F.col("bin").alias("bin2"), F.col("cnt").alias("cnt2"))
+    cum = (
+        hist.join(F.broadcast(h2), F.col("bin2") < F.col("bin"), "left")
+        .groupBy("bin", "cnt")
+        .agg(F.coalesce(F.sum("cnt2"), F.lit(0)).alias("cum_before"))
+    )
+    pb = binned.groupBy("o_orderpriority", "bin").agg(
+        F.count(F.lit(1)).alias("cnt_pb")
+    )
+    joined = pb.join(F.broadcast(cum), "bin").join(F.broadcast(stats.select("n")))
+    return joined.groupBy("o_orderpriority", "n").agg(
+        F.sum("cnt_pb").alias("orders"),
+        (
+            F.sum(F.col("cnt_pb") * F.col("cum_before")).cast("double")
+            / (F.sum("cnt_pb").cast("double") * (F.col("n") - F.lit(1)))
+        ).alias("avg_percent_rank"),
+        (
+            F.sum(F.col("cnt_pb") * (F.col("cum_before") + F.col("cnt"))).cast("double")
+            / (F.sum("cnt_pb").cast("double") * F.col("n"))
+        ).alias("avg_cume_dist"),
+    ).drop("n")
 
 
 # ---------------------------------------------------------------------------

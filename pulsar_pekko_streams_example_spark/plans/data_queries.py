@@ -30,13 +30,24 @@ ANN_QUERY_FILTER = "vec_id % 100 = 0"
 
 # --- shared DuckDB CTEs -----------------------------------------------------
 
+# ``posting``/``sizes`` replicate the engine's frequent-shingle cap
+# (operators/dedup.py::cap_postings, same JACCARD_MAX_DF constant): shingles
+# with df > cap leave the universe BEFORE the inverted-index join, and sizes
+# derive from the capped postings — both engines compute the same exact
+# Jaccard over the reduced shingle universe.
 DUCK_DOC_CTE = f"""
 docw AS (
   SELECT doc_id, lang, source, n_chars, {H.tokens('text', 'duckdb')} AS w FROM documents
 ),
 docsh AS (SELECT doc_id, {H.shingles(dedup.SHINGLE_N, 'duckdb')} AS sh FROM docw),
-posting AS (SELECT doc_id, unnest(sh) AS s FROM docsh),
-sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS sz FROM docsh)
+posting_all AS (SELECT doc_id, unnest(sh) AS s FROM docsh),
+hot AS (
+  SELECT s FROM posting_all GROUP BY s HAVING COUNT(*) > {dedup.JACCARD_MAX_DF}
+),
+posting AS (
+  SELECT doc_id, s FROM posting_all WHERE s NOT IN (SELECT s FROM hot)
+),
+sizes AS (SELECT doc_id, COUNT(*) AS sz FROM posting GROUP BY doc_id)
 """
 
 DUCK_INTER_CTE = """
@@ -53,6 +64,25 @@ jac AS (
   JOIN sizes sb ON inter.doc_b = sb.doc_id
 )
 """
+
+
+def _shared_hot(spark: SparkSession, sf_dir: str):
+    """The frequent-shingle hot set, materialized ONCE per session per
+    dataset and shared by every capped query (jaccard, minhash, clustering,
+    decontamination).  Unlike the corpus-scale subtrees operators/cache.py
+    deliberately leaves uncached, the hot set is a few-row OUTPUT of one
+    corpus aggregate — sharing it removes N-1 duplicate corpus passes and
+    adds no persist barrier on any hot path (it is only ever broadcast)."""
+    from pulsar_pekko_streams_example_spark.operators.cache import shared_df
+
+    return shared_df(
+        spark,
+        ("hot-shingles", sf_dir, dedup.SHINGLE_N, dedup.JACCARD_MAX_DF),
+        lambda: dedup.hot_shingles(
+            dedup.shingle_postings(load_table(spark, sf_dir, "documents")),
+            dedup.JACCARD_MAX_DF,
+        ),
+    )
 
 
 def _duck_dot(a: str, b: str) -> str:
@@ -103,7 +133,7 @@ def dedup_exact_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.jaccard_pairs(docs, JACCARD_THRESHOLD)
+    return dedup.jaccard_pairs(docs, JACCARD_THRESHOLD, hot=_shared_hot(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------
@@ -151,7 +181,9 @@ def _duck_minhash_sql() -> str:
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.minhash_lsh_pairs(docs, JACCARD_THRESHOLD)
+    return dedup.minhash_lsh_pairs(
+        docs, JACCARD_THRESHOLD, hot=_shared_hot(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -287,26 +319,32 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # ANN: brute-force cosine top-k (oracle) + numpy fast path (rows-only)
 # ---------------------------------------------------------------------------
+# One oracle, two engine paths: the declarative fold and the numpy
+# mapInPandas path accumulate doubles in the SAME dimension order, so both
+# are bit-identical to this SQL (operators/similarity.py::_fold_dots).
+_ANN_TOPK_ORACLE = f"""
+    WITH q AS (
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {ANN_QUERY_FILTER}
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id AS neighbor_id,
+             {_duck_dot('qe', 'c.embedding')}
+               / (sqrt({_duck_dot('qe', 'qe')}) * sqrt({_duck_dot('c.embedding', 'c.embedding')}))
+               AS cosine
+      FROM q CROSS JOIN embeddings c
+      WHERE q.query_id <> c.vec_id
+    )
+    SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM scored
+    ) t WHERE rnk <= {ANN_K}
+    """
+
+
 @register(
     "ann_cosine_topk",
-    oracle=f"""
-        WITH q AS (
-          SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {ANN_QUERY_FILTER}
-        ),
-        scored AS (
-          SELECT q.query_id, c.vec_id AS neighbor_id,
-                 {_duck_dot('qe', 'c.embedding')}
-                   / (sqrt({_duck_dot('qe', 'qe')}) * sqrt({_duck_dot('c.embedding', 'c.embedding')}))
-                   AS cosine
-          FROM q CROSS JOIN embeddings c
-          WHERE q.query_id <> c.vec_id
-        )
-        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
-        FROM (
-          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
-          FROM scored
-        ) t WHERE rnk <= {ANN_K}
-        """,
+    oracle=_ANN_TOPK_ORACLE,
     doc="Brute-force cosine top-k over array<float> embeddings: broadcast "
     "query set, JVM-side fold dot products, rank window per query.",
     tags=("similarity",),
@@ -318,9 +356,10 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_cosine_topk_vectorized",
-    oracle=None,  # numpy GEMM reorders float adds — same neighbors, not bit-identical scores
-    doc="Throughput ANN path: Arrow-batched mapInPandas numpy GEMM per "
-    "partition + partial top-k; validated against ann_cosine_topk in tests.",
+    oracle=_ANN_TOPK_ORACLE,
+    doc="Throughput ANN path: Arrow-batched mapInPandas vectorized scoring "
+    "per partition + partial top-k.  Accumulates in dimension order so "
+    "doubles are bit-identical to ann_cosine_topk and the shared oracle.",
     tags=("similarity", "pandas-udf"),
 )
 def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -683,7 +722,7 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_pekko_streams_example_spark.operators import graph
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, JACCARD_THRESHOLD)
+    pairs = dedup.jaccard_pairs(docs, JACCARD_THRESHOLD, hot=_shared_hot(spark, sf_dir))
     comps = graph.connected_components(pairs, src="doc_a", dst="doc_b")
     return comps.groupBy(F.col("component").alias("canonical_doc")).agg(
         F.count(F.lit(1)).alias("cluster_size")
@@ -1002,7 +1041,9 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return curation.decontamination_report(docs, test_source="src19")
+    return curation.decontamination_report(
+        docs, test_source="src19", hot=_shared_hot(spark, sf_dir)
+    )
 
 
 # ---------------------------------------------------------------------------

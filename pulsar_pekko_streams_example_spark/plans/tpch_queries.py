@@ -443,6 +443,91 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The scale-safe variant of customer_spend_deciles: the ntile global-sort
+# window is replaced by a 256-bin fixed-width histogram — deterministic
+# integer/double arithmetic both engines reproduce bit-for-bit.
+_DECILE_BINS = 256
+
+
+@register(
+    "customer_spend_deciles_approx",
+    oracle=f"""
+        WITH spend AS (
+          SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+          FROM orders GROUP BY o_custkey
+        ),
+        stats AS (SELECT MIN(spend) AS mn, MAX(spend) AS mx, COUNT(*) AS n FROM spend),
+        binned AS (
+          SELECT o_custkey, spend,
+                 CASE WHEN mx = mn THEN 0
+                      ELSE LEAST({_DECILE_BINS - 1},
+                                 CAST(FLOOR((spend - mn) * {_DECILE_BINS}.0 / (mx - mn)) AS INT))
+                 END AS bin
+          FROM spend, stats
+        ),
+        hist AS (SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY bin),
+        cum AS (
+          SELECT h.bin, COALESCE(SUM(h2.cnt), 0) AS cum_before
+          FROM hist h LEFT JOIN hist h2 ON h2.bin < h.bin GROUP BY h.bin
+        ),
+        dec AS (
+          SELECT bin, CAST(1 + (cum_before * 10) // n AS INT) AS decile
+          FROM cum, stats
+        )
+        SELECT decile, COUNT(*) AS customers,
+               CAST(MIN(spend) AS DOUBLE) AS min_spend,
+               CAST(MAX(spend) AS DOUBLE) AS max_spend
+        FROM binned JOIN dec USING (bin)
+        GROUP BY decile
+        """,
+    doc="Scale path for decile ranking (the fix customer_spend_deciles' doc "
+    "names): per-customer spend buckets into a 256-bin fixed-width histogram "
+    "(global min/max/count = one scalar agg, broadcast back), cumulative "
+    "counts map each bin to a decile, and customers bucket-join the ≤256-row "
+    "map — NO single-partition global-sort window anywhere, so the plan "
+    "shards at any corpus size.  Bin edges and decile assignment are pure "
+    "integer/double arithmetic, so the oracle reproduces them exactly; "
+    "deciles are approximate only in that a bin's customers share a decile.",
+    tags=("window", "rank", "approx", "scale-variant"),
+)
+def customer_spend_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_pekko_streams_example_spark.functions.numeric import dsum
+
+    o = load_table(spark, sf_dir, "orders")
+    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("spend"))
+    stats = spend.agg(
+        F.min("spend").alias("mn"),
+        F.max("spend").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    binned = spend.join(F.broadcast(stats)).withColumn(
+        "bin",
+        F.expr(
+            f"CASE WHEN mx = mn THEN 0 ELSE LEAST({_DECILE_BINS - 1}, "
+            f"CAST(FLOOR((spend - mn) * {_DECILE_BINS}.0 / (mx - mn)) AS INT)) END"
+        ),
+    )
+    hist = binned.groupBy("bin").agg(F.count(F.lit(1)).alias("cnt"))
+    h2 = hist.select(F.col("bin").alias("bin2"), F.col("cnt").alias("cnt2"))
+    cum = (
+        hist.join(F.broadcast(h2), F.col("bin2") < F.col("bin"), "left")
+        .groupBy("bin")
+        .agg(F.coalesce(F.sum("cnt2"), F.lit(0)).alias("cum_before"))
+    )
+    dec = cum.join(F.broadcast(stats.select("n"))).select(
+        "bin", F.expr("CAST(1 + (cum_before * 10) div n AS INT)").alias("decile")
+    )
+    return (
+        binned.join(F.broadcast(dec), "bin")
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("customers"),
+            F.min("spend").alias("min_spend"),
+            F.max("spend").alias("max_spend"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Set operators: EXCEPT ALL / INTERSECT on key sets
 # ---------------------------------------------------------------------------

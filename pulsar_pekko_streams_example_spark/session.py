@@ -58,6 +58,20 @@ def prepare_session(spark: SparkSession) -> SparkSession:
         except Exception:
             # non-runtime-settable in this deployment — leave as-is
             pass
+    try:
+        # An externally-created session (the driver's verifier) usually ships
+        # Spark's stock 200 shuffle partitions — 6× the local core count of
+        # pure task-scheduling overhead per exchange at sf0.01.  Lower it to
+        # the core count, but ONLY when it is the untouched default so any
+        # deliberate setting (bench, a real cluster submit) wins.  On a real
+        # cluster AQE coalesces from the configured initial number; this is a
+        # local-mode latency fix, not a scale knob.
+        if spark.conf.get("spark.sql.shuffle.partitions") == "200":
+            spark.conf.set(
+                "spark.sql.shuffle.partitions", str(os.cpu_count() or 4)
+            )
+    except Exception:
+        pass
     spark._ppes_prepared = True
     return spark
 

@@ -20,8 +20,16 @@ def test_oracle_prints_sql(capsys):
     assert "SELECT" in capsys.readouterr().out.upper()
 
 
-def test_oracle_rows_only_exits_nonzero():
-    assert main(["oracle", "ann_cosine_topk_vectorized"]) == 1
+def test_every_registry_query_has_an_oracle(capsys):
+    """Since r2 the vectorized ANN path shares the fold oracle — zero
+    rows-only queries remain, so `oracle NAME` succeeds for every name."""
+    assert main(["oracle", "ann_cosine_topk_vectorized"]) == 0
+    assert "SELECT" in capsys.readouterr().out.upper()
+
+    from pulsar_pekko_streams_example_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    assert all(spec.oracle is not None for spec in REGISTRY.values())
 
 
 def test_unknown_query_rejected():

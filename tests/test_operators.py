@@ -12,14 +12,24 @@ from tests.conftest import SF_CORRECT
 
 
 def test_vectorized_ann_matches_declarative(spark):
-    """The numpy GEMM path must return the same neighbor sets (and ranks,
-    modulo float-sum ties) as the declarative fold path."""
+    """The numpy path accumulates in dimension order, so it must return
+    BIT-identical rows (cosines included) to the declarative fold path."""
     emb = load_table(spark, SF_CORRECT, "embeddings")
     slow = similarity.cosine_topk(emb, data_queries.ANN_QUERY_FILTER, data_queries.ANN_K)
     fast = similarity.cosine_topk_numpy(emb, data_queries.ANN_QUERY_FILTER, data_queries.ANN_K)
-    s = {(r.query_id, r.neighbor_id, r.rnk) for r in slow.collect()}
-    f = {(r.query_id, r.neighbor_id, r.rnk) for r in fast.collect()}
+    s = {(r.query_id, r.neighbor_id, r.rnk, r.cosine) for r in slow.collect()}
+    f = {(r.query_id, r.neighbor_id, r.rnk, r.cosine) for r in fast.collect()}
     assert s == f
+
+
+def test_vectorized_ann_rejects_corpus_sized_query_set(spark):
+    """The broadcast-query collect is guarded: a query_filter matching more
+    than max_queries rows must raise instead of OOMing the driver."""
+    import pytest
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    with pytest.raises(ValueError, match="more than 3 rows"):
+        similarity.cosine_topk_numpy(emb, "vec_id >= 0", 5, max_queries=3)
 
 
 def test_minhash_recall_vs_exact(spark):

@@ -186,3 +186,13 @@ def test_single_shuffle_aggregations(spark):
         plan = plan_of(REGISTRY[name].build(spark, SF_SMOKE))
         tree = plan.split("\n\n")[0]
         assert tree.count("Exchange") == 1, f"{name}: {tree.count('Exchange')} exchanges"
+
+
+def test_approx_rank_variants_have_no_global_sort_window(spark):
+    """The scale variants of the rank queries must plan WITHOUT any window
+    operator (the exact forms' unpartitioned Window is the one shape that
+    cannot shard): histogram + broadcast bucket join only."""
+    for name in ("customer_spend_deciles_approx", "priority_price_rank_approx"):
+        plan = plan_of(REGISTRY[name].build(spark, SF_SMOKE))
+        assert "Window" not in plan, name
+        assert "ntile(" not in plan and "percent_rank()" not in plan, name

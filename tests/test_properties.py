@@ -233,3 +233,47 @@ def test_range_frame_matches_bruteforce(spark, rows):
     for i, (c, d, p) in enumerate(rows):
         peers = [(cc, dd, pp) for (cc, dd, pp) in rows if cc == c and d - 6 <= dd <= d]
         assert got[i] == (float(sum(pp for _, _, pp in peers)), len(peers)), (i, rows)
+
+
+# --- Frequent-shingle cap: a hot shingle never drives O(n²) candidates ------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(fillers=st.lists(words, min_size=4, max_size=8))
+def test_jaccard_df_cap_bounds_hot_shingle_fanout(spark, fillers):
+    """One shingle shared by EVERY doc (a stop-phrase) must not make every
+    doc pair a candidate: with df cap < corpus size, the hot shingles leave
+    the universe and pairs arise only from genuinely shared rare shingles.
+    Exact duplicates must still be found (their rare shingles also match)."""
+    from pulsar_pekko_streams_example_spark.operators import dedup
+
+    stop = "in the of and"  # shingles here appear in EVERY doc => df = n_docs
+    rows = [(i, f"{stop} u{i}a u{i}b u{i}c u{i}d") for i in range(len(fillers))]
+    # two exact duplicates built from filler words (plus the stop phrase)
+    dup_text = f"{stop} {' '.join(fillers[0])}"
+    n = len(rows)
+    rows += [(n, dup_text), (n + 1, dup_text)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = dedup.jaccard_pairs(docs, threshold=0.05, max_df=2).collect()
+    # the hot shingles (df = n+2 > 2) are dropped: the only pairs left share
+    # RARE shingles — at minimum the exact-duplicate pair at jaccard 1.0
+    dup = [r for r in capped if (r.doc_a, r.doc_b) == (n, n + 1)]
+    assert len(dup) == 1 and dup[0].jaccard == 1.0, capped
+    # no pair built purely from the stop phrase survives: every surviving
+    # pair must share a shingle with df <= 2, i.e. involve the dup pair or
+    # coincidentally-equal filler shingles — never ALL C(n,2) pairs
+    uncapped = dedup.jaccard_pairs(docs, threshold=0.05, max_df=None).collect()
+    assert len(uncapped) == (n + 2) * (n + 1) // 2  # hot shingle => all pairs
+    assert len(capped) < len(uncapped)
+
+
+def test_cap_postings_drops_exactly_hot_shingles(spark):
+    from pulsar_pekko_streams_example_spark.operators import dedup
+
+    posting = spark.createDataFrame(
+        [(d, "hot") for d in range(10)] + [(d, f"rare{d}") for d in range(10)],
+        "doc_id long, s string",
+    )
+    kept = {(r.doc_id, r.s) for r in dedup.cap_postings(posting, 3).collect()}
+    assert kept == {(d, f"rare{d}") for d in range(10)}
