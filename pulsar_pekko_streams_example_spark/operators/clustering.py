@@ -1,0 +1,100 @@
+"""Embedding clustering: Lloyd's k-means assignment + update as DataFrame ops.
+
+The reference engine has no clustering operator (SURVEY §2.7 — it is a
+message-pipeline engine), but a 100 TB training-data curation run needs
+embedding clustering for semantic dedup, topic balancing, and IVF coarse
+quantizers (the `ann_ivf_topk` path in operators/similarity.py uses exactly
+this assignment step).  Both steps here are pure DataFrame compositions — no
+UDFs — so they stay inside whole-stage codegen and scale by partitioning:
+
+- ``assign``: broadcast the k centroids (k is small by construction) against
+  the corpus; one projection computes all k cosines per row; argmax via a
+  deterministic ``array_sort`` on (negative cosine, centroid_id) — NO window,
+  NO shuffle: the corpus never leaves its scan partitioning.
+- ``update``: posexplode the assigned vectors and hash-aggregate per
+  (cluster, dim) with exact DECIMAL accumulation — one shuffle of
+  (cluster, dim) pairs, i.e. k×d rows, regardless of corpus size.
+
+Determinism: cosines use the shared left-fold DOT (bit-identical to the
+DuckDB oracle's list_reduce); component sums accumulate as DECIMAL(38,6) so
+partial-aggregation order cannot change the result (functions/numeric.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from pulsar_pekko_streams_example_spark.functions.numeric import DEC
+from pulsar_pekko_streams_example_spark.operators.partitioning import spread
+from pulsar_pekko_streams_example_spark.operators.similarity import DOT, _norm
+
+
+def seed_centroids(emb: DataFrame, k: int) -> DataFrame:
+    """Deterministic seeding: the k lowest vec_ids become the centroids.
+
+    (Real k-means++ would sample; for cross-engine verification every
+    pseudo-random choice must be replicable in plain SQL, and fixed-id
+    seeding is the standard deterministic-test variant.)
+    """
+    return emb.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").alias("cluster_id"),
+        F.col("embedding").alias("centroid"),
+    )
+
+
+def assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment by cosine, tie-break on lower cluster_id.
+
+    Returns (vec_id, embedding, label, cluster_id, cosine).  The centroid
+    side is broadcast; the corpus side keeps its scan partitioning — at
+    100 TB this is one map-side pass, zero shuffles.
+    """
+    cent = F.broadcast(
+        centroids.groupBy().agg(
+            F.sort_array(
+                F.collect_list(F.struct("cluster_id", "centroid"))
+            ).alias("cents")
+        )
+    )
+    scored = spread(emb).crossJoin(cent).select(
+        "vec_id",
+        "embedding",
+        "label",
+        # one struct per centroid: (cosine, cluster_id); pick the best by
+        # sorting on (-cosine, cluster_id) — deterministic, windowless.
+        F.expr(
+            "array_sort(transform(cents, c -> struct("
+            f"-({DOT.format(a='embedding', b='c.centroid')}"
+            f" / ({_norm('embedding')} * {_norm('c.centroid')})) AS neg_cos, "
+            "c.cluster_id AS cluster_id)))[0]"
+        ).alias("best"),
+    )
+    return scored.select(
+        "vec_id",
+        "embedding",
+        "label",
+        F.col("best.cluster_id").alias("cluster_id"),
+        (-F.col("best.neg_cos")).alias("cosine"),
+    )
+
+
+def update_sums(assigned: DataFrame) -> DataFrame:
+    """Lloyd's update step in mergeable form: per (cluster_id, dim) the exact
+    member-component sum (DECIMAL-accumulated → DOUBLE) and member count.
+
+    Emitting sums rather than means keeps every value exact and
+    order-independent; the caller divides (one deterministic double division)
+    when it materializes new centroids.  Shuffle volume is k×d rows total.
+    """
+    comp = assigned.select(
+        "cluster_id",
+        F.posexplode("embedding").alias("dim0", "comp"),
+    )
+    return (
+        comp.groupBy("cluster_id", (F.col("dim0") + 1).cast("long").alias("dim"))
+        .agg(
+            F.sum(F.col("comp").cast("double").cast(DEC)).cast("double").alias("comp_sum"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+    )

@@ -27,5 +27,9 @@ try:
     from pulsar_pekko_streams_example_spark.plans import analytic_queries  # noqa: F401
 except ImportError:
     pass
+try:
+    from pulsar_pekko_streams_example_spark.plans import cluster_queries  # noqa: F401
+except ImportError:
+    pass
 
 __all__ = ["REGISTRY", "all_queries", "all_oracles"]

@@ -1,0 +1,248 @@
+"""Clustering, data-mixture, semi-structured, and skew-mitigation queries.
+
+Four capability families a 100 TB training-data curation run needs beyond
+dedup/similarity (none exist in the reference — SURVEY §2.7 — it is a
+message-pipeline engine; these extend the engine the way its users would):
+
+- **k-means over embeddings** (``kmeans_cluster_profile``,
+  ``kmeans_update_components``): Lloyd's assignment and update as pure
+  DataFrame ops (operators/clustering.py).  Assignment broadcasts the k
+  centroids and never shuffles the corpus; the update shuffles exactly k×d
+  aggregated rows.  This is the coarse quantizer that IVF ANN and semantic
+  dedup build on.
+- **temperature-based mixture weights** (``mixture_temperature_weights``):
+  the per-source sampling weights (w ∝ size^0.5) used to rebalance a
+  multi-source corpus, computed in one aggregation pass plus a window over
+  the handful of post-agg source rows.
+- **semi-structured JSON props** (``events_props_json_stats``): JSON-path
+  extraction pushed into the scan projection — the typed-payload pattern for
+  event streams carrying ad-hoc JSON.
+- **skew-safe aggregation** (``salted_segment_event_agg``): the
+  operators/partitioning.py ``salted_join`` under a real fact/dim shape —
+  150 hot user keys over 10k+ events — proving the salt never changes the
+  result (the oracle is the *plain* join).
+
+Cross-engine posture: cosines use the shared left-fold DOT (bit-identical to
+DuckDB's list_reduce), every double sum accumulates as DECIMAL(38,6)
+(functions/numeric.py), and sqrt is IEEE-correctly-rounded in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from pulsar_pekko_streams_example_spark.functions.numeric import DEC, davg, dsum, sql_davg, sql_dsum
+from pulsar_pekko_streams_example_spark.operators import clustering
+from pulsar_pekko_streams_example_spark.operators.partitioning import salted_join
+from pulsar_pekko_streams_example_spark.plans.data_queries import _duck_dot
+from pulsar_pekko_streams_example_spark.plans.registry import register
+from pulsar_pekko_streams_example_spark.sources.tables import load_table
+
+KM_K = 8  # clusters; centroids = the k lowest vec_ids (deterministic seed)
+KM_DIM = 64  # embedding dimensionality of the test corpus
+
+
+def _duck_assigned_cte(k: int) -> str:
+    """DuckDB twin of clustering.assign(): nearest-centroid by cosine,
+    tie-break on lower cluster_id."""
+    cos = (
+        f"{_duck_dot('e.embedding', 'c.centroid')} / "
+        f"(sqrt({_duck_dot('e.embedding', 'e.embedding')}) * "
+        f"sqrt({_duck_dot('c.centroid', 'c.centroid')}))"
+    )
+    return f"""
+        cent AS (
+          SELECT vec_id AS cluster_id, embedding AS centroid
+          FROM embeddings WHERE vec_id < {k}
+        ),
+        scored AS (
+          SELECT e.vec_id, e.label, c.cluster_id, {cos} AS cosine
+          FROM embeddings e CROSS JOIN cent c
+        ),
+        assigned AS (
+          SELECT vec_id, label, cluster_id, cosine FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cosine DESC, cluster_id) AS rn
+            FROM scored
+          ) t WHERE rn = 1
+        )
+    """
+
+
+@register(
+    "kmeans_cluster_profile",
+    oracle=f"""
+        WITH {_duck_assigned_cte(KM_K).strip()},
+        prof AS (
+          SELECT cluster_id, COUNT(*) AS n_members,
+                 {sql_davg('cosine')} AS avg_cosine
+          FROM assigned GROUP BY cluster_id
+        ),
+        lab AS (
+          SELECT cluster_id, label, COUNT(*) AS n
+          FROM assigned GROUP BY cluster_id, label
+        ),
+        top AS (
+          SELECT cluster_id, label AS top_label, n AS top_label_n,
+                 ROW_NUMBER() OVER (PARTITION BY cluster_id
+                                    ORDER BY n DESC, label) AS rn
+          FROM lab
+        )
+        SELECT p.cluster_id, p.n_members, p.avg_cosine, t.top_label, t.top_label_n
+        FROM prof p JOIN top t ON p.cluster_id = t.cluster_id AND t.rn = 1
+        """,
+    doc="Lloyd's assignment step + cluster quality profile: per-cluster size, "
+    "mean cosine cohesion, and dominant ground-truth label (purity).  The "
+    "corpus never shuffles — centroids broadcast, argmax is windowless.",
+    tags=("clustering", "embeddings"),
+)
+def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = clustering.assign(emb, clustering.seed_centroids(emb, KM_K))
+    prof = assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        davg("cosine").alias("avg_cosine"),
+    )
+    lab = assigned.groupBy("cluster_id", "label").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("label"))
+    top = (
+        lab.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("label").alias("top_label"),
+            F.col("n").alias("top_label_n"),
+        )
+    )
+    return prof.join(top, "cluster_id")
+
+
+@register(
+    "kmeans_update_components",
+    oracle=f"""
+        WITH {_duck_assigned_cte(KM_K).strip()}
+        SELECT a.cluster_id, CAST(r.range AS BIGINT) AS dim,
+               CAST(SUM(CAST(CAST(e.embedding[r.range] AS DOUBLE)
+                             AS DECIMAL(38,6))) AS DOUBLE) AS comp_sum,
+               COUNT(*) AS n_members
+        FROM assigned a
+        JOIN embeddings e ON a.vec_id = e.vec_id
+        CROSS JOIN range(1, {KM_DIM} + 1) r
+        GROUP BY a.cluster_id, dim
+        """,
+    doc="Lloyd's update step in mergeable form: exact per-(cluster, dim) "
+    "component sums (DECIMAL-accumulated) + member counts.  Shuffle volume "
+    "is k*d aggregated rows regardless of corpus size; the caller divides "
+    "once to materialize new centroids.",
+    tags=("clustering", "embeddings"),
+)
+def kmeans_update_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = clustering.assign(emb, clustering.seed_centroids(emb, KM_K))
+    return clustering.update_sums(assigned)
+
+
+@register(
+    "mixture_temperature_weights",
+    oracle="""
+        WITH s AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS chars
+          FROM documents GROUP BY source
+        ),
+        w AS (
+          SELECT source, n_docs, chars,
+                 sqrt(CAST(chars AS DOUBLE)) AS weight
+          FROM s
+        )
+        SELECT source, n_docs, chars, weight,
+               weight / CAST(SUM(CAST(weight AS DECIMAL(38,6))) OVER ()
+                             AS DOUBLE) AS share
+        FROM w
+        """,
+    doc="Temperature-based source mixture (alpha=0.5): per-source sampling "
+    "share proportional to sqrt(corpus chars) — the standard rebalancing "
+    "between over- and under-represented sources.  One agg pass; the global "
+    "window runs over the handful of post-agg source rows, not the corpus.",
+    tags=("curation", "mixture"),
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("chars"),
+    )
+    per_src = per_src.withColumn("weight", F.sqrt(F.col("chars").cast("double")))
+    total = F.sum(F.col("weight").cast(DEC)).over(
+        Window.partitionBy().rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
+        )
+    )
+    return per_src.withColumn("share", F.col("weight") / total.cast("double"))
+
+
+@register(
+    "events_props_json_stats",
+    oracle="""
+        SELECT event_type, COUNT(*) AS n_events,
+               MIN(k) AS k_min, MAX(k) AS k_max,
+               CAST(SUM(k) AS BIGINT) AS k_sum,
+               CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
+        FROM (
+          SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+          FROM events
+        ) t
+        GROUP BY event_type
+        """,
+    doc="Semi-structured payload stats: JSON-path extraction of the ad-hoc "
+    "props field into a typed column inside the scan projection (JVM-side "
+    "get_json_object, no UDF), then one hash aggregation by event_type.",
+    tags=("events", "json"),
+)
+def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long").alias("k")
+    return (
+        ev.select("event_type", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("k").alias("k_sum"),
+            (F.sum("k").cast("double") / F.count(F.lit(1))).alias("avg_k"),
+        )
+    )
+
+
+@register(
+    "salted_segment_event_agg",
+    oracle=f"""
+        SELECT c.c_mktsegment, COUNT(*) AS n_events,
+               {sql_dsum('e.value')} AS value_sum
+        FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        GROUP BY c.c_mktsegment
+        """,
+    doc="Skew-safe fact/dim join: operators/partitioning.salted_join spreads "
+    "the 150 hot user keys across 8 salted shuffle buckets (dim side "
+    "replicated per salt), then aggregates by segment.  The oracle is the "
+    "PLAIN join — the salt must never change the result.",
+    tags=("skew", "join"),
+)
+def salted_segment_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("user_id").alias("cust"), "value")
+    )
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .select(F.col("c_custkey").alias("cust"), "c_mktsegment")
+    )
+    joined = salted_join(ev, cust, "cust", n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("value_sum"),
+    )

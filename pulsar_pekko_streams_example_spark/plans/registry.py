@@ -67,6 +67,7 @@ _MODULE_ORDER = [
     "sketch_queries",
     "mldata_queries",
     "analytic_queries",
+    "cluster_queries",
 ]
 
 

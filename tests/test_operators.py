@@ -121,3 +121,40 @@ def test_ivf_pruned_search_properties(spark):
     assert len(hits) >= 0.4 * len(e)
     for pair in hits:
         assert e[pair] == i[pair]  # exact re-scoring, bit-identical
+
+
+def test_kmeans_seed_centroids_assign_to_themselves(spark):
+    """Each seed vector's nearest centroid is itself (cosine exactly the
+    self-dot ratio, i.e. 1 up to fold rounding), and every corpus vector is
+    assigned exactly once."""
+    from pulsar_pekko_streams_example_spark.operators import clustering
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    assigned = clustering.assign(emb, clustering.seed_centroids(emb, 8))
+    n = emb.count()
+    assert assigned.count() == n
+    assert assigned.select("vec_id").distinct().count() == n
+    seeds = {r.vec_id: r for r in assigned.filter(F.col("vec_id") < 8).collect()}
+    for vid, row in seeds.items():
+        assert row.cluster_id == vid, f"seed {vid} assigned to {row.cluster_id}"
+        assert abs(row.cosine - 1.0) < 1e-9
+
+
+def test_kmeans_update_sums_reconstruct_members(spark):
+    """update_sums is the mergeable Lloyd's update: per-cluster counts must
+    equal the assignment sizes, every cluster emits exactly d dims, and the
+    component sums divided by counts are finite centroid coordinates."""
+    from pulsar_pekko_streams_example_spark.operators import clustering
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    assigned = clustering.assign(emb, clustering.seed_centroids(emb, 8))
+    sizes = {r.cluster_id: r.n for r in
+             assigned.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    upd = clustering.update_sums(assigned).collect()
+    dims_per_cluster: dict[int, int] = {}
+    for r in upd:
+        assert r.n_members == sizes[r.cluster_id]
+        dims_per_cluster[r.cluster_id] = dims_per_cluster.get(r.cluster_id, 0) + 1
+        assert r.comp_sum == r.comp_sum  # not NaN
+    assert set(dims_per_cluster) == set(sizes)
+    assert all(v == 64 for v in dims_per_cluster.values())

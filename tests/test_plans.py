@@ -196,3 +196,53 @@ def test_approx_rank_variants_have_no_global_sort_window(spark):
         plan = plan_of(REGISTRY[name].build(spark, SF_SMOKE))
         assert "Window" not in plan, name
         assert "ntile(" not in plan and "percent_rank()" not in plan, name
+
+
+def test_kmeans_assign_corpus_never_shuffles(spark):
+    """Lloyd's assignment must be a map-side pass: centroids broadcast, no
+    exchange of the corpus, no window (the argmax is an array_sort in the
+    projection).  At 100 TB the corpus keeps its scan partitioning."""
+    from pulsar_pekko_streams_example_spark.operators import clustering
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    assigned = clustering.assign(emb, clustering.seed_centroids(emb, 8))
+    plan = plan_of(assigned)
+    tree = plan.split("\n\n")[0]
+    assert "BroadcastExchange" in tree  # the k centroids
+    assert "Window" not in tree
+    assert "Sort" not in tree
+    # the only allowed exchanges are the centroid side's single-partition
+    # collect + broadcast (and spread()'s round-robin when the scan is
+    # single-split) — never a hash repartition of the corpus
+    assert "hashpartitioning(" not in plan
+
+
+def test_kmeans_update_shuffles_only_aggregated_rows(spark):
+    """The update step's one hash exchange carries (cluster, dim) partial
+    sums — k*d rows — never the exploded corpus."""
+    plan = plan_of(REGISTRY["kmeans_update_components"].build(spark, SF_SMOKE))
+    tree = plan.split("\n\n")[0]
+    # top-down the main branch must read final HashAggregate → Exchange →
+    # partial HashAggregate: map-side combine BEFORE the shuffle, so the
+    # exchange carries k*d partial rows, not the exploded corpus
+    ops = [
+        line.lstrip(" :+-").split(" (")[0]
+        for line in tree.splitlines()
+        if line.lstrip(" :+-").split(" (")[0]
+    ]
+    aggs = [i for i, op in enumerate(ops) if op == "HashAggregate"]
+    exch = [i for i, op in enumerate(ops) if op == "Exchange"]
+    assert len(aggs) >= 2, f"expected partial+final HashAggregate, got {ops}"
+    assert any(aggs[0] < e < aggs[1] for e in exch), (
+        f"no exchange between final and partial agg: {ops}"
+    )
+    # and the shuffle key is the aggregated (cluster_id, dim) pair
+    assert "hashpartitioning(cluster_id" in plan
+
+
+def test_salted_join_plan_joins_on_salt(spark):
+    """The salted join must be an equi hash join whose keys include the salt
+    column — proof the hot key is spread across salted buckets."""
+    plan = plan_of(REGISTRY["salted_segment_event_agg"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "__salt" in plan
