@@ -86,7 +86,12 @@ def main() -> None:
         "ann_cosine_topk",
         "ann_ivf_topk",
         "q21_sole_late_supplier",
+        "hll_daily_rollup",
+        "kmeans_round2_movement",
+        "cooccurrence_pagerank",
         "cooccurrence_triangles",
+        "kmeans_update_components",
+        "kmeans_cluster_profile",
         "bigram_surprisal_quality",
         "audio_silence_stats",
     ]

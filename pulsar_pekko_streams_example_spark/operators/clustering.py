@@ -98,3 +98,24 @@ def update_sums(assigned: DataFrame) -> DataFrame:
             F.count(F.lit(1)).alias("n_members"),
         )
     )
+
+
+def centroids_from_sums(sums: DataFrame) -> DataFrame:
+    """Materialize new centroids from ``update_sums`` output: per cluster,
+    the dim-ordered array of component means (one deterministic double
+    division per component).  k rows total — broadcastable by construction,
+    so the next ``assign`` round is again a map-side pass.
+    """
+    return sums.groupBy("cluster_id").agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("dim").alias("dim"),
+                        (F.col("comp_sum") / F.col("n_members")).alias("c"),
+                    )
+                )
+            ),
+            lambda s: s["c"],
+        ).alias("centroid")
+    )

@@ -87,3 +87,76 @@ def connected_components(
             break
         prev_sum = new_sum
     return labels.select("node", F.col("label").alias("component"))
+
+
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 3,
+) -> DataFrame:
+    """Unrolled-iteration PageRank over an undirected pair list, in exact
+    integer fixed point (atto-units: 1.0 == 10^18).
+
+    Returns (node, deg, rank_atto, rank) after ``iters`` synchronous rounds
+    of r(v) = 0.15/N + 0.85 * Σ_{u~v} r(u)/deg(u), starting uniform.
+
+    Distributed shape per round: one equi-join of the (mirrored) edge list
+    with the rank table on src + one hash aggregation on dst — the classic
+    scatter/gather, no driver-side graph state.  ALL arithmetic is int64
+    (divisions are integer `div`, damping is the exact composition
+    (s div 20)*17 + ((s mod 20)*17) div 20 ≡ floor-ish s*0.85 without
+    overflow), so the result is bit-identical under any partitioning, rerun,
+    or engine — double summation order and double→decimal rounding modes
+    never enter the computation.  Overflow-safe by construction: Σ ranks ≤
+    10^18 ≪ int64 max, and no intermediate exceeds 17×(10^18/20).
+
+    The edge list and degree table are localCheckpoint-ed once so round k
+    never replays the (possibly expensive) pair-mining upstream, and each
+    round's lineage stays one join deep.  The final ``rank`` double is one
+    deterministic division of rank_atto by 10^18.
+    """
+    ATTO = 10**18
+    TELEPORT_ATTO = ATTO * 15 // 100  # 0.15 exactly, in atto-units
+
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    deg = (
+        sym.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .withColumnRenamed("a", "node")
+        .localCheckpoint(eager=True)
+    )
+    n1 = deg.groupBy().agg(F.count(F.lit(1)).alias("n_nodes"))
+    ranks = deg.crossJoin(F.broadcast(n1)).select(
+        "node",
+        "deg",
+        F.expr(f"{ATTO}L div n_nodes").alias("rank_atto"),
+    )
+    for _ in range(iters):
+        contrib = sym.join(ranks.withColumnRenamed("node", "a"), ["a"]).select(
+            F.col("b").alias("node"),
+            F.expr("rank_atto div deg").alias("contrib"),
+        )
+        gathered = contrib.groupBy("node").agg(F.sum("contrib").alias("s"))
+        ranks = (
+            deg.join(gathered, ["node"], "left")
+            .crossJoin(F.broadcast(n1))
+            .select(
+                "node",
+                "deg",
+                F.expr(
+                    f"{TELEPORT_ATTO}L div n_nodes"
+                    " + (coalesce(s, 0L) div 20) * 17"
+                    " + ((coalesce(s, 0L) % 20) * 17) div 20"
+                ).alias("rank_atto"),
+            )
+        )
+    return ranks.select(
+        "node",
+        "deg",
+        "rank_atto",
+        (F.col("rank_atto").cast("double") / F.lit(float(ATTO))).alias("rank"),
+    )

@@ -144,6 +144,68 @@ def kmeans_update_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.update_sums(assigned)
 
 
+_DUCK_COS2 = (
+    f"{_duck_dot('e.embedding', 'c.centroid')} / "
+    f"(sqrt({_duck_dot('e.embedding', 'e.embedding')}) * "
+    f"sqrt({_duck_dot('c.centroid', 'c.centroid')}))"
+)
+
+
+@register(
+    "kmeans_round2_movement",
+    oracle=f"""
+        WITH {_duck_assigned_cte(KM_K).strip()},
+        sums AS (
+          SELECT a.cluster_id, CAST(r.range AS BIGINT) AS dim,
+                 CAST(SUM(CAST(CAST(e.embedding[r.range] AS DOUBLE)
+                               AS DECIMAL(38,6))) AS DOUBLE) AS comp_sum,
+                 COUNT(*) AS n_members
+          FROM assigned a
+          JOIN embeddings e ON a.vec_id = e.vec_id
+          CROSS JOIN range(1, {KM_DIM} + 1) r
+          GROUP BY a.cluster_id, dim
+        ),
+        cent2 AS (
+          SELECT cluster_id,
+                 list(comp_sum / n_members ORDER BY dim) AS centroid
+          FROM sums GROUP BY cluster_id
+        ),
+        scored2 AS (
+          SELECT e.vec_id, c.cluster_id, {_DUCK_COS2} AS cosine
+          FROM embeddings e CROSS JOIN cent2 c
+        ),
+        assigned2 AS (
+          SELECT vec_id, cluster_id FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                                         ORDER BY cosine DESC, cluster_id) AS rn
+            FROM scored2
+          ) t WHERE rn = 1
+        )
+        SELECT a1.cluster_id AS cluster_r1, a2.cluster_id AS cluster_r2,
+               COUNT(*) AS n_docs
+        FROM assigned a1 JOIN assigned2 a2 ON a1.vec_id = a2.vec_id
+        GROUP BY cluster_r1, cluster_r2
+        """,
+    doc="A full Lloyd's iteration, oracle-checked end-to-end: seed assign -> "
+    "mergeable update -> mean centroids -> re-assign, reported as the "
+    "cluster movement matrix.  Each round is broadcast-assign + one k*d "
+    "shuffle; the iteration pattern extends to N rounds with a driver loop "
+    "plus localCheckpoint lineage truncation (operators/graph.py style).",
+    tags=("clustering", "embeddings", "iterative"),
+)
+def kmeans_round2_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    a1 = clustering.assign(emb, clustering.seed_centroids(emb, KM_K))
+    cent2 = clustering.centroids_from_sums(clustering.update_sums(a1))
+    a2 = clustering.assign(emb, cent2)
+    return (
+        a1.select("vec_id", F.col("cluster_id").alias("cluster_r1"))
+        .join(a2.select("vec_id", F.col("cluster_id").alias("cluster_r2")), "vec_id")
+        .groupBy("cluster_r1", "cluster_r2")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
 @register(
     "mixture_temperature_weights",
     oracle="""

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pulsar_pekko_streams_example_spark.functions import hashing as H
 from pulsar_pekko_streams_example_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
@@ -1096,4 +1097,151 @@ def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         e1.join(e2, F.col("e1.ub") == F.col("e2.ua"))
         .join(e3, (F.col("e3.ua") == F.col("e1.ua")) & (F.col("e3.ub") == F.col("e2.ub")))
         .select(F.col("e1.ua").alias("ua"), F.col("e1.ub").alias("ub"), F.col("e2.ub").alias("uc"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the co-occurrence graph — unrolled-iteration oracle
+# ---------------------------------------------------------------------------
+PR_ITERS = 3
+
+
+def _duck_pagerank_sql(iters: int) -> str:
+    """Unrolled r0→r{iters} CTE chain mirroring operators/graph.pagerank.
+
+    Pure int64 fixed point (atto-units): integer teleport, integer per-edge
+    contribution division, and the overflow-safe damping composition
+    (s//20)*17 + ((s%20)*17)//20 — no doubles anywhere until the single
+    final rank_atto/1e18 division, so both engines agree bit-for-bit.
+    BIGINT casts pin DuckDB's // results (HUGEINT otherwise)."""
+    atto = 10**18
+    teleport_atto = atto * 15 // 100
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+        r{i} AS (
+          SELECT d.node, d.deg,
+                 CAST({teleport_atto} // nn.n
+                      + (COALESCE(c.s, 0) // 20) * 17
+                      + ((COALESCE(c.s, 0) % 20) * 17) // 20 AS BIGINT) AS rank_atto
+          FROM deg d CROSS JOIN nn
+          LEFT JOIN (
+            SELECT s.dst AS node, CAST(SUM(r.rank_atto // r.deg) AS BIGINT) AS s
+            FROM sym s JOIN r{i-1} r ON s.src = r.node
+            GROUP BY s.dst
+          ) c ON d.node = c.node
+        )""")
+    return f"""
+        WITH w AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // {COOC_SLOT_US} AS slot FROM events
+        ),
+        e AS (
+          SELECT a.user_id AS ua, b.user_id AS ub
+          FROM w a JOIN w b ON a.slot = b.slot AND a.user_id < b.user_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= {COOC_MIN_SHARED}
+        ),
+        sym AS (
+          SELECT ua AS src, ub AS dst FROM e
+          UNION ALL
+          SELECT ub AS src, ua AS dst FROM e
+        ),
+        deg AS (SELECT src AS node, COUNT(*) AS deg FROM sym GROUP BY src),
+        nn AS (SELECT COUNT(*) AS n FROM deg),
+        r0 AS (
+          SELECT node, deg, CAST({atto} // nn.n AS BIGINT) AS rank_atto
+          FROM deg CROSS JOIN nn
+        ),{','.join(rounds)}
+        SELECT node, deg, rank_atto,
+               CAST(rank_atto AS DOUBLE) / CAST({atto} AS DOUBLE) AS rank
+        FROM r{iters}
+        """
+
+
+@register(
+    "cooccurrence_pagerank",
+    oracle=_duck_pagerank_sql(PR_ITERS),
+    doc="3-round synchronous PageRank over the behavioral co-occurrence "
+    "graph (same edge mining as cooccurrence_triangles): per round ONE "
+    "edge⋈rank equi-join + ONE hash gather on dst — the classic "
+    "scatter/gather with no driver-side graph state.  Exact int64 "
+    "fixed-point arithmetic (atto-units) end to end, so the result is "
+    "bit-stable under any partitioning/engine; the edge and degree tables "
+    "localCheckpoint once so round k never replays the pair mining.",
+    tags=("graph", "pagerank", "iterative"),
+)
+def cooccurrence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_pekko_streams_example_spark.operators import graph
+
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) div {COOC_SLOT_US}").alias("slot")
+    ).distinct()
+    a, b = w.alias("a"), w.alias("b")
+    edges = (
+        a.join(b, (F.col("a.slot") == F.col("b.slot")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .groupBy(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= COOC_MIN_SHARED)
+        .select("ua", "ub")
+    )
+    return graph.pagerank(edges, src="ua", dst="ub", iters=PR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Incremental dedup: new ingest batch vs existing corpus
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_incremental_batch",
+    oracle=f"""
+        WITH fp AS (
+          SELECT doc_id, {H.word_hash('text', 'duckdb')} AS fp,
+                 (doc_id % 10 = 9) AS is_new
+          FROM documents
+        ),
+        corpus AS (SELECT DISTINCT fp FROM fp WHERE NOT is_new),
+        batch AS (
+          SELECT b.doc_id, b.fp, (c.fp IS NOT NULL) AS in_corpus,
+                 MIN(b.doc_id) OVER (PARTITION BY b.fp) AS first_doc
+          FROM (SELECT doc_id, fp FROM fp WHERE is_new) b
+          LEFT JOIN corpus c ON b.fp = c.fp
+        )
+        SELECT CASE WHEN in_corpus THEN 'dup_of_corpus'
+                    WHEN doc_id > first_doc THEN 'dup_within_batch'
+                    ELSE 'unique' END AS status,
+               COUNT(*) AS n_docs
+        FROM batch GROUP BY 1
+        """,
+    doc="Incremental dedup — the shape a 100 TB ingest actually runs: only "
+    "the NEW batch (doc_id%10==9 here; the day's arrivals in production) is "
+    "fingerprinted and probed against the standing corpus fingerprint set, "
+    "never corpus x corpus again.  Shuffles carry (fingerprint) and "
+    "(fingerprint, doc_id) — text never moves; the within-batch tie falls "
+    "to the lowest doc_id (first wins).",
+    tags=("dedup", "incremental"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        F.expr(H.word_hash("text", "spark")).alias("fp"),
+        (F.pmod("doc_id", F.lit(10)) == 9).alias("is_new"),
+    )
+    corpus = fp.filter(~F.col("is_new")).select("fp").distinct().withColumn(
+        "in_corpus", F.lit(True)
+    )
+    batch = (
+        fp.filter(F.col("is_new"))
+        .select("doc_id", "fp")
+        .join(corpus, ["fp"], "left")
+        .withColumn(
+            "first_doc", F.min("doc_id").over(Window.partitionBy("fp"))
+        )
+    )
+    status = (
+        F.when(F.col("in_corpus"), F.lit("dup_of_corpus"))
+        .when(F.col("doc_id") > F.col("first_doc"), F.lit("dup_within_batch"))
+        .otherwise(F.lit("unique"))
+    )
+    return batch.groupBy(status.alias("status")).agg(
+        F.count(F.lit(1)).alias("n_docs")
     )

@@ -158,3 +158,21 @@ def test_kmeans_update_sums_reconstruct_members(spark):
         assert r.comp_sum == r.comp_sum  # not NaN
     assert set(dims_per_cluster) == set(sizes)
     assert all(v == 64 for v in dims_per_cluster.values())
+
+
+def test_pagerank_conserves_mass_and_is_deterministic(spark):
+    """Fixed-point PageRank: total rank stays within integer-floor loss of
+    1.0, every node gets at least the teleport share, and a rerun is
+    bit-identical (the engine-exactness claim)."""
+    from pulsar_pekko_streams_example_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 1), (1, 3)], "src long, dst long"
+    )
+    r1 = {r.node: r.rank_atto for r in graph.pagerank(edges, iters=3).collect()}
+    total = sum(r1.values())
+    # floor losses only ever shrink the mass, never grow it
+    assert 0.99 * 10**18 < total <= 10**18
+    assert all(v >= (10**18 * 15 // 100) // 4 for v in r1.values())
+    r2 = {r.node: r.rank_atto for r in graph.pagerank(edges, iters=3).collect()}
+    assert r1 == r2

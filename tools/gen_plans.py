@@ -111,6 +111,13 @@ SHOWCASE = [
         "exploded corpus.",
     ),
     (
+        "cooccurrence_pagerank",
+        "Iterative scatter/gather: per round one edge⋈rank BroadcastHashJoin "
+        "(rank table is k nodes ≪ edges) + one hash gather on dst; "
+        "localCheckpoint truncates lineage so the plan stays one round deep "
+        "— no O(rounds²) replay.",
+    ),
+    (
         "salted_segment_event_agg",
         "Skew-safe fact/dim join: the join keys include __salt, spreading "
         "each hot user key over 8 shuffle buckets; dim side replicated per "
