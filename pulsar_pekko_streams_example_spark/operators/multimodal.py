@@ -137,3 +137,43 @@ def decode_audio_features(
             )
 
     return media.mapInPandas(run, audio_features_schema(passthrough))
+
+
+RESIZED_SCHEMA = (
+    "media_id long, width int, height int, out_w int, out_h int, resized binary"
+)
+
+
+def resize_images(media: DataFrame, box: int = 64) -> DataFrame:
+    """Thumbnail-resize stub: aspect-preserving integer fit into a
+    ``box``×``box`` bounding box.
+
+    A real build would decode, interpolate, and re-encode exactly here; the
+    stub keeps the dimension arithmetic (pure integers, so the oracle can
+    replicate it) and emits a deterministic byte prefix of out_w*out_h*3 as
+    the "resized" payload.  Spark shape is the production one: Arrow-batched
+    mapInPandas over the scan partitioning, blobs stay in their partition,
+    downstream aggregations read only the typed dim columns.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = []
+            for r in pdf.itertuples(index=False):
+                buf = bytes(r.content or b"")
+                w, h, c = _fake_dims(buf)
+                if w <= box and h <= box:
+                    ow, oh = w, h
+                elif w >= h:
+                    ow, oh = box, max(1, h * box // w)
+                else:
+                    ow, oh = max(1, w * box // h), box
+                rows.append((r.media_id, w, h, ow, oh, buf[: ow * oh * c]))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "out_w", "out_h", "resized"],
+            )
+
+    return media.mapInPandas(run, RESIZED_SCHEMA)

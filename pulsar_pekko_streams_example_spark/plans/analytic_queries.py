@@ -406,3 +406,42 @@ def late_data_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
             "THEN 1 ELSE 0 END) * 1000) div COUNT(*) AS BIGINT)"
         ).alias("late_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregation: frozen history + fresh tail, result-neutral
+# ---------------------------------------------------------------------------
+INCR_CUTOFF = "1999-01-01"
+
+
+@register(
+    "incremental_daily_revenue",
+    oracle=f"""
+        SELECT epoch_us(o_orderdate) // {DAY_US} AS day,
+               COUNT(*) AS n_orders,
+               {sql_dsum('o_totalprice')} AS revenue
+        FROM orders GROUP BY 1
+        """,
+    doc="Incremental-recompute shape: history before the cutoff aggregates "
+    "separately from the fresh tail and the per-day partials union — "
+    "identical to the full recompute (the oracle IS the plain full "
+    "aggregation; day buckets never straddle the cutoff).  At 100 TB the "
+    "frozen branch is a materialized snapshot read, the fresh branch scans "
+    "only the tail partition — the daily run reprocesses days, not years; "
+    "decimal-exact partials make frozen+fresh bit-equal to the full run.",
+    tags=("incremental", "aggregation"),
+)
+def incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {DAY_US}").alias("day")
+
+    def daily(part: DataFrame) -> DataFrame:
+        return part.select(day, "o_totalprice").groupBy("day").agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+
+    cutoff = F.col("o_orderdate") < INCR_CUTOFF
+    frozen = daily(orders.filter(cutoff))       # the materialized snapshot
+    fresh = daily(orders.filter(~cutoff))       # the day's tail scan
+    return frozen.unionByName(fresh)

@@ -1245,3 +1245,46 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch.groupBy(status.alias("status")).agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@register(
+    "image_resize_stats",
+    oracle="""
+        WITH dims AS (
+          SELECT 16 + (ascii(text[1]) % 240) AS w,
+                 16 + ((CASE WHEN strlen(text) > 1 THEN ascii(text[2]) ELSE 0 END) % 240) AS h,
+                 strlen(text) AS nb
+          FROM documents
+        ),
+        rz AS (
+          SELECT CASE WHEN w <= 64 AND h <= 64 THEN w
+                      WHEN w >= h THEN 64
+                      ELSE GREATEST(1, (w * 64) // h) END AS out_w,
+                 CASE WHEN w <= 64 AND h <= 64 THEN h
+                      WHEN w >= h THEN GREATEST(1, (h * 64) // w)
+                      ELSE 64 END AS out_h,
+                 nb
+          FROM dims
+        )
+        SELECT out_w, out_h, COUNT(*) AS n_images,
+               CAST(SUM(LEAST(nb, out_w * out_h * 3)) AS BIGINT) AS resized_bytes
+        FROM rz GROUP BY out_w, out_h
+        """,
+    doc="Multimodal resize step: aspect-preserving integer thumbnail fit "
+    "into a 64x64 box (operators/multimodal.resize_images — stubbed decode, "
+    "real Arrow-batched mapInPandas plumbing; blobs never shuffle), rolled "
+    "up by output dimensions.  The oracle replays the pure-integer dim "
+    "arithmetic on the text stand-in bytes.",
+    tags=("multimodal", "pandas-udf"),
+)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+    )
+    rz = multimodal.resize_images(media)
+    return rz.groupBy("out_w", "out_h").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.sum(F.length("resized").cast("long")).alias("resized_bytes"),
+    )

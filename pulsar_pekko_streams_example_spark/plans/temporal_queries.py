@@ -413,3 +413,47 @@ def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Upsert compaction: latest-record-wins current-state table
+# ---------------------------------------------------------------------------
+@register(
+    "events_latest_state",
+    oracle="""
+        SELECT user_id, ts AS last_ts, event_type AS last_type,
+               value AS last_value, n_events
+        FROM (
+          SELECT user_id, ts, event_type, value,
+                 COUNT(*) OVER (PARTITION BY user_id) AS n_events,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events
+        ) t WHERE rn = 1
+        """,
+    doc="CDC upsert compaction — latest-record-wins current state per key "
+    "(the MERGE INTO / changelog-compaction shape): one shuffle on the key, "
+    "row_number argmax with the (ts, event_id) total order making ties "
+    "deterministic.  At scale this is the periodic compaction of an append "
+    "log into a keyed state table; AQE handles per-key skew in the single "
+    "window exchange.",
+    tags=("temporal", "upsert"),
+)
+def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    wc = Window.partitionBy("user_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_events", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("ts").alias("last_ts"),
+            F.col("event_type").alias("last_type"),
+            F.col("value").alias("last_value"),
+            "n_events",
+        )
+    )

@@ -176,3 +176,30 @@ def test_pagerank_conserves_mass_and_is_deterministic(spark):
     assert all(v >= (10**18 * 15 // 100) // 4 for v in r1.values())
     r2 = {r.node: r.rank_atto for r in graph.pagerank(edges, iters=3).collect()}
     assert r1 == r2
+
+
+def test_resize_images_fits_box_and_preserves_aspect(spark):
+    """Resize stub invariants: output dims fit the box, small images pass
+    through untouched, aspect ratio is held to integer rounding, and the
+    resized payload is exactly min(len, out_w*out_h*3) bytes."""
+    from pulsar_pekko_streams_example_spark.operators import multimodal
+
+    docs = load_table(spark, SF_CORRECT, "documents").limit(50)
+    media = docs.select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("content")
+    )
+    orig_len = {r.media_id: r.n for r in media.select("media_id", F.length("content").alias("n")).collect()}
+    for r in multimodal.resize_images(media, box=64).collect():
+        assert 1 <= r.out_w <= 64 and 1 <= r.out_h <= 64
+        if r.width <= 64 and r.height <= 64:
+            assert (r.out_w, r.out_h) == (r.width, r.height)
+        else:
+            # the longer side pins to the box; the other scales by w:h
+            assert max(r.out_w, r.out_h) == 64
+            expect = (
+                (64, max(1, r.height * 64 // r.width))
+                if r.width >= r.height
+                else (max(1, r.width * 64 // r.height), 64)
+            )
+            assert (r.out_w, r.out_h) == expect
+        assert len(r.resized) == min(orig_len[r.media_id], r.out_w * r.out_h * 3)
