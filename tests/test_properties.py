@@ -277,3 +277,34 @@ def test_cap_postings_drops_exactly_hot_shingles(spark):
     )
     kept = {(r.doc_id, r.s) for r in dedup.cap_postings(posting, 3).collect()}
     assert kept == {(d, f"rare{d}") for d in range(10)}
+
+
+def test_kmeans_assign_invariant_under_repartition(spark):
+    """Assignment is a map-side pass whose result must not depend on how the
+    corpus is partitioned: 1-partition and 13-partition runs agree exactly
+    (cosines included) — the bit-stability claim behind the 100 TB posture."""
+    from pulsar_pekko_streams_example_spark.operators import clustering
+    from pulsar_pekko_streams_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    cent = clustering.seed_centroids(emb, 8)
+    one = clustering.assign(emb.coalesce(1), cent)
+    many = clustering.assign(emb.repartition(13), cent)
+    rows_one = {(r.vec_id, r.cluster_id, r.cosine) for r in one.collect()}
+    rows_many = {(r.vec_id, r.cluster_id, r.cosine) for r in many.collect()}
+    assert rows_one == rows_many
+
+
+def test_pagerank_invariant_under_repartition(spark):
+    """Fixed-point PageRank must be bit-identical regardless of edge
+    partitioning — integer sums are associative, so any shuffle layout
+    produces the same rank_atto values."""
+    from pulsar_pekko_streams_example_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(i, (i * 7 + 3) % 23) for i in range(40) if i != (i * 7 + 3) % 23],
+        "src long, dst long",
+    )
+    a = {(r.node, r.rank_atto) for r in graph.pagerank(edges.coalesce(1), iters=3).collect()}
+    b = {(r.node, r.rank_atto) for r in graph.pagerank(edges.repartition(11), iters=3).collect()}
+    assert a == b

@@ -111,6 +111,13 @@ SHOWCASE = [
         "exploded corpus.",
     ),
     (
+        "incremental_daily_revenue",
+        "Incremental-recompute shape: both branches push their cutoff "
+        "predicate into the parquet scan (PushedFilters on o_orderdate), "
+        "aggregate independently, and union partials — no full-history "
+        "rescan in the fresh branch.",
+    ),
+    (
         "cooccurrence_pagerank",
         "Iterative scatter/gather: per round one edge⋈rank BroadcastHashJoin "
         "(rank table is k nodes ≪ edges) + one hash gather on dst; "
