@@ -7,8 +7,9 @@ Timing methodology: each query is built and fully materialized
 (``df.write.format("noop")``) — wall clock per query, cold plans, shared
 warmed session (JVM startup excluded; that's harness cost, not engine cost).
 
-Queries run CONCURRENTLY ($SPARK_GRAFT_BENCH_THREADS, default 8; measured
-best makespan on local[32] — 4 underpacks the cores, 12 thrashes the driver)
+Queries run CONCURRENTLY ($SPARK_GRAFT_BENCH_THREADS, default 12; re-measured
+best makespan on local[32] at 115 queries — 8 leaves cores idle between the
+many small queries (27.7s), 12 packs them (22.2s), 16 thrashes the driver)
 under the
 FAIR scheduler, one pool per worker — the engine's admission-control layer
 (streaming/permits.py, reference part3/PermittedTaskExecutor.scala:41-167)
@@ -34,7 +35,7 @@ from pulsar_pekko_streams_example_spark.plans.registry import REGISTRY, all_quer
 from pulsar_pekko_streams_example_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-THREADS = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "8"))
+THREADS = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "12"))
 
 
 def _sf_from_dir(d: str) -> float:
