@@ -77,6 +77,7 @@ def main() -> None:
     # alphabetically behind them
     heavy = [
         "neardup_components",
+        "component_survivorship",
         "dedup_minhash_lsh",
         "chunk_shared_pairs",
         "dedup_jaccard_pairs",

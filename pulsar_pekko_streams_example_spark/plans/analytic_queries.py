@@ -445,3 +445,61 @@ def incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     frozen = daily(orders.filter(cutoff))       # the materialized snapshot
     fresh = daily(orders.filter(~cutoff))       # the day's tail scan
     return frozen.unionByName(fresh)
+
+
+# ---------------------------------------------------------------------------
+# Calendar densification: gap-filled daily revenue
+# ---------------------------------------------------------------------------
+@register(
+    "daily_revenue_gapfilled",
+    oracle=f"""
+        WITH daily AS (
+          SELECT epoch_us(o_orderdate) // {DAY_US} AS day,
+                 COUNT(*) AS n_orders,
+                 {sql_dsum('o_totalprice')} AS revenue
+          FROM orders GROUP BY 1
+        ),
+        bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+        spine AS (
+          SELECT CAST(unnest(generate_series(b.mn, b.mx)) AS BIGINT) AS day
+          FROM bounds b
+        )
+        SELECT s.day,
+               COALESCE(d.n_orders, CAST(0 AS BIGINT)) AS n_orders,
+               COALESCE(d.revenue, CAST(0.0 AS DOUBLE)) AS revenue,
+               (d.day IS NULL) AS is_gap
+        FROM spine s LEFT JOIN daily d ON s.day = d.day
+        """,
+    doc="Calendar densification (gap filling): the day spine generates from "
+    "the aggregated bounds — sequence+explode over ONE broadcast row — and "
+    "left-joins the per-day partials, so missing days surface as explicit "
+    "zero rows (time-series models need the gaps).  Spine size is bounded "
+    "by the date span, never the fact cardinality; the only corpus-sized "
+    "work is the one daily aggregation.",
+    tags=("temporal", "densification"),
+)
+def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = (
+        orders.select(
+            F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {DAY_US}").alias("day"),
+            "o_totalprice",
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum("o_totalprice").alias("revenue"),
+        )
+    )
+    bounds = daily.groupBy().agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+    spine = bounds.select(F.explode(F.sequence("mn", "mx")).alias("day"))
+    d = daily.withColumnRenamed("day", "dday")
+    return (
+        spine.join(d, spine.day == d.dday, "left")
+        .select(
+            "day",
+            F.coalesce("n_orders", F.lit(0).cast("long")).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.col("dday").isNull().alias("is_gap"),
+        )
+    )

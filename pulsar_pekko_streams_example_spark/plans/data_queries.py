@@ -1331,3 +1331,186 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 3)
         .select("part_a", "part_b", "brand", "edit_dist")
     )
+
+
+@register(
+    "component_survivorship",
+    oracle=f"""
+        WITH RECURSIVE {DUCK_DOC_CTE.strip()}, {DUCK_INTER_CTE.strip()},
+        pairs AS (
+          SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        nodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+        ),
+        comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+        enriched AS (
+          SELECT c.component, c.node, d.n_chars
+          FROM comp c JOIN documents d ON c.node = d.doc_id
+        )
+        SELECT component, node AS golden_doc, n_chars AS golden_chars,
+               n_members
+        FROM (
+          SELECT component, node, n_chars,
+                 COUNT(*) OVER (PARTITION BY component) AS n_members,
+                 ROW_NUMBER() OVER (PARTITION BY component
+                                    ORDER BY n_chars DESC, node) AS rn
+          FROM enriched
+        ) t WHERE rn = 1
+        """,
+    doc="Survivorship (golden record) — the last step of record linkage: "
+    "within each near-dup component keep the RICHEST doc (longest n_chars, "
+    "doc_id tie-break), not merely the min id.  Components come from the "
+    "same iterative min-label propagation as neardup_components; the "
+    "per-component argmax is one window over component-sized groups "
+    "(components are tiny by construction — near-dup clusters, not the "
+    "corpus).  Oracle: recursive-CTE closure + the same argmax.",
+    tags=("dedup", "graph", "curation"),
+)
+def component_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_pekko_streams_example_spark.operators import graph
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.jaccard_pairs(docs, JACCARD_THRESHOLD, hot=_shared_hot(spark, sf_dir))
+    comps = graph.connected_components(pairs, src="doc_a", dst="doc_b")
+    enriched = comps.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), ["node"]
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("node"))
+    wc = Window.partitionBy("component")
+    return (
+        enriched.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_members", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("node").alias("golden_doc"),
+            F.col("n_chars").alias("golden_chars"),
+            "n_members",
+        )
+    )
+
+
+@register(
+    "length_gini_by_source",
+    oracle="""
+        WITH ranked AS (
+          SELECT source, n_chars,
+                 ROW_NUMBER() OVER (PARTITION BY source
+                                    ORDER BY n_chars, doc_id) AS i
+          FROM documents
+        )
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(2 * SUM(i * n_chars) - (COUNT(*) + 1) * SUM(n_chars) AS DOUBLE)
+                 / (COUNT(*) * SUM(n_chars)) AS gini
+        FROM ranked GROUP BY source
+        """,
+    doc="Corpus inequality (Gini over doc lengths per source) via the "
+    "rank-weighted form G = (2*sum(i*x_(i)) - (n+1)*sum(x)) / (n*sum(x)): "
+    "one ordered window for ranks + one hash agg, every term an exact "
+    "integer until the single final double division — engine-exact, and "
+    "the balance metric a mixture-weighting stage reads before sampling.",
+    tags=("text", "curation"),
+)
+def length_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    ranked = docs.select("source", "n_chars", "doc_id").withColumn(
+        "i", F.row_number().over(w).cast("long")
+    )
+    n = F.count(F.lit(1))
+    sx = F.sum("n_chars")
+    swx = F.sum(F.col("i") * F.col("n_chars"))
+    return ranked.groupBy("source").agg(
+        n.alias("n_docs"),
+        sx.alias("total_chars"),
+        ((2 * swx - (n + 1) * sx).cast("double") / (n * sx)).alias("gini"),
+    )
+
+
+@register(
+    "lsh_recall_report",
+    oracle=f"""
+        WITH {DUCK_DOC_CTE.strip()}, {DUCK_INTER_CTE.strip()},
+        exact AS (
+          SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+        ),
+        shh AS (SELECT doc_id, {H.word_hash('s', 'duckdb')} AS h FROM posting),
+        sigs AS (
+          SELECT doc_id,
+                 {', '.join(f"MIN({H.minhash_perm(i, 'h')}) AS m{i}" for i in range(H.N_MINHASH))}
+          FROM shh GROUP BY doc_id
+        ),
+        bands AS (
+          {' UNION ALL '.join(
+            'SELECT doc_id, CAST(%d AS BIGINT) AS band, CAST(%s AS BIGINT) AS sig FROM sigs'
+            % (b, ' + '.join(f'm{b * (H.N_MINHASH // H.N_BANDS) + r} * {31 ** (H.N_MINHASH // H.N_BANDS - 1 - r)}'
+                             for r in range(H.N_MINHASH // H.N_BANDS)))
+            for b in range(H.N_BANDS))}
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+        )
+        SELECT COUNT(*) AS exact_pairs,
+               CAST(SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS lsh_found,
+               CAST(SUM(CASE WHEN c.doc_a IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS lsh_missed,
+               CAST(1000000 * SUM(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END)
+                    // COUNT(*) AS BIGINT) AS recall_micro
+        FROM exact e
+        LEFT JOIN cand c ON e.doc_a = c.doc_a AND e.doc_b = c.doc_b
+        """,
+    doc="Sketch-quality accounting: exact Jaccard>=0.7 pairs LEFT JOIN the "
+    "MinHash-LSH candidate set — found/missed counts and integer-micro "
+    "recall quantify what the banding trades away (the number every "
+    "production dedup run should publish next to its results).  Reuses the "
+    "inverted-index and banding dataflows; one extra anti-join-shaped pass "
+    "over pair keys only.",
+    tags=("dedup", "lsh", "quality"),
+)
+def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    hot = _shared_hot(spark, sf_dir)
+    exact = dedup.jaccard_pairs(docs, JACCARD_THRESHOLD, hot=hot).select("doc_a", "doc_b")
+    capped = dedup.shingle_postings(docs).join(F.broadcast(hot), ["s"], "left_anti")
+    bands = dedup.lsh_bands(dedup.minhash_signatures(None, posting=capped))
+    cand = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("c_doc_a"), F.col("b.doc_id").alias("c_doc_b")
+        )
+        .distinct()
+    )
+    joined = exact.join(
+        cand,
+        (F.col("doc_a") == F.col("c_doc_a")) & (F.col("doc_b") == F.col("c_doc_b")),
+        "left",
+    )
+    found = F.sum(F.when(F.col("c_doc_a").isNotNull(), 1).otherwise(0))
+    missed = F.sum(F.when(F.col("c_doc_a").isNull(), 1).otherwise(0))
+    return joined.groupBy().agg(
+        F.count(F.lit(1)).alias("exact_pairs"),
+        found.cast("long").alias("lsh_found"),
+        missed.cast("long").alias("lsh_missed"),
+        F.expr(
+            "CAST(1000000 * sum(CASE WHEN c_doc_a IS NOT NULL THEN 1 ELSE 0 END)"
+            " div count(1) AS BIGINT)"
+        ).alias("recall_micro"),
+    )
