@@ -86,6 +86,47 @@ def _shared_hot(spark: SparkSession, sf_dir: str):
     )
 
 
+def _shared_pairs(spark: SparkSession, sf_dir: str):
+    """The verified Jaccard>=0.7 pair set, materialized once per session.
+
+    Like the hot set (above), the pair list is a SMALL OUTPUT of a
+    corpus-scale pipeline — near-dup pairs, not the corpus — and now has
+    FOUR consumers (components, survivorship, recall report, and the pair
+    query itself keeps its own live plan as the showcased dataflow).
+    Re-measured at 119 queries: sharing the pair/label outputs cuts the
+    bench makespan (the round-1 'sharing regressed' measurement predates
+    the survivorship/recall consumers; see operators/cache.py for why
+    corpus-scale SUBTREES still stay uncached)."""
+    from pulsar_pekko_streams_example_spark.operators.cache import shared_df
+
+    return shared_df(
+        spark,
+        ("jaccard-pairs", sf_dir, dedup.SHINGLE_N, dedup.JACCARD_MAX_DF, JACCARD_THRESHOLD),
+        lambda: dedup.jaccard_pairs(
+            load_table(spark, sf_dir, "documents"),
+            JACCARD_THRESHOLD,
+            hot=_shared_hot(spark, sf_dir),
+        ),
+    )
+
+
+def _shared_components(spark: SparkSession, sf_dir: str):
+    """Connected-component labels over the shared pair graph — one CC loop
+    per session instead of one per consuming query (the loop is
+    driver-synchronous, so duplicate runs serialize; labels are one small
+    row per near-dup doc)."""
+    from pulsar_pekko_streams_example_spark.operators import graph
+    from pulsar_pekko_streams_example_spark.operators.cache import shared_df
+
+    return shared_df(
+        spark,
+        ("neardup-cc", sf_dir, dedup.SHINGLE_N, dedup.JACCARD_MAX_DF, JACCARD_THRESHOLD),
+        lambda: graph.connected_components(
+            _shared_pairs(spark, sf_dir), src="doc_a", dst="doc_b"
+        ),
+    )
+
+
 def _duck_dot(a: str, b: str) -> str:
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -720,11 +761,7 @@ def _duck_components_sql() -> str:
     tags=("dedup", "graph", "iterative"),
 )
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pulsar_pekko_streams_example_spark.operators import graph
-
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, JACCARD_THRESHOLD, hot=_shared_hot(spark, sf_dir))
-    comps = graph.connected_components(pairs, src="doc_a", dst="doc_b")
+    comps = _shared_components(spark, sf_dir)
     return comps.groupBy(F.col("component").alias("canonical_doc")).agg(
         F.count(F.lit(1)).alias("cluster_size")
     )
@@ -1375,11 +1412,8 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("dedup", "graph", "curation"),
 )
 def component_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pulsar_pekko_streams_example_spark.operators import graph
-
     docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.jaccard_pairs(docs, JACCARD_THRESHOLD, hot=_shared_hot(spark, sf_dir))
-    comps = graph.connected_components(pairs, src="doc_a", dst="doc_b")
+    comps = _shared_components(spark, sf_dir)
     enriched = comps.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), ["node"]
     )
@@ -1482,7 +1516,7 @@ def length_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     hot = _shared_hot(spark, sf_dir)
-    exact = dedup.jaccard_pairs(docs, JACCARD_THRESHOLD, hot=hot).select("doc_a", "doc_b")
+    exact = _shared_pairs(spark, sf_dir).select("doc_a", "doc_b")
     capped = dedup.shingle_postings(docs).join(F.broadcast(hot), ["s"], "left_anti")
     bands = dedup.lsh_bands(dedup.minhash_signatures(None, posting=capped))
     cand = (
