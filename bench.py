@@ -8,7 +8,7 @@ Timing methodology: each query is built and fully materialized
 warmed session (JVM startup excluded; that's harness cost, not engine cost).
 
 Queries run CONCURRENTLY ($SPARK_GRAFT_BENCH_THREADS, default 12; re-measured
-best makespan on local[32] at 115 queries — 8 leaves cores idle between the
+best makespan on local[32] at ~115 queries — 8 leaves cores idle between the
 many small queries (27.7s), 12 packs them (22.2s), 16 thrashes the driver)
 under the
 FAIR scheduler, one pool per worker — the engine's admission-control layer
@@ -105,7 +105,7 @@ def main() -> None:
         for f in [pool.submit(run_one, n) for n in order]:
             f.result()  # propagate failures
     total = round(time.perf_counter() - t_start, 3)
-    # Scalars FIRST, the 101-entry queries dict LAST: a tail-truncated capture
+    # Scalars FIRST, the per-query dict LAST: a tail-truncated capture
     # of this line loses per-query detail, not the headline number.
     summary = {
         "metric": "registry_queries_total_wall",
