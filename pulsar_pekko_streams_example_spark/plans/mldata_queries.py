@@ -558,3 +558,112 @@ def hll_rollup_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(est).alias("hll_estimate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Sparse TF-IDF cosine similarity — the inverted-index counterpart of ANN
+# ---------------------------------------------------------------------------
+TFIDF_SIM_MAX_DF = 50       # rare-term postings only: df-capped inverted index
+TFIDF_SIM_THRESHOLD = 0.35  # emit pairs with sparse cosine >= this
+IDF_MILLI_CAP = 1_000_000   # bounds per-term weight so w*w sums stay in int64
+                            # at ANY corpus size (w <= tf * 1e6)
+
+
+def _duck_tfidf_cosine_sql() -> str:
+    toks = H.tokens("text", "duckdb")
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({toks}) AS term FROM documents
+        ),
+        tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        df AS (
+          SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+          HAVING COUNT(*) <= {TFIDF_SIM_MAX_DF}
+        ),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        w AS (
+          SELECT tf.doc_id, tf.term,
+                 CAST(tf.tf * LEAST((1000 * n.n_docs) // df.df, {IDF_MILLI_CAP})
+                      AS BIGINT) AS w
+          FROM tf JOIN df USING (term) CROSS JOIN n
+        ),
+        norms AS (
+          SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nrm2 FROM w GROUP BY doc_id
+        ),
+        dots AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                 CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+          FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b, cosine FROM (
+          SELECT d.doc_a, d.doc_b,
+                 CAST(d.dot AS DOUBLE) / (sqrt(CAST(na.nrm2 AS DOUBLE))
+                                          * sqrt(CAST(nb.nrm2 AS DOUBLE))) AS cosine
+          FROM dots d
+          JOIN norms na ON d.doc_a = na.doc_id
+          JOIN norms nb ON d.doc_b = nb.doc_id
+        ) t WHERE cosine >= {TFIDF_SIM_THRESHOLD}
+        """
+
+
+@register(
+    "tfidf_cosine_pairs",
+    oracle=_duck_tfidf_cosine_sql(),
+    doc="Sparse document similarity — the inverted-index counterpart of the "
+    "dense-embedding ANN family: TF-IDF weights on RARE terms only "
+    "(df-capped postings, the sparse analog of the frequent-shingle cap), "
+    "pair dot products via a term self-join (cost sum df^2 over rare "
+    "terms, never docs^2), integer weight products and norms throughout — "
+    "one sqrt+division per emitted pair is the only float step.  The "
+    "IDF_MILLI_CAP bound keeps w*w partial sums inside int64 at any corpus "
+    "size.",
+    tags=("text", "tfidf", "similarity", "join"),
+)
+def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        "doc_id", F.explode(F.expr(H.tokens("text", "spark"))).alias("term")
+    )
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= TFIDF_SIM_MAX_DF)
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        tf.join(F.broadcast(df), ["term"])
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            F.expr(
+                f"CAST(tf * least((1000 * n_docs) div df, {IDF_MILLI_CAP}) AS LONG)"
+            ).alias("w"),
+        )
+    )
+    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nrm2"))
+    a, b = w.alias("a"), w.alias("b")
+    dots = (
+        a.hint("shuffle_hash")
+        .join(
+            b.hint("shuffle_hash"),
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+    )
+    na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm2").alias("nrm2_a"))
+    nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm2").alias("nrm2_b"))
+    cosine = F.col("dot").cast("double") / (
+        F.sqrt(F.col("nrm2_a").cast("double")) * F.sqrt(F.col("nrm2_b").cast("double"))
+    )
+    return (
+        dots.join(na, ["doc_a"])
+        .join(nb, ["doc_b"])
+        .withColumn("cosine", cosine)
+        .filter(F.col("cosine") >= TFIDF_SIM_THRESHOLD)
+        .select("doc_a", "doc_b", "cosine")
+    )
