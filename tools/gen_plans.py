@@ -97,6 +97,13 @@ SHOWCASE = [
         "single-partition Sort.",
     ),
     (
+        "tfidf_cosine_pairs",
+        "Sparse similarity join: the term self-join is a shuffled-hash join "
+        "on the df-capped posting lists (both sides the same "
+        "hashpartitioning(term) exchange), integer dot/norm aggregates, no "
+        "CartesianProduct anywhere.",
+    ),
+    (
         "kmeans_cluster_profile",
         "Lloyd's assignment with zero corpus shuffle: the k centroids "
         "collapse to one broadcast row, the argmax is an array_sort in the "
