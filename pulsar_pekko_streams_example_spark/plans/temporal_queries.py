@@ -457,3 +457,106 @@ def events_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral sequence mining: path signatures + transition matrix
+# ---------------------------------------------------------------------------
+PATH_MAX_STEPS = 10
+
+
+@register(
+    "user_path_signatures",
+    oracle=f"""
+        WITH ranked AS (
+          SELECT user_id, event_type,
+                 ROW_NUMBER() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events
+        ),
+        paths AS (
+          SELECT user_id,
+                 string_agg(event_type, '>' ORDER BY rn) AS path
+          FROM ranked WHERE rn <= {PATH_MAX_STEPS}
+          GROUP BY user_id
+        )
+        SELECT path, COUNT(*) AS n_users FROM paths GROUP BY path
+        """,
+    doc="User journey signatures: each user's first 10 events in (ts, "
+    "event_id) total order collapse to one '>'-joined path string, then "
+    "paths aggregate to their population counts — the funnel-discovery "
+    "complement of the fixed-order funnel_conversion.  The step cap bounds "
+    "state per user at any history length; one shuffle on user_id, one on "
+    "the path.",
+    tags=("temporal", "sequence"),
+)
+def user_path_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ranked = (
+        ev.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= PATH_MAX_STEPS)
+        .select("user_id", "event_type", "rn")
+    )
+    paths = ranked.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rn", "event_type"))),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, event_type,
+                 LAG(event_type) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS prev_type
+          FROM events
+        ),
+        trans AS (
+          SELECT prev_type AS from_type, event_type AS to_type, COUNT(*) AS n
+          FROM seq WHERE prev_type IS NOT NULL
+          GROUP BY 1, 2
+        )
+        SELECT from_type, to_type, n,
+               CAST(1000 * n // SUM(n) OVER (PARTITION BY from_type)
+                    AS BIGINT) AS permille
+        FROM trans
+        """,
+    doc="First-order Markov transition matrix over per-user event streams: "
+    "lag window in (ts, event_id) total order -> transition hash agg -> "
+    "integer-permille row normalization (window over the TYPE pairs, not "
+    "the events).  The sequence-model features a next-event predictor "
+    "trains on; one shuffle on user_id, aggregates shrink to |types|^2.",
+    tags=("temporal", "sequence"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type",
+        F.lag("event_type").over(w).alias("from_type"),
+    ).filter(F.col("from_type").isNotNull())
+    trans = seq.groupBy("from_type", F.col("event_type").alias("to_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    trans = trans.withColumn(
+        "tot", F.sum("n").over(Window.partitionBy("from_type"))
+    )
+    return trans.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.expr("CAST((1000 * n) div tot AS BIGINT)").alias("permille"),
+    )
