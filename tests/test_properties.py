@@ -308,3 +308,75 @@ def test_pagerank_invariant_under_repartition(spark):
     a = {(r.node, r.rank_atto) for r in graph.pagerank(edges.coalesce(1), iters=3).collect()}
     b = {(r.node, r.rank_atto) for r in graph.pagerank(edges.repartition(11), iters=3).collect()}
     assert a == b
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),   # user
+            st.integers(min_value=0, max_value=30),  # seconds offset
+            st.sampled_from(["view", "click", "purchase"]),
+        ),
+        min_size=1,
+        max_size=16,
+    )
+)
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_transition_matrix_matches_bruteforce(spark, rows):
+    """event_transition_matrix vs a brute-force Python reference on
+    adversarial small inputs — tie timestamps resolved by event_id, single
+    users, single-event users (no transitions)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    df = spark.createDataFrame(
+        [
+            (i, BASE + dt.timedelta(seconds=s), u, t)
+            for i, (u, s, t) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp, user_id long, event_type string",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = df.select(
+        "event_type", F.lag("event_type").over(w).alias("from_type")
+    ).filter(F.col("from_type").isNotNull())
+    got = {
+        (r.from_type, r.to_type): r.n
+        for r in seq.groupBy(
+            "from_type", F.col("event_type").alias("to_type")
+        ).agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # brute force
+    per_user: dict[int, list] = {}
+    for i, (u, s, t) in enumerate(rows):
+        per_user.setdefault(u, []).append((BASE + dt.timedelta(seconds=s), i, t))
+    want: dict[tuple, int] = {}
+    for evs in per_user.values():
+        evs.sort()
+        for (_, _, a), (_, _, b) in zip(evs, evs[1:]):
+            want[(a, b)] = want.get((a, b), 0) + 1
+    assert got == want
+
+
+@given(st.lists(st.text(alphabet="ab ", max_size=6), min_size=2, max_size=6))
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_levenshtein_matches_python_dp(spark, words):
+    """F.levenshtein (the fuzzy_name_pairs verify) vs a Python DP reference —
+    empty strings, repeated chars, whitespace."""
+    from pyspark.sql import functions as F
+
+    def lev(a: str, b: str) -> int:
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[len(b)]
+
+    pairs = [(a, b) for a in words for b in words]
+    df = spark.createDataFrame(pairs, "a string, b string").select(
+        "a", "b", F.levenshtein("a", "b").alias("d")
+    )
+    for r in df.collect():
+        assert r.d == lev(r.a, r.b), (r.a, r.b)
