@@ -89,6 +89,7 @@ def main() -> None:
         "ann_ivf_topk",
         "q21_sole_late_supplier",
         "tfidf_cosine_pairs",
+        "copurchase_part_pairs",
         "hll_daily_rollup",
         "kmeans_round2_movement",
         "cooccurrence_pagerank",

@@ -503,3 +503,86 @@ def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dday").isNull().alias("is_gap"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Purchase-interval distribution + market-basket pair mining
+# ---------------------------------------------------------------------------
+@register(
+    "order_interarrival_histogram",
+    oracle=f"""
+        WITH seq AS (
+          SELECT o_custkey,
+                 epoch_us(o_orderdate) // {DAY_US} AS day,
+                 LAG(epoch_us(o_orderdate) // {DAY_US})
+                   OVER (PARTITION BY o_custkey
+                         ORDER BY epoch_us(o_orderdate) // {DAY_US}, o_orderkey)
+                   AS prev_day
+          FROM orders
+        )
+        SELECT CAST((day - prev_day) // 7 AS BIGINT) AS gap_weeks,
+               COUNT(*) AS n_gaps
+        FROM seq WHERE prev_day IS NOT NULL
+        GROUP BY 1
+        """,
+    doc="Customer purchase-interval distribution: lag window in (day, "
+    "orderkey) total order per customer, gaps bucketed to weeks — the "
+    "repurchase-cadence input to churn/LTV models.  One shuffle on "
+    "o_custkey; the histogram aggregate shrinks to the bucket count.",
+    tags=("temporal", "window"),
+)
+def order_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    day = F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {DAY_US}")
+    w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
+    seq = orders.select("o_custkey", "o_orderkey", day.alias("day")).withColumn(
+        "prev_day", F.lag("day").over(w)
+    )
+    return (
+        seq.filter(F.col("prev_day").isNotNull())
+        .select(
+            F.expr("CAST((day - prev_day) div 7 AS BIGINT)").alias("gap_weeks")
+        )
+        .groupBy("gap_weeks")
+        .agg(F.count(F.lit(1)).alias("n_gaps"))
+    )
+
+
+COPURCHASE_MIN_ORDERS = 3
+
+
+@register(
+    "copurchase_part_pairs",
+    oracle=f"""
+        WITH items AS (
+          SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+        )
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM items a JOIN items b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2 HAVING COUNT(*) >= {COPURCHASE_MIN_ORDERS}
+        """,
+    doc="Market-basket pair mining: parts co-purchased in the same order, "
+    "kept at support >= 3 orders.  The self-join key is the ORDER — baskets "
+    "are small by construction, so the fan-out is sum(basket^2) with "
+    "basket ~ a few items, never parts^2; the classic co-occurrence shape "
+    "recommendation candidates start from.",
+    tags=("join", "basket"),
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    items = l.select("l_orderkey", "l_partkey").distinct()
+    a = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = items.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    return (
+        a.join(b, ["ok"])
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= COPURCHASE_MIN_ORDERS)
+    )
