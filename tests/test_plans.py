@@ -246,3 +246,27 @@ def test_salted_join_plan_joins_on_salt(spark):
     plan = plan_of(REGISTRY["salted_segment_event_agg"].build(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "__salt" in plan
+
+
+def test_new_pair_joins_stay_equi(spark):
+    """Fuzzy blocking, market-basket, and sparse-similarity self-joins must
+    all remain hash equi-joins on their blocking keys — none may degrade to
+    a cartesian product (the inequality predicates are post-join filters).
+    tfidf's one BroadcastNestedLoopJoin is the sanctioned 1-row scalar
+    broadcast (the n_docs aggregate), so only the self-join shape is
+    asserted nested-loop-free for it."""
+    for name in ("fuzzy_name_pairs", "copurchase_part_pairs"):
+        plan = plan_of(REGISTRY[name].build(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+    plan = plan_of(REGISTRY["tfidf_cosine_pairs"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "ShuffledHashJoin" in plan  # the term self-join shape
+
+
+def test_gapfill_spine_broadcasts(spark):
+    """The calendar spine must derive from a broadcast single-row bounds
+    aggregate — never a shuffle keyed on the spine."""
+    plan = plan_of(REGISTRY["daily_revenue_gapfilled"].build(spark, SF_SMOKE))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
