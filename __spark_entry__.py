@@ -37,9 +37,48 @@ def entry(spark: SparkSession) -> DataFrame:
     return all_queries()["envelope_decode_per_key"](spark, SMOKE_SF_DIR)
 
 
+# Verify-session tuning: the driver checks every query at sf=0.01, where a
+# shuffle stage's wall is dominated by task-scheduling overhead, not data.
+# These runtime confs are applied once per session the first time a query is
+# built against a small-SF directory: few shuffle partitions, and AQE
+# coalescing by size rather than parallelism (at sf0.01 everything fits one
+# 64 MB advisory partition).  bench.py and cluster submits use sf0.1+ paths
+# and their own sessions, so the scale posture is untouched.
+_SMALL_SF_BASENAMES = {"sf0.001", "sf0.01"}
+
+_SMALL_SF_CONFS = {
+    "spark.sql.shuffle.partitions": "8",
+    "spark.sql.adaptive.coalescePartitions.parallelismFirst": "false",
+}
+
+
+def _tune_for_small_sf(spark: SparkSession, sf_dir: str) -> None:
+    if os.path.basename(os.path.normpath(sf_dir)) not in _SMALL_SF_BASENAMES:
+        return
+    if getattr(spark, "_ppes_small_sf_tuned", False):
+        return
+    for k, v in _SMALL_SF_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            pass
+    spark._ppes_small_sf_tuned = True
+
+
+def _wrap(fn: Callable[[SparkSession, str], DataFrame]) -> Callable[[SparkSession, str], DataFrame]:
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        prepare_session(spark)
+        _tune_for_small_sf(spark, sf_dir)
+        return fn(spark, sf_dir)
+
+    build.__name__ = getattr(fn, "__name__", "query")
+    build.__doc__ = fn.__doc__
+    return build
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return all_queries()
+    return {name: _wrap(fn) for name, fn in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:

@@ -57,18 +57,35 @@ def assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
             ).alias("cents")
         )
     )
-    scored = spread(emb).crossJoin(cent).select(
-        "vec_id",
-        "embedding",
-        "label",
-        # one struct per centroid: (cosine, cluster_id); pick the best by
-        # sorting on (-cosine, cluster_id) — deterministic, windowless.
-        F.expr(
-            "array_sort(transform(cents, c -> struct("
-            f"-({DOT.format(a='embedding', b='c.centroid')}"
-            f" / ({_norm('embedding')} * {_norm('c.centroid')})) AS neg_cos, "
-            "c.cluster_id AS cluster_id)))[0]"
-        ).alias("best"),
+    # Zero-norm guard: a degenerate (all-zero) embedding or centroid would
+    # make the cosine 0/0 = NaN, and NaN ORDERING DIFFERS across engines
+    # (Spark's array_sort puts NaN last; DuckDB's ORDER BY DESC puts it
+    # first), so assignments would silently diverge.  Define cosine := -1
+    # (the worst possible score) whenever either norm is 0 — identical CASE
+    # in the DuckDB oracle (_duck_assigned_cte).  Norms are >= 0, so the
+    # product is 0 iff either vector is all-zero.
+    neg_cos = (
+        f"CASE WHEN _norm_a * {_norm('c.centroid')} = CAST(0 AS DOUBLE) "
+        "THEN CAST(1 AS DOUBLE) "
+        f"ELSE -({DOT.format(a='embedding', b='c.centroid')}"
+        f" / (_norm_a * {_norm('c.centroid')})) END"
+    )
+    scored = (
+        spread(emb)
+        .crossJoin(cent)
+        .withColumn("_norm_a", F.expr(_norm("embedding")))
+        .select(
+            "vec_id",
+            "embedding",
+            "label",
+            # one struct per centroid: (cosine, cluster_id); pick the best by
+            # sorting on (-cosine, cluster_id) — deterministic, windowless.
+            F.expr(
+                "array_sort(transform(cents, c -> struct("
+                f"{neg_cos} AS neg_cos, "
+                "c.cluster_id AS cluster_id)))[0]"
+            ).alias("best"),
+        )
     )
     return scored.select(
         "vec_id",

@@ -89,6 +89,80 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def triangles_by_degree(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Triangle listing by degree orientation (compact-forward).
+
+    ``edges`` is an undirected pair list (one row per pair, any order, no
+    self-loops).  Returns one row per triangle, canonicalized by node id:
+    columns (a, b, c) with a < b < c.
+
+    Scale posture: every edge is oriented from its lower-(degree, id)
+    endpoint to the higher one; wedges form only at a node's outgoing edges
+    and a triangle closes through one oriented-edge lookup.  Under this
+    orientation out-degree is O(sqrt(m)) for EVERY node — including hubs —
+    so the wedge self-join's per-key fan-out is bounded where a naive
+    id-orientation leaves a low-id hub with unbounded out-degree.  All three
+    steps are equi-joins (degree attach, wedge, closure); total wedge volume
+    is O(m^1.5) worst case, the listing lower bound.
+    """
+    e = edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+    sym = e.unionByName(e.select(F.col("y").alias("x"), F.col("x").alias("y")))
+    deg = sym.groupBy("x").agg(F.count(F.lit(1)).alias("deg")).withColumnRenamed("x", "node")
+
+    # Total order: dkey = (deg << 32) | id packed into one comparable long
+    # (ids and degrees both < 2^31 by construction of the corpora; the pack
+    # keeps the wedge condition a single long comparison instead of a struct
+    # compare).  Orient each undirected edge from lower dkey to higher.
+    with_deg = (
+        sym.join(deg.withColumnRenamed("node", "x"), ["x"])
+        .withColumnRenamed("deg", "deg_x")
+        .join(
+            deg.select(F.col("node").alias("y"), F.col("deg").alias("deg_y")),
+            ["y"],
+        )
+        .select(
+            "x",
+            "y",
+            F.expr("shiftleft(deg_x, 32) + x").alias("dkey_x"),
+            F.expr("shiftleft(deg_y, 32) + y").alias("dkey_y"),
+        )
+    )
+    oriented = with_deg.filter(F.col("dkey_x") < F.col("dkey_y")).select(
+        F.col("x").alias("src"),
+        F.col("y").alias("dst"),
+        F.col("dkey_y").alias("dkey_dst"),
+    )
+
+    w1, w2 = oriented.alias("w1"), oriented.alias("w2")
+    closing = oriented.select(
+        F.col("src").alias("c_src"), F.col("dst").alias("c_dst")
+    ).alias("e3")
+    tri = (
+        # wedge at the low endpoint: two out-edges, ordered by dkey so each
+        # unordered wedge appears exactly once
+        w1.join(
+            w2,
+            (F.col("w1.src") == F.col("w2.src"))
+            & (F.col("w1.dkey_dst") < F.col("w2.dkey_dst")),
+        )
+        # closure: the third edge is oriented dst1 -> dst2 by construction
+        .join(
+            closing,
+            (F.col("c_src") == F.col("w1.dst")) & (F.col("c_dst") == F.col("w2.dst")),
+        )
+        .select(
+            F.array_sort(
+                F.array(F.col("w1.src"), F.col("w1.dst"), F.col("w2.dst"))
+            ).alias("t")
+        )
+    )
+    return tri.select(
+        F.col("t")[0].alias("a"), F.col("t")[1].alias("b"), F.col("t")[2].alias("c")
+    )
+
+
 def pagerank(
     edges: DataFrame,
     src: str = "src",

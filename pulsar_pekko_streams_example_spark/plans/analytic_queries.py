@@ -58,10 +58,10 @@ def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = orders.select(
         "o_orderkey",
         "o_custkey",
-        # o_orderdate arrives as TIMESTAMP (LTZ): prepare_session disables
-        # inferTimestampNTZ and pins the session tz to UTC, so unix_micros is
-        # exact epoch arithmetic (the cast is a no-op kept for clarity).
-        F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {DAY_US}").alias("day"),
+        # o_orderdate arrives as TIMESTAMP (LTZ) — prepare_session disables
+        # inferTimestampNTZ and pins the session tz to UTC — so unix_micros
+        # is exact epoch arithmetic directly on the column.
+        F.expr(f"unix_micros(o_orderdate) div {DAY_US}").alias("day"),
         "o_totalprice",
     )
     w = Window.partitionBy("o_custkey").orderBy("day").rangeBetween(-6, 0)
@@ -240,7 +240,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "uses decimal-exact averaging.  An unpartitioned window is a global sort "
     "— at 100 TB swap in approx-quantile bucketing (customer_spend_deciles "
     "documents the same trade-off for ntile).",
-    tags=("window", "rank"),
+    tags=("window", "rank", "exact-audit"),
 )
 def priority_price_rank_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -289,7 +289,7 @@ _RANK_BINS = 256
         SELECT pb.o_orderpriority,
                CAST(SUM(pb.cnt_pb) AS BIGINT) AS orders,
                CAST(SUM(pb.cnt_pb * c.cum_before) AS DOUBLE)
-                 / (CAST(SUM(pb.cnt_pb) AS DOUBLE) * (n - 1)) AS avg_percent_rank,
+                 / (CAST(SUM(pb.cnt_pb) AS DOUBLE) * GREATEST(n - 1, 1)) AS avg_percent_rank,
                CAST(SUM(pb.cnt_pb * (c.cum_before + c.cnt)) AS DOUBLE)
                  / (CAST(SUM(pb.cnt_pb) AS DOUBLE) * n) AS avg_cume_dist
         FROM pb JOIN cum c ON pb.bin = c.bin, stats
@@ -302,7 +302,7 @@ _RANK_BINS = 256
     "through / n, then rolled up per priority as exact integer sums with "
     "one final double division — NO single-partition window, every stage "
     "shards.  All arithmetic is engine-portable, so the oracle is exact.",
-    tags=("window", "rank", "approx", "scale-variant"),
+    tags=("window", "rank", "approx", "scale-variant", "scale-default"),
 )
 def priority_price_rank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -335,8 +335,10 @@ def priority_price_rank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("o_orderpriority", "n").agg(
         F.sum("cnt_pb").alias("orders"),
         (
+            # GREATEST(n-1, 1): a 1-row table must yield percent_rank 0 (the
+            # percent_rank() convention), not x/0 — engines disagree on 0/0.
             F.sum(F.col("cnt_pb") * F.col("cum_before")).cast("double")
-            / (F.sum("cnt_pb").cast("double") * (F.col("n") - F.lit(1)))
+            / (F.sum("cnt_pb").cast("double") * F.greatest(F.col("n") - F.lit(1), F.lit(1)))
         ).alias("avg_percent_rank"),
         (
             F.sum(F.col("cnt_pb") * (F.col("cum_before") + F.col("cnt"))).cast("double")

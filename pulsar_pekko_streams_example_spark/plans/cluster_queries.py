@@ -47,10 +47,15 @@ KM_DIM = 64  # embedding dimensionality of the test corpus
 def _duck_assigned_cte(k: int) -> str:
     """DuckDB twin of clustering.assign(): nearest-centroid by cosine,
     tie-break on lower cluster_id."""
+    # Zero-norm guard mirrors clustering.assign(): cosine := -1 when either
+    # norm is 0 (otherwise 0/0 = NaN, whose sort order differs per engine).
+    norms = (
+        f"sqrt({_duck_dot('e.embedding', 'e.embedding')}) * "
+        f"sqrt({_duck_dot('c.centroid', 'c.centroid')})"
+    )
     cos = (
-        f"{_duck_dot('e.embedding', 'c.centroid')} / "
-        f"(sqrt({_duck_dot('e.embedding', 'e.embedding')}) * "
-        f"sqrt({_duck_dot('c.centroid', 'c.centroid')}))"
+        f"CASE WHEN {norms} = CAST(0 AS DOUBLE) THEN CAST(-1 AS DOUBLE) "
+        f"ELSE {_duck_dot('e.embedding', 'c.centroid')} / ({norms}) END"
     )
     return f"""
         cent AS (

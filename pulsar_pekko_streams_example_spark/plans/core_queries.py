@@ -557,7 +557,7 @@ def skew_safe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile shape, util/StandardTestTools.scala:54-60).  Exact "
     "percentile = per-group sort; at 100 TB swap in percentile_approx "
     "(t-digest-style mergeable sketch) — same query shape, bounded memory.",
-    tags=("agg", "percentile"),
+    tags=("agg", "percentile", "exact-audit"),
 )
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")

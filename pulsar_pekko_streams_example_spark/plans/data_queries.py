@@ -389,7 +389,7 @@ _ANN_TOPK_ORACLE = f"""
     oracle=_ANN_TOPK_ORACLE,
     doc="Brute-force cosine top-k over array<float> embeddings: broadcast "
     "query set, JVM-side fold dot products, rank window per query.",
-    tags=("similarity",),
+    tags=("similarity", "exact-audit"),
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -402,7 +402,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Throughput ANN path: Arrow-batched mapInPandas vectorized scoring "
     "per partition + partial top-k.  Accumulates in dimension order so "
     "doubles are bit-identical to ann_cosine_topk and the shared oracle.",
-    tags=("similarity", "pandas-udf"),
+    tags=("similarity", "pandas-udf", "exact-audit"),
 )
 def ann_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -653,7 +653,7 @@ def _duck_ann_lsh_sql(k: int) -> str:
     "scores only vectors sharing a signature band — candidate generation is "
     "an equi-join on (band, val), never queries × corpus.  Bucket recall is "
     "the contract (oracle replicates the banding); scores are exact cosine.",
-    tags=("similarity", "lsh"),
+    tags=("similarity", "lsh", "scale-default"),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -720,7 +720,7 @@ def _duck_ann_ivf_sql(k: int, nprobe: int) -> str:
     "lists via an equi-join on cent_id.  List recall is the contract (the "
     "oracle replicates the deterministic strided quantizer and the probing "
     "exactly); scores are exact cosine.",
-    tags=("similarity", "ivf"),
+    tags=("similarity", "ivf", "scale-default"),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1109,10 +1109,15 @@ COOC_MIN_SHARED = 3  # edge = users sharing >= 3 windows
     doc="Triangle listing over a behavioral co-occurrence graph: users who "
     "share >= 3 five-minute activity windows form an edge (inverted-index "
     "self-join on the window slot — the postings pattern, never user x user); "
-    "triangles enumerate via two edge equi-joins with the a<b<c orientation "
-    "pruning each triangle to ONE canonical ordering.  At 100 TB orient edges "
-    "by degree instead of id to bound the join fan-out on hub nodes; the "
-    "dataflow is identical.  Complements neardup_components: counting "
+    "triangles enumerate by DEGREE ORIENTATION (compact-forward): each edge "
+    "points from its lower-(degree, id) endpoint to the higher, wedges form "
+    "only at the LOW end, and a closing oriented edge completes the "
+    "triangle.  Out-degree under this orientation is O(sqrt(m)) for any "
+    "node — a hub with a million neighbors contributes wedges only through "
+    "its few lower-degree-than-itself edges, so the join fan-out stays "
+    "bounded at 100 TB where id-orientation would explode on hubs.  Output "
+    "re-canonicalizes to ua<ub<uc by id, so the (public, id-oriented) "
+    "oracle SQL is unchanged.  Complements neardup_components: counting "
     "structure inside components, not just membership.",
     tags=("graph", "triangles"),
 )
@@ -1129,11 +1134,10 @@ def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= COOC_MIN_SHARED)
         .select("ua", "ub")
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
-    return (
-        e1.join(e2, F.col("e1.ub") == F.col("e2.ua"))
-        .join(e3, (F.col("e3.ua") == F.col("e1.ua")) & (F.col("e3.ub") == F.col("e2.ub")))
-        .select(F.col("e1.ua").alias("ua"), F.col("e1.ub").alias("ub"), F.col("e2.ub").alias("uc"))
+    from pulsar_pekko_streams_example_spark.operators.graph import triangles_by_degree
+
+    return triangles_by_degree(edges, "ua", "ub").select(
+        F.col("a").alias("ua"), F.col("b").alias("ub"), F.col("c").alias("uc")
     )
 
 
@@ -1287,11 +1291,20 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "image_resize_stats",
     oracle="""
-        WITH dims AS (
-          SELECT 16 + (ascii(text[1]) % 240) AS w,
-                 16 + ((CASE WHEN strlen(text) > 1 THEN ascii(text[2]) ELSE 0 END) % 240) AS h,
-                 strlen(text) AS nb
+        WITH raw AS (
+          -- BYTE semantics to match the engine (_fake_dims reads UTF-8
+          -- bytes, not code points): hex() the encoded blob and parse the
+          -- first/second byte pair — exact for any unicode text, not just
+          -- the ASCII test corpus.
+          SELECT hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS nb
           FROM documents
+        ),
+        dims AS (
+          SELECT 16 + (CASE WHEN nb >= 1 THEN ('0x' || substr(hx, 1, 2))::INT ELSE 0 END) % 240 AS w,
+                 16 + (CASE WHEN nb >= 2 THEN ('0x' || substr(hx, 3, 2))::INT ELSE 0 END) % 240 AS h,
+                 nb
+          FROM raw
         ),
         rz AS (
           SELECT CASE WHEN w <= 64 AND h <= 64 THEN w

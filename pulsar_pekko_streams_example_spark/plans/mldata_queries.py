@@ -565,8 +565,12 @@ def hll_rollup_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 TFIDF_SIM_MAX_DF = 50       # rare-term postings only: df-capped inverted index
 TFIDF_SIM_THRESHOLD = 0.35  # emit pairs with sparse cosine >= this
-IDF_MILLI_CAP = 1_000_000   # bounds per-term weight so w*w sums stay in int64
-                            # at ANY corpus size (w <= tf * 1e6)
+IDF_MILLI_CAP = 1_000_000   # bounds the IDF factor; w <= tf * 1e6 is NOT an
+                            # int64-safe bound on w*w (tf ~3e3 on a rare term
+                            # already overflows), so norms and dots accumulate
+                            # in 128-bit exact types: DECIMAL(38,0) in Spark,
+                            # HUGEINT in DuckDB — identical integers, one
+                            # correctly-rounded cast to DOUBLE at the end
 
 
 def _duck_tfidf_cosine_sql() -> str:
@@ -588,11 +592,12 @@ def _duck_tfidf_cosine_sql() -> str:
           FROM tf JOIN df USING (term) CROSS JOIN n
         ),
         norms AS (
-          SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS nrm2 FROM w GROUP BY doc_id
+          -- HUGEINT accumulation: w*w can exceed int64 for long docs
+          SELECT doc_id, SUM(CAST(w AS HUGEINT) * w) AS nrm2 FROM w GROUP BY doc_id
         ),
         dots AS (
           SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-                 CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+                 SUM(CAST(a.w AS HUGEINT) * b.w) AS dot
           FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
           GROUP BY 1, 2
         )
@@ -643,7 +648,12 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("w"),
         )
     )
-    norms = w.groupBy("doc_id").agg(F.sum(F.col("w") * F.col("w")).alias("nrm2"))
+    # 128-bit exact accumulation: cast each factor to DECIMAL(19,0) so the
+    # product is DECIMAL(38,0) BEFORE any multiply can wrap int64 (Spark's
+    # non-ANSI long multiply wraps silently; DuckDB raises — either way the
+    # engines would diverge on long documents).
+    w19 = F.col("w").cast("decimal(19,0)")
+    norms = w.groupBy("doc_id").agg(F.sum(w19 * w19).alias("nrm2"))
     a, b = w.alias("a"), w.alias("b")
     dots = (
         a.hint("shuffle_hash")
@@ -653,7 +663,11 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.sum(F.col("a.w") * F.col("b.w")).alias("dot"))
+        .agg(
+            F.sum(
+                F.col("a.w").cast("decimal(19,0)") * F.col("b.w").cast("decimal(19,0)")
+            ).alias("dot")
+        )
     )
     na = norms.select(F.col("doc_id").alias("doc_a"), F.col("nrm2").alias("nrm2_a"))
     nb = norms.select(F.col("doc_id").alias("doc_b"), F.col("nrm2").alias("nrm2_b"))

@@ -59,6 +59,14 @@ def register(
 # — cycle i takes the i-th registered query of every family — so a budget cut
 # costs a slice of each family instead of entire families.  The §2-attesting
 # core family leads each cycle.
+#
+# On top of the interleave, queries are ROTATED by driver-check history: the
+# driver leaves its per-round verdicts in CORRECTNESS_r{N}.json at the repo
+# root, and any query without a green row in ANY prior round sorts before
+# every query that already has one.  The ~50-query-per-round budget therefore
+# always lands on the never-checked (or previously red) remainder first, and
+# coverage converges to all queries in ceil(N/budget) rounds with no manual
+# curation.
 _MODULE_ORDER = [
     "core_queries",
     "tpch_queries",
@@ -69,6 +77,39 @@ _MODULE_ORDER = [
     "analytic_queries",
     "cluster_queries",
 ]
+
+
+def _driver_checked(root: "Path | None" = None) -> frozenset[str]:
+    """Names holding a GREEN driver row in any prior round's CORRECTNESS file.
+
+    A red or errored row does NOT count as checked — the query stays at the
+    front of the export order until the driver confirms the fix.  Missing or
+    malformed files are ignored (round 1 starts with none).
+    """
+    import json
+    from pathlib import Path
+
+    checked: set[str] = set()
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rows = json.loads(path.read_text())
+        except (OSError, ValueError):
+            continue
+        if not isinstance(rows, dict):
+            continue
+        for name, row in rows.items():
+            if not isinstance(row, dict):
+                continue
+            if (
+                row.get("err") is None
+                and row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match", True)
+            ):
+                checked.add(name)
+    return frozenset(checked)
 
 
 def _export_order() -> list[str]:
@@ -83,12 +124,16 @@ def _export_order() -> list[str]:
     ordered_families = [families[m] for m in _MODULE_ORDER] + [
         fam for m, fam in families.items() if m not in _MODULE_ORDER
     ]
-    out: list[str] = []
+    interleaved: list[str] = []
     for cycle in range(max((len(f) for f in ordered_families), default=0)):
         for fam in ordered_families:
             if cycle < len(fam):
-                out.append(fam[cycle])
-    return out
+                interleaved.append(fam[cycle])
+
+    checked = _driver_checked()
+    return [n for n in interleaved if n not in checked] + [
+        n for n in interleaved if n in checked
+    ]
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -169,7 +169,7 @@ def _qsk_threshold(pct: int, dialect: str) -> str:
     "saturates (documented).  The quantile pick (smallest bin whose "
     "cumulative count reaches ceil(q·n)) is pure int64 arithmetic — "
     "engine-exact, no floating-point thresholds.",
-    tags=("sketch", "quantile"),
+    tags=("sketch", "quantile", "scale-default"),
 )
 def quantile_sketch_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window

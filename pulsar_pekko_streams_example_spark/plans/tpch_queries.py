@@ -425,7 +425,7 @@ def order_date_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tie-break on custkey so both engines bucket identically); the "
     "global-sort window is the one shape that cannot shard — at 100 TB "
     "swap ntile for approx percentile boundaries + a broadcast bucket join.",
-    tags=("window", "rank"),
+    tags=("window", "rank", "exact-audit"),
 )
 def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -488,7 +488,7 @@ _DECILE_BINS = 256
     "shards at any corpus size.  Bin edges and decile assignment are pure "
     "integer/double arithmetic, so the oracle reproduces them exactly; "
     "deciles are approximate only in that a bin's customers share a decile.",
-    tags=("window", "rank", "approx", "scale-variant"),
+    tags=("window", "rank", "approx", "scale-variant", "scale-default"),
 )
 def customer_spend_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_pekko_streams_example_spark.functions.numeric import dsum

@@ -10,7 +10,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from pulsar_pekko_streams_example_spark.session import get_spark
 
 SF_SMOKE = "/root/testdata/sf0.001"
-SF_CORRECT = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
+# Parity runs at DRIVER scale by default (the driver's CORRECTNESS gate uses
+# sf0.01), so sf-dependent tie-breaks and quantization surface in the suite
+# before the driver sees them.  Export PARITY_SF_DIR=/root/testdata/sf0.001
+# for a faster smoke iteration loop.
+SF_CORRECT = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")

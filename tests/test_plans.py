@@ -270,3 +270,25 @@ def test_gapfill_spine_broadcasts(spark):
     plan = plan_of(REGISTRY["daily_revenue_gapfilled"].build(spark, SF_SMOKE))
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scale_default_queries_have_no_single_partition_exchange(spark):
+    """Every query tagged scale-default is the 100 TB path of an
+    exact/approx twin pair — it must never funnel the data through a
+    single-partition Exchange (global sort window, global coalesce(1));
+    that collapse is exactly what the exact-audit twin is allowed to do
+    and the scale twin exists to avoid."""
+    tagged = [n for n, s in REGISTRY.items() if "scale-default" in s.tags]
+    assert len(tagged) >= 5, f"expected the twin set to be tagged, got {tagged}"
+    for name in tagged:
+        plan = plan_of(REGISTRY[name].build(spark, SF_SMOKE))
+        assert "Exchange SinglePartition" not in plan, name
+
+
+def test_exact_audit_queries_have_scale_default_twins():
+    """The registry must carry both sides of each trade-off pair: if an
+    exact-audit query exists, at least one scale-default twin exists too
+    (and vice versa), so a reader can always find the 100 TB path."""
+    exact = [n for n, s in REGISTRY.items() if "exact-audit" in s.tags]
+    scale = [n for n, s in REGISTRY.items() if "scale-default" in s.tags]
+    assert exact and scale

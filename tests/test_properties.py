@@ -380,3 +380,43 @@ def test_levenshtein_matches_python_dp(spark, words):
     )
     for r in df.collect():
         assert r.d == lev(r.a, r.b), (r.a, r.b)
+
+
+def test_triangles_by_degree_matches_bruteforce_on_hub_graph(spark):
+    """Degree-oriented triangle listing on an adversarial hub graph (one
+    node connected to everything — the shape that blows up id-orientation)
+    must produce exactly the brute-force triangle set, once each, a<b<c."""
+    from itertools import combinations
+
+    from pulsar_pekko_streams_example_spark.operators import graph
+
+    # hub 0 — all spokes; plus a chain among spokes and two cliques
+    pairs = {(0, i) for i in range(1, 20)}
+    pairs |= {(i, i + 1) for i in range(1, 19)}
+    pairs |= set(combinations([3, 7, 11, 15], 2))
+    pairs |= set(combinations([2, 4, 6], 2))
+    adj = set(pairs) | {(b, a) for a, b in pairs}
+    expected = {
+        (a, b, c)
+        for a, b, c in combinations(sorted({n for p in pairs for n in p}), 3)
+        if (a, b) in adj and (b, c) in adj and (a, c) in adj
+    }
+
+    edges = spark.createDataFrame(sorted(pairs), "src long, dst long")
+    rows = graph.triangles_by_degree(edges.repartition(7)).collect()
+    got = [(r.a, r.b, r.c) for r in rows]
+    assert len(got) == len(set(got)), "each triangle must be listed exactly once"
+    assert set(got) == expected
+
+
+def test_triangles_by_degree_orientation_bounds_hub_fanout(spark):
+    """On the star graph the hub's oriented OUT-degree must be 0 — every
+    spoke has lower (degree, id) than the hub, so no wedge forms at the hub
+    and the wedge join's fan-out is bounded by spoke degrees."""
+    from pulsar_pekko_streams_example_spark.operators import graph
+
+    edges = spark.createDataFrame(
+        [(99, i) for i in range(30)], "src long, dst long"
+    )
+    # star graph has no triangles at all
+    assert graph.triangles_by_degree(edges).count() == 0
