@@ -18,6 +18,13 @@ behind the big dedup joins, and the 32 cores stay saturated.  ``value`` is
 end-to-end wall for the whole suite; per-query numbers are each query's own
 wall inside the mix (they sum to more than ``value`` — that overlap IS the
 concurrency).  SPARK_GRAFT_BENCH_THREADS=1 recovers sequential timing.
+
+Per-query numbers inside the mix measure CONTENTION as much as the plan:
+a round-2→3 sequential re-run showed q5/q7/q8/q9/range_following_counts/
+quantile_sketch_value at 0.4–1.4 s each (faster than round 1) while their
+concurrent-mix walls had nominally "regressed" — the plans were unchanged;
+the mix just got 23 queries deeper.  Diagnose plan regressions with
+THREADS=1, judge throughput by the concurrent ``value``.
 """
 
 from __future__ import annotations

@@ -50,10 +50,19 @@ def assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     side is broadcast; the corpus side keeps its scan partitioning — at
     100 TB this is one map-side pass, zero shuffles.
     """
+    # Centroid norms are precomputed INTO the broadcast struct (k values,
+    # once) and the row's own norm once per row — the per-(row, centroid)
+    # lambda then does a single fold (the dot product).  The folds are
+    # interpreted higher-order functions, so trimming redundant folds is the
+    # dominant constant-factor win for the whole assign family.
     cent = F.broadcast(
-        centroids.groupBy().agg(
+        centroids.select(
+            "cluster_id", "centroid", F.expr(_norm("centroid")).alias("cnrm")
+        )
+        .groupBy()
+        .agg(
             F.sort_array(
-                F.collect_list(F.struct("cluster_id", "centroid"))
+                F.collect_list(F.struct("cluster_id", "centroid", "cnrm"))
             ).alias("cents")
         )
     )
@@ -65,10 +74,10 @@ def assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     # in the DuckDB oracle (_duck_assigned_cte).  Norms are >= 0, so the
     # product is 0 iff either vector is all-zero.
     neg_cos = (
-        f"CASE WHEN _norm_a * {_norm('c.centroid')} = CAST(0 AS DOUBLE) "
+        "CASE WHEN _norm_a * c.cnrm = CAST(0 AS DOUBLE) "
         "THEN CAST(1 AS DOUBLE) "
         f"ELSE -({DOT.format(a='embedding', b='c.centroid')}"
-        f" / (_norm_a * {_norm('c.centroid')})) END"
+        " / (_norm_a * c.cnrm)) END"
     )
     scored = (
         spread(emb)

@@ -588,3 +588,53 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= COPURCHASE_MIN_ORDERS)
     )
+
+
+# ---------------------------------------------------------------------------
+# Running-minimum frontier: days setting a new all-time-low price, per priority
+# ---------------------------------------------------------------------------
+@register(
+    "price_frontier_by_priority",
+    oracle=f"""
+        WITH daily AS (
+          SELECT o_orderpriority,
+                 epoch_us(o_orderdate) // {DAY_US} AS day,
+                 MIN(o_totalprice) AS day_min
+          FROM orders GROUP BY 1, 2
+        ),
+        runmin AS (
+          SELECT o_orderpriority, day, day_min,
+                 MIN(day_min) OVER (PARTITION BY o_orderpriority ORDER BY day
+                                    ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_min
+          FROM daily
+        )
+        SELECT o_orderpriority, day, day_min AS frontier_price
+        FROM runmin
+        WHERE prev_min IS NULL OR day_min < prev_min
+        """,
+    doc="Pareto-style running-minimum frontier: the days on which an order "
+    "priority class saw a new all-time-low order price.  The scale pattern "
+    "is PRE-AGGREGATE THEN WINDOW: the per-(priority, day) MIN collapses "
+    "the fact table to at most |priorities| x |days| rows in one map-side-"
+    "combinable aggregate, and only that bounded table flows through the "
+    "cumulative-min window — the window partition is days-per-priority "
+    "(thousands of rows), never the order rows themselves.  Exact decimal "
+    "min needs no accumulation tricks (MIN is order-insensitive).",
+    tags=("window", "frontier", "agg"),
+)
+def price_frontier_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.expr(f"unix_micros(o_orderdate) div {DAY_US}").alias("day"),
+    ).agg(F.min("o_totalprice").alias("day_min"))
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runmin = daily.withColumn("prev_min", F.min("day_min").over(w))
+    return runmin.filter(
+        F.col("prev_min").isNull() | (F.col("day_min") < F.col("prev_min"))
+    ).select("o_orderpriority", "day", F.col("day_min").alias("frontier_price"))

@@ -313,3 +313,116 @@ def salted_segment_event_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         dsum("value").alias("value_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Semantic dedup (SemDeDup shape): cluster-scoped best-match probe
+# ---------------------------------------------------------------------------
+SEMDEDUP_THRESHOLD = 0.4   # probe is a semantic dup if best in-cluster cosine >= this
+SEMDEDUP_PROBE_MOD = 20    # vec_id % 20 == 0 => probe batch (5%); rest = corpus
+
+
+@register(
+    "semantic_dedup_probe",
+    oracle=f"""
+        WITH {{assigned}},
+        emb2 AS (SELECT vec_id, embedding FROM embeddings),
+        probes AS (
+          SELECT a.vec_id, a.cluster_id, e.embedding, {{nrm}} AS nrm
+          FROM assigned a JOIN emb2 e ON a.vec_id = e.vec_id
+          WHERE a.vec_id % {SEMDEDUP_PROBE_MOD} = 0
+        ),
+        members AS (
+          SELECT a.vec_id, a.cluster_id, e.embedding, {{nrm}} AS nrm
+          FROM assigned a JOIN emb2 e ON a.vec_id = e.vec_id
+          WHERE a.vec_id % {SEMDEDUP_PROBE_MOD} <> 0
+        ),
+        pm_scored AS (
+          SELECT p.vec_id AS probe_id, m.vec_id AS match_id,
+                 {{cos}} AS cosine
+          FROM probes p JOIN members m ON p.cluster_id = m.cluster_id
+        ),
+        best AS (
+          SELECT probe_id, match_id, cosine FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                                         ORDER BY cosine DESC, match_id) AS rn
+            FROM pm_scored
+          ) t WHERE rn = 1
+        )
+        SELECT probe_id, match_id, cosine FROM best
+        WHERE cosine >= {SEMDEDUP_THRESHOLD}
+        """.format(
+        assigned=_duck_assigned_cte(KM_K).strip(),
+        nrm=f"sqrt({_duck_dot('e.embedding', 'e.embedding')})",
+        cos=_duck_dot("p.embedding", "m.embedding") + " / (p.nrm * m.nrm)",
+    ),
+    doc="Semantic dedup, cluster-scoped (the SemDeDup recipe): a probe batch "
+    "(5% of vectors, the 'new data') is compared ONLY against corpus members "
+    "of its own k-means cluster — cost is sum over clusters of "
+    "|probes_c| x |members_c|, never probes x corpus.  Per probe the single "
+    "best match is an argmin over struct(-cosine, match_id) — one hash "
+    "aggregate, windowless, deterministic under ties — and probes whose best "
+    "in-cluster cosine clears the threshold are flagged as semantic dups.  "
+    "At 100 TB: k scales with corpus size (n / target cluster size), "
+    "centroids stay broadcastable, and the per-cluster join is an equi-join "
+    "on cluster_id.  Cites SemDeDup (Abbas et al. 2023) as the public "
+    "algorithm shape.",
+    tags=("clustering", "embeddings", "dedup", "similarity"),
+)
+def semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_pekko_streams_example_spark.operators.similarity import DOT, _norm
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    # The probe and member branches both read the assignment; without a
+    # shuffle boundary Spark would compute the (fold-heavy) assign subtree
+    # twice — the repartition inserts an Exchange that the second branch
+    # picks up as a ReusedExchange, so assignment is scored exactly once.
+    assigned = (
+        clustering.assign(emb, clustering.seed_centroids(emb, KM_K))
+        .select("vec_id", "cluster_id", "embedding")
+        .repartition("vec_id")
+    )
+    # norms precomputed PER SIDE (one fold per vector) — the pair projection
+    # then does a single fold (the dot) plus one division; recomputing both
+    # norms inside the pair expression would triple the fold work on the
+    # |probes_c| x |members_c| pair volume (measured 6.8s -> ~2s at sf0.1)
+    probes = assigned.filter(F.col("vec_id") % SEMDEDUP_PROBE_MOD == 0).select(
+        F.col("vec_id").alias("probe_id"),
+        "cluster_id",
+        F.col("embedding").alias("p_emb"),
+        F.expr(_norm("embedding")).alias("p_nrm"),
+    )
+    members = assigned.filter(F.col("vec_id") % SEMDEDUP_PROBE_MOD != 0).select(
+        F.col("vec_id").alias("match_id"),
+        "cluster_id",
+        F.col("embedding").alias("m_emb"),
+        F.expr(_norm("embedding")).alias("m_nrm"),
+    )
+    cos = f"{DOT.format(a='p_emb', b='m_emb')} / (p_nrm * m_nrm)"
+    # salted join: cluster_id has only k distinct values, so a plain shuffle
+    # join caps the pair-scoring parallelism at k reducers.  Salting the
+    # (large) member side and replicating the (5%) probe side re-buckets the
+    # same pairs across k x n_salts partitions — the salt never changes the
+    # result, only the layout.
+    scored = salted_join(members, probes, "cluster_id", n_salts=16).select(
+        "probe_id",
+        "match_id",
+        F.expr(cos).alias("cosine"),
+    )
+    best = (
+        scored.groupBy("probe_id")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("cosine")).alias("neg_cos"),
+                    F.col("match_id").alias("match_id"),
+                )
+            ).alias("b")
+        )
+        .select(
+            "probe_id",
+            F.col("b.match_id").alias("match_id"),
+            (-F.col("b.neg_cos")).alias("cosine"),
+        )
+    )
+    return best.filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)

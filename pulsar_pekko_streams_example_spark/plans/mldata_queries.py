@@ -681,3 +681,131 @@ def tfidf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cosine") >= TFIDF_SIM_THRESHOLD)
         .select("doc_a", "doc_b", "cosine")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic reservoir sample: fixed-k uniform sample per stratum
+# ---------------------------------------------------------------------------
+RESERVOIR_K = 50          # sample size per event_type
+RESERVOIR_SALTS = 32      # stage-1 shards per stratum
+_RES_PRIO = "(event_id * 2654435761) % 1000000007"  # deterministic priority
+
+
+@register(
+    "reservoir_sample_events",
+    oracle=f"""
+        WITH pri AS (
+          SELECT event_type, event_id,
+                 CAST({_RES_PRIO} AS BIGINT) AS priority
+          FROM events
+        )
+        SELECT event_type, event_id, priority, CAST(rk AS BIGINT) AS rk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY priority, event_id) AS rk
+          FROM pri
+        ) t WHERE rk <= {RESERVOIR_K}
+        """,
+    doc="Fixed-size uniform sample per stratum, the distributed reservoir: "
+    "rank events by a deterministic integer hash priority and keep the k "
+    "smallest per event_type — equivalent to reservoir sampling (each "
+    "element's priority is an iid draw; the k smallest are a uniform "
+    "k-subset) but reproducible across reruns and partitionings.  Two-stage "
+    "top-k: stage 1 takes the k best within each of {RESERVOIR_SALTS} hash "
+    "shards per stratum (window over (type, shard) — thousands of small "
+    "groups, never one hot partition per type), stage 2 re-ranks the "
+    "k x shards survivors per type (bounded rows).  The final k per type "
+    "is identical to a single global rank, which is what the oracle runs.",
+    tags=("sampling", "topk", "skew"),
+)
+def reservoir_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, sf_dir, "events"))
+    pri = ev.select(
+        "event_type",
+        "event_id",
+        F.expr(f"CAST({_RES_PRIO} AS LONG)").alias("priority"),
+        F.pmod("event_id", F.lit(RESERVOIR_SALTS)).alias("shard"),
+    )
+    w1 = Window.partitionBy("event_type", "shard").orderBy("priority", "event_id")
+    stage1 = (
+        pri.withColumn("r1", F.row_number().over(w1))
+        .filter(F.col("r1") <= RESERVOIR_K)
+        .drop("r1", "shard")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("priority", "event_id")
+    return (
+        stage1.withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= RESERVOIR_K)
+        .select("event_type", "event_id", "priority", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding int8 quantization: per-dim affine quantize, reconstruction error
+# ---------------------------------------------------------------------------
+_EMB_DIM = 64
+
+
+def _quant_exprs(dialect: str) -> tuple[str, str]:
+    """(q, err_micro) expressions over columns x (double), mn, mx (per-dim
+    bounds).  Identical arithmetic text in both dialects: integer quant
+    bucket by floor, midpoint dequantization, absolute error floored to
+    integer micro-units — every double op appears in the same order, the
+    only engine-sensitive step (round) is avoided entirely."""
+    div = "div" if dialect == "spark" else "//"
+    q = (
+        "CASE WHEN mx = mn THEN 0 ELSE "
+        "LEAST(255, CAST(FLOOR((x - mn) * CAST(255 AS DOUBLE) / (mx - mn)) AS INT)) END"
+    )
+    xq = (
+        "CASE WHEN mx = mn THEN mn ELSE "
+        f"mn + (CAST({q} AS DOUBLE) + CAST(0.5 AS DOUBLE)) * (mx - mn) / CAST(255 AS DOUBLE) END"
+    )
+    err = f"CAST(FLOOR(ABS(x - ({xq})) * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    return q, err
+
+
+@register(
+    "embedding_quantization_error",
+    oracle=f"""
+        WITH comp AS (
+          SELECT label, CAST(r.range AS BIGINT) AS dim,
+                 CAST(embedding[r.range] AS DOUBLE) AS x
+          FROM embeddings CROSS JOIN range(1, {_EMB_DIM} + 1) r
+        ),
+        stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY dim)
+        SELECT label,
+               COUNT(*) AS n_components,
+               CAST(SUM({_quant_exprs('duckdb')[1]}) AS BIGINT) AS sum_err_micro,
+               CAST(SUM({_quant_exprs('duckdb')[1]}) // COUNT(*) AS BIGINT) AS avg_err_micro
+        FROM comp JOIN stats USING (dim)
+        GROUP BY label
+        """,
+    doc="Vector compression for ANN at scale: per-dimension affine int8 "
+    "quantization (min/max calibrated over the corpus) and the per-label "
+    "reconstruction error it costs.  The calibration table is d rows — "
+    "broadcast — and the error roll-up is one map-side-combinable "
+    "aggregate; the quantized corpus would be 4x smaller shuffle/cache "
+    "weight for the IVF/LSH ANN paths.  All error accounting is floored "
+    "integer micro-units: no double summation order, no engine-specific "
+    "round() — floor/abs/min/max only, bit-identical across engines.",
+    tags=("embeddings", "quantization", "similarity"),
+)
+def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    comp = emb.select(
+        "label",
+        F.posexplode("embedding").alias("pos", "xf"),
+    ).select(
+        "label",
+        (F.col("pos") + 1).cast("long").alias("dim"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    stats = comp.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
+    _, err = _quant_exprs("spark")
+    joined = comp.join(F.broadcast(stats), "dim")
+    return joined.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_components"),
+        F.expr(f"CAST(SUM({err}) AS BIGINT)").alias("sum_err_micro"),
+        F.expr(f"CAST(SUM({err}) div COUNT(*) AS BIGINT)").alias("avg_err_micro"),
+    )

@@ -560,3 +560,51 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.expr("CAST((1000 * n) div tot AS BIGINT)").alias("permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed dedup: first occurrence per (user, type) within each hour wins
+# ---------------------------------------------------------------------------
+_DEDUP_WIN_US = 3_600_000_000  # 1-hour tumbling dedup window
+
+
+@register(
+    "windowed_first_dedup",
+    oracle=f"""
+        WITH keyed AS (
+          SELECT event_type, user_id,
+                 epoch_us(ts) // {_DEDUP_WIN_US} AS win,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type, epoch_us(ts) // {_DEDUP_WIN_US}
+                   ORDER BY epoch_us(ts), event_id) AS rn
+          FROM events
+        )
+        SELECT event_type,
+               CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+               CAST(SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+        FROM keyed GROUP BY event_type
+        """,
+    doc="Time-windowed dedup — the batch twin of streaming "
+    "dropDuplicatesWithinWatermark: within each 1-hour tumbling window, the "
+    "FIRST (ts, event_id) occurrence of a (user, event_type) key survives, "
+    "later ones are duplicates.  The dedup key (user, type, window) is "
+    "fine-grained — millions of small groups, so the ROW_NUMBER partition "
+    "never concentrates; state per key is bounded by the window, exactly "
+    "the property that lets the streaming form expire state at the "
+    "watermark.  Output is the per-type keep/drop ledger.",
+    tags=("dedup", "event-time", "window"),
+)
+def windowed_first_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    win = F.expr(f"unix_micros(ts) div {_DEDUP_WIN_US}")
+    w = Window.partitionBy("user_id", "event_type", "win").orderBy(
+        F.expr("unix_micros(ts)"), "event_id"
+    )
+    keyed = ev.select("event_type", "user_id", win.alias("win"), "ts", "event_id")
+    rn = keyed.withColumn("rn", F.row_number().over(w))
+    return rn.groupBy("event_type").agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("dropped"),
+    )

@@ -292,3 +292,23 @@ def test_exact_audit_queries_have_scale_default_twins():
     exact = [n for n, s in REGISTRY.items() if "exact-audit" in s.tags]
     scale = [n for n, s in REGISTRY.items() if "scale-default" in s.tags]
     assert exact and scale
+
+
+def test_round3_additions_plan_posture(spark):
+    """New round-3 operators: no cartesian, no single-partition Exchange.
+    semantic_dedup_probe is allowed its one BroadcastNestedLoopJoin — the
+    sanctioned 1-row centroid-scalar broadcast inside clustering.assign
+    (same shape as the kmeans family); everything else must be fully
+    equi-join/window shaped."""
+    for name in (
+        "semantic_dedup_probe",
+        "reservoir_sample_events",
+        "price_frontier_by_priority",
+        "windowed_first_dedup",
+        "embedding_quantization_error",
+    ):
+        plan = plan_of(REGISTRY[name].build(spark, SF_SMOKE))
+        assert "CartesianProduct" not in plan, name
+        assert "Exchange SinglePartition" not in plan, name
+        if name != "semantic_dedup_probe":
+            assert "BroadcastNestedLoopJoin" not in plan, name
