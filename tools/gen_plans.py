@@ -138,6 +138,20 @@ SHOWCASE = [
         "salt (8× a small table), result provably identical to the plain "
         "join (the oracle IS the plain join).",
     ),
+    (
+        "semantic_dedup_probe",
+        "SemDeDup shape: one shared assignment exchange feeds both the probe "
+        "and member branches (scored once, AQE stage reuse); the cluster "
+        "join carries __salt so k cluster keys spread over k×16 reducers; "
+        "best-match is a windowless struct-min hash aggregate.",
+    ),
+    (
+        "cooccurrence_triangles",
+        "Degree-oriented (compact-forward) triangle listing: degree attach, "
+        "wedge, and closure are all equi-joins; no CartesianProduct / "
+        "BroadcastNestedLoopJoin — hub fan-out bounded by the orientation, "
+        "not by luck of the id distribution.",
+    ),
 ]
 
 
