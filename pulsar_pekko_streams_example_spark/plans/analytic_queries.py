@@ -621,7 +621,7 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cumulative-min window — the window partition is days-per-priority "
     "(thousands of rows), never the order rows themselves.  Exact decimal "
     "min needs no accumulation tricks (MIN is order-insensitive).",
-    tags=("window", "frontier", "agg"),
+    tags=("window", "frontier", "agg", "added-r3"),
 )
 def price_frontier_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
@@ -638,3 +638,57 @@ def price_frontier_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return runmin.filter(
         F.col("prev_min").isNull() | (F.col("day_min") < F.col("prev_min"))
     ).select("o_orderpriority", "day", F.col("day_min").alias("frontier_price"))
+
+
+# ---------------------------------------------------------------------------
+# Year-over-year growth: lag window over a pre-aggregated year table
+# ---------------------------------------------------------------------------
+@register(
+    "orders_yoy_growth",
+    oracle="""
+        WITH yearly AS (
+          SELECT o_orderpriority,
+                 CAST(year(o_orderdate) AS BIGINT) AS yr,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT))
+                      AS BIGINT) AS rev_cents
+          FROM orders GROUP BY 1, 2
+        ),
+        lagged AS (
+          SELECT o_orderpriority, yr, rev_cents,
+                 LAG(rev_cents) OVER (PARTITION BY o_orderpriority ORDER BY yr)
+                   AS prev_cents
+          FROM yearly
+        )
+        SELECT o_orderpriority, yr, rev_cents,
+               CAST(((rev_cents - prev_cents) * 1000) // prev_cents AS BIGINT)
+                 AS growth_permille
+        FROM lagged WHERE prev_cents IS NOT NULL
+        """,
+    doc="Year-over-year revenue growth per priority class — the reporting "
+    "lag-window shape.  PRE-AGGREGATE THEN WINDOW again: the fact table "
+    "collapses to |priorities| x |years| rows of exact integer cents "
+    "before any window, so LAG runs over a table that fits one executor "
+    "page at any corpus size.  Growth is integer permille (floor), no "
+    "float division; positive revenue makes floor vs truncate moot.",
+    tags=("window", "lag", "agg", "added-r3"),
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        "o_orderpriority",
+        F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("yr"),
+    ).agg(
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)) AS BIGINT)"
+        ).alias("rev_cents")
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("yr")
+    lagged = yearly.withColumn("prev_cents", F.lag("rev_cents").over(w))
+    return lagged.filter(F.col("prev_cents").isNotNull()).select(
+        "o_orderpriority",
+        "yr",
+        "rev_cents",
+        F.expr("CAST(((rev_cents - prev_cents) * 1000) div prev_cents AS BIGINT)").alias(
+            "growth_permille"
+        ),
+    )

@@ -367,7 +367,7 @@ SEMDEDUP_PROBE_MOD = 20    # vec_id % 20 == 0 => probe batch (5%); rest = corpus
     "centroids stay broadcastable, and the per-cluster join is an equi-join "
     "on cluster_id.  Cites SemDeDup (Abbas et al. 2023) as the public "
     "algorithm shape.",
-    tags=("clustering", "embeddings", "dedup", "similarity"),
+    tags=("clustering", "embeddings", "dedup", "similarity", "added-r3"),
 )
 def semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_pekko_streams_example_spark.operators.similarity import DOT, _norm

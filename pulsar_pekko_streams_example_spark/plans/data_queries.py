@@ -1561,3 +1561,50 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div count(1) AS BIGINT)"
         ).alias("recall_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Degree distribution of the co-occurrence graph
+# ---------------------------------------------------------------------------
+@register(
+    "cooccurrence_degree_histogram",
+    oracle=f"""
+        WITH w AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // {COOC_SLOT_US} AS slot FROM events
+        ),
+        e AS (
+          SELECT a.user_id AS ua, b.user_id AS ub
+          FROM w a JOIN w b ON a.slot = b.slot AND a.user_id < b.user_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= {COOC_MIN_SHARED}
+        ),
+        sym AS (SELECT ua AS node FROM e UNION ALL SELECT ub FROM e),
+        deg AS (SELECT node, COUNT(*) AS degree FROM sym GROUP BY node)
+        SELECT degree, COUNT(*) AS n_nodes
+        FROM deg GROUP BY degree
+        """,
+    doc="Degree distribution of the behavioral co-occurrence graph — the "
+    "skew report that justifies the degree-oriented triangle join: the "
+    "histogram is the evidence for how bad hub fan-out would be under "
+    "id-orientation.  Postings-pattern edge build (slot equi-join), one "
+    "hash aggregation to degrees, one to the histogram; output is "
+    "|distinct degrees| rows regardless of corpus size.",
+    tags=("graph", "statistics", "added-r3"),
+)
+def cooccurrence_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) div {COOC_SLOT_US}").alias("slot")
+    ).distinct()
+    a, b = w.alias("a"), w.alias("b")
+    edges = (
+        a.join(b, (F.col("a.slot") == F.col("b.slot")) & (F.col("a.user_id") < F.col("b.user_id")))
+        .groupBy(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= COOC_MIN_SHARED)
+        .select("ua", "ub")
+    )
+    sym = edges.select(F.col("ua").alias("node")).unionAll(
+        edges.select(F.col("ub").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))

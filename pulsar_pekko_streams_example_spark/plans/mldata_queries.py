@@ -716,7 +716,7 @@ _RES_PRIO = "(event_id * 2654435761) % 1000000007"  # deterministic priority
     "groups, never one hot partition per type), stage 2 re-ranks the "
     "k x shards survivors per type (bounded rows).  The final k per type "
     "is identical to a single global rank, which is what the oracle runs.",
-    tags=("sampling", "topk", "skew"),
+    tags=("sampling", "topk", "skew", "added-r3"),
 )
 def reservoir_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spread(load_table(spark, sf_dir, "events"))
@@ -789,7 +789,7 @@ def _quant_exprs(dialect: str) -> tuple[str, str]:
     "weight for the IVF/LSH ANN paths.  All error accounting is floored "
     "integer micro-units: no double summation order, no engine-specific "
     "round() — floor/abs/min/max only, bit-identical across engines.",
-    tags=("embeddings", "quantization", "similarity"),
+    tags=("embeddings", "quantization", "similarity", "added-r3"),
 )
 def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))

@@ -131,9 +131,29 @@ def _export_order() -> list[str]:
                 interleaved.append(fam[cycle])
 
     checked = _driver_checked()
-    return [n for n in interleaved if n not in checked] + [
-        n for n in interleaved if n in checked
-    ]
+
+    def added_round(name: str) -> int:
+        """Round a query was added, from an ``added-rN`` tag (0 = original).
+
+        Within the unchecked partition, longest-waiting queries go first:
+        a query added this round has had zero chances at the driver budget,
+        but one carried over from earlier rounds is the coverage debt the
+        rotation exists to pay down — it must not be displaced by fresh
+        additions that would interleave ahead of it."""
+        for t in REGISTRY[name].tags:
+            if t.startswith("added-r"):
+                try:
+                    return int(t[7:])
+                except ValueError:
+                    pass
+        return 0
+
+    idx = {n: i for i, n in enumerate(interleaved)}
+    unchecked = sorted(
+        (n for n in interleaved if n not in checked),
+        key=lambda n: (added_round(n), idx[n]),
+    )
+    return unchecked + [n for n in interleaved if n in checked]
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -205,3 +205,73 @@ def quantile_sketch_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         est(95).alias("est_p95"),
         est(99).alias("est_p99"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Join-cardinality estimation from per-bucket count sketches
+# ---------------------------------------------------------------------------
+JCE_BUCKETS = 1024
+
+
+@register(
+    "join_cardinality_estimate",
+    oracle=f"""
+        WITH a AS (
+          SELECT user_id % {JCE_BUCKETS} AS b, COUNT(*) AS ca
+          FROM events GROUP BY 1
+        ),
+        c AS (
+          SELECT c_custkey % {JCE_BUCKETS} AS b, COUNT(*) AS cc
+          FROM customer GROUP BY 1
+        ),
+        est AS (
+          SELECT CAST(SUM(ca * cc) AS BIGINT) AS estimated_rows
+          FROM a JOIN c USING (b)
+        ),
+        ex AS (
+          SELECT COUNT(*) AS exact_rows
+          FROM events e JOIN customer cu ON e.user_id = cu.c_custkey
+        )
+        SELECT estimated_rows, exact_rows,
+               CAST(((estimated_rows - exact_rows) * 1000) // exact_rows AS BIGINT)
+                 AS overestimate_permille
+        FROM est CROSS JOIN ex
+        """,
+    doc="Sketch-based join-size estimation — what a cost-based optimizer "
+    "does before committing to a join strategy: each side collapses to a "
+    "bucketed key-count table (bounded {JCE_BUCKETS} rows regardless of "
+    "input size), and the inner product of the two count vectors upper-"
+    "bounds the true join cardinality (within-bucket cross terms only "
+    "overcount).  The exact join runs alongside to publish the "
+    "overestimate; at 100 TB only the estimate side is affordable and the "
+    "sketches are map-side-combinable partial aggregates.  All arithmetic "
+    "is exact integers.",
+    tags=("sketch", "join", "cardinality", "added-r3"),
+)
+def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    a = ev.groupBy(F.pmod("user_id", F.lit(JCE_BUCKETS)).alias("b")).agg(
+        F.count(F.lit(1)).alias("ca")
+    )
+    c = cust.groupBy(F.pmod("c_custkey", F.lit(JCE_BUCKETS)).alias("b")).agg(
+        F.count(F.lit(1)).alias("cc")
+    )
+    est = (
+        a.join(c, "b")
+        .agg(F.sum(F.col("ca") * F.col("cc")).cast("long").alias("estimated_rows"))
+    )
+    exact = (
+        ev.join(cust, ev["user_id"] == cust["c_custkey"])
+        .agg(F.count(F.lit(1)).alias("exact_rows"))
+    )
+    return (
+        est.crossJoin(F.broadcast(exact))
+        .select(
+            "estimated_rows",
+            "exact_rows",
+            F.expr(
+                "CAST(((estimated_rows - exact_rows) * 1000) div exact_rows AS BIGINT)"
+            ).alias("overestimate_permille"),
+        )
+    )

@@ -592,7 +592,7 @@ _DEDUP_WIN_US = 3_600_000_000  # 1-hour tumbling dedup window
     "never concentrates; state per key is bounded by the window, exactly "
     "the property that lets the streaming form expire state at the "
     "watermark.  Output is the per-type keep/drop ledger.",
-    tags=("dedup", "event-time", "window"),
+    tags=("dedup", "event-time", "window", "added-r3"),
 )
 def windowed_first_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
@@ -607,4 +607,62 @@ def windowed_first_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rn.groupBy("event_type").agg(
         F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).cast("long").alias("kept"),
         F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).cast("long").alias("dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Half-life decayed user value: recency-weighted scoring in exact integers
+# ---------------------------------------------------------------------------
+_WEEK_US = 7 * 86_400_000_000
+_DECAY_CAP = 40  # cap the shift so the divisor stays well inside int64
+
+
+@register(
+    "decayed_user_value",
+    oracle=f"""
+        WITH mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
+        scored AS (
+          SELECT user_id,
+                 CAST(FLOOR(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS value_micro,
+                 LEAST((mx.max_us - epoch_us(ts)) // {_WEEK_US}, {_DECAY_CAP}) AS age_weeks
+          FROM events CROSS JOIN mx
+        )
+        SELECT user_id,
+               COUNT(*) AS n_events,
+               CAST(SUM(value_micro) AS BIGINT) AS value_micro_sum,
+               CAST(SUM(value_micro // (CAST(1 AS BIGINT) << age_weeks)) AS BIGINT)
+                 AS decayed_micro_sum
+        FROM scored GROUP BY user_id
+        """,
+    doc="Recency-weighted user value with a one-week half-life — the "
+    "engagement-scoring / churn-feature shape.  Powers of two ONLY: the "
+    "decay factor 2^-age_weeks is an integer right-shift of the micro-unit "
+    "value, so the whole scoring pipeline is exact int64 arithmetic — no "
+    "pow(), no per-engine float exponentiation drift — and the aggregate "
+    "is map-side combinable.  The reference anchor (age relative to the "
+    "corpus max event time) is one broadcast scalar row.",
+    tags=("event-time", "scoring", "agg", "added-r3"),
+)
+def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # value >= 0 by the events-table contract: integer division of a NEGATIVE
+    # numerator would diverge across engines (Spark `div` truncates toward
+    # zero, DuckDB `//` floors), so a signed-value variant would need a CASE
+    # on the sign in both dialects.
+    ev = load_table(spark, sf_dir, "events")
+    mx = ev.agg(F.expr("MAX(unix_micros(ts))").alias("max_us"))
+    scored = ev.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        F.expr("CAST(FLOOR(value * CAST(1000000 AS DOUBLE)) AS BIGINT)").alias(
+            "value_micro"
+        ),
+        F.expr(
+            f"LEAST((max_us - unix_micros(ts)) div {_WEEK_US}, {_DECAY_CAP})"
+        ).alias("age_weeks"),
+    )
+    return scored.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("value_micro").cast("long").alias("value_micro_sum"),
+        F.expr(
+            "CAST(SUM(value_micro div shiftleft(CAST(1 AS BIGINT), CAST(age_weeks AS INT))) AS BIGINT)"
+        ).alias("decayed_micro_sum"),
     )

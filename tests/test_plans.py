@@ -300,15 +300,26 @@ def test_round3_additions_plan_posture(spark):
     sanctioned 1-row centroid-scalar broadcast inside clustering.assign
     (same shape as the kmeans family); everything else must be fully
     equi-join/window shaped."""
+    one_row_scalar_broadcast = {
+        # sanctioned BroadcastNestedLoopJoin: a 1-row scalar/centroid table
+        # broadcast onto the fact side (centroids; max-ts anchor; exact-count)
+        "semantic_dedup_probe",
+        "decayed_user_value",
+        "join_cardinality_estimate",
+    }
     for name in (
         "semantic_dedup_probe",
         "reservoir_sample_events",
         "price_frontier_by_priority",
         "windowed_first_dedup",
         "embedding_quantization_error",
+        "join_cardinality_estimate",
+        "decayed_user_value",
+        "cooccurrence_degree_histogram",
+        "orders_yoy_growth",
     ):
         plan = plan_of(REGISTRY[name].build(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
         assert "Exchange SinglePartition" not in plan, name
-        if name != "semantic_dedup_probe":
+        if name not in one_row_scalar_broadcast:
             assert "BroadcastNestedLoopJoin" not in plan, name

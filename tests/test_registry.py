@@ -83,3 +83,20 @@ def test_export_order_interleaves_families_within_partition():
     assert len(set(mods)) == len(mods), (
         "first unchecked queries should come from distinct families: " + str(mods)
     )
+
+
+def test_unchecked_partition_orders_longest_waiting_first():
+    """Queries added in a later round (tag added-rN) must not displace
+    unchecked queries carried over from earlier rounds — the driver budget
+    pays down coverage debt before trying anything new."""
+    checked = _driver_checked()
+    order = [n for n in _export_order() if n not in checked]
+
+    def added(n):
+        for t in REGISTRY[n].tags:
+            if t.startswith("added-r"):
+                return int(t[7:])
+        return 0
+
+    rounds = [added(n) for n in order]
+    assert rounds == sorted(rounds), "unchecked queries out of added-round order"
