@@ -692,3 +692,100 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             "growth_permille"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust anomaly detection — median / MAD instead of mean / stddev
+# ---------------------------------------------------------------------------
+@register(
+    "mad_robust_anomalies",
+    oracle="""
+        WITH v AS (
+          SELECT event_type, event_id,
+                 CAST(floor(value * 1000000.0) AS BIGINT) AS vi
+          FROM events
+        ),
+        s1 AS (
+          SELECT event_type, event_id, vi,
+                 COUNT(*) OVER wp AS n,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY vi, event_id) AS rn
+          FROM v
+          WINDOW wp AS (PARTITION BY event_type)
+        ),
+        s2 AS (
+          SELECT *,
+                 SUM(CASE WHEN rn = (n + 1) // 2 THEN vi ELSE 0 END
+                     + CASE WHEN rn = (n + 2) // 2 THEN vi ELSE 0 END)
+                   OVER (PARTITION BY event_type) AS median2
+          FROM s1
+        ),
+        s3 AS (
+          SELECT event_type, event_id, vi, n, median2,
+                 abs(2 * vi - median2) AS d
+          FROM s2
+        ),
+        s4 AS (
+          SELECT *,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rd
+          FROM s3
+        ),
+        s5 AS (
+          SELECT *,
+                 SUM(CASE WHEN rd = (n + 1) // 2 THEN d ELSE 0 END
+                     + CASE WHEN rd = (n + 2) // 2 THEN d ELSE 0 END)
+                   OVER (PARTITION BY event_type) AS mad4
+          FROM s4
+        )
+        SELECT event_type,
+               MAX(n) AS n_events,
+               CAST(MAX(median2) AS DOUBLE) / 2000000.0 AS median_value,
+               CAST(MAX(mad4) AS DOUBLE) / 4000000.0 AS mad_value,
+               SUM(CASE WHEN 2 * d > 3 * mad4 THEN 1 ELSE 0 END) AS n_anomalies
+        FROM s5 GROUP BY event_type
+        """,
+    doc="Robust anomaly counts per event_type: median and median-absolute-"
+    "deviation instead of the mean/stddev of zscore_anomalies, so a few "
+    "extreme outliers cannot inflate the band that is supposed to catch "
+    "them.  Exact cross-engine medians with NO floating interpolation: "
+    "values quantize to int64 micro-units, the median is carried as the "
+    "SUM OF THE TWO MIDDLE ORDER STATISTICS (median2 = 2*median, mad4 = "
+    "4*MAD), and the |v - med| > 3*MAD flag is the pure-integer test "
+    "2*|2v - median2| * ... > 3*mad4 — only the two reported medians "
+    "divide back to DOUBLE.  Exact-audit posture: the per-group "
+    "row_number sort funnels each event_type through one partition "
+    "(groups are few and bounded); the scale twin is zscore_anomalies / "
+    "quantile_sketch_value (map-combinable moments / sketches).",
+    tags=("window", "statistics", "anomaly", "exact-audit", "added-r3"),
+)
+def mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("vi"),
+    )
+    wp = Window.partitionBy("event_type")
+    r1 = F.expr("(n + 1) div 2")
+    r2 = F.expr("(n + 2) div 2")
+    s1 = ev.withColumn("n", F.count(F.lit(1)).over(wp)).withColumn(
+        "rn", F.row_number().over(wp.orderBy("vi", "event_id"))
+    )
+    pick_v = F.when(F.col("rn") == r1, F.col("vi")).otherwise(F.lit(0)) + F.when(
+        F.col("rn") == r2, F.col("vi")
+    ).otherwise(F.lit(0))
+    s2 = s1.withColumn("median2", F.sum(pick_v).over(wp))
+    s3 = s2.withColumn("d", F.abs(F.lit(2) * F.col("vi") - F.col("median2")))
+    s4 = s3.withColumn("rd", F.row_number().over(wp.orderBy("d", "event_id")))
+    pick_d = F.when(F.col("rd") == r1, F.col("d")).otherwise(F.lit(0)) + F.when(
+        F.col("rd") == r2, F.col("d")
+    ).otherwise(F.lit(0))
+    s5 = s4.withColumn("mad4", F.sum(pick_d).over(wp))
+    return s5.groupBy("event_type").agg(
+        F.max("n").alias("n_events"),
+        (F.max("median2").cast("double") / F.lit(2_000_000.0)).alias("median_value"),
+        (F.max("mad4").cast("double") / F.lit(4_000_000.0)).alias("mad_value"),
+        F.sum(
+            F.when(F.lit(2) * F.col("d") > F.lit(3) * F.col("mad4"), F.lit(1)).otherwise(
+                F.lit(0)
+            )
+        ).alias("n_anomalies"),
+    )

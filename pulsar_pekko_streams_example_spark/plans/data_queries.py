@@ -1608,3 +1608,168 @@ def cooccurrence_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     deg = sym.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
     return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+# ---------------------------------------------------------------------------
+# Cross-source contamination matrix — where near-dups cross source boundaries
+# ---------------------------------------------------------------------------
+@register(
+    "cross_source_neardup_matrix",
+    oracle=f"""
+        WITH {DUCK_DOC_CTE}, {DUCK_INTER_CTE},
+        pairs AS (
+          SELECT doc_a, doc_b, jaccard FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+        )
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               COUNT(*) AS pair_count,
+               {sql_davg('p.jaccard')} AS avg_jaccard
+        FROM pairs p
+        JOIN documents da ON p.doc_a = da.doc_id
+        JOIN documents db ON p.doc_b = db.doc_id
+        GROUP BY 1, 2
+        """,
+    doc="Cross-source contamination matrix: near-dup (Jaccard >= 0.7) pair "
+    "counts keyed by unordered source pair — the curation report that says "
+    "which corpus slices leak into each other (same-source pairs are "
+    "ordinary redundancy; cross-source pairs are provenance leaks).  "
+    "Reuses the session-shared verified pair set, joins the tiny pair list "
+    "back to the (doc_id, source) projection of the corpus — the pair side "
+    "is the small side, so AQE broadcasts it; the corpus is touched only "
+    "by a 2-column scan.  Output is at most |sources|^2 rows.",
+    tags=("dedup", "statistics", "added-r3"),
+)
+def cross_source_neardup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _shared_pairs(spark, sf_dir)
+    sa = docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("src_a"))
+    sb = docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("src_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("src_a", "src_b").alias("source_a"),
+            F.greatest("src_a", "src_b").alias("source_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("pair_count"),
+            davg("jaccard").alias("avg_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shingle document-frequency histogram — the Zipf evidence behind the df cap
+# ---------------------------------------------------------------------------
+def _df_bucket_case(col: str) -> str:
+    """Power-of-two bucket as an explicit CASE chain — identical integer
+    comparisons in both engines (no float log2 at bucket boundaries)."""
+    whens = " ".join(
+        f"WHEN {col} <= {1 << k} THEN {k}" for k in range(13)
+    )
+    return f"CASE {whens} ELSE 13 END"
+
+
+@register(
+    "shingle_df_histogram",
+    oracle=f"""
+        WITH docw AS (
+          SELECT doc_id, {H.tokens('text', 'duckdb')} AS w FROM documents
+        ),
+        docsh AS (SELECT doc_id, {H.shingles(dedup.SHINGLE_N, 'duckdb')} AS sh FROM docw),
+        posting_all AS (SELECT doc_id, unnest(sh) AS s FROM docsh),
+        dfs AS (SELECT s, COUNT(*) AS df FROM posting_all GROUP BY s)
+        SELECT {_df_bucket_case('df')} AS df_bucket,
+               COUNT(*) AS n_shingles,
+               SUM(df) AS n_postings
+        FROM dfs GROUP BY 1
+        """,
+    doc="Document-frequency distribution of the 3-gram shingle universe in "
+    "power-of-two buckets (bucket k holds df in (2^(k-1), 2^k]) — the Zipf "
+    "report that justifies JACCARD_MAX_DF: n_postings in the top buckets "
+    "is exactly the quadratic fan-out the cap removes from the inverted-"
+    "index join.  Two map-side-combinable hash aggregations; the bucket "
+    "CASE is pure integer comparison (no float log at boundaries); output "
+    "is <= 14 rows at any corpus size.",
+    tags=("dedup", "statistics", "added-r3"),
+)
+def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    dfs = (
+        dedup.shingle_postings(docs)
+        .groupBy("s")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        dfs.select(F.expr(_df_bucket_case("df")).alias("df_bucket"), "df")
+        .groupBy("df_bucket")
+        .agg(F.count(F.lit(1)).alias("n_shingles"), F.sum("df").alias("n_postings"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty curve — marginal value of each additional corpus slice
+# ---------------------------------------------------------------------------
+NOVELTY_BUCKETS = 10
+
+
+@register(
+    "ngram_novelty_curve",
+    oracle=f"""
+        WITH docw AS (
+          SELECT doc_id, {H.tokens('text', 'duckdb')} AS w FROM documents
+        ),
+        docsh AS (SELECT doc_id, {H.shingles(dedup.SHINGLE_N, 'duckdb')} AS sh FROM docw),
+        posting_all AS (SELECT doc_id, unnest(sh) AS s FROM docsh),
+        bound AS (SELECT MAX(doc_id) + 1 AS n FROM documents),
+        firsts AS (SELECT s, MIN(doc_id) AS first_doc FROM posting_all GROUP BY s),
+        appearing AS (
+          SELECT (p.doc_id * {NOVELTY_BUCKETS}) // b.n AS bucket,
+                 COUNT(DISTINCT p.s) AS distinct_shingles
+          FROM posting_all p CROSS JOIN bound b GROUP BY 1
+        ),
+        novel AS (
+          SELECT (f.first_doc * {NOVELTY_BUCKETS}) // b.n AS bucket,
+                 COUNT(*) AS novel_shingles
+          FROM firsts f CROSS JOIN bound b GROUP BY 1
+        )
+        SELECT a.bucket, a.distinct_shingles, n.novel_shingles,
+               CAST(n.novel_shingles AS DOUBLE) / a.distinct_shingles AS novelty_ratio
+        FROM appearing a JOIN novel n ON a.bucket = n.bucket
+        """,
+    doc="Corpus novelty curve: split the corpus into 10 equal doc-id slices "
+    "and report, per slice, how many of its distinct 3-gram shingles are "
+    "NOVEL (first seen in that slice) — the diminishing-returns report "
+    "behind 'collect more data vs dedup what you have'.  First-seen is a "
+    "MIN over the posting list (map-side combinable); the slice index "
+    "derives from a broadcast 1-row MAX(doc_id) scalar (the sanctioned "
+    "scalar cross join), so no global sort and no single-partition "
+    "exchange; both aggregations shuffle on the shingle and share the "
+    "scan->tokenize->explode subtree.  Output is exactly 10 rows.",
+    tags=("dedup", "statistics", "added-r3"),
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    posting = dedup.shingle_postings(docs)
+    bound = docs.agg((F.max("doc_id") + F.lit(1)).alias("n"))
+    appearing = (
+        posting.crossJoin(F.broadcast(bound))
+        .select(F.expr(f"(doc_id * {NOVELTY_BUCKETS}) div n").alias("bucket"), "s")
+        .groupBy("bucket")
+        .agg(F.countDistinct("s").alias("distinct_shingles"))
+    )
+    firsts = posting.groupBy("s").agg(F.min("doc_id").alias("first_doc"))
+    novel = (
+        firsts.crossJoin(F.broadcast(bound))
+        .select(F.expr(f"(first_doc * {NOVELTY_BUCKETS}) div n").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("novel_shingles"))
+    )
+    return appearing.join(novel, "bucket").select(
+        "bucket",
+        "distinct_shingles",
+        "novel_shingles",
+        (F.col("novel_shingles").cast("double") / F.col("distinct_shingles")).alias(
+            "novelty_ratio"
+        ),
+    )

@@ -12,6 +12,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from pulsar_pekko_streams_example_spark.functions.numeric import dsum, sql_dsum
 from pulsar_pekko_streams_example_spark.operators import temporal
@@ -665,4 +666,69 @@ def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             "CAST(SUM(value_micro div shiftleft(CAST(1 AS BIGINT), CAST(age_weeks AS INT))) AS BIGINT)"
         ).alias("decayed_micro_sum"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# SCD Type-2 interval construction — per-user state history from an event log
+# ---------------------------------------------------------------------------
+@register(
+    "scd2_state_intervals",
+    oracle="""
+        WITH seq AS (
+          SELECT user_id, ts, event_id, event_type,
+                 LAG(event_type) OVER w AS prev_type,
+                 MAX(ts) OVER (PARTITION BY user_id) AS user_max
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        starts AS (
+          SELECT user_id, ts, event_id, event_type, user_max FROM seq
+          WHERE prev_type IS NULL OR prev_type <> event_type
+        ),
+        iv AS (
+          SELECT event_type,
+                 epoch_us(COALESCE(
+                   LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                   user_max)) - epoch_us(ts) AS dwell_us
+          FROM starts
+        )
+        SELECT event_type, COUNT(*) AS n_intervals,
+               CAST(SUM(dwell_us) AS DOUBLE) / 1000000.0 AS total_dwell_s
+        FROM iv GROUP BY event_type
+        """,
+    doc="Slowly-changing-dimension Type-2 interval construction from an "
+    "append-only event log: per user, each run of equal event_type "
+    "collapses to one validity interval [change_ts, next_change_ts) — the "
+    "standard 'current state history' materialization a warehouse derives "
+    "from a CDC feed.  One shuffle on user_id feeds all three window "
+    "passes (lag change detection, per-user max close-off, lead interval "
+    "end); dwell accumulates as exact int64 microseconds with a single "
+    "final division.  The reference's per-key ordered semantics "
+    "(part5/OrderedStreamGenerator.scala:137-161) is the streaming twin "
+    "of this batch construction.",
+    tags=("temporal", "window", "scd2", "added-r3"),
+)
+def scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.max("ts").over(Window.partitionBy("user_id")).alias("user_max"),
+    )
+    starts = seq.filter(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    end_ts = F.coalesce(F.lead("ts").over(w), F.col("user_max"))
+    iv = starts.select(
+        "event_type",
+        (F.unix_micros(end_ts) - F.unix_micros(F.col("ts"))).alias("dwell_us"),
+    )
+    return iv.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        (F.sum("dwell_us").cast("double") / F.lit(1_000_000.0)).alias("total_dwell_s"),
     )

@@ -302,22 +302,16 @@ def test_round3_additions_plan_posture(spark):
     equi-join/window shaped."""
     one_row_scalar_broadcast = {
         # sanctioned BroadcastNestedLoopJoin: a 1-row scalar/centroid table
-        # broadcast onto the fact side (centroids; max-ts anchor; exact-count)
+        # broadcast onto the fact side (centroids; max-ts anchor; exact-count;
+        # max-doc-id slice bound)
         "semantic_dedup_probe",
         "decayed_user_value",
         "join_cardinality_estimate",
+        "ngram_novelty_curve",
     }
-    for name in (
-        "semantic_dedup_probe",
-        "reservoir_sample_events",
-        "price_frontier_by_priority",
-        "windowed_first_dedup",
-        "embedding_quantization_error",
-        "join_cardinality_estimate",
-        "decayed_user_value",
-        "cooccurrence_degree_histogram",
-        "orders_yoy_growth",
-    ):
+    round3 = sorted(n for n, s in REGISTRY.items() if "added-r3" in s.tags)
+    assert len(round3) >= 9
+    for name in round3:
         plan = plan_of(REGISTRY[name].build(spark, SF_SMOKE))
         assert "CartesianProduct" not in plan, name
         assert "Exchange SinglePartition" not in plan, name
