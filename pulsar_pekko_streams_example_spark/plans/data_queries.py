@@ -1773,3 +1773,118 @@ def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             "novelty_ratio"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation funnel — the composed keep/drop ledger of the pipeline
+# ---------------------------------------------------------------------------
+FUNNEL_MIN_TOKENS = 20
+FUNNEL_MIN_QUALITY_MILLI = 600
+
+
+def _duck_curation_funnel_sql() -> str:
+    scores = ", ".join(textstats.lang_scores_sql("duckdb"))
+    pred = textstats.predicted_lang_sql()
+    return f"""
+        WITH RECURSIVE {DUCK_DOC_CTE}, {DUCK_INTER_CTE},
+        pairs AS (
+          SELECT doc_a, doc_b FROM jac WHERE jaccard >= {JACCARD_THRESHOLD}
+        ),
+        edges AS (
+          SELECT doc_a AS a, doc_b AS b FROM pairs
+          UNION SELECT doc_b AS a, doc_a AS b FROM pairs
+        ),
+        gnodes AS (SELECT DISTINCT a AS node FROM edges),
+        reach(node, r) AS (
+          SELECT node, node FROM gnodes
+          UNION
+          SELECT e.a, reach.r FROM edges e JOIN reach ON e.b = reach.node
+        ),
+        comp AS (SELECT node, MIN(r) AS component FROM reach GROUP BY node),
+        losers AS (SELECT node FROM comp WHERE component < node),
+        {textstats.SQL_FEATURES_CTE.strip()},
+        lng AS (
+          SELECT doc_id, lang, token_count, quality_milli, {scores}
+          FROM scored
+        ),
+        flags AS (
+          SELECT l.doc_id,
+                 CASE WHEN l.token_count >= {FUNNEL_MIN_TOKENS} THEN 1 ELSE 0 END AS f1,
+                 CASE WHEN l.quality_milli >= {FUNNEL_MIN_QUALITY_MILLI} THEN 1 ELSE 0 END AS f2,
+                 CASE WHEN ({pred}) = l.lang THEN 1 ELSE 0 END AS f3,
+                 CASE WHEN lo.node IS NULL THEN 1 ELSE 0 END AS f4
+          FROM lng l LEFT JOIN losers lo ON l.doc_id = lo.node
+        ),
+        agg AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS c0,
+                 CAST(SUM(f1) AS BIGINT) AS c1,
+                 CAST(SUM(f1 * f2) AS BIGINT) AS c2,
+                 CAST(SUM(f1 * f2 * f3) AS BIGINT) AS c3,
+                 CAST(SUM(f1 * f2 * f3 * f4) AS BIGINT) AS c4
+          FROM flags
+        )
+        SELECT CAST(0 AS BIGINT) AS stage_idx, 'total' AS stage,
+               c0 AS surviving, CAST(0 AS BIGINT) AS dropped FROM agg
+        UNION ALL SELECT 1, 'min_length', c1, c0 - c1 FROM agg
+        UNION ALL SELECT 2, 'quality', c2, c1 - c2 FROM agg
+        UNION ALL SELECT 3, 'lang_agreement', c3, c2 - c3 FROM agg
+        UNION ALL SELECT 4, 'near_dedup', c4, c3 - c4 FROM agg
+        """
+
+
+@register(
+    "corpus_curation_funnel",
+    oracle=_duck_curation_funnel_sql(),
+    doc="The composed end-to-end curation ledger: every doc flows through "
+    "min-length -> quality -> language-agreement -> near-dedup gates and "
+    "the funnel reports survivors and drops per stage — the one table a "
+    "data-curation run publishes.  Each gate is a per-doc integer flag "
+    "computed in the same pass (one corpus scan feeds features + lang "
+    "scores); the dedup gate left-joins the session-shared component "
+    "labels (losers = non-canonical members, a near-dup-pair-bounded "
+    "table, never the corpus); the five stage rows unstack from ONE "
+    "scalar aggregate row, so the only single-row exchange carries five "
+    "counters.  Composes: textstats features, lang-ID, Jaccard pair "
+    "graph, connected components — the pipeline the individual operators "
+    "exist for.",
+    tags=("dedup", "text", "curation", "funnel", "added-r3"),
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = textstats.with_text_features(docs)
+    for expr in textstats.lang_scores_sql("spark"):
+        body, alias = expr.rsplit(" AS ", 1)
+        feats = feats.withColumn(alias, F.expr(body))
+    feats = feats.withColumn("predicted_lang", F.expr(textstats.predicted_lang_sql()))
+    comps = _shared_components(spark, sf_dir)
+    losers = comps.filter(F.col("component") < F.col("node")).select(
+        F.col("node").alias("doc_id"), F.lit(1).alias("is_loser")
+    )
+    flags = (
+        feats.join(F.broadcast(losers), "doc_id", "left")
+        .select(
+            F.when(F.col("token_count") >= FUNNEL_MIN_TOKENS, 1).otherwise(0).alias("f1"),
+            F.when(F.col("quality_milli") >= FUNNEL_MIN_QUALITY_MILLI, 1)
+            .otherwise(0)
+            .alias("f2"),
+            F.when(F.col("predicted_lang") == F.col("lang"), 1).otherwise(0).alias("f3"),
+            F.when(F.col("is_loser").isNull(), 1).otherwise(0).alias("f4"),
+        )
+    )
+    agg = flags.agg(
+        F.count(F.lit(1)).alias("c0"),
+        F.sum("f1").alias("c1"),
+        F.sum(F.col("f1") * F.col("f2")).alias("c2"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3")).alias("c3"),
+        F.sum(F.col("f1") * F.col("f2") * F.col("f3") * F.col("f4")).alias("c4"),
+    )
+    return agg.select(
+        F.expr(
+            "stack(5, "
+            "0L, 'total', c0, 0L, "
+            "1L, 'min_length', c1, c0 - c1, "
+            "2L, 'quality', c2, c1 - c2, "
+            "3L, 'lang_agreement', c3, c2 - c3, "
+            "4L, 'near_dedup', c4, c3 - c4) AS (stage_idx, stage, surviving, dropped)"
+        )
+    )

@@ -152,6 +152,14 @@ SHOWCASE = [
         "BroadcastNestedLoopJoin — hub fan-out bounded by the orientation, "
         "not by luck of the id distribution.",
     ),
+    (
+        "corpus_curation_funnel",
+        "The composed curation pipeline: one corpus scan computes all gate "
+        "flags (features + lang scores fused in a single codegen stage), the "
+        "near-dup loser set joins as a broadcast, and the only single-row "
+        "exchange carries five counters — the stage rows unstack from one "
+        "scalar aggregate.",
+    ),
 ]
 
 
