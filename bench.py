@@ -7,10 +7,10 @@ Timing methodology: each query is built and fully materialized
 (``df.write.format("noop")``) — wall clock per query, cold plans, shared
 warmed session (JVM startup excluded; that's harness cost, not engine cost).
 
-Queries run CONCURRENTLY ($SPARK_GRAFT_BENCH_THREADS, default 12; re-measured
-best makespan on local[32] at ~115 queries — 8 leaves cores idle between the
-many small queries (27.7s), 12 packs them (22.2s), 16 thrashes the driver)
-under the
+Queries run CONCURRENTLY ($SPARK_GRAFT_BENCH_THREADS, default 14; re-measured
+best makespan on local[32] at 139 queries — 10 leaves cores idle between the
+many small queries (24.3s), 12 is close (21.1-21.7s), 14 packs them
+(20.2-20.6s), 16 starts thrashing the driver (20.6s and rising)) under the
 FAIR scheduler, one pool per worker — the engine's admission-control layer
 (streaming/permits.py, reference part3/PermittedTaskExecutor.scala:41-167)
 driving a real multi-tenant mix: small interactive queries are not starved
@@ -42,7 +42,7 @@ from pulsar_pekko_streams_example_spark.plans.registry import REGISTRY, all_quer
 from pulsar_pekko_streams_example_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-THREADS = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "12"))
+THREADS = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "14"))
 
 
 def _sf_from_dir(d: str) -> float:
