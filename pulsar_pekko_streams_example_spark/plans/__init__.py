@@ -32,4 +32,9 @@ try:
 except ImportError:
     pass
 
+try:
+    from pulsar_pekko_streams_example_spark.plans import diagnostic_queries  # noqa: F401
+except ImportError:
+    pass
+
 __all__ = ["REGISTRY", "all_queries", "all_oracles"]

@@ -1888,3 +1888,67 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "4L, 'near_dedup', c4, c3 - c4) AS (stage_idx, stage, surviving, dropped)"
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus drift report — which terms shifted between two corpus halves
+# ---------------------------------------------------------------------------
+DRIFT_MIN_TOTAL = 10  # ignore terms too rare to say anything
+DRIFT_TOP_K = 20
+
+
+@register(
+    "corpus_drift_terms",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id % 2 AS half, unnest({H.tokens('text', 'duckdb')}) AS term
+          FROM documents
+        ),
+        counts AS (
+          SELECT term,
+                 SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS cnt_a,
+                 SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cnt_b
+          FROM tok GROUP BY term
+        )
+        SELECT term, CAST(cnt_a AS BIGINT) AS cnt_a, CAST(cnt_b AS BIGINT) AS cnt_b,
+               CAST((1000 * (cnt_a - cnt_b) * (cnt_a - cnt_b)) // (cnt_a + cnt_b)
+                    AS BIGINT) AS chi2_milli
+        FROM counts
+        WHERE cnt_a + cnt_b >= {DRIFT_MIN_TOTAL}
+        ORDER BY chi2_milli DESC, term
+        LIMIT {DRIFT_TOP_K}
+        """,
+    doc="Corpus drift report: split the corpus into two interleaved halves "
+    "(doc_id parity — swap in 'last week vs this week' on a dated corpus) "
+    "and rank terms by the two-sample chi-square contribution "
+    "(a-b)^2/(a+b), carried as integer milli-units — drift detection "
+    "with zero floating point, so the ranking is bit-stable across "
+    "engines and partitionings.  One tokenize pass, one term-keyed "
+    "aggregation with map-side combine, TakeOrdered top-k (no global "
+    "sort); rare terms below a total-count floor are excluded before "
+    "ranking.",
+    tags=("text", "statistics", "drift", "topk", "added-r3"),
+)
+def corpus_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tok = spread(docs).select(
+        F.expr("doc_id % 2").alias("half"),
+        F.explode(F.expr(H.tokens("text", "spark"))).alias("term"),
+    )
+    counts = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("cnt_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cnt_b"),
+    )
+    return (
+        counts.filter(F.col("cnt_a") + F.col("cnt_b") >= DRIFT_MIN_TOTAL)
+        .select(
+            "term",
+            "cnt_a",
+            "cnt_b",
+            F.expr(
+                "CAST((1000 * (cnt_a - cnt_b) * (cnt_a - cnt_b)) div (cnt_a + cnt_b) AS LONG)"
+            ).alias("chi2_milli"),
+        )
+        .orderBy(F.desc("chi2_milli"), F.asc("term"))
+        .limit(DRIFT_TOP_K)
+    )

@@ -308,6 +308,7 @@ def test_round3_additions_plan_posture(spark):
         "decayed_user_value",
         "join_cardinality_estimate",
         "ngram_novelty_curve",
+        "join_key_skew_report",
     }
     round3 = sorted(n for n, s in REGISTRY.items() if "added-r3" in s.tags)
     assert len(round3) >= 9
