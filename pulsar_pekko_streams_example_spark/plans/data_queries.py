@@ -1952,3 +1952,74 @@ def corpus_drift_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("chi2_milli"), F.asc("term"))
         .limit(DRIFT_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Shingle containment pairs — the near-dups Jaccard misses
+# ---------------------------------------------------------------------------
+CONTAINMENT_TOP_K = 20
+
+
+@register(
+    "containment_pairs",
+    oracle=f"""
+        WITH {DUCK_DOC_CTE}, {DUCK_INTER_CTE}
+        SELECT doc_a, doc_b, cont_a, cont_b FROM (
+          SELECT i.doc_a, i.doc_b,
+                 CAST(i.inter AS DOUBLE) / sa.sz AS cont_a,
+                 CAST(i.inter AS DOUBLE) / sb.sz AS cont_b
+          FROM inter i
+          JOIN sizes sa ON i.doc_a = sa.doc_id
+          JOIN sizes sb ON i.doc_b = sb.doc_id
+          WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) < {JACCARD_THRESHOLD}
+        ) t
+        ORDER BY greatest(cont_a, cont_b) DESC, doc_a, doc_b
+        LIMIT {CONTAINMENT_TOP_K}
+        """,
+    doc="Asymmetric near-dup detection: shingle CONTAINMENT (inter/|A|) "
+    "catches a short doc embedded in a much longer one — exactly the "
+    "pairs symmetric Jaccard misses (the union is dominated by the long "
+    "doc, so jaccard stays under threshold while containment stays "
+    "high).  Ranks the sub-Jaccard pairs by max containment and emits "
+    "the top-k (TakeOrdered, id tie-break — a threshold would silently "
+    "return nothing on a corpus without embedded docs; the ranking "
+    "always exercises the full path).  Same df-capped inverted-index "
+    "join as the Jaccard family — shuffle on shingle, cost sum df^2, "
+    "never docs^2.",
+    tags=("dedup", "join", "containment", "added-r3"),
+)
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    posting = dedup.shingle_postings(docs).join(
+        F.broadcast(_shared_hot(spark, sf_dir)), ["s"], "left_anti"
+    )
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = posting.alias("a"), posting.alias("b")
+    inter = (
+        a.hint("shuffle_hash")
+        .join(
+            b.hint("shuffle_hash"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    cont_a = F.col("inter").cast("double") / F.col("sz_a")
+    cont_b = F.col("inter").cast("double") / F.col("sz_b")
+    jac = F.col("inter").cast("double") / (F.col("sz_a") + F.col("sz_b") - F.col("inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac < JACCARD_THRESHOLD)
+        .select(
+            "doc_a", "doc_b", cont_a.alias("cont_a"), cont_b.alias("cont_b")
+        )
+        .orderBy(
+            F.greatest(F.col("cont_a"), F.col("cont_b")).desc(),
+            F.asc("doc_a"),
+            F.asc("doc_b"),
+        )
+        .limit(CONTAINMENT_TOP_K)
+    )

@@ -732,3 +732,78 @@ def scd2_state_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_intervals"),
         (F.sum("dwell_us").cast("double") / F.lit(1_000_000.0)).alias("total_dwell_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-touch attribution — linear credit over the 24h pre-purchase window
+# ---------------------------------------------------------------------------
+ATTRIB_WINDOW_US = 86_400_000_000  # 24h lookback
+
+
+@register(
+    "linear_attribution",
+    oracle=f"""
+        WITH purchases AS (
+          SELECT event_id AS p_id, user_id, epoch_us(ts) AS p_us
+          FROM events WHERE event_type = 'purchase'
+        ),
+        clicks AS (
+          SELECT user_id, epoch_us(ts) AS c_us,
+                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS campaign
+          FROM events WHERE event_type = 'click'
+        ),
+        touches AS (
+          SELECT p.p_id, c.campaign,
+                 COUNT(*) OVER (PARTITION BY p.p_id) AS n_touches
+          FROM purchases p
+          JOIN clicks c
+            ON p.user_id = c.user_id
+           AND c.c_us <= p.p_us
+           AND c.c_us > p.p_us - {ATTRIB_WINDOW_US}
+        )
+        SELECT campaign,
+               CAST(COUNT(*) AS BIGINT) AS touches,
+               CAST(SUM(1000 // n_touches) AS BIGINT) AS credit_milli
+        FROM touches GROUP BY campaign
+        """,
+    doc="Linear multi-touch attribution: every click in the 24h window "
+    "before a purchase shares the conversion credit equally (integer "
+    "milli-credit 1000 div n — deterministic under any summation "
+    "order), aggregated per campaign (the props.k payload field).  The "
+    "touch join is an equi-join on user_id with the window as a pushed "
+    "residual predicate — per-user fan-out is bounded by the 24h "
+    "window, never a time-unbounded cross of a user's history; the "
+    "per-purchase touch count is a window over p_id (hash-partitioned "
+    "by purchase, no global sort).  The reference's delivery semantics "
+    "track hops mechanically (part1/MessageEnvelope.scala); this is the "
+    "analytical twin — credit assignment across a causal event chain.",
+    tags=("temporal", "attribution", "window", "added-r3"),
+)
+def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.unix_micros("ts").alias("p_us"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.unix_micros("ts").alias("c_us"),
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("campaign"),
+    )
+    touches = (
+        purchases.join(clicks, "user_id")
+        .filter(
+            (F.col("c_us") <= F.col("p_us"))
+            & (F.col("c_us") > F.col("p_us") - F.lit(ATTRIB_WINDOW_US))
+        )
+        .select(
+            "p_id",
+            "campaign",
+            F.count(F.lit(1)).over(Window.partitionBy("p_id")).alias("n_touches"),
+        )
+    )
+    return touches.groupBy("campaign").agg(
+        F.count(F.lit(1)).alias("touches"),
+        F.sum(F.expr("1000 div n_touches")).alias("credit_milli"),
+    )
