@@ -38,11 +38,14 @@ from concurrent.futures import ThreadPoolExecutor
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from pulsar_pekko_streams_example_spark.plans.registry import REGISTRY, all_queries
+from pulsar_pekko_streams_example_spark.plans.registry import (
+    REGISTRY,
+    interleaved_order,
+)
 from pulsar_pekko_streams_example_spark.session import get_spark
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-THREADS = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "14"))
+THREADS = int(os.environ.get("SPARK_GRAFT_BENCH_THREADS", "28"))
 
 
 def _sf_from_dir(d: str) -> float:
@@ -54,7 +57,10 @@ def _sf_from_dir(d: str) -> float:
 
 
 def main() -> None:
-    queries = all_queries()
+    # family-interleaved submission (NOT the driver's rotated export order —
+    # see registry.interleaved_order): staggers the heavy near-dup family
+    # between light queries so the mix packs instead of tail-bursting
+    queries = {name: REGISTRY[name].build for name in interleaved_order()}
     spark = get_spark(
         app_name="bench",
         extra_conf={"spark.scheduler.mode": "FAIR"},
@@ -85,9 +91,15 @@ def main() -> None:
     heavy = [
         "neardup_components",
         "component_survivorship",
+        "hll_vocab_overlap",
         "dedup_minhash_lsh",
+        "text_topk_jaccard",
         "chunk_shared_pairs",
         "dedup_jaccard_pairs",
+        "lsh_recall_report",
+        "containment_pairs",
+        "cross_source_neardup_matrix",
+        "orders_column_profile",
         "embedding_near_dup",
         "simhash_near_pairs",
         "ann_cosine_topk_vectorized",

@@ -19,7 +19,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pulsar_pekko_streams_example_spark.functions.numeric import DEC, dsum, sql_dsum
+from pulsar_pekko_streams_example_spark.functions.numeric import (
+    DEC,
+    davg,
+    dsum,
+    sql_davg,
+    sql_dsum,
+)
 from pulsar_pekko_streams_example_spark.plans.registry import register
 from pulsar_pekko_streams_example_spark.sources.tables import load_table
 
@@ -788,4 +794,92 @@ def mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(0)
             )
         ).alias("n_anomalies"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized robust mean: exact order statistics, no float interpolation
+# ---------------------------------------------------------------------------
+WINSOR_LO_PCT = 5
+WINSOR_HI_PCT = 95
+
+
+@register(
+    "winsorized_price_stats",
+    oracle=f"""
+        WITH o AS (
+          SELECT o_orderpriority AS priority, o_totalprice AS price,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                    ORDER BY o_totalprice, o_orderkey) AS rn,
+                 COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+          FROM orders
+        ),
+        cuts AS (
+          SELECT priority,
+                 MAX(CASE WHEN rn = GREATEST(1, ({WINSOR_LO_PCT} * n) // 100)
+                          THEN price END) AS lo_cut,
+                 MAX(CASE WHEN rn = LEAST(n, ({WINSOR_HI_PCT} * n + 99) // 100)
+                          THEN price END) AS hi_cut,
+                 MAX(n) AS n
+          FROM o GROUP BY priority
+        )
+        SELECT o.priority, CAST(c.n AS BIGINT) AS n_orders,
+               c.lo_cut, c.hi_cut,
+               {sql_davg('LEAST(GREATEST(o.price, c.lo_cut), c.hi_cut)')}
+                 AS winsorized_avg,
+               {sql_davg('o.price')} AS raw_avg
+        FROM o JOIN cuts c ON o.priority = c.priority
+        GROUP BY o.priority, c.n, c.lo_cut, c.hi_cut
+        """,
+    doc="Robust mean via winsorization at exact P5/P95 ORDER STATISTICS: "
+    "rank formulas are integer arithmetic (GREATEST(1, 5n div 100) / "
+    "LEAST(n, ceil(95n/100))) over a deterministic (price, orderkey) sort, "
+    "so the cut values are actual data values — no float interpolation, "
+    "bit-identical across engines.  The clamp-and-average pass reuses the "
+    "same shuffle via a broadcast of the tiny per-group cut table.  "
+    "Exact-audit path: the per-group window sorts each priority's orders "
+    "on one partition; the scale default for quantiles at 100 TB is the "
+    "mergeable quantile sketch (quantile_sketch_value).",
+    tags=("window", "statistics", "robust", "exact-audit", "added-r3"),
+)
+def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    o = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.col("o_totalprice").alias("price"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("priority").orderBy("price", "o_orderkey")
+    ranked = o.select(
+        "priority",
+        "price",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(Window.partitionBy("priority")).alias("n"),
+    )
+    cuts = ranked.groupBy("priority").agg(
+        F.max(
+            F.when(
+                F.expr(f"rn = greatest(1L, ({WINSOR_LO_PCT} * n) div 100)"),
+                F.col("price"),
+            )
+        ).alias("lo_cut"),
+        F.max(
+            F.when(
+                F.expr(f"rn = least(n, ({WINSOR_HI_PCT} * n + 99) div 100)"),
+                F.col("price"),
+            )
+        ).alias("hi_cut"),
+        F.max("n").alias("n"),
+    )
+    joined = o.join(F.broadcast(cuts), "priority")
+    return joined.groupBy("priority", "n", "lo_cut", "hi_cut").agg(
+        davg(F.expr("least(greatest(price, lo_cut), hi_cut)")).alias("winsorized_avg"),
+        davg("price").alias("raw_avg"),
+    ).select(
+        "priority",
+        F.col("n").cast("long").alias("n_orders"),
+        "lo_cut",
+        "hi_cut",
+        "winsorized_avg",
+        "raw_avg",
     )

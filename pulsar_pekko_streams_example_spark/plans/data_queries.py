@@ -2023,3 +2023,192 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .limit(CONTAINMENT_TOP_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate detection: shared leading-token fingerprints per source
+# ---------------------------------------------------------------------------
+PREFIX_K = 6
+
+
+def _prefix_key(dialect: str) -> str:
+    if dialect == "spark":
+        inner = f"concat_ws('_', slice(w, 1, {PREFIX_K}))"
+    else:
+        inner = f"array_to_string(w[1:{PREFIX_K}], '_')"
+    return H.word_hash(inner, dialect)
+
+
+@register(
+    "boilerplate_prefix_report",
+    oracle=f"""
+        WITH p AS (
+          SELECT source, {_prefix_key('duckdb')} AS pfx
+          FROM (SELECT source, {H.tokens('text', 'duckdb')} AS w FROM documents)
+        ),
+        g AS (SELECT source, pfx, COUNT(*) AS cnt FROM p GROUP BY source, pfx)
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS docs,
+               COUNT(*) AS distinct_prefixes,
+               CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                 AS boilerplate_docs,
+               CAST((1000 * SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END))
+                    // SUM(cnt) AS BIGINT) AS boilerplate_permille
+        FROM g GROUP BY source
+        """,
+    doc="Boilerplate detector: documents from one source sharing their "
+    f"first {PREFIX_K} tokens (headers, templates, scraped nav chrome) are "
+    "flagged by a portable integer fingerprint of the leading-token join.  "
+    "Two map-side-combinable aggregates — (source, prefix) counts, then a "
+    "per-source roll-up — so the shuffle carries fingerprints, never text; "
+    "output is bounded by distinct prefixes, not corpus size.  In a "
+    "curation run the >1-count prefixes become a strip-list joined back "
+    "onto the corpus (same shape as the hot-shingle cap).",
+    tags=("text", "dedup", "added-r3"),
+)
+def boilerplate_prefix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "source",
+        F.expr(H.tokens("text", "spark")).alias("w"),
+    ).select("source", F.expr(_prefix_key("spark")).alias("pfx"))
+    g = p.groupBy("source", "pfx").agg(F.count(F.lit(1)).alias("cnt"))
+    return g.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("docs"),
+        F.count(F.lit(1)).alias("distinct_prefixes"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("boilerplate_docs"),
+        F.expr(
+            "CAST((1000 * SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)) div SUM(cnt) AS LONG)"
+        ).alias("boilerplate_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text similarity SEARCH: LSH-candidate top-k by exact Jaccard per query doc
+# ---------------------------------------------------------------------------
+TEXT_QUERY_MOD = 25  # doc_id % 25 == 0 -> query set (reproducible, join-free)
+TEXT_TOPK = 3
+
+
+def _duck_text_topk_sql() -> str:
+    mins = ", ".join(
+        f"MIN({H.minhash_perm(i, 'h')}) AS m{i}" for i in range(H.N_MINHASH)
+    )
+    rows_per_band = H.N_MINHASH // H.N_BANDS
+    band_selects = []
+    for b in range(H.N_BANDS):
+        lo = b * rows_per_band
+        combined = " + ".join(
+            f"m{lo + r} * {31 ** (rows_per_band - 1 - r)}" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, CAST({b} AS BIGINT) AS band, CAST({combined} AS BIGINT) AS sig FROM sigs"
+        )
+    bands_union = " UNION ALL ".join(band_selects)
+    return f"""
+        WITH {DUCK_DOC_CTE},
+        shh AS (SELECT doc_id, {H.word_hash('s', 'duckdb')} AS h FROM posting),
+        sigs AS (SELECT doc_id, {mins} FROM shh GROUP BY doc_id),
+        bands AS ({bands_union}),
+        cand AS (
+          SELECT DISTINCT q.doc_id AS query_id, c.doc_id AS neighbor_id
+          FROM bands q JOIN bands c
+            ON q.band = c.band AND q.sig = c.sig AND q.doc_id <> c.doc_id
+          WHERE q.doc_id % {TEXT_QUERY_MOD} = 0
+        ),
+        inter AS (
+          SELECT a.doc_id AS query_id, b.doc_id AS neighbor_id, COUNT(*) AS inter
+          FROM posting a JOIN posting b ON a.s = b.s AND a.doc_id <> b.doc_id
+          WHERE a.doc_id % {TEXT_QUERY_MOD} = 0
+          GROUP BY 1, 2
+        ),
+        verified AS (
+          SELECT i.query_id, i.neighbor_id,
+                 CAST(i.inter AS DOUBLE) / (sq.sz + sn.sz - i.inter) AS jaccard
+          FROM inter i
+          JOIN cand c ON i.query_id = c.query_id AND i.neighbor_id = c.neighbor_id
+          JOIN sizes sq ON i.query_id = sq.doc_id
+          JOIN sizes sn ON i.neighbor_id = sn.doc_id
+        )
+        SELECT query_id, neighbor_id, jaccard, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                       ORDER BY jaccard DESC, neighbor_id) AS rnk
+          FROM verified
+        ) t WHERE rnk <= {TEXT_TOPK}
+        """
+
+
+@register(
+    "text_topk_jaccard",
+    oracle=_duck_text_topk_sql(),
+    doc="Text-space similarity SEARCH (the retrieval twin of the dedup "
+    "pipeline): for each query document (hash-gated set), the top-3 "
+    "corpus neighbors by EXACT shingle Jaccard, with candidate generation "
+    "through the MinHash band buckets — the corpus is only ever touched "
+    "via the inverted index and the bucket equi-join, never query x "
+    "corpus.  The verify join keys on the query-gated posting slice, so "
+    "its cost is (query set's postings) x (per-shingle df), independent "
+    "of corpus pair count.  Ranking is a per-query window over the "
+    "verified candidates (bounded by band collisions).  100 TB: identical "
+    "shape; the query gate becomes the user's query table broadcast onto "
+    "the standing signature/posting index.",
+    tags=("similarity", "lsh", "search", "added-r3"),
+)
+def text_topk_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    posting = dedup.shingle_postings(spread(docs)).join(
+        F.broadcast(_shared_hot(spark, sf_dir)), ["s"], "left_anti"
+    )
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    bands = dedup.lsh_bands(dedup.minhash_signatures(None, posting=posting))
+    qb = bands.filter(F.expr(f"doc_id % {TEXT_QUERY_MOD} = 0"))
+    cand = (
+        qb.alias("q")
+        .join(
+            bands.alias("c"),
+            (F.col("q.band") == F.col("c.band"))
+            & (F.col("q.sig") == F.col("c.sig"))
+            & (F.col("q.doc_id") != F.col("c.doc_id")),
+        )
+        .select(
+            F.col("q.doc_id").alias("query_id"),
+            F.col("c.doc_id").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    qpost = posting.filter(F.expr(f"doc_id % {TEXT_QUERY_MOD} = 0"))
+    inter = (
+        qpost.alias("a")
+        .join(
+            posting.alias("b"),
+            (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") != F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("query_id"),
+            F.col("b.doc_id").alias("neighbor_id"),
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+        .join(cand, ["query_id", "neighbor_id"], "left_semi")
+    )
+    sq = sizes.select(F.col("doc_id").alias("query_id"), F.col("sz").alias("sz_q"))
+    sn = sizes.select(F.col("doc_id").alias("neighbor_id"), F.col("sz").alias("sz_n"))
+    verified = (
+        inter.join(sq, "query_id")
+        .join(sn, "neighbor_id")
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_q") + F.col("sz_n") - F.col("inter")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("jaccard").desc(), F.col("neighbor_id")
+    )
+    return (
+        verified.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TEXT_TOPK)
+        .select("query_id", "neighbor_id", "jaccard", "rnk")
+    )

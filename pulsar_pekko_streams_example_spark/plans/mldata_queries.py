@@ -809,3 +809,79 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(SUM({err}) AS BIGINT)").alias("sum_err_micro"),
         F.expr(f"CAST(SUM({err}) div COUNT(*) AS BIGINT)").alias("avg_err_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/val/test split manifest (90/5/5 hash gate)
+# ---------------------------------------------------------------------------
+SPLIT_TRAIN_LT = 900  # gate < 900  -> train (90 %)
+SPLIT_VAL_LT = 950    # gate < 950  -> val   (5 %);  else test (5 %)
+
+
+def _split_case(dialect: str) -> str:
+    g = _doc_gate(dialect)
+    return (
+        f"CASE WHEN ({g}) < {SPLIT_TRAIN_LT} THEN 'train' "
+        f"WHEN ({g}) < {SPLIT_VAL_LT} THEN 'val' ELSE 'test' END"
+    )
+
+
+@register(
+    "train_split_manifest",
+    oracle=f"""
+        WITH base AS (
+          SELECT source, {_split_case('duckdb')} AS split,
+                 CAST(len({H.tokens('text', 'duckdb')}) AS BIGINT) AS tc
+          FROM documents
+        ),
+        agg AS (
+          SELECT source, split, COUNT(*) AS docs,
+                 CAST(SUM(tc) AS BIGINT) AS tokens
+          FROM base GROUP BY source, split
+        )
+        SELECT source, split, docs, tokens,
+               CAST((1000 * docs) // SUM(docs) OVER (PARTITION BY source)
+                    AS BIGINT) AS share_permille
+        FROM agg
+        """,
+    doc="Reproducible train/val/test assignment: the split is a pure "
+    "function of the doc id (portable integer hash mod 1000 -> 90/5/5 "
+    "gates), so ANY future run — incremental batches included — routes a "
+    "document to the same split with no membership table, no join, no "
+    "coordination.  The manifest is one map-side-combinable aggregate per "
+    "(source, split) plus a source-local window for the realized shares; "
+    "at 100 TB the split column is computed inside the scan's codegen "
+    "stage and the aggregate output is bounded by sources x 3.",
+    tags=("sampling", "split", "added-r3"),
+)
+def train_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        F.expr(_split_case("spark")).alias("split"),
+        F.expr(f"CAST(size({H.tokens('text', 'spark')}) AS LONG)").alias("tc"),
+    )
+    agg = base.groupBy("source", "split").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("tc").cast("long").alias("tokens"),
+    )
+    w = Window.partitionBy("source")
+    return agg.select(
+        "source",
+        "split",
+        "docs",
+        "tokens",
+        F.expr("1000 * docs").cast("long").alias("_num"),
+        F.sum("docs").over(w).alias("_tot"),
+    ).select(
+        "source",
+        "split",
+        "docs",
+        "tokens",
+        F.expr("CAST(_num div _tot AS LONG)").alias("share_permille"),
+    )
+
+
+# Shingle width for the cross-source vocabulary-overlap sketch (sketch_queries
+# imports it next to _hll_exprs so both engines build the same element set).
+SHINGLE_N_FOR_OVERLAP = 3

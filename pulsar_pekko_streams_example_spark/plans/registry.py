@@ -112,7 +112,18 @@ def _driver_checked(root: "Path | None" = None) -> frozenset[str]:
     return frozenset(checked)
 
 
-def _export_order() -> list[str]:
+def interleaved_order() -> list[str]:
+    """Family-interleaved registry order, WITHOUT the driver-check rotation.
+
+    This is the submission order bench.py uses: cycle i takes the i-th
+    registered query of every family, so heavy corpus-fan-out queries (the
+    dedup/similarity family) are staggered between light ones and the
+    session-shared subtrees (_shared_pairs et al.) materialize while other
+    families' work keeps the cores busy.  The driver-facing export order
+    (_export_order) applies the checked-history rotation ON TOP of this;
+    feeding that rotated order to the bench once front-loaded 70+ never-
+    checked queries and packed the entire near-dup family into one
+    contended tail burst (measured: 31.6 s → 62.1 s makespan at sf0.1)."""
     import pulsar_pekko_streams_example_spark.plans  # noqa: F401  (triggers registration)
 
     insertion = {name: i for i, name in enumerate(REGISTRY)}
@@ -129,7 +140,11 @@ def _export_order() -> list[str]:
         for fam in ordered_families:
             if cycle < len(fam):
                 interleaved.append(fam[cycle])
+    return interleaved
 
+
+def _export_order() -> list[str]:
+    interleaved = interleaved_order()
     checked = _driver_checked()
 
     def added_round(name: str) -> int:

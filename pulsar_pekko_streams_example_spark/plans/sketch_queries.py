@@ -413,3 +413,169 @@ def bitmap_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("sum_daily_actives").alias("sum_daily_actives"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: pairwise source-vocabulary overlap via register merges
+# ---------------------------------------------------------------------------
+def _hll_est(used: str, weight: str) -> str:
+    """Raw HLL estimate from (#registers used, exact integer present-weight)
+    — dialect-neutral: one double division over exact int64 sums (same
+    estimator text as hll_distinct_users in mldata_queries)."""
+    from pulsar_pekko_streams_example_spark.plans.mldata_queries import HLL_M
+
+    return (
+        f"(CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M} * 1073741824.0)"
+        f" / CAST(({weight}) + ({HLL_M} - ({used})) * 1073741824 AS DOUBLE)"
+    )
+
+
+def _duck_hll_overlap_sql() -> str:
+    from pulsar_pekko_streams_example_spark.functions import hashing as H
+    from pulsar_pekko_streams_example_spark.plans.mldata_queries import (
+        _hll_exprs,
+        SHINGLE_N_FOR_OVERLAP,
+    )
+
+    reg, rho = _hll_exprs("duckdb")
+    est = _hll_est("used", "w")
+    return f"""
+        WITH el AS (
+          SELECT DISTINCT source, unnest(sh) AS uid FROM (
+            SELECT source, {H.shingles(SHINGLE_N_FOR_OVERLAP, 'duckdb')} AS sh
+            FROM (SELECT source, {H.tokens('text', 'duckdb')} AS w FROM documents)
+          )
+        ),
+        regs AS (
+          SELECT source, {reg} AS reg, MAX({rho}) AS m FROM el GROUP BY 1, 2
+        ),
+        per_src AS (
+          SELECT source, COUNT(*) AS used,
+                 CAST(SUM(CAST(2 AS BIGINT) ** (30 - m)) AS BIGINT) AS w
+          FROM regs GROUP BY source
+        ),
+        pairs AS (
+          SELECT a.source AS source_a, b.source AS source_b
+          FROM per_src a JOIN per_src b ON a.source < b.source
+        ),
+        pair_regs AS (
+          SELECT p.source_a, p.source_b, r.reg, MAX(r.m) AS m
+          FROM (
+            SELECT source_a, source_b, source_a AS src FROM pairs
+            UNION ALL
+            SELECT source_a, source_b, source_b AS src FROM pairs
+          ) p JOIN regs r ON r.source = p.src
+          GROUP BY 1, 2, 3
+        ),
+        pair_union AS (
+          SELECT source_a, source_b, COUNT(*) AS used,
+                 CAST(SUM(CAST(2 AS BIGINT) ** (30 - m)) AS BIGINT) AS w
+          FROM pair_regs GROUP BY 1, 2
+        ),
+        exact_inter AS (
+          SELECT a.source AS source_a, b.source AS source_b,
+                 COUNT(*) AS exact_intersection
+          FROM el a JOIN el b ON a.uid = b.uid AND a.source < b.source
+          GROUP BY 1, 2
+        )
+        SELECT u.source_a, u.source_b,
+               (SELECT {est.replace('used', 'sa.used').replace('(w)', '(sa.w)')}
+                FROM per_src sa WHERE sa.source = u.source_a) AS est_a,
+               (SELECT {est.replace('used', 'sb.used').replace('(w)', '(sb.w)')}
+                FROM per_src sb WHERE sb.source = u.source_b) AS est_b,
+               {est.replace('used', 'u.used').replace('(w)', '(u.w)')} AS est_union,
+               COALESCE(x.exact_intersection, 0) AS exact_intersection
+        FROM pair_union u
+        LEFT JOIN exact_inter x
+          ON u.source_a = x.source_a AND u.source_b = x.source_b
+        """
+
+
+@register(
+    "hll_vocab_overlap",
+    oracle=_duck_hll_overlap_sql(),
+    doc="Sketch SET ALGEBRA: pairwise shingle-vocabulary overlap between "
+    "sources from per-source HyperLogLog registers.  The corpus is scanned "
+    "ONCE into sources x 64 registers; every pairwise union is then a "
+    "register-wise MAX over that tiny table (the mergeability that makes "
+    "HLL the 100 TB tool — cross-source overlap needs no second corpus "
+    "pass, and new data folds in by MAX).  Intersection follows by "
+    "inclusion-exclusion downstream of the returned estimates; the exact "
+    "intersection count rides along to expose the estimator error.  All "
+    "register weights sum as exact int64; only the final divisions are "
+    "double.",
+    tags=("sketch", "set-ops", "added-r3"),
+)
+def hll_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_pekko_streams_example_spark.functions import hashing as H
+    from pulsar_pekko_streams_example_spark.operators.partitioning import spread
+    from pulsar_pekko_streams_example_spark.plans.mldata_queries import (
+        _hll_exprs,
+        SHINGLE_N_FOR_OVERLAP,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    reg, rho = _hll_exprs("spark")
+    el = (
+        spread(docs)
+        .withColumn("w", F.expr(H.tokens("text", "spark")))
+        .select(
+            "source",
+            F.explode(F.expr(H.shingles(SHINGLE_N_FOR_OVERLAP, "spark"))).alias("uid"),
+        )
+        .distinct()
+    )
+    regs = el.groupBy("source", F.expr(reg).alias("reg")).agg(
+        F.expr(f"MAX({rho})").alias("m")
+    )
+    per_src = regs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.expr("shiftleft(1L, 30 - m)")).cast("long").alias("w"),
+    )
+    pairs = (
+        per_src.alias("a")
+        .join(per_src.alias("b"), F.col("a.source") < F.col("b.source"))
+        .select(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+            F.expr(_hll_est("a.used", "a.w")).alias("est_a"),
+            F.expr(_hll_est("b.used", "b.w")).alias("est_b"),
+        )
+    )
+    sides = pairs.select("source_a", "source_b", F.col("source_a").alias("src")).union(
+        pairs.select("source_a", "source_b", F.col("source_b").alias("src"))
+    )
+    pair_regs = (
+        sides.join(regs.withColumnRenamed("source", "src"), "src")
+        .groupBy("source_a", "source_b", "reg")
+        .agg(F.max("m").alias("m"))
+    )
+    pair_union = pair_regs.groupBy("source_a", "source_b").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.expr("shiftleft(1L, 30 - m)")).cast("long").alias("w"),
+    )
+    exact_inter = (
+        el.alias("x")
+        .join(
+            el.alias("y"),
+            (F.col("x.uid") == F.col("y.uid")) & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(
+            F.col("x.source").alias("source_a"), F.col("y.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        pair_union.join(F.broadcast(pairs), ["source_a", "source_b"])
+        .join(exact_inter, ["source_a", "source_b"], "left")
+        .select(
+            "source_a",
+            "source_b",
+            "est_a",
+            "est_b",
+            F.expr(_hll_est("used", "w")).alias("est_union"),
+            F.coalesce(F.col("exact_intersection"), F.lit(0).cast("long")).alias(
+                "exact_intersection"
+            ),
+        )
+    )

@@ -1,8 +1,9 @@
 """Every oracle-checked query in the registry must match DuckDB exactly.
 
 This is the local mirror of the driver's t2 correctness gate
-(CORRECTNESS_r{N}.json); run with PARITY_SF_DIR=/root/testdata/sf0.01 for the
-driver-scale check (slower), defaults to sf0.001.
+(CORRECTNESS_r{N}.json).  Defaults to the driver's own scale,
+PARITY_SF_DIR=/root/testdata/sf0.01; export PARITY_SF_DIR=/root/testdata/sf0.001
+for a faster smoke pass while iterating.
 """
 
 from __future__ import annotations

@@ -309,6 +309,10 @@ def test_round3_additions_plan_posture(spark):
         "join_cardinality_estimate",
         "ngram_novelty_curve",
         "join_key_skew_report",
+        # sources x sources roster pairing over the 64-register-per-source
+        # sketch table: bounded by the SOURCE COUNT (metadata cardinality),
+        # never by corpus size — the corpus itself is touched once upstream
+        "hll_vocab_overlap",
     }
     round3 = sorted(n for n, s in REGISTRY.items() if "added-r3" in s.tags)
     assert len(round3) >= 9
