@@ -23,11 +23,18 @@ Keys embed the dataset directory and the operator parameters, so different
 scale factors or thresholds never collide.  Entries live for the Spark
 application; re-running a query in the same session is a cache read.
 
-**Deliberately NOT wired into the registry queries.**  Measured on the
-concurrent FAIR-pool bench at sf0.1 (local[32]): wiring shared subtrees
-into the dedup/similarity queries REGRESSED makespan ~20s → ~27-33s across
-every variant tried (full posting-list cache; small-outputs-only cache; 8
-and 16 worker threads).  Under saturated concurrency the redundant
+**Deliberately NOT wired into the registry queries for corpus-scale
+subtrees.**  Measured on the concurrent FAIR-pool bench at sf0.1
+(local[32]): wiring shared subtrees into the dedup/similarity queries
+REGRESSED makespan ~20s → ~27-33s across every variant tried (full
+posting-list cache; small-outputs-only cache; 8 and 16 worker threads).
+Re-measured at 152 queries / 28 workers (round 3, after the consumer count
+doubled): sharing the raw posting list across its 8 consumers was at best
+neutral (median 34.7s shared vs 32.0s unshared over 4+3 runs) — under a
+saturated mix the persist barrier idles waiting consumers for exactly as
+long as the redundant recompute would have taken, and the cached-partition
+reads are not free.  The conclusion stands: share small OUTPUTS (hot set,
+verified pairs, CC labels), recompute corpus-scale subtrees.  Under saturated concurrency the redundant
 recompute overlaps with other queries' work anyway, while the cache adds a
 persist/serialization barrier (breaking scan→explode codegen fusion), a
 build lock that idles waiting consumers, and removes none of the dominant
