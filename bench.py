@@ -7,10 +7,10 @@ Timing methodology: each query is built and fully materialized
 (``df.write.format("noop")``) — wall clock per query, cold plans, shared
 warmed session (JVM startup excluded; that's harness cost, not engine cost).
 
-Queries run CONCURRENTLY ($SPARK_GRAFT_BENCH_THREADS, default 14; re-measured
-best makespan on local[32] at 139 queries — 10 leaves cores idle between the
-many small queries (24.3s), 12 is close (21.1-21.7s), 14 packs them
-(20.2-20.6s), 16 starts thrashing the driver (20.6s and rising)) under the
+Queries run CONCURRENTLY ($SPARK_GRAFT_BENCH_THREADS, default 28; swept on
+local[32] at 139 queries — 10 leaves cores idle between the many small
+queries (24.3s), 12 (21.1-21.7s), 14 (20.2-20.6s), and the wider sweep at
+the 150+-query mix landed on 28 as best makespan) under the
 FAIR scheduler, one pool per worker — the engine's admission-control layer
 (streaming/permits.py, reference part3/PermittedTaskExecutor.scala:41-167)
 driving a real multi-tenant mix: small interactive queries are not starved

@@ -883,3 +883,136 @@ def winsorized_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "winsorized_avg",
         "raw_avg",
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation: recency / frequency / monetary customer scoring
+# ---------------------------------------------------------------------------
+# Fixed integer thresholds (no quantiles, no global sort): recency in days
+# against the corpus max-date anchor, order counts, lifetime cents.
+RFM_R_DAYS = (365, 1095)  # <=365d -> 2, <=1095d -> 1, else 0
+RFM_F_ORDERS = (12, 8)  # >=12 -> 2, >=8 -> 1, else 0
+RFM_M_CENTS = (300_000_000, 150_000_000)  # >=3.0M$ -> 2, >=1.5M$ -> 1, else 0
+
+
+@register(
+    "rfm_customer_segments",
+    oracle=f"""
+        WITH per_cust AS (
+          SELECT o_custkey,
+                 MAX(epoch_us(o_orderdate)) AS last_us,
+                 COUNT(*) AS freq,
+                 CAST(SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY o_custkey
+        ),
+        anchor AS (SELECT MAX(last_us) AS anchor_us FROM per_cust),
+        scored AS (
+          SELECT CASE WHEN (anchor_us - last_us) // {DAY_US} <= {RFM_R_DAYS[0]} THEN 2
+                      WHEN (anchor_us - last_us) // {DAY_US} <= {RFM_R_DAYS[1]} THEN 1
+                      ELSE 0 END AS r_score,
+                 CASE WHEN freq >= {RFM_F_ORDERS[0]} THEN 2
+                      WHEN freq >= {RFM_F_ORDERS[1]} THEN 1 ELSE 0 END AS f_score,
+                 CASE WHEN cents >= {RFM_M_CENTS[0]} THEN 2
+                      WHEN cents >= {RFM_M_CENTS[1]} THEN 1 ELSE 0 END AS m_score,
+                 freq, cents
+          FROM per_cust CROSS JOIN anchor
+        )
+        SELECT CAST(r_score AS BIGINT) AS r_score,
+               CAST(f_score AS BIGINT) AS f_score,
+               CAST(m_score AS BIGINT) AS m_score,
+               COUNT(*) AS customers,
+               CAST(SUM(freq) AS BIGINT) AS orders,
+               CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents_per_customer
+        FROM scored GROUP BY 1, 2, 3
+        """,
+    doc="RFM (recency/frequency/monetary) customer segmentation — the "
+    "classic marketing-analytics scoring the reference's event pipeline "
+    "feeds downstream.  ONE fact scan: per-customer last-order epoch, "
+    "order count, and exact lifetime integer cents in a single hash "
+    "aggregate; the recency anchor is the MAX over that per-customer "
+    "table (never a second fact scan) broadcast back as a 1-row scalar.  "
+    "Scores use fixed integer thresholds, not quantiles, so no global "
+    "sort appears anywhere and the segment roll-up output is bounded by "
+    "27 (r,f,m) cells at any corpus size.",
+    tags=("agg", "segmentation", "scalar-broadcast", "added-r3b"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.expr("MAX(unix_micros(o_orderdate))").alias("last_us"),
+        F.count(F.lit(1)).alias("freq"),
+        F.expr(
+            "CAST(SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)) AS BIGINT)"
+        ).alias("cents"),
+    )
+    anchor = per_cust.agg(F.max("last_us").alias("anchor_us"))
+    scored = per_cust.crossJoin(F.broadcast(anchor)).select(
+        F.expr(
+            f"CAST(CASE WHEN (anchor_us - last_us) div {DAY_US} <= {RFM_R_DAYS[0]} THEN 2 "
+            f"WHEN (anchor_us - last_us) div {DAY_US} <= {RFM_R_DAYS[1]} THEN 1 "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("r_score"),
+        F.expr(
+            f"CAST(CASE WHEN freq >= {RFM_F_ORDERS[0]} THEN 2 "
+            f"WHEN freq >= {RFM_F_ORDERS[1]} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("f_score"),
+        F.expr(
+            f"CAST(CASE WHEN cents >= {RFM_M_CENTS[0]} THEN 2 "
+            f"WHEN cents >= {RFM_M_CENTS[1]} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("m_score"),
+        "freq",
+        "cents",
+    )
+    return scored.groupBy("r_score", "f_score", "m_score").agg(
+        F.count(F.lit(1)).alias("customers"),
+        F.sum("freq").cast("long").alias("orders"),
+        F.expr("CAST(SUM(cents) div COUNT(*) AS BIGINT)").alias(
+            "avg_cents_per_customer"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Daily OHLC bars: open/high/low/close via keyed argmin/argmax, zero windows
+# ---------------------------------------------------------------------------
+@register(
+    "daily_value_ohlc",
+    oracle=f"""
+        SELECT CAST(epoch_us(ts) // {DAY_US} AS BIGINT) AS day,
+               arg_min(value, epoch_us(ts)::HUGEINT * 10000000000 + event_id)
+                 AS open,
+               MAX(value) AS high,
+               MIN(value) AS low,
+               arg_max(value, epoch_us(ts)::HUGEINT * 10000000000 + event_id)
+                 AS close,
+               COUNT(*) AS n_events,
+               {sql_dsum('value')} AS sum_value
+        FROM events GROUP BY 1
+        """,
+    doc="Daily OHLC (open/high/low/close) bars over the event stream — the "
+    "time-series downsampling shape behind dashboards and candlestick "
+    "rollups.  First/last values come from min_by/max_by keyed on a "
+    "PACKED (epoch_micros, event_id) decimal — a deterministic total "
+    "order — so the whole bar is ONE hash aggregate with map-side "
+    "combine: no window, no self-join, no per-day sort.  Sum goes "
+    "through DECIMAL(38,6) so partial-aggregation order cannot move the "
+    "result.  Output is bounded by distinct days at any corpus size.",
+    tags=("agg", "timeseries", "argminmax", "scale-default", "added-r3b"),
+)
+def daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    pk = "CAST(unix_micros(ts) AS DECIMAL(38,0)) * 10000000000 + event_id"
+    return (
+        events.groupBy(
+            F.expr(f"CAST(unix_micros(ts) div {DAY_US} AS BIGINT)").alias("day")
+        )
+        .agg(
+            F.expr(f"min_by(value, {pk})").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.expr(f"max_by(value, {pk})").alias("close"),
+            F.count(F.lit(1)).alias("n_events"),
+            dsum("value").alias("sum_value"),
+        )
+    )

@@ -2212,3 +2212,155 @@ def text_topk_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rnk") <= TEXT_TOPK)
         .select("query_id", "neighbor_id", "jaccard", "rnk")
     )
+
+
+# ---------------------------------------------------------------------------
+# Boolean keyword search: AND-of-terms over the token inverted index, top-k
+# ---------------------------------------------------------------------------
+SEARCH_TERMS = ("spark", "window", "hash")
+SEARCH_TOPK = 20
+
+
+@register(
+    "keyword_search_topk",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, unnest({H.tokens('text', 'duckdb')}) AS t FROM documents
+        ),
+        hits AS (
+          SELECT doc_id,
+                 COUNT(DISTINCT t) AS matched_terms,
+                 COUNT(*) AS tf_total
+          FROM tok
+          WHERE t IN {SEARCH_TERMS!r}
+          GROUP BY doc_id
+          HAVING COUNT(DISTINCT t) = {len(SEARCH_TERMS)}
+        )
+        SELECT doc_id, matched_terms, CAST(tf_total AS BIGINT) AS tf_total
+        FROM hits ORDER BY tf_total DESC, doc_id LIMIT {SEARCH_TOPK}
+        """,
+    doc="Boolean AND keyword search with term-frequency ranking — the "
+    "retrieval primitive under every corpus-exploration UI.  The token "
+    "explode is filtered to the 3-term query set INSIDE the scan stage "
+    "(the IN-list predicate prunes ~all tokens before the shuffle), so "
+    "the aggregate input is the query's posting-list slice, never the "
+    "full token stream; the AND is a COUNT(DISTINCT term) = n_terms "
+    "HAVING gate.  Ranking is ORDER BY + LIMIT — Spark plans "
+    "TakeOrderedAndProject (per-partition top-k, k-row driver merge), "
+    "never a global sort.  100 TB: identical shape against a standing "
+    "tokenized posting table; the term filter becomes an index lookup.",
+    tags=("text", "search", "topk", "scale-default", "added-r3b"),
+)
+def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    tok = docs.select(
+        "doc_id", F.explode(F.expr(H.tokens("text", "spark"))).alias("t")
+    ).filter(F.expr(f"t IN ({terms})"))
+    hits = (
+        tok.groupBy("doc_id")
+        .agg(
+            F.countDistinct("t").alias("matched_terms"),
+            F.count(F.lit(1)).alias("tf_total"),
+        )
+        .filter(F.col("matched_terms") == len(SEARCH_TERMS))
+    )
+    return hits.orderBy(F.col("tf_total").desc(), "doc_id").limit(SEARCH_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# PII / blocklist scan: regex categories + term blocklist, per-source report
+# ---------------------------------------------------------------------------
+# Patterns are deliberately simple ERE so Java regex (Spark) and RE2 (DuckDB)
+# agree; the synthetic corpus is clean prose, so the regex categories report
+# zeros here — the blocklist category proves the counting path end to end.
+PII_EMAIL_RE = r"[a-z0-9.]+@[a-z0-9.-]+\.[a-z]{2,}"
+PII_IPV4_RE = r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"
+PII_PHONE_RE = r"\d{3}-\d{3}-\d{4}"
+BLOCKLIST_TERMS = ("key", "secret", "token")
+
+
+@register(
+    "pii_blocklist_report",
+    oracle=f"""
+        WITH per_doc AS (
+          SELECT source,
+                 len(regexp_extract_all(text, '{PII_EMAIL_RE}')) AS email_hits,
+                 len(regexp_extract_all(text, '{PII_IPV4_RE}')) AS ipv4_hits,
+                 len(regexp_extract_all(text, '{PII_PHONE_RE}')) AS phone_hits,
+                 len(list_filter({H.tokens('text', 'duckdb')},
+                                 t -> list_contains({list(BLOCKLIST_TERMS)!r}, t)))
+                   AS block_hits
+          FROM documents
+        ),
+        agg AS (
+          SELECT source,
+                 SUM(email_hits) AS email_sum,
+                 SUM(CASE WHEN email_hits > 0 THEN 1 ELSE 0 END) AS email_docs,
+                 SUM(ipv4_hits) AS ipv4_sum,
+                 SUM(CASE WHEN ipv4_hits > 0 THEN 1 ELSE 0 END) AS ipv4_docs,
+                 SUM(phone_hits) AS phone_sum,
+                 SUM(CASE WHEN phone_hits > 0 THEN 1 ELSE 0 END) AS phone_docs,
+                 SUM(block_hits) AS block_sum,
+                 SUM(CASE WHEN block_hits > 0 THEN 1 ELSE 0 END) AS block_docs
+          FROM per_doc GROUP BY source
+        )
+        SELECT source, 'email' AS category,
+               CAST(email_docs AS BIGINT) AS docs_flagged,
+               CAST(email_sum AS BIGINT) AS total_hits FROM agg
+        UNION ALL
+        SELECT source, 'ipv4', CAST(ipv4_docs AS BIGINT), CAST(ipv4_sum AS BIGINT) FROM agg
+        UNION ALL
+        SELECT source, 'phone', CAST(phone_docs AS BIGINT), CAST(phone_sum AS BIGINT) FROM agg
+        UNION ALL
+        SELECT source, 'blocklist', CAST(block_docs AS BIGINT), CAST(block_sum AS BIGINT) FROM agg
+        """,
+    doc="PII / sensitive-term scan — the compliance gate every corpus "
+    "release runs: per-source counts of documents flagged and total hits "
+    "for email/IPv4/phone regex categories plus a term blocklist.  All "
+    "four detectors evaluate INSIDE the scan's codegen stage on one pass "
+    "over the text (regexp_extract_all + a token-filter fold, no UDF, no "
+    "explode — per-doc counts only); the shuffle carries 8 integers per "
+    "source.  The report unstacks from the per-source aggregate, output "
+    "bounded by sources x 4.  Patterns are engine-portable ERE (Java "
+    "regex and RE2 agree); on this clean synthetic corpus the regex rows "
+    "prove zeros while the blocklist row exercises nonzero counting.",
+    tags=("text", "curation", "compliance", "scale-default", "added-r3b"),
+)
+def pii_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bl = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
+    per_doc = docs.select(
+        "source",
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE))).alias("email_hits"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_IPV4_RE))).alias("ipv4_hits"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE_RE))).alias("phone_hits"),
+        F.expr(
+            f"size(filter({H.tokens('text', 'spark')}, t -> t IN ({bl})))"
+        ).alias("block_hits"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        *[
+            e
+            for c in ("email", "ipv4", "phone", "block")
+            for e in (
+                F.sum(f"{c}_hits").alias(f"{c}_sum"),
+                F.sum(F.when(F.col(f"{c}_hits") > 0, 1).otherwise(0)).alias(
+                    f"{c}_docs"
+                ),
+            )
+        ]
+    )
+    return agg.select(
+        "source",
+        F.expr(
+            "stack(4, 'email', email_docs, email_sum, 'ipv4', ipv4_docs, ipv4_sum, "
+            "'phone', phone_docs, phone_sum, 'blocklist', block_docs, block_sum) "
+            "AS (category, docs_flagged, total_hits)"
+        ),
+    ).select(
+        "source",
+        "category",
+        F.col("docs_flagged").cast("long").alias("docs_flagged"),
+        F.col("total_hits").cast("long").alias("total_hits"),
+    )

@@ -885,3 +885,95 @@ def train_split_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Shingle width for the cross-source vocabulary-overlap sketch (sketch_queries
 # imports it next to _hll_exprs so both engines build the same element set).
 SHINGLE_N_FOR_OVERLAP = 3
+
+
+# ---------------------------------------------------------------------------
+# PMI collocations: pointwise-mutual-information surrogate for word pairs
+# ---------------------------------------------------------------------------
+PMI_MIN_SUPPORT = 5
+PMI_TOPK = 20
+
+
+@register(
+    "pmi_collocations",
+    oracle=f"""
+        WITH docs_w AS (
+          SELECT {H.tokens('text', 'duckdb')} AS w FROM documents
+        ),
+        uni AS (
+          SELECT unnest(w) AS t FROM docs_w
+        ),
+        c_uni AS (SELECT t, COUNT(*) AS c FROM uni GROUP BY t),
+        n AS (SELECT COUNT(*) AS n_tokens FROM uni),
+        big AS (
+          SELECT unnest(w[1:len(w)-1]) AS w1, unnest(w[2:len(w)]) AS w2
+          FROM docs_w WHERE len(w) >= 2
+        ),
+        c_big AS (
+          SELECT w1, w2, COUNT(*) AS c_xy FROM big GROUP BY w1, w2
+          HAVING COUNT(*) >= {PMI_MIN_SUPPORT}
+        ),
+        scored AS (
+          SELECT b.w1, b.w2, CAST(b.c_xy AS BIGINT) AS c_xy,
+                 CAST((b.c_xy::HUGEINT * n.n_tokens * 1000)
+                      // (cx.c::HUGEINT * cy.c) AS BIGINT) AS pmi_ratio_milli
+          FROM c_big b
+          JOIN c_uni cx ON b.w1 = cx.t
+          JOIN c_uni cy ON b.w2 = cy.t
+          CROSS JOIN n
+        )
+        SELECT w1, w2, c_xy, pmi_ratio_milli
+        FROM scored ORDER BY pmi_ratio_milli DESC, w1, w2 LIMIT {PMI_TOPK}
+        """,
+    doc="Collocation mining by a log-free PMI surrogate: the integer ratio "
+    "1000 * c(xy) * N / (c(x) * c(y)) ranks exactly as PMI = log of the "
+    "same quantity, with zero floats.  Adjacent-token bigrams come from "
+    "one slice-and-zip of the token array (no self-join); bigram and "
+    "unigram counts are two hash aggregates off the same tokenize pass; "
+    "the vocabulary-sized unigram table joins back onto the bigram "
+    "counts twice (broadcast at any corpus size — it is bounded by "
+    "vocabulary, not corpus), and the token-count scalar is a 1-row "
+    "cross join.  The numerator accumulates in DECIMAL(38,0)/HUGEINT so "
+    "c(xy) * N * 1000 stays exact to N ~ 3e17 tokens; min support "
+    f"{PMI_MIN_SUPPORT} keeps rare-pair noise out.  Top-k is ORDER BY + "
+    "LIMIT (TakeOrderedAndProject, no global sort).",
+    tags=("text", "statistics", "topk", "scale-default", "added-r3b"),
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs_w = spread(docs).select(F.expr(H.tokens("text", "spark")).alias("w"))
+    uni = docs_w.select(F.explode("w").alias("t"))
+    c_uni = uni.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    n = uni.agg(F.count(F.lit(1)).alias("n_tokens"))
+    big = docs_w.filter(F.expr("size(w) >= 2")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 1), "
+                "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    c_big = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_xy"))
+        .filter(F.col("c_xy") >= PMI_MIN_SUPPORT)
+    )
+    cx = c_uni.select(F.col("t").alias("w1"), F.col("c").alias("c_x"))
+    cy = c_uni.select(F.col("t").alias("w2"), F.col("c").alias("c_y"))
+    scored = (
+        c_big.join(F.broadcast(cx), "w1")
+        .join(F.broadcast(cy), "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_xy").cast("long").alias("c_xy"),
+            F.expr(
+                "(CAST(c_xy AS DECIMAL(38,0)) * n_tokens * 1000) div "
+                "(CAST(c_x AS DECIMAL(38,0)) * c_y)"
+            ).alias("pmi_ratio_milli"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi_ratio_milli").desc(), "w1", "w2"
+    ).limit(PMI_TOPK)

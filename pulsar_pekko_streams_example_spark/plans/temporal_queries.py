@@ -807,3 +807,80 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("touches"),
         F.sum(F.expr("1000 div n_touches")).alias("credit_milli"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort LTV curve: cumulative revenue per acquisition cohort by year offset
+# ---------------------------------------------------------------------------
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+        WITH cohorts AS (
+          SELECT o_custkey, MIN(year(o_orderdate)) AS cohort_yr
+          FROM orders GROUP BY o_custkey
+        ),
+        facts AS (
+          SELECT c.cohort_yr,
+                 year(o.o_orderdate) - c.cohort_yr AS offset_yrs,
+                 CAST(FLOOR(o.o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT) AS cents
+          FROM orders o JOIN cohorts c ON o.o_custkey = c.o_custkey
+        ),
+        rev AS (
+          SELECT cohort_yr, offset_yrs, CAST(SUM(cents) AS BIGINT) AS rev_cents
+          FROM facts GROUP BY 1, 2
+        ),
+        sizes AS (
+          SELECT cohort_yr, COUNT(*) AS customers FROM cohorts GROUP BY 1
+        )
+        SELECT CAST(r.cohort_yr AS BIGINT) AS cohort_yr,
+               CAST(r.offset_yrs AS BIGINT) AS offset_yrs,
+               s.customers,
+               CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort_yr
+                                           ORDER BY r.offset_yrs) AS BIGINT)
+                 AS cum_rev_cents,
+               CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort_yr
+                                           ORDER BY r.offset_yrs)
+                    // s.customers AS BIGINT) AS ltv_cents_per_customer
+        FROM rev r JOIN sizes s ON r.cohort_yr = s.cohort_yr
+        """,
+    doc="Customer-lifetime-value curve per acquisition cohort: cumulative "
+    "revenue by years-since-first-order, normalized per cohort customer.  "
+    "PRE-AGGREGATE THEN WINDOW: the per-customer cohort table and the "
+    "order facts share one o_custkey shuffle (co-partitioned equi-join), "
+    "collapse to |cohorts| x |offsets| exact-integer-cents rows, and only "
+    "THAT bounded table sees the cumulative window — the window input "
+    "never scales with order count.  Cohort sizes join back as a "
+    "cohort-count-sized side (AQE broadcasts it).  All arithmetic is "
+    "integer cents with a single integer division per output row.",
+    tags=("window", "cohort", "agg", "added-r3b"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    cohorts = orders.groupBy("o_custkey").agg(
+        F.expr("MIN(year(o_orderdate))").alias("cohort_yr")
+    )
+    facts = orders.join(cohorts, "o_custkey").select(
+        "cohort_yr",
+        F.expr("year(o_orderdate) - cohort_yr").alias("offset_yrs"),
+        F.expr("CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)").alias(
+            "cents"
+        ),
+    )
+    rev = facts.groupBy("cohort_yr", "offset_yrs").agg(
+        F.sum("cents").cast("long").alias("rev_cents")
+    )
+    sizes = cohorts.groupBy("cohort_yr").agg(F.count(F.lit(1)).alias("customers"))
+    w = Window.partitionBy("cohort_yr").orderBy("offset_yrs")
+    return (
+        rev.join(sizes, "cohort_yr")
+        .withColumn("cum_rev_cents", F.sum("rev_cents").over(w).cast("long"))
+        .select(
+            F.col("cohort_yr").cast("long").alias("cohort_yr"),
+            F.col("offset_yrs").cast("long").alias("offset_yrs"),
+            "customers",
+            "cum_rev_cents",
+            F.expr("CAST(cum_rev_cents div customers AS BIGINT)").alias(
+                "ltv_cents_per_customer"
+            ),
+        )
+    )

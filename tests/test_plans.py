@@ -313,8 +313,15 @@ def test_round3_additions_plan_posture(spark):
         # sketch table: bounded by the SOURCE COUNT (metadata cardinality),
         # never by corpus size — the corpus itself is touched once upstream
         "hll_vocab_overlap",
+        # 1-row scalar broadcasts: recency anchor; total-token count
+        "rfm_customer_segments",
+        "pmi_collocations",
     }
-    round3 = sorted(n for n, s in REGISTRY.items() if "added-r3" in s.tags)
+    round3 = sorted(
+        n
+        for n, s in REGISTRY.items()
+        if "added-r3" in s.tags or "added-r3b" in s.tags
+    )
     assert len(round3) >= 9
     for name in round3:
         plan = plan_of(REGISTRY[name].build(spark, SF_SMOKE))
