@@ -68,3 +68,38 @@ def salted_join(
     if how in ("left_semi", "leftsemi", "left_anti", "leftanti"):
         return joined.drop("__salt")
     return joined.drop(F.col("d.__salt")).drop(F.col("f.__salt")).drop(F.col(f"d.{key}"))
+
+
+def write_bucketed(
+    df: DataFrame,
+    key: str,
+    n_buckets: int,
+    table: str,
+    path: str,
+) -> DataFrame:
+    """Persist ``df`` as an external parquet table BUCKETED by ``key`` (and
+    sorted by it within each bucket), returning the catalog-backed frame.
+
+    Bucketing is the 100 TB answer to "this join/aggregation key is used by
+    every nightly job": both sides pre-hashed into the same number of
+    buckets join WITHOUT a shuffle (Spark plans a SortMergeJoin whose
+    children are bare scans — zero Exchange), and an equality filter on the
+    bucket key prunes to 1/n_buckets of the files before the scan starts
+    (``SelectedBucketsCount`` in the plan).  The one-time write pays the
+    shuffle ONCE instead of per-query.
+
+    Replaces the reference's JavaStringHash key routing to partitioned
+    topics (util/PulsarClientWrapper.scala:158, RoundRobin routing :151-162)
+    with the relational equivalent: a durable hash-layout contract.
+    """
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.format("parquet")
+        .option("path", path)
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .saveAsTable(table)
+    )
+    return spark.table(table)

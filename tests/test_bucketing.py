@@ -1,83 +1,104 @@
-"""Bucketed-table co-located joins: the pre-shuffle layout strategy.
+"""Bucketed-layout contract: co-located joins and bucket pruning.
 
-SURVEY §2's scale posture claims bucketing co-locates fact joins; this proves
-it: two tables bucketed by the join key produce a sort-merge join with NO
-Exchange on either side — the shuffle happened once at write time, every
-subsequent join is free.  At 100 TB this is the difference between re-
-shuffling 100 TB per join and never shuffling it again.
+The 100 TB posture for a join key that every nightly job reuses is to pay
+the shuffle ONCE at write time: both sides bucketed by the key into the
+same bucket count join with ZERO Exchange in the plan, and an equality
+filter on the bucket key scans 1/n of the files (bucket pruning).  These
+tests prove both properties end to end against real bucketed parquet
+written through operators/partitioning.write_bucketed.
 """
 
 from __future__ import annotations
 
-import shutil
-import uuid
+import contextlib
 
 import pytest
-from pyspark.sql import functions as F
 
+from pulsar_pekko_streams_example_spark.operators.partitioning import write_bucketed
 from pulsar_pekko_streams_example_spark.sources.tables import load_table
 
 from tests.conftest import SF_SMOKE
-from tests.test_plans import plan_of
+
+N_BUCKETS = 8
 
 
-@pytest.fixture()
-def bucket_db(spark):
-    name = f"bucketdb_{uuid.uuid4().hex[:8]}"
-    spark.sql(f"CREATE DATABASE {name}")
-    yield name
-    spark.sql(f"DROP DATABASE {name} CASCADE")
-    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
-    shutil.rmtree(f"{warehouse}/{name}.db", ignore_errors=True)
-
-
-def test_bucketed_join_has_no_exchange(spark, bucket_db):
-    orders = load_table(spark, SF_SMOKE, "orders")
-    lineitem = load_table(spark, SF_SMOKE, "lineitem").select(
-        "l_orderkey", "l_quantity", "l_extendedprice"
-    )
-    (
-        orders.write.bucketBy(8, "o_orderkey")
-        .sortBy("o_orderkey")
-        .saveAsTable(f"{bucket_db}.orders_b")
-    )
-    (
-        lineitem.write.bucketBy(8, "l_orderkey")
-        .sortBy("l_orderkey")
-        .saveAsTable(f"{bucket_db}.lineitem_b")
-    )
-
-    ob = spark.table(f"{bucket_db}.orders_b")
-    lb = spark.table(f"{bucket_db}.lineitem_b")
-
-    def build():
-        return (
-            ob.join(lb, ob.o_orderkey == lb.l_orderkey)
-            .groupBy("o_orderpriority")
-            .agg(F.count(F.lit(1)).alias("n"))
-        )
-
-    # sf0.001 tables would broadcast (correct at this size); force the
-    # sort-merge path the fact-fact join takes at real scale.  The conf is
-    # captured when the DataFrame is CREATED, so build inside the window.
-    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+@contextlib.contextmanager
+def _conf(spark, key: str, value: str):
+    old = spark.conf.get(key, None)
+    spark.conf.set(key, value)
     try:
-        joined = build()
-        plan = plan_of(joined)
+        yield
     finally:
-        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
-    assert "SortMergeJoin" in plan
-    assert "Bucketed: true" in plan
-    # exactly ONE Exchange in the whole plan — the post-join groupBy shuffle;
-    # a second one would mean a join input was re-shuffled despite bucketing
-    n_exchanges = plan.count(") Exchange")
-    assert n_exchanges == 1, f"expected 1 exchange (groupBy), found {n_exchanges}"
+        if old is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, old)
 
-    # and the answer matches the unbucketed plan
-    plain = (
-        orders.join(lineitem, orders.o_orderkey == lineitem.l_orderkey)
-        .groupBy("o_orderpriority")
-        .agg(F.count(F.lit(1)).alias("n"))
+
+@pytest.fixture(scope="module")
+def bucketed_pair(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("buckets")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    lineitem = load_table(spark, SF_SMOKE, "lineitem")
+    bo = write_bucketed(
+        orders, "o_orderkey", N_BUCKETS, "bkt_orders", str(base / "orders")
     )
-    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
+    bl = write_bucketed(
+        lineitem.withColumnRenamed("l_orderkey", "o_orderkey"),
+        "o_orderkey",
+        N_BUCKETS,
+        "bkt_lineitem",
+        str(base / "lineitem"),
+    )
+    yield bo, bl
+    spark.sql("DROP TABLE IF EXISTS bkt_orders")
+    spark.sql("DROP TABLE IF EXISTS bkt_lineitem")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
+    bo, bl = bucketed_pair
+    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+        joined = bo.join(bl, "o_orderkey").groupBy("o_orderstatus").count()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        # the join itself is shuffle-free: the ONLY allowed exchange is the
+        # one the downstream groupBy introduces AFTER the join
+        join_part = plan.split("SortMergeJoin")[-1]
+        assert "SortMergeJoin" in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert "Exchange" not in join_part, join_part
+        # cross-check the result is right, not just the plan shape
+        rows = {r["o_orderstatus"]: r["count"] for r in joined.collect()}
+        lineitem = load_table(spark, SF_SMOKE, "lineitem")
+        orders = load_table(spark, SF_SMOKE, "orders")
+        expect = {
+            r["o_orderstatus"]: r["count"]
+            for r in lineitem.withColumnRenamed("l_orderkey", "o_orderkey")
+            .join(orders, "o_orderkey")
+            .groupBy("o_orderstatus")
+            .count()
+            .collect()
+        }
+        assert rows == expect
+
+
+def test_bucketed_aggregation_has_no_exchange(spark, bucketed_pair):
+    _, bl = bucketed_pair
+    agg = bl.groupBy("o_orderkey").count()
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+
+
+def test_bucket_pruning_scans_one_bucket(spark, bucketed_pair):
+    bo, _ = bucketed_pair
+    some_key = bo.limit(1).collect()[0]["o_orderkey"]
+    # autoBucketedScan drops the bucketed layout when no downstream operator
+    # wants the hash partitioning — pin it on so the point-lookup filter can
+    # prune to a single bucket's files
+    with _conf(spark, "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"):
+        plan = (
+            bo.filter(f"o_orderkey = {some_key}")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in plan, plan
