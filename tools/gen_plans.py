@@ -160,6 +160,18 @@ SHOWCASE = [
         "exchange carries five counters — the stage rows unstack from one "
         "scalar aggregate.",
     ),
+    (
+        "daily_value_ohlc",
+        "OHLC bars as ONE map-combinable hash aggregate: open/close are "
+        "min_by/max_by on a packed (epoch_micros, event_id) decimal key — "
+        "no Window, no self-join, no per-day sort anywhere in the plan.",
+    ),
+    (
+        "pmi_collocations",
+        "Collocation scoring: bigram explode and two hash aggs off one "
+        "tokenize pass; the vocabulary-sized unigram table broadcasts back "
+        "twice; top-k is TakeOrderedAndProject, never a global sort.",
+    ),
 ]
 
 
