@@ -234,3 +234,52 @@ def pagerank(
         "rank_atto",
         (F.col("rank_atto").cast("double") / F.lit(float(ATTO))).alias("rank"),
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Iterative k-core peeling profile: (round, nodes, edges) for rounds
+    0..``rounds``.
+
+    Round 0 is the input graph; each subsequent round removes every node
+    whose degree among current survivors is < ``k`` (and its incident
+    edges).  Running a FIXED number of rounds (rather than to fixpoint)
+    keeps the result oracle-checkable by plain unrolled SQL: peeling a
+    stable set is the identity, so fixed-round and fixpoint outputs agree
+    whenever the peel converges within ``rounds``, and agree with the
+    oracle's unrolled CTE chain unconditionally.
+
+    Scale posture: per round one degree aggregate + two left-semi joins on
+    the surviving node set — all equi-joins on node ids, never node x node;
+    ``localCheckpoint`` truncates lineage so round r never replays rounds
+    1..r-1 (same pattern as connected_components above).  Edges ≪ corpus:
+    this runs on the co-occurrence pair list, not the raw events.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    profile: list[tuple[int, int, int]] = []
+    cur = e
+    for r in range(rounds + 1):
+        n_edges = cur.count()
+        sym = cur.unionByName(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        profile.append((r, deg.count(), n_edges))
+        if r == rounds:
+            break
+        keep = deg.filter(F.col("deg") >= k).select(F.col("a").alias("node"))
+        cur = (
+            cur.join(keep.withColumnRenamed("node", "a"), ["a"], "left_semi")
+            .join(keep.withColumnRenamed("node", "b"), ["b"], "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    spark = edges.sparkSession
+    return spark.createDataFrame(
+        profile, "round bigint, nodes bigint, edges bigint"
+    )

@@ -426,3 +426,104 @@ def semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return best.filter(F.col("cosine") >= SEMDEDUP_THRESHOLD)
+
+
+# ---------------------------------------------------------------------------
+# Product quantization: per-subspace codebook assignment + distortion ledger
+# ---------------------------------------------------------------------------
+PQ_M = 4  # subspaces
+PQ_DSUB = KM_DIM // PQ_M  # dims per subspace
+PQ_K = 8  # codes per subspace; codebook = subvectors of the PQ_K lowest vec_ids
+
+
+def _l2sq_spark(a: str, b: str) -> str:
+    return (
+        f"aggregate(zip_with({a}, {b}, "
+        "(x, y) -> (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+        "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+        "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+    )
+
+
+def _l2sq_duck(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), (acc, x) -> acc + x)"
+    )
+
+
+@register(
+    "pq_code_histogram",
+    oracle=f"""
+        WITH sub AS (
+          SELECT vec_id, CAST(m.range AS BIGINT) AS m,
+                 embedding[m.range * {PQ_DSUB} + 1 : (m.range + 1) * {PQ_DSUB}] AS subv
+          FROM embeddings, range(0, {PQ_M}) m
+        ),
+        cb AS (
+          SELECT m, vec_id AS code_id, subv AS codev FROM sub WHERE vec_id < {PQ_K}
+        ),
+        scored AS (
+          SELECT s.vec_id, s.m, c.code_id,
+                 {_l2sq_duck('s.subv', 'c.codev')} AS d,
+                 ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
+                                    ORDER BY {_l2sq_duck('s.subv', 'c.codev')}, c.code_id)
+                   AS rk
+          FROM sub s JOIN cb c ON s.m = c.m
+        )
+        SELECT m, CAST(code_id AS BIGINT) AS code_id,
+               COUNT(*) AS n_assigned,
+               {sql_dsum('d')} AS sse
+        FROM scored WHERE rk = 1 GROUP BY m, code_id
+        """,
+    doc=f"Product quantization (the IVF-PQ memory path of billion-scale "
+    f"ANN): each {KM_DIM}-dim embedding splits into {PQ_M} subvectors of "
+    f"{PQ_DSUB} dims; each subvector is assigned its nearest of {PQ_K} "
+    "codebook entries by exact L2 (deterministic seed codebook: the "
+    f"lowest-{PQ_K} vec_ids' subvectors), compressing each vector to "
+    f"{PQ_M} byte-sized codes.  Reported per (subspace, code): members "
+    "and the summed squared reconstruction distortion — the "
+    "codebook-health report that decides retrain-vs-reuse.  Engine shape "
+    "mirrors the k-means assign: the codebook broadcasts as ONE "
+    f"collected row of {PQ_M}x{PQ_K} subvectors, the corpus fans out "
+    f"x{PQ_M} INSIDE its scan partitions (posexplode of slices, no "
+    "shuffle), argmin is a windowless array_sort pick, and the single "
+    f"exchange carries {PQ_M}x{PQ_K} aggregate rows.  The oracle takes "
+    "the same distances through a rank window — implementation-"
+    "independent cross-check.",
+    tags=("similarity", "quantization", "clustering", "added-r3b"),
+)
+def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    slices = F.array(
+        *[F.slice("embedding", m * PQ_DSUB + 1, PQ_DSUB) for m in range(PQ_M)]
+    )
+    sub = emb.select(
+        "vec_id", F.posexplode(slices).alias("m", "subv")
+    ).withColumn("m", F.col("m").cast("long"))
+    cb = F.broadcast(
+        sub.filter(F.col("vec_id") < PQ_K)
+        .select(F.col("m"), F.col("vec_id").alias("code_id"), F.col("subv").alias("codev"))
+        .groupBy("m")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("code_id", "codev"))).alias("codes")
+        )
+    )
+    best = (
+        sub.join(cb, "m")
+        .select(
+            "vec_id",
+            "m",
+            F.expr(
+                "array_sort(transform(codes, c -> struct("
+                f"{_l2sq_spark('subv', 'c.codev')} AS d, "
+                "c.code_id AS code_id)))[0]"
+            ).alias("best"),
+        )
+    )
+    return best.groupBy("m", F.col("best.code_id").cast("long").alias("code_id")).agg(
+        F.count(F.lit(1)).alias("n_assigned"),
+        dsum(F.col("best.d")).alias("sse"),
+    )

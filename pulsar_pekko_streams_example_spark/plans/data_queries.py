@@ -18,6 +18,7 @@ from pulsar_pekko_streams_example_spark.operators.partitioning import spread
 from pulsar_pekko_streams_example_spark.operators import (
     curation,
     dedup,
+    graph,
     multimodal,
     similarity,
     textstats,
@@ -2363,4 +2364,106 @@ def pii_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "category",
         F.col("docs_flagged").cast("long").alias("docs_flagged"),
         F.col("total_hits").cast("long").alias("total_hits"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling profile: iterative graph degeneracy over co-occurrence edges
+# ---------------------------------------------------------------------------
+KCORE_K = 3
+KCORE_ROUNDS = 6
+
+
+def _duck_kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled peel: e{r} = edges whose endpoints both had degree >= k in
+    e{r-1}.  Fixed unroll depth mirrors the engine's fixed round count, so
+    the two sides agree whether or not the peel has converged.
+
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and e{r+1}
+    references e{r} five times (directly + twice via each d{r} join side),
+    so an unmaterialized unroll re-scans events 5^rounds times."""
+    ctes = [
+        f"""e0 AS MATERIALIZED (
+          SELECT a.user_id AS ua, b.user_id AS ub
+          FROM w a JOIN w b ON a.slot = b.slot AND a.user_id < b.user_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= {COOC_MIN_SHARED}
+        )"""
+    ]
+    for r in range(rounds):
+        ctes.append(
+            f"""d{r} AS MATERIALIZED (
+              SELECT node, COUNT(*) AS deg FROM (
+                SELECT ua AS node FROM e{r} UNION ALL SELECT ub FROM e{r}
+              ) GROUP BY node
+            )"""
+        )
+        ctes.append(
+            f"""e{r + 1} AS MATERIALIZED (
+              SELECT e.ua, e.ub FROM e{r} e
+              JOIN d{r} x ON e.ua = x.node AND x.deg >= {k}
+              JOIN d{r} y ON e.ub = y.node AND y.deg >= {k}
+            )"""
+        )
+    ctes.append(
+        f"""d{rounds} AS MATERIALIZED (
+          SELECT node, COUNT(*) AS deg FROM (
+            SELECT ua AS node FROM e{rounds} UNION ALL SELECT ub FROM e{rounds}
+          ) GROUP BY node
+        )"""
+    )
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, "
+        f"(SELECT COUNT(*) FROM d{r}) AS nodes, "
+        f"(SELECT COUNT(*) FROM e{r}) AS edges"
+        for r in range(rounds + 1)
+    )
+    return f"""
+        WITH w AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // {COOC_SLOT_US} AS slot
+          FROM events
+        ),
+        {', '.join(ctes)}
+        SELECT round, CAST(nodes AS BIGINT) AS nodes, CAST(edges AS BIGINT) AS edges
+        FROM ({rows})
+        """
+
+
+@register(
+    "kcore_peel_profile",
+    oracle=_duck_kcore_sql(KCORE_K, KCORE_ROUNDS),
+    doc=f"k-core decomposition by iterative peeling over the user "
+    f"co-occurrence graph: {KCORE_ROUNDS} rounds of 'drop every node with "
+    f"degree < {KCORE_K} among survivors', reporting (round, nodes, edges) "
+    "— the graph-degeneracy cascade behind spam-farm and bot-ring "
+    "detection (a k-core that survives deep peeling is a densely "
+    "interlocked group).  The DRIVER controls the loop; per round the "
+    "DATA sees one degree aggregate + two left-semi joins on node ids "
+    "(never node x node), and localCheckpoint truncates lineage so round "
+    "r never replays rounds 1..r-1 — the same iterative posture as "
+    "connected components and PageRank.  A FIXED round count (not "
+    "run-to-fixpoint) keeps the result expressible as an unrolled SQL "
+    "CTE chain: peeling a stable set is the identity, so the two "
+    "formulations agree unconditionally.  Edges ≪ corpus at any scale "
+    "(pair list, not raw events).",
+    tags=("graph", "iterative", "curation", "added-r3b"),
+)
+def kcore_peel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) div {COOC_SLOT_US}").alias("slot")
+    ).distinct()
+    a, b = w.alias("a"), w.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.slot") == F.col("b.slot"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= COOC_MIN_SHARED)
+        .select("ua", "ub")
+    )
+    return graph.kcore_peel(
+        edges, k=KCORE_K, rounds=KCORE_ROUNDS, src="ua", dst="ub"
     )

@@ -977,3 +977,84 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.col("pmi_ratio_milli").desc(), "w1", "w2"
     ).limit(PMI_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Context-window chunking stats: fixed window + stride over token sequences
+# ---------------------------------------------------------------------------
+CHUNK_W = 64  # tokens per chunk (context-window slice)
+CHUNK_S = 48  # stride (CHUNK_W - CHUNK_S = 16 tokens of overlap)
+
+
+def _chunk_exprs(div: str) -> dict[str, str]:
+    n_chunks = (
+        f"CASE WHEN n = 0 THEN 0 WHEN n <= {CHUNK_W} THEN 1 "
+        f"ELSE 1 + (n - {CHUNK_W} + {CHUNK_S} - 1) {div} {CHUNK_S} END"
+    )
+    return {
+        "n_chunks": n_chunks,
+        "overlap": f"CASE WHEN n > {CHUNK_W} THEN (({n_chunks}) - 1) * {CHUNK_W - CHUNK_S} ELSE 0 END",
+        "pad": f"CASE WHEN n = 0 THEN 0 ELSE {CHUNK_W} - (n - (({n_chunks}) - 1) * {CHUNK_S}) END",
+    }
+
+
+@register(
+    "context_chunking_stats",
+    oracle=f"""
+        WITH d AS (
+          SELECT source,
+                 CAST(len({H.tokens('text', 'duckdb')}) AS BIGINT) AS n
+          FROM documents
+        ),
+        c AS (
+          SELECT source, n,
+                 {_chunk_exprs('//')['n_chunks']} AS n_chunks,
+                 {_chunk_exprs('//')['overlap']} AS overlap,
+                 {_chunk_exprs('//')['pad']} AS pad
+          FROM d
+        )
+        SELECT source,
+               COUNT(*) AS docs,
+               CAST(SUM(n) AS BIGINT) AS tokens,
+               CAST(SUM(n_chunks) AS BIGINT) AS chunks,
+               CAST(SUM(overlap) AS BIGINT) AS overlap_tokens,
+               CAST(SUM(pad) AS BIGINT) AS pad_tokens,
+               CAST((1000 * SUM(overlap + pad)) // ({CHUNK_W} * SUM(n_chunks))
+                    AS BIGINT) AS waste_permille
+        FROM c GROUP BY source
+        """,
+    doc=f"Context-window chunking accounting — the RAG / pretraining prep "
+    f"step that slices documents into {CHUNK_W}-token windows at stride "
+    f"{CHUNK_S}: per source, how many chunks the corpus becomes and how "
+    "much of the chunk budget is overlap duplication vs tail padding "
+    "(waste permille of the total chunk-slot budget).  Pure closed-form "
+    "integer arithmetic per document (ceil-div on the token count — the "
+    "chunks are never materialized to be counted), evaluated inside the "
+    "scan's codegen stage; one map-combinable aggregate, output bounded "
+    "by source count.  The same formulas price a chunking config BEFORE "
+    "running it over 100 TB.",
+    tags=("text", "chunking", "statistics", "scale-default", "added-r3b"),
+)
+def context_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ex = _chunk_exprs("div")
+    d = docs.select(
+        "source",
+        F.expr(f"CAST(size({H.tokens('text', 'spark')}) AS LONG)").alias("n"),
+    ).select(
+        "source",
+        "n",
+        F.expr(ex["n_chunks"]).alias("n_chunks"),
+        F.expr(ex["overlap"]).alias("overlap"),
+        F.expr(ex["pad"]).alias("pad"),
+    )
+    return d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("n").cast("long").alias("tokens"),
+        F.sum("n_chunks").cast("long").alias("chunks"),
+        F.sum("overlap").cast("long").alias("overlap_tokens"),
+        F.sum("pad").cast("long").alias("pad_tokens"),
+        F.expr(
+            f"CAST((1000 * SUM(overlap + pad)) div ({CHUNK_W} * SUM(n_chunks)) AS BIGINT)"
+        ).alias("waste_permille"),
+    )
