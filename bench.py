@@ -89,6 +89,7 @@ def main() -> None:
     # the mix drains evenly (classic LPT makespan reduction); the rest run
     # alphabetically behind them
     heavy = [
+        "kcore_peel_profile",
         "neardup_components",
         "component_survivorship",
         "hll_vocab_overlap",

@@ -266,10 +266,17 @@ def kcore_peel(
     profile: list[tuple[int, int, int]] = []
     cur = e
     for r in range(rounds + 1):
-        n_edges = cur.count()
         sym = cur.unionByName(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        deg = sym.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
-        profile.append((r, deg.count(), n_edges))
+        # checkpoint the (tiny, <= nodes rows) degree table: the profile
+        # count, the >= k gate, and BOTH semi-join probes below read it, so
+        # without this each round recomputes the degree aggregate 3x and the
+        # driver loop's blocking actions stack up in a contended session
+        deg = (
+            sym.groupBy("a")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .localCheckpoint(eager=True)
+        )
+        profile.append((r, deg.count(), cur.count()))
         if r == rounds:
             break
         keep = deg.filter(F.col("deg") >= k).select(F.col("a").alias("node"))
