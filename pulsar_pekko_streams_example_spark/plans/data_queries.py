@@ -2467,3 +2467,63 @@ def kcore_peel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore_peel(
         edges, k=KCORE_K, rounds=KCORE_ROUNDS, src="ua", dst="ub"
     )
+
+
+# ---------------------------------------------------------------------------
+# Recursive-CTE BFS reachability: the SQL-API twin of the iterative graph ops
+# ---------------------------------------------------------------------------
+BFS_MAX_HOPS = 3
+
+_BFS_RECURSIVE_BODY = f"""
+  sym AS (SELECT ua AS a, ub AS b FROM e UNION ALL SELECT ub, ua FROM e),
+  seed AS (SELECT MIN(a) AS s FROM sym),
+  walk(node, hop) AS (
+    SELECT s, 0 FROM seed
+    UNION ALL
+    SELECT sym.b, walk.hop + 1 FROM walk JOIN sym ON walk.node = sym.a
+    WHERE walk.hop < {BFS_MAX_HOPS}
+  ),
+  first_reach AS (SELECT node, MIN(hop) AS hop FROM walk GROUP BY node)
+SELECT CAST(hop AS BIGINT) AS hop, COUNT(*) AS nodes_first_reached
+FROM first_reach GROUP BY hop
+"""
+
+
+@register(
+    "sql_recursive_reachability",
+    oracle=f"""WITH RECURSIVE w AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // {COOC_SLOT_US} AS slot
+          FROM events
+        ), e AS MATERIALIZED (
+          SELECT a.user_id AS ua, b.user_id AS ub FROM w a JOIN w b
+          ON a.slot = b.slot AND a.user_id < b.user_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= {COOC_MIN_SHARED}
+        ),{_BFS_RECURSIVE_BODY}""",
+    doc=f"WITH RECURSIVE breadth-first reachability (Spark 4 recursive "
+    "CTEs, planned by Catalyst's UnionLoop): hop-distance histogram of "
+    "nodes first reached within "
+    f"{BFS_MAX_HOPS} hops of the lowest-id seed over the co-occurrence "
+    "graph.  The recursive body text is SHARED verbatim with the DuckDB "
+    "oracle (only the edge-list CTE differs by dialect), so this checks "
+    "the SQL-API recursion machinery itself against an independent "
+    "implementation.  The walk expansion is depth-capped (walk count <= "
+    "deg^hops of one seed's neighborhood, not graph-sized); for unbounded "
+    "traversals at 100 TB the engine's answer is the driver-loop "
+    "operators (connected_components / kcore_peel / pagerank, "
+    "operators/graph.py) whose per-round checkpoints bound lineage — "
+    "this query exists to prove the declarative recursion surface.",
+    tags=("graph", "sql-api", "recursive", "added-r3b"),
+)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("bfs_events")
+    return spark.sql(
+        f"""WITH RECURSIVE w AS (
+          SELECT DISTINCT user_id, unix_micros(ts) div {COOC_SLOT_US} AS slot
+          FROM bfs_events
+        ), e AS (
+          SELECT a.user_id AS ua, b.user_id AS ub FROM w a JOIN w b
+          ON a.slot = b.slot AND a.user_id < b.user_id
+          GROUP BY 1, 2 HAVING COUNT(*) >= {COOC_MIN_SHARED}
+        ),{_BFS_RECURSIVE_BODY}"""
+    )
