@@ -90,6 +90,7 @@ def main() -> None:
     # alphabetically behind them
     heavy = [
         "kcore_peel_profile",
+        "sql_recursive_reachability",
         "neardup_components",
         "component_survivorship",
         "hll_vocab_overlap",

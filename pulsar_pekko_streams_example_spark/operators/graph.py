@@ -276,7 +276,12 @@ def kcore_peel(
             .agg(F.count(F.lit(1)).alias("deg"))
             .localCheckpoint(eager=True)
         )
-        profile.append((r, deg.count(), cur.count()))
+        # one action per round: nodes = degree rows, edges = sum(deg) / 2
+        # (every surviving edge contributes one degree to each endpoint)
+        [stats] = deg.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("deg").alias("s")
+        ).collect()
+        profile.append((r, stats["n"], (stats["s"] or 0) // 2))
         if r == rounds:
             break
         keep = deg.filter(F.col("deg") >= k).select(F.col("a").alias("node"))
