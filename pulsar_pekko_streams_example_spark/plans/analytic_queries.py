@@ -1016,3 +1016,152 @@ def daily_value_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("sum_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# A/B experiment report: deterministic hash assignment + conversion lift
+# ---------------------------------------------------------------------------
+# Knuth multiplicative hash mod a prime: stable, engine-portable, and
+# independent of user_id's own parity structure.  user_id is reduced mod a
+# million-scale prime first so the multiply stays < 2^63 for ANY id width
+# (Spark's non-ANSI multiply would wrap silently, DuckDB's would widen to
+# HUGEINT — the assignment would diverge exactly at scale).
+AB_HASH_PREMOD = 1000003  # reduce user_id BEFORE the multiply: product < 2^63
+AB_HASH_MULT = 2654435761
+AB_HASH_MOD = 97
+AB_SPLIT_LT = 48  # < 48 -> variant A (~49.5%), else B
+
+
+@register(
+    "ab_test_report",
+    oracle=f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 CASE WHEN (((user_id % {AB_HASH_PREMOD}) * {AB_HASH_MULT}) % {AB_HASH_MOD}) < {AB_SPLIT_LT}
+                      THEN 'A' ELSE 'B' END AS variant,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
+                 SUM(CASE WHEN event_type = 'purchase'
+                          THEN CAST(value AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END)
+                   AS revenue
+          FROM events GROUP BY 1, 2
+        )
+        SELECT variant,
+               COUNT(*) AS users,
+               CAST(SUM(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS converters,
+               CAST((1000 * SUM(CASE WHEN purchases > 0 THEN 1 ELSE 0 END))
+                    // COUNT(*) AS BIGINT) AS conv_permille,
+               CAST(SUM(purchases) AS BIGINT) AS purchases,
+               CAST(SUM(revenue) AS DOUBLE) AS revenue
+        FROM per_user GROUP BY variant
+        """,
+    doc="A/B experiment scorecard: users assigned to variants by a "
+    "deterministic multiplicative hash of user_id (stable across reruns, "
+    "batches, and engines — no assignment table, no coordination, the "
+    "same contract as the train/val/test split), then per-variant "
+    "conversion rate and exact-decimal purchase revenue.  ONE event scan "
+    "into a per-user aggregate (the variant is a pure projection, so "
+    "assignment costs nothing), then a 2-row variant roll-up.  At 100 TB "
+    "the experiment readout is the same two hash aggregates; integer "
+    "permille conversion keeps the comparison float-free.",
+    tags=("agg", "experimentation", "scale-default", "added-r3b"),
+)
+def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy(
+        "user_id",
+        F.expr(
+            f"CASE WHEN (((user_id % {AB_HASH_PREMOD}) * {AB_HASH_MULT}) % {AB_HASH_MOD}) < {AB_SPLIT_LT} "
+            "THEN 'A' ELSE 'B' END"
+        ).alias("variant"),
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchases"
+        ),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.col("value").cast(DEC)).otherwise(
+                F.lit(0).cast(DEC)
+            )
+        ).alias("revenue"),
+    )
+    return per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).alias("users"),
+        F.sum(F.when(F.col("purchases") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("converters"),
+        F.expr(
+            "CAST((1000 * SUM(CASE WHEN purchases > 0 THEN 1 ELSE 0 END)) div COUNT(*) AS BIGINT)"
+        ).alias("conv_permille"),
+        F.sum("purchases").cast("long").alias("purchases"),
+        F.sum("revenue").cast("double").alias("revenue"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality baseline + deviation flags: (dow, hour) profile vs actual cells
+# ---------------------------------------------------------------------------
+SEASONAL_TOPK = 20  # report the k most-overloaded cells (ratio-threshold
+# flags go empty on uniform corpora as scale concentrates the ratios)
+
+
+@register(
+    "seasonality_deviation_flags",
+    oracle=f"""
+        WITH cells AS (
+          SELECT CAST(epoch_us(ts) // {DAY_US} AS BIGINT) AS day,
+                 CAST((epoch_us(ts) // 3600000000) % 24 AS BIGINT) AS hour,
+                 CAST((epoch_us(ts) // {DAY_US}) % 7 AS BIGINT) AS dow,
+                 COUNT(*) AS actual
+          FROM events GROUP BY 1, 2, 3
+        ),
+        baseline AS (
+          SELECT dow, hour,
+                 CAST(SUM(actual) AS BIGINT) AS total,
+                 COUNT(*) AS n_days
+          FROM cells GROUP BY dow, hour
+        )
+        SELECT c.day, c.hour, c.actual,
+               CAST((1000 * b.total) // b.n_days AS BIGINT) AS baseline_milli,
+               CAST((1000 * c.actual * b.n_days) // b.total AS BIGINT)
+                 AS load_permille
+        FROM cells c JOIN baseline b ON c.dow = b.dow AND c.hour = b.hour
+        ORDER BY load_permille DESC, c.day, c.hour LIMIT {SEASONAL_TOPK}
+        """,
+    doc="Seasonality-aware anomaly flags: each (day, hour) traffic cell is "
+    "compared against the average for its (day-of-week, hour) slot — the "
+    "diurnal/weekly profile baseline that plain z-scores miss (a quiet "
+    "Sunday 3am cell can be anomalous at volumes a Monday noon cell calls "
+    "normal).  Two hash aggregates off one scan: day-hour cells, then the "
+    "168-slot baseline joined back (AQE broadcasts it); the load ratio is "
+    "integer permille; the report is the deterministic top-20 most-loaded cells (TakeOrderedAndProject — a fixed ratio cutoff goes empty as scale concentrates uniform traffic toward 1000).  Epoch-day modulo gives "
+    "a stable dow index with no locale/timezone surface.  Output is "
+    "bounded by flagged cells <= days x 24.",
+    tags=("agg", "timeseries", "anomaly", "scale-default", "added-r3b"),
+)
+def seasonality_deviation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    cells = events.groupBy(
+        F.expr(f"CAST(unix_micros(ts) div {DAY_US} AS BIGINT)").alias("day"),
+        F.expr("CAST((unix_micros(ts) div 3600000000) % 24 AS BIGINT)").alias("hour"),
+        F.expr(f"CAST((unix_micros(ts) div {DAY_US}) % 7 AS BIGINT)").alias("dow"),
+    ).agg(F.count(F.lit(1)).alias("actual"))
+    baseline = cells.groupBy("dow", "hour").agg(
+        F.sum("actual").cast("long").alias("total"),
+        F.count(F.lit(1)).alias("n_days"),
+    )
+    joined = cells.join(F.broadcast(baseline), ["dow", "hour"])
+    return (
+        joined.select(
+            "day",
+            "hour",
+            "actual",
+            F.expr("CAST((1000 * total) div n_days AS BIGINT)").alias(
+                "baseline_milli"
+            ),
+            F.expr("CAST((1000 * actual * n_days) div total AS BIGINT)").alias(
+                "load_permille"
+            ),
+        )
+        .orderBy(F.col("load_permille").desc(), "day", "hour")
+        .limit(SEASONAL_TOPK)
+    )
