@@ -147,8 +147,10 @@ def _export_order() -> list[str]:
     interleaved = interleaved_order()
     checked = _driver_checked()
 
-    def added_round(name: str) -> int:
-        """Round a query was added, from an ``added-rN`` tag (0 = original).
+    def added_round(name: str) -> tuple[int, str]:
+        """Round a query was added, from an ``added-rN[x]`` tag ((0, '') =
+        original; a letter suffix like ``added-r3b`` marks a later batch
+        WITHIN a round and sorts after the round's plain batch).
 
         Within the unchecked partition, longest-waiting queries go first:
         a query added this round has had zero chances at the driver budget,
@@ -157,11 +159,11 @@ def _export_order() -> list[str]:
         additions that would interleave ahead of it."""
         for t in REGISTRY[name].tags:
             if t.startswith("added-r"):
-                try:
-                    return int(t[7:])
-                except ValueError:
-                    pass
-        return 0
+                body = t[7:]
+                digits = "".join(c for c in body if c.isdigit())
+                if digits:
+                    return (int(digits), body[len(digits):])
+        return (0, "")
 
     idx = {n: i for i, n in enumerate(interleaved)}
     unchecked = sorted(

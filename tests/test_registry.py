@@ -95,8 +95,11 @@ def test_unchecked_partition_orders_longest_waiting_first():
     def added(n):
         for t in REGISTRY[n].tags:
             if t.startswith("added-r"):
-                return int(t[7:])
-        return 0
+                body = t[7:]
+                digits = "".join(c for c in body if c.isdigit())
+                if digits:
+                    return (int(digits), body[len(digits):])
+        return (0, "")
 
     rounds = [added(n) for n in order]
     assert rounds == sorted(rounds), "unchecked queries out of added-round order"
