@@ -1165,3 +1165,127 @@ def seasonality_deviation_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("load_permille").desc(), "day", "hour")
         .limit(SEASONAL_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Trend slope per event type: closed-form OLS over daily counts, exact sums
+# ---------------------------------------------------------------------------
+@register(
+    "trend_slope_by_type",
+    oracle=f"""
+        WITH daily AS (
+          SELECT event_type,
+                 CAST(epoch_us(ts) // {DAY_US} AS BIGINT) AS day,
+                 COUNT(*) AS y
+          FROM events GROUP BY 1, 2
+        ),
+        anchor AS (SELECT MIN(day) AS d0 FROM daily),
+        xy AS (
+          SELECT event_type, CAST(day - d0 AS HUGEINT) AS x, CAST(y AS HUGEINT) AS y
+          FROM daily CROSS JOIN anchor
+        ),
+        s AS (
+          SELECT event_type,
+                 COUNT(*)::HUGEINT AS n, SUM(x) AS sx, SUM(y) AS sy,
+                 SUM(x * y) AS sxy, SUM(x * x) AS sxx
+          FROM xy GROUP BY event_type
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_days,
+               CAST(sy AS BIGINT) AS total_events,
+               CAST((1000000 * (n * sxy - sx * sy))
+                    // GREATEST(n * sxx - sx * sx, 1) AS BIGINT) AS slope_micro
+        FROM s
+        """,
+    doc="Per-type traffic trend by closed-form least squares over the daily "
+    "count series: slope = (nSxy - SxSy) / (nSxx - Sx^2) in events/day, "
+    "reported in integer micro-units.  The fact table collapses to "
+    "|types| x |days| rows FIRST (one hash aggregate), x is re-anchored "
+    "to the corpus min day (1-row scalar broadcast) so the moment sums "
+    "stay small, and the four moments accumulate in DECIMAL(38,0)/"
+    "HUGEINT — exact at any corpus size, no per-row float ever exists.  "
+    "GREATEST(den, 1) absorbs the single-day degenerate series.  This is "
+    "the regression shape under every 'is traffic growing' dashboard "
+    "without an ML library in sight.",
+    tags=("agg", "timeseries", "regression", "scale-default", "added-r3b"),
+)
+def trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(
+        "event_type",
+        F.expr(f"CAST(unix_micros(ts) div {DAY_US} AS BIGINT)").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("y"))
+    anchor = daily.agg(F.min("day").alias("d0"))
+    D38 = "decimal(38,0)"
+    xy = daily.crossJoin(F.broadcast(anchor)).select(
+        "event_type",
+        (F.col("day") - F.col("d0")).cast(D38).alias("x"),
+        F.col("y").cast(D38).alias("y"),
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(D38).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sy").cast("long").alias("total_events"),
+        F.expr(
+            "CAST((1000000 * (n * sxy - sx * sy)) div "
+            "GREATEST(n * sxx - sx * sx, CAST(1 AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("slope_micro"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Behavioral diversity: Gini-Simpson index of each user's event-type mix
+# ---------------------------------------------------------------------------
+DIVERSITY_BUCKET = 100  # histogram bucket width in permille
+
+
+@register(
+    "user_diversity_histogram",
+    oracle=f"""
+        WITH per AS (
+          SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+        ),
+        u AS (
+          SELECT user_id, SUM(c) AS n, SUM(c * c) AS ss FROM per GROUP BY user_id
+        ),
+        d AS (
+          SELECT user_id,
+                 (1000 * (n * n - ss)) // (n * n) AS div_permille
+          FROM u
+        )
+        SELECT CAST((div_permille // {DIVERSITY_BUCKET}) * {DIVERSITY_BUCKET}
+                    AS BIGINT) AS bucket,
+               COUNT(*) AS users
+        FROM d GROUP BY 1
+        """,
+    doc="Behavioral-diversity profile: the Gini-Simpson index 1 - sum(p_i^2) "
+    "of each user's event-type mix, in integer permille — the log-free "
+    "diversity measure (entropy's rational cousin, exactly computable "
+    "cross-engine: 1000 * (n^2 - sum(c^2)) div n^2).  A 0 bucket is a "
+    "single-behavior account (bot smell), high buckets are engaged "
+    "users.  Two hash aggregates sharing one user_id shuffle, then a "
+    "bounded 11-bucket histogram; n <= events per user so n^2 is int64-"
+    "safe to ~3e9 events per user.",
+    tags=("agg", "statistics", "curation", "scale-default", "added-r3b"),
+)
+def user_diversity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per = events.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("c"))
+    u = per.groupBy("user_id").agg(
+        F.sum("c").alias("n"), F.sum(F.col("c") * F.col("c")).alias("ss")
+    )
+    d = u.select(
+        F.expr("(1000 * (n * n - ss)) div (n * n)").alias("div_permille")
+    )
+    return d.groupBy(
+        F.expr(
+            f"CAST((div_permille div {DIVERSITY_BUCKET}) * {DIVERSITY_BUCKET} AS BIGINT)"
+        ).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("users"))

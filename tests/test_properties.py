@@ -420,3 +420,97 @@ def test_triangles_by_degree_orientation_bounds_hub_fanout(spark):
     )
     # star graph has no triangles at all
     assert graph.triangles_by_degree(edges).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# k-core peel vs brute force on adversarial small graphs
+# ---------------------------------------------------------------------------
+edge_lists = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=7),
+        st.integers(min_value=0, max_value=7),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=16,
+    unique=True,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(raw=edge_lists)
+def test_kcore_peel_matches_bruteforce(spark, raw):
+    from pulsar_pekko_streams_example_spark.operators.graph import kcore_peel
+
+    # canonicalize to one row per undirected pair (the operator's contract)
+    pairs = sorted({(min(a, b), max(a, b)) for a, b in raw})
+    k, rounds = 2, 3
+
+    def brute():
+        cur = set(pairs)
+        prof = []
+        for r in range(rounds + 1):
+            deg: dict[int, int] = {}
+            for a, b in cur:
+                deg[a] = deg.get(a, 0) + 1
+                deg[b] = deg.get(b, 0) + 1
+            prof.append((r, len(deg), len(cur)))
+            keep = {n for n, d in deg.items() if d >= k}
+            cur = {(a, b) for a, b in cur if a in keep and b in keep}
+        return prof
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = sorted(
+        tuple(r) for r in kcore_peel(edges, k=k, rounds=rounds).collect()
+    )
+    assert got == brute()
+
+
+# ---------------------------------------------------------------------------
+# Context-chunking closed forms vs an actual chunker, over every small n
+# ---------------------------------------------------------------------------
+def test_chunk_formulas_match_actual_chunking():
+    """The registered SQL expressions (evaluated by DuckDB over a range
+    table) must agree with literally materializing window/stride chunks,
+    for every token count 0..3*W — including the n=0, n=W, and
+    exact-multiple boundaries the corpus never hits."""
+    import duckdb
+
+    from pulsar_pekko_streams_example_spark.plans.mldata_queries import (
+        CHUNK_S,
+        CHUNK_W,
+        _chunk_exprs,
+    )
+
+    ex = _chunk_exprs("//")
+    rows = duckdb.sql(
+        f"SELECT n, {ex['n_chunks']} AS c, {ex['overlap']} AS o, {ex['pad']} AS p "
+        f"FROM (SELECT range AS n FROM range(0, {3 * CHUNK_W + 1}))"
+    ).fetchall()
+    for n, c, o, p in rows:
+        # materialize the chunks: starts at 0, S, 2S, ... until a chunk
+        # covers the tail
+        starts = []
+        s = 0
+        if n > 0:
+            while True:
+                starts.append(s)
+                if s + CHUNK_W >= n:
+                    break
+                s += CHUNK_S
+        assert c == len(starts), (n, c, starts)
+        covered = sum(min(st_ + CHUNK_W, n) - st_ for st_ in starts)
+        overlap = sum(
+            max(0, (starts[i] + CHUNK_W) - starts[i + 1])
+            for i in range(len(starts) - 1)
+        )
+        # formula overlap counts full W-S per straddle boundary
+        if n > CHUNK_W:
+            assert o == (len(starts) - 1) * (CHUNK_W - CHUNK_S), (n, o)
+        else:
+            assert o == 0
+        # pad = unused slots in the final chunk
+        if n > 0:
+            assert p == CHUNK_W - (n - (len(starts) - 1) * CHUNK_S), (n, p)
+        else:
+            assert p == 0
+        assert overlap == o or n <= CHUNK_W, (n, overlap, o)
