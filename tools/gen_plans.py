@@ -172,6 +172,13 @@ SHOWCASE = [
         "tokenize pass; the vocabulary-sized unigram table broadcasts back "
         "twice; top-k is TakeOrderedAndProject, never a global sort.",
     ),
+    (
+        "sql_recursive_reachability",
+        "Spark 4 WITH RECURSIVE planned as UnionLoop: the depth-capped BFS "
+        "walk iterates inside one operator, then collapses through two hash "
+        "aggregates — the recursion text is shared verbatim with the DuckDB "
+        "oracle.",
+    ),
 ]
 
 
