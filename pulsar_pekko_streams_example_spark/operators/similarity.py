@@ -356,6 +356,12 @@ def cosine_topk_numpy(
             "ann_lsh_topk / ann_ivf_topk for corpus-scale query sets"
         )
     qrows = qdf.collect()
+    if not qrows:
+        # empty corpus / no matching queries: the 0-row result, not an
+        # IndexError from a (0,)-shaped query matrix
+        return spark.createDataFrame(
+            [], StructType([*_TOPK_SCHEMA.fields, StructField("rnk", LongType())])
+        )
     q_ids = np.array([r["vec_id"] for r in qrows], dtype=np.int64)
     q_mat = np.array([r["embedding"] for r in qrows], dtype=np.float64)
     q_norm = _fold_norms(q_mat)

@@ -884,3 +884,84 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time join: facts against the SCD2 state version valid at fact time
+# ---------------------------------------------------------------------------
+@register(
+    "pit_state_revenue",
+    oracle=f"""
+        WITH changes AS (
+          SELECT user_id, ts, event_type AS state
+          FROM (
+            SELECT user_id, ts, event_type,
+                   LAG(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS prev
+            FROM events WHERE event_type <> 'purchase'
+          )
+          WHERE prev IS NULL OR prev <> event_type
+        ),
+        p AS (
+          SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+        )
+        SELECT COALESCE(c.state, 'none') AS state,
+               COUNT(*) AS purchases,
+               {sql_dsum('p.value')} AS revenue
+        FROM p ASOF LEFT JOIN changes c
+          ON p.user_id = c.user_id AND p.ts >= c.ts
+        GROUP BY 1
+        """,
+    doc="Point-in-time (PIT) dimension join — the data-warehouse staple of "
+    "joining facts to the dimension VERSION that was valid when the fact "
+    "happened: each purchase is attributed to the user's behavioral state "
+    "(latest non-purchase event-type change at purchase time, i.e. the "
+    "SCD2 current-version lookup).  NO JOIN OPERATOR: state-change points "
+    "and purchases union into one (user_id, ts, event_id)-ordered stream "
+    "and a last(ignorenulls) running window carries the current state "
+    "onto each fact row — one shuffle, the same union+window construction "
+    "as the as-of join, against DuckDB's native ASOF JOIN as an "
+    "implementation-independent oracle.  Revenue accumulates through "
+    "DECIMAL(38,6).",
+    tags=("temporal", "asof", "scd2", "scale-default", "added-r3b"),
+)
+def pit_state_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = (
+        ev.filter(F.col("event_type") != "purchase")
+        .withColumn("prev", F.lag("event_type").over(w))
+        .filter(F.col("prev").isNull() | (F.col("prev") != F.col("event_type")))
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("state"),
+            F.lit(None).cast("double").alias("value"),
+            F.lit(0).alias("is_fact"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(None).cast("string").alias("state"),
+        "value",
+        F.lit(1).alias("is_fact"),
+    )
+    wc = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = changes.unionByName(facts).withColumn(
+        "cur_state", F.last("state", ignorenulls=True).over(wc)
+    )
+    return (
+        carried.filter(F.col("is_fact") == 1)
+        .groupBy(F.coalesce("cur_state", F.lit("none")).alias("state"))
+        .agg(
+            F.count(F.lit(1)).alias("purchases"),
+            dsum("value").alias("revenue"),
+        )
+    )

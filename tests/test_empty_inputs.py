@@ -1,0 +1,58 @@
+"""Degenerate-input sweep: registry queries against ZERO-row tables.
+
+The DuckDB parity gate proves agreement on populated corpora; what it cannot
+reach is the crash surface of empty inputs — driver-side collects indexing
+into empty matrices, scalar broadcasts yielding empty cross joins, division
+guards.  (Found live: the vectorized ANN path raised IndexError building a
+(0,)-shaped query matrix.)  Every query here must BUILD and COLLECT against
+empty tables with the production schemas — rows out don't matter, not
+crashing does.
+
+The default run sweeps a deterministic 25-query sample plus the known
+regressions (full 160+ sweep costs minutes); export
+SPARK_GRAFT_EMPTY_SWEEP=all for the complete pass.
+"""
+
+from __future__ import annotations
+
+import os
+import zlib
+
+import pytest
+
+from pulsar_pekko_streams_example_spark.plans.registry import REGISTRY, all_queries
+
+from tests.conftest import SF_SMOKE
+
+all_queries()  # force registration
+
+# once-broken on empty input: pinned forever
+REGRESSIONS = ["ann_cosine_topk_vectorized"]
+
+SAMPLE_N = 25
+
+
+def _selected() -> list[str]:
+    names = sorted(REGISTRY)
+    if os.environ.get("SPARK_GRAFT_EMPTY_SWEEP") == "all":
+        return names
+    # deterministic hash sample — stable across runs, spread over families
+    sample = sorted(names, key=lambda n: zlib.crc32(n.encode()))[:SAMPLE_N]
+    return sorted(set(sample) | set(REGRESSIONS))
+
+
+@pytest.fixture(scope="module")
+def empty_sf(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("empty_sf")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        df.limit(0).write.mode("overwrite").parquet(str(base / f"{t}.parquet"))
+    return str(base)
+
+
+@pytest.mark.parametrize("name", _selected())
+def test_query_survives_empty_input(name, spark, empty_sf):
+    REGISTRY[name].build(spark, empty_sf).collect()
