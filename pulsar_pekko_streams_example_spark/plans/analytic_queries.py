@@ -132,7 +132,8 @@ def sliding_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT s.event_type, s.n,
                  s.s1 / CAST(s.n AS DOUBLE) AS mean,
                  (CAST(s.n AS DOUBLE) * s.s2 - s.s1 * s.s1)
-                   / (CAST(s.n AS DOUBLE) * CAST(s.n - 1 AS DOUBLE)) AS variance,
+                   / (CAST(s.n AS DOUBLE) * CAST(GREATEST(s.n - 1, 1) AS DOUBLE))
+                   AS variance,
                  e.value
           FROM events e JOIN stats s ON e.event_type = s.event_type
         )
@@ -163,9 +164,12 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         (F.col("s1") / nd).alias("mean"),
-        ((nd * F.col("s2") - F.col("s1") * F.col("s1")) / (nd * (F.col("n") - 1).cast("double"))).alias(
-            "variance"
-        ),
+        # GREATEST(n-1, 1): a single-row group has zero sample variance, not
+        # a division error (ANSI doubles raise on /0; the n=1 numerator is 0)
+        (
+            (nd * F.col("s2") - F.col("s1") * F.col("s1"))
+            / (nd * F.greatest(F.col("n") - 1, F.lit(1)).cast("double"))
+        ).alias("variance"),
     )
     scored = ev.join(F.broadcast(stats), "event_type")
     dev = F.col("value") - F.col("mean")

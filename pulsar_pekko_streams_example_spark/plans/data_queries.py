@@ -2527,3 +2527,65 @@ def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
           GROUP BY 1, 2 HAVING COUNT(*) >= {COOC_MIN_SHARED}
         ),{_BFS_RECURSIVE_BODY}"""
     )
+
+
+# ---------------------------------------------------------------------------
+# Boilerplate SUFFIX report: shared trailing tokens (footers, licenses, sigs)
+# ---------------------------------------------------------------------------
+def _suffix_key(dialect: str) -> str:
+    # both engines take the last min(K, len) tokens: DuckDB's w[-K:] clamps
+    # python-style; Spark's slice() errors on |start| > len, hence the CASE
+    if dialect == "spark":
+        inner = (
+            f"concat_ws('_', CASE WHEN size(w) >= {PREFIX_K} "
+            f"THEN slice(w, -{PREFIX_K}, {PREFIX_K}) ELSE w END)"
+        )
+    else:
+        inner = f"array_to_string(w[-{PREFIX_K}:], '_')"
+    return H.word_hash(inner, dialect)
+
+
+@register(
+    "boilerplate_suffix_report",
+    oracle=f"""
+        WITH p AS (
+          SELECT source, {_suffix_key('duckdb')} AS sfx
+          FROM (SELECT source, {H.tokens('text', 'duckdb')} AS w FROM documents)
+        ),
+        g AS (SELECT source, sfx, COUNT(*) AS cnt FROM p GROUP BY source, sfx)
+        SELECT source,
+               CAST(SUM(cnt) AS BIGINT) AS docs,
+               COUNT(*) AS distinct_suffixes,
+               CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                 AS boilerplate_docs,
+               CAST((1000 * SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END))
+                    // SUM(cnt) AS BIGINT) AS boilerplate_permille
+        FROM g GROUP BY source
+        """,
+    doc="Trailing-boilerplate detector — the SUFFIX twin of "
+    f"boilerplate_prefix_report: documents sharing their last {PREFIX_K} "
+    "tokens (license footers, signatures, scraped page chrome) flagged "
+    "by the same portable integer fingerprint, now folded over the "
+    "trailing-token join.  Identical two-aggregate shape: the shuffle "
+    "carries fingerprints, never text, output bounded by distinct "
+    "suffixes.  Prefix and suffix reports together bracket the document "
+    "— template detection needs both ends.",
+    tags=("text", "dedup", "added-r3b"),
+)
+def boilerplate_suffix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    p = docs.select(
+        "source",
+        F.expr(H.tokens("text", "spark")).alias("w"),
+    ).select("source", F.expr(_suffix_key("spark")).alias("sfx"))
+    g = p.groupBy("source", "sfx").agg(F.count(F.lit(1)).alias("cnt"))
+    return g.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("docs"),
+        F.count(F.lit(1)).alias("distinct_suffixes"),
+        F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0))
+        .cast("long")
+        .alias("boilerplate_docs"),
+        F.expr(
+            "CAST((1000 * SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)) div SUM(cnt) AS LONG)"
+        ).alias("boilerplate_permille"),
+    )

@@ -26,8 +26,8 @@ from tests.conftest import SF_SMOKE
 
 all_queries()  # force registration
 
-# once-broken on empty input: pinned forever
-REGRESSIONS = ["ann_cosine_topk_vectorized"]
+# once-broken on empty / single-row input: pinned forever
+REGRESSIONS = ["ann_cosine_topk_vectorized", "zscore_anomalies"]
 
 SAMPLE_N = 25
 
@@ -53,6 +53,26 @@ def empty_sf(spark, tmp_path_factory):
     return str(base)
 
 
+@pytest.fixture(scope="module")
+def one_row_sf(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("one_row_sf")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        df.limit(1).write.mode("overwrite").parquet(str(base / f"{t}.parquet"))
+    return str(base)
+
+
 @pytest.mark.parametrize("name", _selected())
 def test_query_survives_empty_input(name, spark, empty_sf):
     REGISTRY[name].build(spark, empty_sf).collect()
+
+
+@pytest.mark.parametrize("name", _selected())
+def test_query_survives_single_row_input(name, spark, one_row_sf):
+    """n=1 is the divisor-degeneracy corner: sample variance, percent_rank,
+    lag/lead baselines.  (Found live: zscore_anomalies divided by n-1 under
+    ANSI doubles.)"""
+    REGISTRY[name].build(spark, one_row_sf).collect()
