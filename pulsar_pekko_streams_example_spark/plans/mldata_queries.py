@@ -1058,3 +1058,121 @@ def context_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((1000 * SUM(overlap + pad)) div ({CHUNK_W} * SUM(n_chunks)) AS BIGINT)"
         ).alias("waste_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HLL distinct-count LATTICE: one scan, register-MAX rollups over a cube
+# ---------------------------------------------------------------------------
+_HLL_EST = (
+    f"(CAST(0.709 AS DOUBLE) * {HLL_M} * {HLL_M} * 1073741824.0)"
+    f" / CAST(present_weight + ({HLL_M} - used) * 1073741824 AS DOUBLE)"
+)
+
+
+def _duck_hll_cube_sql() -> str:
+    reg, rho = _hll_exprs("duckdb")
+    day = "CAST((epoch_us(ts) // 86400000000) % 7 AS BIGINT)"
+    lattice_levels = [
+        ("etype", "dow"),
+        ("etype",),
+        ("dow",),
+        (),
+    ]
+    parts = []
+    for keys in lattice_levels:
+        gb = ", ".join(("reg",) + keys)
+        sel_e = "etype" if "etype" in keys else "'*'"
+        sel_d = "dow" if "dow" in keys else "CAST(-1 AS BIGINT)"
+        outer_gb = ", ".join(keys) if keys else ""
+        parts.append(f"""
+          SELECT {sel_e} AS etype, {sel_d} AS dow,
+                 COUNT(*) AS used,
+                 SUM(CAST(2 AS BIGINT) ** (30 - m)) AS present_weight
+          FROM (SELECT {", ".join(("reg",) + keys)}, MAX(m) AS m
+                FROM base GROUP BY {gb})
+          {("GROUP BY " + outer_gb) if outer_gb else ""}""")
+    unioned = " UNION ALL ".join(parts)
+    return f"""
+        WITH raw AS (
+          SELECT event_type AS etype, {day} AS dow,
+                 CAST(user_id AS VARCHAR) AS uid
+          FROM events
+        ),
+        base AS (
+          SELECT etype, dow, {reg.replace('uid', 'uid')} AS reg,
+                 MAX({rho}) AS m
+          FROM raw GROUP BY 1, 2, 3
+        ),
+        est AS ({unioned}),
+        exact AS (
+          SELECT COALESCE(etype, '*') AS etype,
+                 COALESCE(dow, CAST(-1 AS BIGINT)) AS dow,
+                 COUNT(DISTINCT uid) AS exact_users
+          FROM raw GROUP BY CUBE (etype, dow)
+        )
+        SELECT e.etype, e.dow,
+               CAST(e.used AS BIGINT) AS registers_used,
+               x.exact_users,
+               {_HLL_EST} AS hll_estimate
+        FROM est e JOIN exact x ON e.etype = x.etype AND e.dow = x.dow
+        """
+
+
+@register(
+    "hll_cube_users",
+    oracle=_duck_hll_cube_sql(),
+    doc="Distinct-count LATTICE from one scan: per-(event_type, day-of-week) "
+    "HLL register cells roll up to (type), (dow), and the grand total by "
+    "register-wise MAX — the sketch-mergeability property applied across "
+    "an aggregation cube, the way a 100 TB metrics store serves every "
+    "drill-down from one standing register table without rescanning "
+    "facts.  The base cell table is |types| x 7 x 64 rows; every rollup "
+    "is an aggregate over THAT, not the corpus.  An exact COUNT(DISTINCT) "
+    "CUBE (one Expand pass) joins on as the per-cell error audit; rolled-"
+    "up keys use '*'/-1 sentinels so the 48-row lattice join is a plain "
+    "equi-join in both engines.",
+    tags=("sketch", "agg", "cube", "added-r3b"),
+)
+def hll_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, sf_dir, "events"))
+    reg, rho = _hll_exprs("spark")
+    raw = ev.select(
+        F.col("event_type").alias("etype"),
+        F.expr("CAST((unix_micros(ts) div 86400000000) % 7 AS BIGINT)").alias("dow"),
+        F.expr("CAST(user_id AS STRING)").alias("uid"),
+    )
+    base = raw.groupBy("etype", "dow", F.expr(reg).alias("reg")).agg(
+        F.expr(f"MAX({rho})").alias("m")
+    )
+    def level(keys: tuple[str, ...]):
+        g = base.groupBy(*(list(keys) + ["reg"])).agg(F.max("m").alias("m"))
+        agg = g.groupBy(*keys).agg(
+            F.count(F.lit(1)).alias("used"),
+            F.sum(F.expr("shiftleft(1L, 30 - m)")).alias("present_weight"),
+        )
+        return agg.select(
+            (F.col("etype") if "etype" in keys else F.lit("*")).alias("etype"),
+            (F.col("dow") if "dow" in keys else F.lit(-1).cast("long")).alias("dow"),
+            "used",
+            "present_weight",
+        )
+    est = (
+        level(("etype", "dow"))
+        .unionByName(level(("etype",)))
+        .unionByName(level(("dow",)))
+        .unionByName(level(()))
+    )
+    exact = raw.cube("etype", "dow").agg(
+        F.countDistinct("uid").alias("exact_users")
+    ).select(
+        F.coalesce("etype", F.lit("*")).alias("etype"),
+        F.coalesce("dow", F.lit(-1).cast("long")).alias("dow"),
+        "exact_users",
+    )
+    return est.join(F.broadcast(exact), ["etype", "dow"]).select(
+        "etype",
+        "dow",
+        F.col("used").cast("long").alias("registers_used"),
+        "exact_users",
+        F.expr(_HLL_EST).alias("hll_estimate"),
+    )
