@@ -1176,3 +1176,132 @@ def hll_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "exact_users",
         F.expr(_HLL_EST).alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge round: tokenizer-training primitive (pair counts -> merge -> recount)
+# ---------------------------------------------------------------------------
+BPE_TOPK = 5
+
+
+def _duck_bpe_sql() -> str:
+    def pairs_cte(sym_src: str) -> str:
+        return f"""
+          SELECT s1, s2, CAST(SUM(cnt) AS BIGINT) AS c FROM (
+            SELECT cnt, syms[i] AS s1, syms[i + 1] AS s2
+            FROM {sym_src}, LATERAL (SELECT unnest(range(1, len(syms))) AS i)
+          ) GROUP BY 1, 2"""
+
+    return f"""
+        WITH words AS (
+          SELECT t AS w, COUNT(*) AS cnt FROM (
+            SELECT unnest({H.tokens('text', 'duckdb')}) AS t FROM documents
+          ) GROUP BY t
+        ),
+        sym0 AS (
+          SELECT cnt, string_split(w, '') AS syms FROM words
+        ),
+        pairs0 AS ({pairs_cte('sym0')}),
+        top1 AS (
+          SELECT s1, s2 FROM pairs0 ORDER BY c DESC, s1, s2 LIMIT 1
+        ),
+        sym1 AS (
+          SELECT cnt,
+                 list_reduce(
+                   list_transform(syms, x -> [x]),
+                   (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.s1
+                                     AND x[1] = t.s2
+                               THEN acc[1:len(acc) - 1] || [t.s1 || t.s2]
+                               ELSE acc || x END
+                 ) AS syms
+          FROM sym0 CROSS JOIN top1 t
+        ),
+        pairs1 AS ({pairs_cte('sym1')}),
+        ranked AS (
+          SELECT CAST(0 AS BIGINT) AS stage, s1 || '+' || s2 AS pair, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, s1, s2) AS rnk
+          FROM pairs0
+          UNION ALL
+          SELECT CAST(1 AS BIGINT), s1 || '+' || s2, c,
+                 ROW_NUMBER() OVER (ORDER BY c DESC, s1, s2)
+          FROM pairs1
+        )
+        SELECT stage, pair, c, CAST(rnk AS BIGINT) AS rnk
+        FROM ranked WHERE rnk <= {BPE_TOPK}
+        """
+
+
+@register(
+    "bpe_merge_round",
+    oracle=_duck_bpe_sql(),
+    doc="One round of byte-pair-encoding tokenizer TRAINING: count adjacent "
+    "symbol pairs over the frequency-weighted word vocabulary, merge the "
+    "most frequent pair everywhere (greedy left-to-right, via an "
+    "order-preserving array fold — string replace() would skip adjacent "
+    "occurrences that share a boundary), and recount — reporting the "
+    f"top-{BPE_TOPK} pairs before and after the merge.  Everything runs "
+    "over the VOCABULARY (distinct words x counts), not the corpus: the "
+    "corpus is touched once to build word counts, and each round's pair "
+    "table is bounded by |vocab| x max word length.  The winning pair "
+    "broadcasts as one row into the fold lambda.  Iterating this round "
+    "yields the standard BPE merge list; the oracle replays the identical "
+    "greedy fold in DuckDB, so the merge semantics themselves are "
+    "cross-checked.",
+    tags=("text", "tokenizer", "iterative", "added-r3b"),
+)
+def bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    words = (
+        spread(docs)
+        .select(F.explode(F.expr(H.tokens("text", "spark"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    sym0 = words.select("cnt", F.expr("split(w, '')").alias("syms"))
+
+    def pairs_of(symdf: DataFrame) -> DataFrame:
+        return (
+            symdf.select(
+                "cnt",
+                F.explode(
+                    F.expr(
+                        "CASE WHEN size(syms) >= 2 THEN "
+                        "transform(sequence(1, size(syms) - 1), "
+                        "i -> struct(element_at(syms, i) AS s1, "
+                        "element_at(syms, i + 1) AS s2)) "
+                        "ELSE CAST(array() AS array<struct<s1:string,s2:string>>) END"
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.s1", "p.s2")
+            .agg(F.sum("cnt").cast("long").alias("c"))
+        )
+
+    pairs0 = pairs_of(sym0)
+    top1 = pairs0.orderBy(F.col("c").desc(), "s1", "s2").limit(1).select("s1", "s2")
+    sym1 = sym0.crossJoin(F.broadcast(top1)).select(
+        "cnt",
+        F.expr(
+            "aggregate(syms, CAST(array() AS array<string>), "
+            "(acc, x) -> CASE WHEN size(acc) > 0 AND element_at(acc, -1) = s1 "
+            "AND x = s2 "
+            "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(s1, s2))) "
+            "ELSE concat(acc, array(x)) END)"
+        ).alias("syms"),
+    )
+    pairs1 = pairs_of(sym1)
+    w0 = Window.orderBy(F.col("c").desc(), "s1", "s2")
+    staged = pairs0.select(
+        F.lit(0).cast("long").alias("stage"),
+        F.concat_ws("+", "s1", "s2").alias("pair"),
+        "c",
+        F.row_number().over(w0).cast("long").alias("rnk"),
+    ).unionByName(
+        pairs1.select(
+            F.lit(1).cast("long").alias("stage"),
+            F.concat_ws("+", "s1", "s2").alias("pair"),
+            "c",
+            F.row_number().over(w0).cast("long").alias("rnk"),
+        )
+    )
+    return staged.filter(F.col("rnk") <= BPE_TOPK)
