@@ -7,11 +7,15 @@ Timing methodology: each query is built and fully materialized
 (``df.write.format("noop")``) — wall clock per query, cold plans, shared
 warmed session (JVM startup excluded; that's harness cost, not engine cost).
 
-Queries run CONCURRENTLY ($SPARK_GRAFT_BENCH_THREADS, default 28; swept on
-local[32] at 139 queries — 10 leaves cores idle between the many small
-queries (24.3s), 12 (21.1-21.7s), 14 (20.2-20.6s), and the wider sweep at
-the 150+-query mix landed on 28 as best makespan) under the
-FAIR scheduler, one pool per worker — the engine's admission-control layer
+Queries run CONCURRENTLY ($SPARK_GRAFT_BENCH_THREADS, default 28) under the
+FAIR scheduler.  Two sweeps picked the default: at 139 queries 14 was best
+(10 -> 24.3s idle-heavy, 12 -> 21.1-21.7s, 14 -> 20.2-20.6s, 16 -> 20.6s
+and rising — driver thrash); after the 152-query mix switched submission to
+the family-interleaved order (which staggers the heavy near-dup family), a
+re-sweep found the wider mix absorbs more in-flight queries and 28 won
+(30.5s vs 62.1s that the driver-rotated order + 14 workers produced);
+re-sweep when the mix composition changes, not just its size.  One FAIR
+pool per worker — the engine's admission-control layer
 (streaming/permits.py, reference part3/PermittedTaskExecutor.scala:41-167)
 driving a real multi-tenant mix: small interactive queries are not starved
 behind the big dedup joins, and the 32 cores stay saturated.  ``value`` is

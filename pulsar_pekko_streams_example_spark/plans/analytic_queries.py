@@ -1261,7 +1261,8 @@ DIVERSITY_BUCKET = 100  # histogram bucket width in permille
         ),
         d AS (
           SELECT user_id,
-                 (1000 * (n * n - ss)) // (n * n) AS div_permille
+                 (1000 * (n::HUGEINT * n - ss)) // (n::HUGEINT * n)
+                   AS div_permille
           FROM u
         )
         SELECT CAST((div_permille // {DIVERSITY_BUCKET}) * {DIVERSITY_BUCKET}
@@ -1285,8 +1286,13 @@ def user_diversity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = per.groupBy("user_id").agg(
         F.sum("c").alias("n"), F.sum(F.col("c") * F.col("c")).alias("ss")
     )
+    # permille arithmetic in DECIMAL(38,0)/HUGEINT: 1000 * n^2 overflows
+    # int64 at ~9.6e7 events per user (ANSI raise vs DuckDB HUGEINT widen)
     d = u.select(
-        F.expr("(1000 * (n * n - ss)) div (n * n)").alias("div_permille")
+        F.expr(
+            "(1000 * (CAST(n AS DECIMAL(38,0)) * n - ss)) div "
+            "(CAST(n AS DECIMAL(38,0)) * n)"
+        ).alias("div_permille")
     )
     return d.groupBy(
         F.expr(

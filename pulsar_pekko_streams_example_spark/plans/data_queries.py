@@ -2333,9 +2333,9 @@ def pii_blocklist_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     bl = ", ".join(f"'{t}'" for t in BLOCKLIST_TERMS)
     per_doc = docs.select(
         "source",
-        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE))).alias("email_hits"),
-        F.size(F.regexp_extract_all("text", F.lit(PII_IPV4_RE))).alias("ipv4_hits"),
-        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE_RE))).alias("phone_hits"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_EMAIL_RE), 0)).alias("email_hits"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_IPV4_RE), 0)).alias("ipv4_hits"),
+        F.size(F.regexp_extract_all("text", F.lit(PII_PHONE_RE), 0)).alias("phone_hits"),
         F.expr(
             f"size(filter({H.tokens('text', 'spark')}, t -> t IN ({bl})))"
         ).alias("block_hits"),

@@ -1019,7 +1019,7 @@ def _chunk_exprs(div: str) -> dict[str, str]:
                CAST(SUM(n_chunks) AS BIGINT) AS chunks,
                CAST(SUM(overlap) AS BIGINT) AS overlap_tokens,
                CAST(SUM(pad) AS BIGINT) AS pad_tokens,
-               CAST((1000 * SUM(overlap + pad)) // ({CHUNK_W} * SUM(n_chunks))
+               CAST((1000 * SUM(overlap + pad)) // GREATEST({CHUNK_W} * SUM(n_chunks), 1)
                     AS BIGINT) AS waste_permille
         FROM c GROUP BY source
         """,
@@ -1055,7 +1055,7 @@ def context_chunking_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("overlap").cast("long").alias("overlap_tokens"),
         F.sum("pad").cast("long").alias("pad_tokens"),
         F.expr(
-            f"CAST((1000 * SUM(overlap + pad)) div ({CHUNK_W} * SUM(n_chunks)) AS BIGINT)"
+            f"CAST((1000 * SUM(overlap + pad)) div GREATEST({CHUNK_W} * SUM(n_chunks), 1) AS BIGINT)"
         ).alias("waste_permille"),
     )
 

@@ -157,12 +157,14 @@ def _export_order() -> list[str]:
         but one carried over from earlier rounds is the coverage debt the
         rotation exists to pay down — it must not be displaced by fresh
         additions that would interleave ahead of it."""
+        import re
+
         for t in REGISTRY[name].tags:
             if t.startswith("added-r"):
                 body = t[7:]
-                digits = "".join(c for c in body if c.isdigit())
-                if digits:
-                    return (int(digits), body[len(digits):])
+                m = re.match(r"(\d+)(.*)", body)
+                if m:
+                    return (int(m.group(1)), m.group(2))
         return (0, "")
 
     idx = {n: i for i, n in enumerate(interleaved)}

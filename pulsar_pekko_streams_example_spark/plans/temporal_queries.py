@@ -949,9 +949,13 @@ def pit_state_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value",
         F.lit(1).alias("is_fact"),
     )
+    # is_fact between ts and event_id: at an equal-timestamp tie the state
+    # change must sort BEFORE the purchase so the fact sees it — DuckDB's
+    # ASOF ON p.ts >= c.ts attributes equal-ts changes unconditionally,
+    # and (ts, event_id) order would hide a change carrying a higher id
     wc = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy("ts", "is_fact", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = changes.unionByName(facts).withColumn(

@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import contextlib
+
 import os
 import sys
 
@@ -36,3 +38,26 @@ def duck():
         )
     yield con
     con.close()
+
+
+@contextlib.contextmanager
+def override_confs(spark, pairs: dict[str, str]):
+    """Set session confs for a block, restoring (or unsetting) on exit."""
+    old = {k: spark.conf.get(k, None) for k in pairs}
+    for k, v in pairs.items():
+        spark.conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def final_plan_of(df) -> str:
+    """The executed physical plan as a string — AFTER an action, this is the
+    final adaptive plan (AQE decisions included); before one, the initial
+    plan.  tests/test_plans.plan_of gives the formatted explain instead."""
+    return df._jdf.queryExecution().executedPlan().toString()  # noqa: SLF001

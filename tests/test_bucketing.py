@@ -10,29 +10,14 @@ written through operators/partitioning.write_bucketed.
 
 from __future__ import annotations
 
-import contextlib
-
 import pytest
 
 from pulsar_pekko_streams_example_spark.operators.partitioning import write_bucketed
 from pulsar_pekko_streams_example_spark.sources.tables import load_table
 
-from tests.conftest import SF_SMOKE
+from tests.conftest import SF_SMOKE, final_plan_of, override_confs
 
 N_BUCKETS = 8
-
-
-@contextlib.contextmanager
-def _conf(spark, key: str, value: str):
-    old = spark.conf.get(key, None)
-    spark.conf.set(key, value)
-    try:
-        yield
-    finally:
-        if old is None:
-            spark.conf.unset(key)
-        else:
-            spark.conf.set(key, old)
 
 
 @pytest.fixture(scope="module")
@@ -57,9 +42,9 @@ def bucketed_pair(spark, tmp_path_factory):
 
 def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
     bo, bl = bucketed_pair
-    with _conf(spark, "spark.sql.autoBroadcastJoinThreshold", "-1"):
+    with override_confs(spark, {"spark.sql.autoBroadcastJoinThreshold": "-1"}):
         joined = bo.join(bl, "o_orderkey").groupBy("o_orderstatus").count()
-        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = final_plan_of(joined)
         # the join itself is shuffle-free: the ONLY allowed exchange is the
         # one the downstream groupBy introduces AFTER the join
         join_part = plan.split("SortMergeJoin")[-1]
@@ -84,7 +69,7 @@ def test_bucketed_join_has_no_exchange(spark, bucketed_pair):
 def test_bucketed_aggregation_has_no_exchange(spark, bucketed_pair):
     _, bl = bucketed_pair
     agg = bl.groupBy("o_orderkey").count()
-    plan = agg._jdf.queryExecution().executedPlan().toString()
+    plan = final_plan_of(agg)
     assert "Exchange" not in plan, plan
 
 
@@ -94,11 +79,8 @@ def test_bucket_pruning_scans_one_bucket(spark, bucketed_pair):
     # autoBucketedScan drops the bucketed layout when no downstream operator
     # wants the hash partitioning — pin it on so the point-lookup filter can
     # prune to a single bucket's files
-    with _conf(spark, "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"):
-        plan = (
-            bo.filter(f"o_orderkey = {some_key}")
-            ._jdf.queryExecution()
-            .executedPlan()
-            .toString()
-        )
+    with override_confs(
+        spark, {"spark.sql.sources.bucketing.autoBucketedScan.enabled": "false"}
+    ):
+        plan = final_plan_of(bo.filter(f"o_orderkey = {some_key}"))
     assert f"SelectedBucketsCount: 1 out of {N_BUCKETS}" in plan, plan

@@ -203,3 +203,62 @@ def test_resize_images_fits_box_and_preserves_aspect(spark):
             )
             assert (r.out_w, r.out_h) == expect
         assert len(r.resized) == min(orig_len[r.media_id], r.out_w * r.out_h * 3)
+
+
+def test_pii_scan_counts_real_hits(spark, tmp_path):
+    """The synthetic corpus is clean, so the parity gate only ever proves
+    ZEROS for the regex categories — this pins the counting path on text
+    that actually contains PII.  (Found live: regexp_extract_all without
+    the group index defaults to group 1, which raises on the FIRST real
+    match for these zero-group patterns while matching nothing vacuously
+    on a clean corpus.)"""
+    from pulsar_pekko_streams_example_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    rows = [
+        (1, "contact me at bob@example.com or alice@test.org for the key", "en", "web", 40),
+        (2, "server 10.0.0.1 phone 555-123-4567", "en", "web", 34),
+        (3, "clean document with no sensitive content", "en", "books", 40),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r["source"], r["category"]): (r["docs_flagged"], r["total_hits"])
+        for r in REGISTRY["pii_blocklist_report"].build(spark, str(tmp_path)).collect()
+    }
+    assert got[("web", "email")] == (1, 2)
+    assert got[("web", "ipv4")] == (1, 1)
+    assert got[("web", "phone")] == (1, 1)
+    assert got[("web", "blocklist")] == (1, 1)  # the token 'key'
+    assert got[("books", "email")] == (0, 0)
+
+
+def test_pit_join_attributes_equal_timestamp_state_change(spark, tmp_path):
+    """ASOF semantics at a timestamp tie: a state change at EXACTLY the
+    purchase's ts must be attributed (DuckDB's ASOF ON p.ts >= c.ts does),
+    so the union-window carry orders (ts, is_fact, event_id) — state rows
+    before fact rows at equal ts.  The driver fixture has no (user, ts)
+    duplicates, so only this test reaches the tie."""
+    import datetime as dt
+
+    from pulsar_pekko_streams_example_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # user 1: signup earlier, then a click AND the purchase at the SAME ts
+        (1, t0 - dt.timedelta(hours=1), 1, "signup", 0.0, "{}"),
+        (9, t0, 1, "click", 0.0, "{}"),  # higher event_id than the purchase
+        (5, t0, 1, "purchase", 10.0, "{}"),
+        # user 2: purchase with no prior state at all
+        (7, t0, 2, "purchase", 3.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    got = {
+        r["state"]: (r["purchases"], r["revenue"])
+        for r in REGISTRY["pit_state_revenue"].build(spark, str(tmp_path)).collect()
+    }
+    assert got == {"click": (1, 10.0), "none": (1, 3.0)}

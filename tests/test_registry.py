@@ -9,6 +9,7 @@ confirmed (see registry._export_order).
 from __future__ import annotations
 
 import json
+import re
 
 from pulsar_pekko_streams_example_spark.plans.registry import (
     REGISTRY,
@@ -96,9 +97,9 @@ def test_unchecked_partition_orders_longest_waiting_first():
         for t in REGISTRY[n].tags:
             if t.startswith("added-r"):
                 body = t[7:]
-                digits = "".join(c for c in body if c.isdigit())
-                if digits:
-                    return (int(digits), body[len(digits):])
+                m = re.match(r"(\d+)(.*)", body)
+                if m:
+                    return (int(m.group(1)), m.group(2))
         return (0, "")
 
     rounds = [added(n) for n in order]

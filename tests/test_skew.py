@@ -15,24 +15,9 @@ optimizer (correctly) sees no skew.
 
 from __future__ import annotations
 
-import contextlib
-
 from pyspark.sql import functions as F
 
-
-@contextlib.contextmanager
-def _confs(spark, pairs: dict[str, str]):
-    old = {k: spark.conf.get(k, None) for k in pairs}
-    for k, v in pairs.items():
-        spark.conf.set(k, v)
-    try:
-        yield
-    finally:
-        for k, v in old.items():
-            if v is None:
-                spark.conf.unset(k)
-            else:
-                spark.conf.set(k, v)
+from tests.conftest import final_plan_of, override_confs
 
 
 def test_aqe_skew_join_splits_hot_partition(spark):
@@ -46,7 +31,7 @@ def test_aqe_skew_join_splits_hot_partition(spark):
     dim = spark.range(n_dim).select(
         F.col("id").alias("k"), (F.col("id") * 2).alias("w")
     )
-    with _confs(
+    with override_confs(
         spark,
         {
             "spark.sql.autoBroadcastJoinThreshold": "-1",
@@ -62,7 +47,7 @@ def test_aqe_skew_join_splits_hot_partition(spark):
             F.count(F.lit(1)).alias("n"), F.max("payload").alias("p")
         )
         [row] = joined.collect()
-        plan = joined._jdf.queryExecution().executedPlan().toString()
+        plan = final_plan_of(joined)
     assert "skew=true" in plan, plan
     assert "AQEShuffleRead skewed" in plan, plan
     # correctness: every fact row matches exactly one dim row (keys < n_dim)
