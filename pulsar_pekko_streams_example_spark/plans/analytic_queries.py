@@ -1299,3 +1299,92 @@ def user_diversity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST((div_permille div {DIVERSITY_BUCKET}) * {DIVERSITY_BUCKET} AS BIGINT)"
         ).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("users"))
+
+
+# ---------------------------------------------------------------------------
+# Data-quality expectation suite: one row per assertion, violation counts
+# ---------------------------------------------------------------------------
+@register(
+    "dq_expectations_report",
+    oracle="""
+        SELECT 'orders_pk_unique' AS expectation,
+               CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
+                    AS BIGINT) AS violations,
+               (SELECT COUNT(*) FROM orders) AS total
+        UNION ALL
+        SELECT 'lineitem_fk_orders',
+               CAST((SELECT COUNT(*) FROM lineitem l
+                     WHERE NOT EXISTS (SELECT 1 FROM orders o
+                                       WHERE o.o_orderkey = l.l_orderkey))
+                    AS BIGINT),
+               (SELECT COUNT(*) FROM lineitem)
+        UNION ALL
+        SELECT 'totalprice_positive',
+               CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+                    AS BIGINT),
+               (SELECT COUNT(*) FROM orders)
+        UNION ALL
+        SELECT 'discount_in_unit_range',
+               CAST((SELECT COUNT(*) FROM lineitem
+                     WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
+               (SELECT COUNT(*) FROM lineitem)
+        UNION ALL
+        SELECT 'orderdate_not_null',
+               CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
+                    AS BIGINT),
+               (SELECT COUNT(*) FROM orders)
+        """,
+    doc="Data-quality expectation suite (the dbt-test / Great-Expectations "
+    "shape): primary-key uniqueness, referential integrity, range and "
+    "not-null assertions evaluated as violation COUNTS with one output "
+    "row per expectation — the contract gate a pipeline runs before "
+    "publishing a table.  Each table is scanned once per expectation "
+    "family: uniqueness is COUNT - COUNT(DISTINCT), referential "
+    "integrity is a LEFT ANTI join count (never a row-by-row EXISTS), "
+    "range checks are pushed predicates.  Violation counts rather than "
+    "booleans, so the report localizes HOW broken a feed is, and zero "
+    "rows of the fact tables ever reach the driver.",
+    tags=("agg", "quality", "join", "scale-default", "added-r3b"),
+)
+def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    o_total = orders.agg(F.count(F.lit(1)).alias("t"))
+    l_total = lineitem.agg(F.count(F.lit(1)).alias("t"))
+
+    def row(name: str, viol_df: DataFrame, total_df: DataFrame) -> DataFrame:
+        return (
+            viol_df.crossJoin(F.broadcast(total_df))
+            .select(
+                F.lit(name).alias("expectation"),
+                F.col("v").cast("long").alias("violations"),
+                F.col("t").cast("long").alias("total"),
+            )
+        )
+
+    pk = orders.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v")
+    )
+    fk = (
+        lineitem.join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        ).agg(F.count(F.lit(1)).alias("v"))
+    )
+    price = orders.filter(F.col("o_totalprice") <= 0).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    disc = lineitem.filter(
+        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
+    ).agg(F.count(F.lit(1)).alias("v"))
+    nulls = orders.filter(F.col("o_orderdate").isNull()).agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    return (
+        row("orders_pk_unique", pk, o_total)
+        .unionByName(row("lineitem_fk_orders", fk, l_total))
+        .unionByName(row("totalprice_positive", price, o_total))
+        .unionByName(row("discount_in_unit_range", disc, l_total))
+        .unionByName(row("orderdate_not_null", nulls, o_total))
+    )

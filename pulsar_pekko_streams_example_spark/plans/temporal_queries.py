@@ -969,3 +969,59 @@ def pit_state_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("value").alias("revenue"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Conversion latency histogram: first view -> first purchase, hour buckets
+# ---------------------------------------------------------------------------
+_HOUR_US = 3_600_000_000
+
+
+@register(
+    "conversion_latency_histogram",
+    oracle=f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v_us,
+                 MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p_us
+          FROM events GROUP BY user_id
+        )
+        SELECT CAST((p_us - v_us) // {_HOUR_US} AS BIGINT) AS latency_hours,
+               COUNT(*) AS users
+        FROM per_user
+        WHERE v_us IS NOT NULL AND p_us IS NOT NULL AND p_us > v_us
+        GROUP BY 1
+        """,
+    doc="Time-to-convert distribution: per user, the latency from FIRST "
+    "view to FIRST purchase, bucketed into hours — the funnel-timing "
+    "report behind every conversion-window decision (how long must "
+    "attribution look back?).  ONE hash aggregate computes both "
+    "per-user firsts as conditional MINs (no join between the two event "
+    "subsets, no window), then a bounded histogram roll-up; all "
+    "arithmetic is exact int64 microseconds.  Non-converters and "
+    "purchase-before-view users drop out by the NULL/order filter.",
+    tags=("temporal", "funnel", "agg", "scale-default", "added-r3b"),
+)
+def conversion_latency_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min(
+            F.when(F.col("event_type") == "view", F.expr("unix_micros(ts)"))
+        ).alias("v_us"),
+        F.min(
+            F.when(F.col("event_type") == "purchase", F.expr("unix_micros(ts)"))
+        ).alias("p_us"),
+    )
+    return (
+        per_user.filter(
+            F.col("v_us").isNotNull()
+            & F.col("p_us").isNotNull()
+            & (F.col("p_us") > F.col("v_us"))
+        )
+        .groupBy(
+            F.expr(f"CAST((p_us - v_us) div {_HOUR_US} AS BIGINT)").alias(
+                "latency_hours"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("users"))
+    )

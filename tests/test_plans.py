@@ -319,6 +319,8 @@ def test_round3_additions_plan_posture(spark):
         "pmi_collocations",
         "bpe_merge_round",
         "trend_slope_by_type",
+        # five 1-row (violations, total) scalar pairings
+        "dq_expectations_report",
     }
     bounded_single_partition = {
         # the global rank window runs over the symbol-PAIR table, bounded by
