@@ -1388,3 +1388,83 @@ def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("discount_in_unit_range", disc, l_total))
         .unionByName(row("orderdate_not_null", nulls, o_total))
     )
+
+
+# ---------------------------------------------------------------------------
+# Financial reconciliation: order header total vs recomputed line-item total
+# ---------------------------------------------------------------------------
+_RECON_BUCKET = """CASE
+  WHEN dev_permille = 0 THEN 'exact'
+  WHEN dev_permille <= 10 THEN 'within_1pct'
+  WHEN dev_permille <= 100 THEN 'within_10pct'
+  WHEN dev_permille <= 1000 THEN 'within_2x'
+  ELSE 'over_2x' END"""
+
+
+@register(
+    "order_reconciliation_report",
+    oracle=f"""
+        WITH l AS (
+          SELECT l_orderkey,
+                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                               AS DECIMAL(38,6))) AS DOUBLE) AS calc
+          FROM lineitem GROUP BY 1
+        ),
+        j AS (
+          SELECT o.o_orderkey, o.o_totalprice, l.calc
+          FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
+        ),
+        dev AS (
+          SELECT CASE WHEN calc IS NULL THEN -1
+                      ELSE (1000 * ABS(CAST(FLOOR(calc * 1000000) AS BIGINT)
+                                       - CAST(FLOOR(o_totalprice * 1000000) AS BIGINT)))
+                           // CAST(FLOOR(o_totalprice * 1000000) AS BIGINT)
+                 END AS dev_permille
+          FROM j
+        )
+        SELECT CASE WHEN dev_permille = -1 THEN 'no_lineitems'
+                    ELSE {_RECON_BUCKET} END AS bucket,
+               COUNT(*) AS orders
+        FROM dev GROUP BY 1
+        """,
+    doc="Financial reconciliation — header total vs the total RECOMPUTED "
+    "from line items (sum of extendedprice x (1-discount) x (1+tax)): the "
+    "close-the-books audit every revenue pipeline runs between a summary "
+    "feed and its detail feed.  Per-row products convert to DECIMAL(38,6) "
+    "before summing (exact, order-independent), deviation is integer "
+    "permille of micro-units, and the report buckets deviation magnitude "
+    "plus an explicit no-detail-rows orphan bucket (a LEFT join, so "
+    "headers missing details are surfaced, not dropped).  One "
+    "co-partitioned orderkey join, bounded bucket output.  On this "
+    "synthetic corpus the feeds genuinely disagree — the report "
+    "quantifies by how much, which is exactly its production job.",
+    tags=("agg", "quality", "join", "scale-default", "added-r3b"),
+)
+def order_reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    l = lineitem.groupBy("l_orderkey").agg(
+        F.sum(
+            F.expr(
+                "CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))"
+            )
+        )
+        .cast("double")
+        .alias("calc")
+    )
+    j = orders.join(l, orders.o_orderkey == l.l_orderkey, "left")
+    dev = j.select(
+        F.expr(
+            "CASE WHEN calc IS NULL THEN -1 "
+            "ELSE (1000 * ABS(CAST(FLOOR(calc * 1000000) AS BIGINT) "
+            "- CAST(FLOOR(o_totalprice * 1000000) AS BIGINT))) "
+            "div CAST(FLOOR(o_totalprice * 1000000) AS BIGINT) END"
+        ).alias("dev_permille")
+    )
+    return dev.groupBy(
+        F.expr(
+            "CASE WHEN dev_permille = -1 THEN 'no_lineitems' ELSE "
+            + _RECON_BUCKET
+            + " END"
+        ).alias("bucket")
+    ).agg(F.count(F.lit(1)).alias("orders"))
