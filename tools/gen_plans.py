@@ -179,6 +179,13 @@ SHOWCASE = [
         "aggregates — the recursion text is shared verbatim with the DuckDB "
         "oracle.",
     ),
+    (
+        "hll_rolling_7d_users",
+        "Sliding-window cardinality as sketch algebra: the daily register "
+        "table offset-explodes x7 into its trailing windows (Generate + "
+        "equi-semi-join, NO range/nested-loop join), register-MAX merge, "
+        "one bounded aggregate per output day.",
+    ),
 ]
 
 
