@@ -1307,86 +1307,99 @@ def user_diversity_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dq_expectations_report",
     oracle="""
+        WITH o AS (
+          SELECT COUNT(*) AS total,
+                 COUNT(*) - COUNT(DISTINCT o_orderkey) AS pk_dups,
+                 SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+                 SUM(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END) AS null_date
+          FROM orders
+        ),
+        l AS (
+          SELECT COUNT(*) AS total,
+                 SUM(CASE WHEN l_discount < 0 OR l_discount > 1 THEN 1 ELSE 0 END)
+                   AS bad_disc
+          FROM lineitem
+        ),
+        fk AS (
+          SELECT COUNT(*) AS orphans FROM lineitem li
+          WHERE NOT EXISTS (SELECT 1 FROM orders oo
+                            WHERE oo.o_orderkey = li.l_orderkey)
+        )
         SELECT 'orders_pk_unique' AS expectation,
-               CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey) FROM orders)
-                    AS BIGINT) AS violations,
-               (SELECT COUNT(*) FROM orders) AS total
+               CAST(o.pk_dups AS BIGINT) AS violations,
+               CAST(o.total AS BIGINT) AS total FROM o
         UNION ALL
-        SELECT 'lineitem_fk_orders',
-               CAST((SELECT COUNT(*) FROM lineitem l
-                     WHERE NOT EXISTS (SELECT 1 FROM orders o
-                                       WHERE o.o_orderkey = l.l_orderkey))
-                    AS BIGINT),
-               (SELECT COUNT(*) FROM lineitem)
+        SELECT 'totalprice_positive', CAST(o.bad_price AS BIGINT),
+               CAST(o.total AS BIGINT) FROM o
         UNION ALL
-        SELECT 'totalprice_positive',
-               CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
-                    AS BIGINT),
-               (SELECT COUNT(*) FROM orders)
+        SELECT 'orderdate_not_null', CAST(o.null_date AS BIGINT),
+               CAST(o.total AS BIGINT) FROM o
         UNION ALL
-        SELECT 'discount_in_unit_range',
-               CAST((SELECT COUNT(*) FROM lineitem
-                     WHERE l_discount < 0 OR l_discount > 1) AS BIGINT),
-               (SELECT COUNT(*) FROM lineitem)
+        SELECT 'discount_in_unit_range', CAST(l.bad_disc AS BIGINT),
+               CAST(l.total AS BIGINT) FROM l
         UNION ALL
-        SELECT 'orderdate_not_null',
-               CAST((SELECT COUNT(*) FROM orders WHERE o_orderdate IS NULL)
-                    AS BIGINT),
-               (SELECT COUNT(*) FROM orders)
+        SELECT 'lineitem_fk_orders', CAST(fk.orphans AS BIGINT),
+               CAST(l.total AS BIGINT) FROM fk CROSS JOIN l
         """,
     doc="Data-quality expectation suite (the dbt-test / Great-Expectations "
     "shape): primary-key uniqueness, referential integrity, range and "
     "not-null assertions evaluated as violation COUNTS with one output "
     "row per expectation — the contract gate a pipeline runs before "
-    "publishing a table.  Each table is scanned once per expectation "
-    "family: uniqueness is COUNT - COUNT(DISTINCT), referential "
-    "integrity is a LEFT ANTI join count (never a row-by-row EXISTS), "
-    "range checks are pushed predicates.  Violation counts rather than "
-    "booleans, so the report localizes HOW broken a feed is, and zero "
-    "rows of the fact tables ever reach the driver.",
+    "publishing a table.  ONE aggregate per table carries every "
+    "same-table expectation (uniqueness = COUNT - COUNT(DISTINCT), range "
+    "and null checks as conditional sums) and unstacks to expectation "
+    "rows; only referential integrity needs a join (a LEFT ANTI count, "
+    "never a row-by-row EXISTS).  Violation counts rather than booleans, "
+    "so the report localizes HOW broken a feed is, and zero rows of the "
+    "fact tables ever reach the driver.",
     tags=("agg", "quality", "join", "scale-default", "added-r3b"),
 )
 def dq_expectations_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
-    o_total = orders.agg(F.count(F.lit(1)).alias("t"))
-    l_total = lineitem.agg(F.count(F.lit(1)).alias("t"))
-
-    def row(name: str, viol_df: DataFrame, total_df: DataFrame) -> DataFrame:
-        return (
-            viol_df.crossJoin(F.broadcast(total_df))
-            .select(
-                F.lit(name).alias("expectation"),
-                F.col("v").cast("long").alias("violations"),
-                F.col("t").cast("long").alias("total"),
+    o = orders.agg(
+        F.count(F.lit(1)).alias("total"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("pk_dups"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("bad_price"),
+        F.sum(F.when(F.col("o_orderdate").isNull(), 1).otherwise(0)).alias(
+            "null_date"
+        ),
+    )
+    l = lineitem.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(
+                0
             )
-        )
-
-    pk = orders.agg(
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("v")
+        ).alias("bad_disc"),
     )
-    fk = (
-        lineitem.join(
-            orders.select(F.col("o_orderkey").alias("l_orderkey")),
-            "l_orderkey",
-            "left_anti",
-        ).agg(F.count(F.lit(1)).alias("v"))
+    fk = lineitem.join(
+        orders.select(F.col("o_orderkey").alias("l_orderkey")),
+        "l_orderkey",
+        "left_anti",
+    ).agg(F.count(F.lit(1)).alias("orphans"))
+    o_rows = o.select(
+        F.expr(
+            "stack(3, 'orders_pk_unique', pk_dups, 'totalprice_positive', bad_price, "
+            "'orderdate_not_null', null_date) AS (expectation, violations)"
+        ),
+        F.col("total"),
     )
-    price = orders.filter(F.col("o_totalprice") <= 0).agg(
-        F.count(F.lit(1)).alias("v")
+    l_rows = l.select(
+        F.lit("discount_in_unit_range").alias("expectation"),
+        F.col("bad_disc").alias("violations"),
+        "total",
     )
-    disc = lineitem.filter(
-        (F.col("l_discount") < 0) | (F.col("l_discount") > 1)
-    ).agg(F.count(F.lit(1)).alias("v"))
-    nulls = orders.filter(F.col("o_orderdate").isNull()).agg(
-        F.count(F.lit(1)).alias("v")
+    fk_rows = fk.crossJoin(F.broadcast(l.select("total"))).select(
+        F.lit("lineitem_fk_orders").alias("expectation"),
+        F.col("orphans").alias("violations"),
+        "total",
     )
-    return (
-        row("orders_pk_unique", pk, o_total)
-        .unionByName(row("lineitem_fk_orders", fk, l_total))
-        .unionByName(row("totalprice_positive", price, o_total))
-        .unionByName(row("discount_in_unit_range", disc, l_total))
-        .unionByName(row("orderdate_not_null", nulls, o_total))
+    out = o_rows.unionByName(l_rows).unionByName(fk_rows)
+    return out.select(
+        "expectation",
+        F.col("violations").cast("long").alias("violations"),
+        F.col("total").cast("long").alias("total"),
     )
 
 
@@ -1406,8 +1419,8 @@ _RECON_BUCKET = """CASE
     oracle=f"""
         WITH l AS (
           SELECT l_orderkey,
-                 CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                               AS DECIMAL(38,6))) AS DOUBLE) AS calc
+                 {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)')}
+                   AS calc
           FROM lineitem GROUP BY 1
         ),
         j AS (
@@ -1415,14 +1428,14 @@ _RECON_BUCKET = """CASE
           FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
         ),
         dev AS (
-          SELECT CASE WHEN calc IS NULL THEN -1
+          SELECT CASE WHEN calc IS NULL THEN NULL
                       ELSE (1000 * ABS(CAST(FLOOR(calc * 1000000) AS BIGINT)
                                        - CAST(FLOOR(o_totalprice * 1000000) AS BIGINT)))
-                           // CAST(FLOOR(o_totalprice * 1000000) AS BIGINT)
+                           // GREATEST(ABS(CAST(FLOOR(o_totalprice * 1000000) AS BIGINT)), 1)
                  END AS dev_permille
           FROM j
         )
-        SELECT CASE WHEN dev_permille = -1 THEN 'no_lineitems'
+        SELECT CASE WHEN dev_permille IS NULL THEN 'no_lineitems'
                     ELSE {_RECON_BUCKET} END AS bucket,
                COUNT(*) AS orders
         FROM dev GROUP BY 1
@@ -1444,26 +1457,24 @@ def order_reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     lineitem = load_table(spark, sf_dir, "lineitem")
     l = lineitem.groupBy("l_orderkey").agg(
-        F.sum(
-            F.expr(
-                "CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(38,6))"
-            )
-        )
-        .cast("double")
-        .alias("calc")
+        dsum(F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)")).alias("calc")
     )
     j = orders.join(l, orders.o_orderkey == l.l_orderkey, "left")
+    # NULL (not a numeric sentinel) marks missing details — a legitimate
+    # deviation can land on any integer; ABS + GREATEST(.., 1) keep the
+    # division total on zero/negative header totals (ANSI doubles raise on
+    # /0 where the oracle's // returns NULL) and the buckets monotone
     dev = j.select(
         F.expr(
-            "CASE WHEN calc IS NULL THEN -1 "
+            "CASE WHEN calc IS NULL THEN NULL "
             "ELSE (1000 * ABS(CAST(FLOOR(calc * 1000000) AS BIGINT) "
             "- CAST(FLOOR(o_totalprice * 1000000) AS BIGINT))) "
-            "div CAST(FLOOR(o_totalprice * 1000000) AS BIGINT) END"
+            "div GREATEST(ABS(CAST(FLOOR(o_totalprice * 1000000) AS BIGINT)), 1) END"
         ).alias("dev_permille")
     )
     return dev.groupBy(
         F.expr(
-            "CASE WHEN dev_permille = -1 THEN 'no_lineitems' ELSE "
+            "CASE WHEN dev_permille IS NULL THEN 'no_lineitems' ELSE "
             + _RECON_BUCKET
             + " END"
         ).alias("bucket")

@@ -1326,7 +1326,10 @@ HLL_ROLL_DAYS = 7
                  MAX({_hll_exprs('duckdb')[1]}) AS m
           FROM u GROUP BY 1, 2
         ),
-        days AS (SELECT DISTINCT day FROM regs),
+        bounds AS (SELECT MIN(day) AS d0, MAX(day) AS d1 FROM regs),
+        days AS (
+          SELECT CAST(unnest(range(d0, d1 + 1)) AS BIGINT) AS day FROM bounds
+        ),
         contrib AS (
           SELECT r.day + o.off AS day, r.reg, r.m
           FROM regs r, (SELECT unnest(range(0, {HLL_ROLL_DAYS})) AS off) o
@@ -1365,14 +1368,25 @@ def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(unix_micros(ts) div 86400000000 AS BIGINT)").alias("day"),
         F.expr("CAST(user_id AS STRING)").alias("uid"),
     )
-    regs = u.groupBy("day", F.expr(reg).alias("reg")).agg(
-        F.expr(f"MAX({rho})").alias("m")
+    # localCheckpoint: the register table feeds BOTH the day-spine bounds
+    # and the window fan-out below — without it Spark plans two full corpus
+    # scans (no subplan reuse); the checkpointed table is |days| x 64 rows
+    regs = (
+        u.groupBy("day", F.expr(reg).alias("reg"))
+        .agg(F.expr(f"MAX({rho})").alias("m"))
+        .localCheckpoint(eager=True)
     )
-    days = regs.select("day").distinct()
+    # dense day SPINE from the observed bounds (sequence + explode, the
+    # gap-fill pattern): a day with zero events still has a trailing window
+    # containing users, so it must get an output row — filtering to
+    # OBSERVED days would leave silent holes in the dashboard series
+    days = regs.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(F.explode(F.expr("sequence(d0, d1)")).alias("day"))
     # offset-explode instead of a range join: each daily register row
     # contributes to the 7 trailing windows it belongs to, turning window
     # membership into a plain equi-join (no nested loop); the semi-join
-    # against observed days drops the ghost windows past max(day)
+    # against the spine drops the ghost windows past max(day)
     contrib = regs.select(
         F.explode(
             F.array(*[F.lit(i) for i in range(HLL_ROLL_DAYS)])

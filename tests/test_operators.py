@@ -262,3 +262,34 @@ def test_pit_join_attributes_equal_timestamp_state_change(spark, tmp_path):
         for r in REGISTRY["pit_state_revenue"].build(spark, str(tmp_path)).collect()
     }
     assert got == {"click": (1, 10.0), "none": (1, 3.0)}
+
+
+def test_rolling_hll_reports_zero_event_days(spark, tmp_path):
+    """A day with NO events still has a trailing 7-day window containing
+    users — the rolling series must emit a row for it (dense day spine),
+    not a silent hole.  The driver fixture has events every day, so only
+    this test reaches the gap."""
+    import datetime as dt
+
+    from pulsar_pekko_streams_example_spark.plans.registry import REGISTRY, all_queries
+
+    all_queries()
+    d0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (1, d0, 1, "view", 1.0, "{}"),
+        (2, d0, 2, "view", 1.0, "{}"),
+        # nothing on day 1; two users again on day 2
+        (3, d0 + dt.timedelta(days=2), 1, "view", 1.0, "{}"),
+        (4, d0 + dt.timedelta(days=2), 3, "view", 1.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = {
+        r["day"]: r["registers_used"]
+        for r in REGISTRY["hll_rolling_7d_users"].build(spark, str(tmp_path)).collect()
+    }
+    day0 = int(d0.timestamp() * 1_000_000) // 86_400_000_000
+    assert set(out) == {day0, day0 + 1, day0 + 2}, out
+    # the empty middle day still sees day 0's two users in its window
+    assert out[day0 + 1] == out[day0]
