@@ -181,10 +181,11 @@ SHOWCASE = [
     ),
     (
         "hll_rolling_7d_users",
-        "Sliding-window cardinality as sketch algebra: the daily register "
-        "table offset-explodes x7 into its trailing windows (Generate + "
-        "equi-semi-join, NO range/nested-loop join), register-MAX merge, "
-        "one bounded aggregate per output day.",
+        "Sliding-window cardinality as sketch algebra: the CHECKPOINTED "
+        "daily register table (both Scan ExistingRDD nodes — the corpus is "
+        "scanned once, upstream) offset-explodes x7 into its trailing "
+        "windows, equi-semi-joins a dense day spine (NO range/nested-loop "
+        "join), register-MAX merge, one bounded aggregate per output day.",
     ),
 ]
 
