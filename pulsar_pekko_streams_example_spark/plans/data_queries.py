@@ -2589,3 +2589,74 @@ def boilerplate_suffix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000 * SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END)) div SUM(cnt) AS LONG)"
         ).alias("boilerplate_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup-threshold calibration curve: what each cosine cutoff would remove
+# ---------------------------------------------------------------------------
+CAL_BANDS_PER_UNIT = 20  # 0.05-wide cosine bands
+
+
+@register(
+    "semdedup_threshold_curve",
+    oracle=f"""
+        WITH sigs AS (
+          SELECT vec_id, {similarity.hyperplane_signature('embedding', 'duckdb')} AS sig
+          FROM embeddings
+        ),
+        bands AS ({" UNION ALL ".join(
+            f"SELECT vec_id, CAST({b} AS BIGINT) AS band, "
+            f"CAST((sig // {16 ** b}) % 16 AS BIGINT) AS val FROM sigs"
+            for b in range(4)
+        )}),
+        cand AS (
+          SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+          FROM bands a JOIN bands b
+            ON a.band = b.band AND a.val = b.val AND a.vec_id < b.vec_id
+        ),
+        n AS (
+          SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings
+        ),
+        scored AS (
+          SELECT {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+          FROM cand c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id
+        ),
+        hist AS (
+          SELECT CAST(FLOOR(cosine * {CAL_BANDS_PER_UNIT}) AS BIGINT) AS band,
+                 COUNT(*) AS pairs
+          FROM scored GROUP BY 1
+        )
+        SELECT band,
+               CAST(band * {100 // CAL_BANDS_PER_UNIT} AS BIGINT) AS band_lo_centi,
+               pairs,
+               CAST(SUM(pairs) OVER (ORDER BY band DESC) AS BIGINT)
+                 AS pairs_removed_at_cutoff
+        FROM hist
+        """,
+    doc="Dedup-threshold calibration: the cosine histogram of ALL LSH "
+    "candidate pairs plus, per band, how many pairs a cutoff at that "
+    "band's floor would flag — the decision curve a curation run consults "
+    "BEFORE committing to a semantic-dedup threshold (pick the knee, not "
+    "a folklore constant).  Identical banded-LSH candidate generation and "
+    "exact-cosine verify as embedding_near_dup, minus the threshold; the "
+    "cumulative window runs over the <= 41-band histogram, never the "
+    "pairs.  At 100 TB the curve costs exactly one run of the candidate "
+    "pipeline you were going to run anyway.",
+    tags=("similarity", "dedup", "statistics", "added-r3b"),
+)
+def semdedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = similarity.embedding_near_dup(emb, threshold=-2.0)
+    hist = scored.groupBy(
+        F.expr(f"CAST(FLOOR(cosine * {CAL_BANDS_PER_UNIT}) AS BIGINT)").alias("band")
+    ).agg(F.count(F.lit(1)).alias("pairs"))
+    w = Window.orderBy(F.col("band").desc())
+    return hist.select(
+        "band",
+        F.expr(f"CAST(band * {100 // CAL_BANDS_PER_UNIT} AS BIGINT)").alias(
+            "band_lo_centi"
+        ),
+        "pairs",
+        F.sum("pairs").over(w).cast("long").alias("pairs_removed_at_cutoff"),
+    )
