@@ -2516,15 +2516,31 @@ FROM first_reach GROUP BY hop
 )
 def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    ev.createOrReplaceTempView("bfs_events")
+    # materialize the edge list BEFORE the recursive statement: UnionLoop
+    # re-evaluates its step subtree every iteration, so leaving the
+    # corpus-scanning edge aggregation inside the CTE chain re-runs it once
+    # per hop; the checkpointed pair list is tiny and read per-iteration
+    # instead (the recursion machinery itself is unchanged)
+    w = ev.select(
+        "user_id", F.expr(f"unix_micros(ts) div {COOC_SLOT_US}").alias("slot")
+    ).distinct()
+    a, b = w.alias("a"), w.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.slot") == F.col("b.slot"))
+            & (F.col("a.user_id") < F.col("b.user_id")),
+        )
+        .groupBy(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= COOC_MIN_SHARED)
+        .select("ua", "ub")
+        .localCheckpoint(eager=True)
+    )
+    edges.createOrReplaceTempView("bfs_edges")
     return spark.sql(
-        f"""WITH RECURSIVE w AS (
-          SELECT DISTINCT user_id, unix_micros(ts) div {COOC_SLOT_US} AS slot
-          FROM bfs_events
-        ), e AS (
-          SELECT a.user_id AS ua, b.user_id AS ub FROM w a JOIN w b
-          ON a.slot = b.slot AND a.user_id < b.user_id
-          GROUP BY 1, 2 HAVING COUNT(*) >= {COOC_MIN_SHARED}
+        f"""WITH RECURSIVE e AS (
+          SELECT ua, ub FROM bfs_edges
         ),{_BFS_RECURSIVE_BODY}"""
     )
 
