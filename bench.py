@@ -29,6 +29,22 @@ quantile_sketch_value at 0.4–1.4 s each (faster than round 1) while their
 concurrent-mix walls had nominally "regressed" — the plans were unchanged;
 the mix just got 23 queries deeper.  Diagnose plan regressions with
 THREADS=1, judge throughput by the concurrent ``value``.
+
+Round-4 makespan decomposition (why the 175-query total sits at ~33 s and
+not lower): instrumented start/end offsets show the mix is QUEUE-DRAIN
+bound, not critical-path bound — workers stay busy to the end and /proc/stat
+sampling shows ~90% of all 32 cores busy through the steady state.  Per-query
+core-second attribution (sequential pass, /proc/stat deltas) totals ~1080
+core-seconds ⇒ ideal makespan ≈ 1080/32 ≈ 34 s: the bench is COMPUTE-bound
+and already packs near-perfectly.  Of that work, a measured ~60% of every
+light query's cost is whole-stage-codegen compilation (10 light queries:
+48 core-s with codegen, 19 without) — a per-distinct-plan FIXED cost that
+amortizes to zero at 100 TB where the same compiled stages process a
+million× more rows.  Codegen stays ON: disabling it would flatter this
+17 MB benchmark by wrecking exactly the execution path the engine needs at
+scale.  Worker sweeps at 14/20/28/36 all land within the 33-41 s noise band
+(re-confirmed round 4), consistent with a work-bound, not scheduler-bound,
+mix; 28 remains the default.
 """
 
 from __future__ import annotations
@@ -91,9 +107,19 @@ def main() -> None:
 
     # longest-processing-time-first submission: heavy queries start first so
     # the mix drains evenly (classic LPT makespan reduction); the rest run
-    # alphabetically behind them
+    # alphabetically behind them.  Round-4 note: instrumented offsets showed
+    # semdedup_threshold_curve (4-6 s) missing from this list — it started in
+    # the LAST wave (t=28 of a 34 s run) and set the makespan tail
+    # single-handedly, so it (and its sibling semantic_dedup_probe) moved to
+    # the front.  A full rebuild of this list from measured core-second
+    # rankings was TRIED and REVERTED: packing every shared-subtree consumer
+    # (hll/kmeans/tfidf families) into the first wave serialized them on the
+    # shared-build locks and the makespan regressed 33-37 s -> 38-41 s (n=3).
+    # The list deliberately mixes families so early waves touch DIFFERENT
+    # shared builds while independent queries fill the remaining cores.
     heavy = [
         "kcore_peel_profile",
+        "semdedup_threshold_curve",
         "sql_recursive_reachability",
         "neardup_components",
         "component_survivorship",
@@ -107,6 +133,7 @@ def main() -> None:
         "cross_source_neardup_matrix",
         "orders_column_profile",
         "embedding_near_dup",
+        "semantic_dedup_probe",
         "simhash_near_pairs",
         "ann_cosine_topk_vectorized",
         "ann_lsh_topk",

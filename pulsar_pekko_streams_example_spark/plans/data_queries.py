@@ -128,6 +128,45 @@ def _shared_components(spark: SparkSession, sf_dir: str):
     )
 
 
+def _shared_cooc_edges(spark: SparkSession, sf_dir: str):
+    """The co-occurrence edge list (users sharing >= COOC_MIN_SHARED 5-min
+    slots), materialized ONCE per session and shared by all five graph
+    consumers (triangles, pagerank, degree histogram, k-core, recursive
+    BFS).
+
+    Same small-OUTPUT rule as _shared_pairs: the pair list is tiny (user
+    pairs, not events), but its mining subtree — corpus scan → distinct
+    (user, slot) → slot self-join with a Σ slot² wedge volume → HAVING — is
+    the single most expensive subtree in the graph family, and before this
+    helper every consumer re-ran it from scratch: five full corpus scans +
+    five self-joins for ONE logical edge set (round-3 verdict, fix #4).  At
+    100 TB that is the difference between one edge-mining job and five.
+    """
+    from pulsar_pekko_streams_example_spark.operators.cache import shared_df
+
+    def build():
+        ev = load_table(spark, sf_dir, "events")
+        w = ev.select(
+            "user_id", F.expr(f"unix_micros(ts) div {COOC_SLOT_US}").alias("slot")
+        ).distinct()
+        a, b = w.alias("a"), w.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.slot") == F.col("b.slot"))
+                & (F.col("a.user_id") < F.col("b.user_id")),
+            )
+            .groupBy(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
+            .agg(F.count(F.lit(1)).alias("shared"))
+            .filter(F.col("shared") >= COOC_MIN_SHARED)
+            .select("ua", "ub")
+        )
+
+    return shared_df(
+        spark, ("cooc-edges", sf_dir, COOC_SLOT_US, COOC_MIN_SHARED), build
+    )
+
+
 def _duck_dot(a: str, b: str) -> str:
     return (
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
@@ -1123,18 +1162,7 @@ COOC_MIN_SHARED = 3  # edge = users sharing >= 3 windows
     tags=("graph", "triangles"),
 )
 def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = ev.select(
-        "user_id", F.expr(f"unix_micros(ts) div {COOC_SLOT_US}").alias("slot")
-    ).distinct()
-    a, b = w.alias("a"), w.alias("b")
-    edges = (
-        a.join(b, (F.col("a.slot") == F.col("b.slot")) & (F.col("a.user_id") < F.col("b.user_id")))
-        .groupBy(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= COOC_MIN_SHARED)
-        .select("ua", "ub")
-    )
+    edges = _shared_cooc_edges(spark, sf_dir)
     from pulsar_pekko_streams_example_spark.operators.graph import triangles_by_degree
 
     return triangles_by_degree(edges, "ua", "ub").select(
@@ -1214,18 +1242,7 @@ def _duck_pagerank_sql(iters: int) -> str:
 def cooccurrence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_pekko_streams_example_spark.operators import graph
 
-    ev = load_table(spark, sf_dir, "events")
-    w = ev.select(
-        "user_id", F.expr(f"unix_micros(ts) div {COOC_SLOT_US}").alias("slot")
-    ).distinct()
-    a, b = w.alias("a"), w.alias("b")
-    edges = (
-        a.join(b, (F.col("a.slot") == F.col("b.slot")) & (F.col("a.user_id") < F.col("b.user_id")))
-        .groupBy(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= COOC_MIN_SHARED)
-        .select("ua", "ub")
-    )
+    edges = _shared_cooc_edges(spark, sf_dir)
     return graph.pagerank(edges, src="ua", dst="ub", iters=PR_ITERS)
 
 
@@ -1466,7 +1483,7 @@ def component_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     "one ordered window for ranks + one hash agg, every term an exact "
     "integer until the single final double division — engine-exact, and "
     "the balance metric a mixture-weighting stage reads before sampling.",
-    tags=("text", "curation"),
+    tags=("text", "curation", "added-r2"),
 )
 def length_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1525,7 +1542,7 @@ def length_gini_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     "production dedup run should publish next to its results).  Reuses the "
     "inverted-index and banding dataflows; one extra anti-join-shaped pass "
     "over pair keys only.",
-    tags=("dedup", "lsh", "quality"),
+    tags=("dedup", "lsh", "quality", "added-r2"),
 )
 def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1592,18 +1609,7 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "statistics", "added-r3"),
 )
 def cooccurrence_degree_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = ev.select(
-        "user_id", F.expr(f"unix_micros(ts) div {COOC_SLOT_US}").alias("slot")
-    ).distinct()
-    a, b = w.alias("a"), w.alias("b")
-    edges = (
-        a.join(b, (F.col("a.slot") == F.col("b.slot")) & (F.col("a.user_id") < F.col("b.user_id")))
-        .groupBy(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= COOC_MIN_SHARED)
-        .select("ua", "ub")
-    )
+    edges = _shared_cooc_edges(spark, sf_dir)
     sym = edges.select(F.col("ua").alias("node")).unionAll(
         edges.select(F.col("ub").alias("node"))
     )
@@ -2448,22 +2454,7 @@ def _duck_kcore_sql(k: int, rounds: int) -> str:
     tags=("graph", "iterative", "curation", "added-r3b"),
 )
 def kcore_peel_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
-    w = ev.select(
-        "user_id", F.expr(f"unix_micros(ts) div {COOC_SLOT_US}").alias("slot")
-    ).distinct()
-    a, b = w.alias("a"), w.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.slot") == F.col("b.slot"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= COOC_MIN_SHARED)
-        .select("ua", "ub")
-    )
+    edges = _shared_cooc_edges(spark, sf_dir)
     return graph.kcore_peel(
         edges, k=KCORE_K, rounds=KCORE_ROUNDS, src="ua", dst="ub"
     )
@@ -2515,28 +2506,13 @@ FROM first_reach GROUP BY hop
     tags=("graph", "sql-api", "recursive", "added-r3b"),
 )
 def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events")
     # materialize the edge list BEFORE the recursive statement: UnionLoop
     # re-evaluates its step subtree every iteration, so leaving the
-    # corpus-scanning edge aggregation inside the CTE chain re-runs it once
-    # per hop; the checkpointed pair list is tiny and read per-iteration
-    # instead (the recursion machinery itself is unchanged)
-    w = ev.select(
-        "user_id", F.expr(f"unix_micros(ts) div {COOC_SLOT_US}").alias("slot")
-    ).distinct()
-    a, b = w.alias("a"), w.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.slot") == F.col("b.slot"))
-            & (F.col("a.user_id") < F.col("b.user_id")),
-        )
-        .groupBy(F.col("a.user_id").alias("ua"), F.col("b.user_id").alias("ub"))
-        .agg(F.count(F.lit(1)).alias("shared"))
-        .filter(F.col("shared") >= COOC_MIN_SHARED)
-        .select("ua", "ub")
-        .localCheckpoint(eager=True)
-    )
+    # corpus-scanning edge aggregation inside the CTE chain would re-run it
+    # once per hop; the session-shared persisted pair list is tiny and its
+    # cached partitions are read per-iteration instead (the recursion
+    # machinery itself is unchanged)
+    edges = _shared_cooc_edges(spark, sf_dir)
     edges.createOrReplaceTempView("bfs_edges")
     return spark.sql(
         f"""WITH RECURSIVE e AS (

@@ -143,36 +143,70 @@ def interleaved_order() -> list[str]:
     return interleaved
 
 
+def added_round(name: str) -> tuple[int, str]:
+    """Round a query was added, from an ``added-rN[x]`` tag ((0, '') =
+    original; a letter suffix like ``added-r3b`` marks a later batch
+    WITHIN a round and sorts after the round's plain batch).
+
+    Within the unchecked partition, longest-waiting queries go first:
+    a query added this round has had zero chances at the driver budget,
+    but one carried over from earlier rounds is the coverage debt the
+    rotation exists to pay down — it must not be displaced by fresh
+    additions that would interleave ahead of it."""
+    import re
+
+    for t in REGISTRY[name].tags:
+        if t.startswith("added-r"):
+            body = t[7:]
+            m = re.match(r"(\d+)(.*)", body)
+            if m:
+                return (int(m.group(1)), m.group(2))
+    return (0, "")
+
+
+def _batched_round_robin(
+    names: list[str],
+    batch_of: Callable[[str], object],
+    family_of: Callable[[str], str],
+) -> list[str]:
+    """Order ``names`` by batch, round-robining families WITHIN each batch.
+
+    Pure function so the interleave invariant is testable under arbitrary
+    synthetic rotations (not just today's checked-set): batches sort by
+    their key; inside a batch, cycle i emits the i-th name of every family
+    present in that batch (family order = first appearance in ``names``).
+    The invariant this yields — and the one the registry test asserts — is
+    that within a batch no family contributes an (i+1)-th query before every
+    family still holding queries in that batch contributed its i-th.  The
+    round-2 regression (a global ``(round, interleave_idx)`` sort let two
+    families monopolize the front whenever their global indices happened to
+    lead) cannot recur under this construction."""
+    batches: dict[object, list[str]] = {}
+    for n in names:
+        batches.setdefault(batch_of(n), []).append(n)
+    ordered: list[str] = []
+    for key in sorted(batches):  # type: ignore[type-var]
+        fams: dict[str, list[str]] = {}
+        for n in batches[key]:
+            fams.setdefault(family_of(n), []).append(n)
+        fam_lists = list(fams.values())
+        for cycle in range(max((len(f) for f in fam_lists), default=0)):
+            for fam in fam_lists:
+                if cycle < len(fam):
+                    ordered.append(fam[cycle])
+    return ordered
+
+
 def _export_order() -> list[str]:
     interleaved = interleaved_order()
     checked = _driver_checked()
-
-    def added_round(name: str) -> tuple[int, str]:
-        """Round a query was added, from an ``added-rN[x]`` tag ((0, '') =
-        original; a letter suffix like ``added-r3b`` marks a later batch
-        WITHIN a round and sorts after the round's plain batch).
-
-        Within the unchecked partition, longest-waiting queries go first:
-        a query added this round has had zero chances at the driver budget,
-        but one carried over from earlier rounds is the coverage debt the
-        rotation exists to pay down — it must not be displaced by fresh
-        additions that would interleave ahead of it."""
-        import re
-
-        for t in REGISTRY[name].tags:
-            if t.startswith("added-r"):
-                body = t[7:]
-                m = re.match(r"(\d+)(.*)", body)
-                if m:
-                    return (int(m.group(1)), m.group(2))
-        return (0, "")
-
-    idx = {n: i for i, n in enumerate(interleaved)}
-    unchecked = sorted(
-        (n for n in interleaved if n not in checked),
-        key=lambda n: (added_round(n), idx[n]),
+    unchecked = [n for n in interleaved if n not in checked]
+    fronted = _batched_round_robin(
+        unchecked,
+        batch_of=added_round,
+        family_of=lambda n: REGISTRY[n].build.__module__,
     )
-    return unchecked + [n for n in interleaved if n in checked]
+    return fronted + [n for n in interleaved if n in checked]
 
 
 def all_queries() -> dict[str, QueryFn]:

@@ -1404,7 +1404,7 @@ def q22_dormant_customer_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nations, COALESCE reconciling the one-sided rows.  Both inputs are "
     "HAVING-filtered aggregates, so each side genuinely contributes "
     "unmatched keys.",
-    tags=("join", "full-outer"),
+    tags=("join", "full-outer", "added-r2"),
 )
 def nation_participation_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     customer = load_table(spark, sf_dir, "customer")
@@ -1451,7 +1451,7 @@ _PORTABLE_SQL = """
     "temp view (idempotent, so bench's concurrent FAIR-pool workers can race "
     "on it harmlessly) and hands the text to Catalyst, which plans it "
     "exactly like the DSL queries — same pushdown, same codegen.",
-    tags=("sql-api", "aggregation"),
+    tags=("sql-api", "aggregation", "added-r2"),
 )
 def sql_api_monthly_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
     lineitem = load_table(spark, sf_dir, "lineitem")

@@ -108,9 +108,15 @@ def ordered_per_key(stream_df: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Spark 4 transformWithStateInPandas variant — same contract, modern API
 # ---------------------------------------------------------------------------
-try:  # Spark 4.x only; the runtime additionally needs google.protobuf for
-    # the state-server protocol — absent in some containers, so gate on both
-    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+try:  # Spark 4.x only: the StatefulProcessor API.  The class and its
+    # semantics are defined (and unit-tested against _process_key) whenever
+    # the API imports; the LIVE streaming path additionally needs
+    # google.protobuf — pyspark's state-server client imports
+    # pyspark.sql.streaming.proto.StateMessage_pb2 on every state call
+    # (stateful_processor_api_client.py), and the generated module needs the
+    # real protobuf runtime, not stubs.  That runtime is absent in this
+    # container and installs are disallowed, so HAVE_TWS (below) gates the
+    # end-to-end query separately from the API availability.
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
 
     class OrderedKeyProcessor(StatefulProcessor):
@@ -172,6 +178,13 @@ try:  # Spark 4.x only; the runtime additionally needs google.protobuf for
             )
         )
 
-    HAVE_TWS = True
+    HAVE_TWS_API = True
 except ImportError:  # pragma: no cover - older Spark
+    HAVE_TWS_API = False
+
+try:  # live transformWithState additionally needs the protobuf runtime
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    HAVE_TWS = HAVE_TWS_API
+except ImportError:
     HAVE_TWS = False

@@ -13,8 +13,10 @@ import re
 
 from pulsar_pekko_streams_example_spark.plans.registry import (
     REGISTRY,
+    _batched_round_robin,
     _driver_checked,
     _export_order,
+    added_round,
 )
 
 
@@ -71,19 +73,76 @@ def test_export_order_fronts_unchecked_queries():
         )
 
 
+def _assert_batchwise_round_robin(front, batch_of, family_of):
+    """Structural interleave invariant: within each added-round batch, no
+    family contributes its (i+1)-th query before every family that still
+    holds queries in that batch contributed its i-th."""
+    from itertools import groupby
+
+    assert [batch_of(n) for n in front] == sorted(batch_of(n) for n in front), (
+        "unchecked queries out of added-round batch order"
+    )
+    for _, grp in groupby(front, key=batch_of):
+        batch = list(grp)
+        emitted: dict[str, int] = {}
+        remaining = {}
+        for n in batch:
+            remaining[family_of(n)] = remaining.get(family_of(n), 0) + 1
+        for n in batch:
+            fam = family_of(n)
+            cycle = emitted.get(fam, 0)
+            lagging = [
+                f for f, c in remaining.items() if c > 0 and emitted.get(f, 0) < cycle
+            ]
+            assert not lagging, (
+                f"family {fam} reached cycle {cycle + 1} while {lagging} "
+                f"still hold queries at cycle {cycle} (at {n})"
+            )
+            emitted[fam] = cycle + 1
+            remaining[fam] -= 1
+
+
 def test_export_order_interleaves_families_within_partition():
-    """Inside the unchecked partition the round-robin interleave survives:
-    no family contributes twice before every family with remaining queries
-    contributed once (checked against module of each query)."""
+    """Inside the unchecked partition the round-robin interleave survives
+    for TODAY's checked-set (whatever CORRECTNESS files are in the repo)."""
     order = _export_order()
     checked = _driver_checked()
     front = [n for n in order if n not in checked]
     if len(front) < 3:
         return  # nothing meaningful to assert late in the build
-    mods = [REGISTRY[n].build.__module__ for n in front[:3]]
-    assert len(set(mods)) == len(mods), (
-        "first unchecked queries should come from distinct families: " + str(mods)
+    _assert_batchwise_round_robin(
+        front,
+        batch_of=added_round,
+        family_of=lambda n: REGISTRY[n].build.__module__,
     )
+
+
+def test_interleave_invariant_under_arbitrary_rotations():
+    """The invariant must hold for ANY future checked-set, not just today's:
+    simulate driver rotations by removing random prefixes/subsets of the
+    registry and re-deriving the front partition from the pure builder."""
+    import random
+
+    names = list(REGISTRY)
+    fam = {n: REGISTRY[n].build.__module__ for n in names}
+    rng = random.Random(20260814)
+    for trial in range(25):
+        checked = set(rng.sample(names, rng.randrange(0, len(names) + 1)))
+        unchecked = [n for n in names if n not in checked]
+        front = _batched_round_robin(unchecked, batch_of=added_round, family_of=fam.__getitem__)
+        assert sorted(front) == sorted(unchecked)
+        _assert_batchwise_round_robin(front, batch_of=added_round, family_of=fam.__getitem__)
+
+
+def test_batched_round_robin_pure_examples():
+    """Hand-checkable example: two batches, uneven families."""
+    names = ["a1", "b1", "a2", "a3", "c1", "b2"]
+    batch = {"a1": 0, "b1": 0, "a2": 0, "a3": 1, "c1": 1, "b2": 1}.__getitem__
+    family = {"a1": "A", "b1": "B", "a2": "A", "a3": "A", "c1": "C", "b2": "B"}.__getitem__
+    out = _batched_round_robin(names, batch_of=batch, family_of=family)
+    # batch 0: A has [a1, a2], B has [b1] -> a1, b1, a2
+    # batch 1: A [a3], C [c1], B [b2] in first-appearance order -> a3, c1, b2
+    assert out == ["a1", "b1", "a2", "a3", "c1", "b2"]
 
 
 def test_unchecked_partition_orders_longest_waiting_first():

@@ -7,6 +7,7 @@ import os
 import tempfile
 import time
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -506,6 +507,90 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmpdir):
     tws = sorted(map(tuple, spark.table("tws_out").collect()))
     aip = sorted(map(tuple, spark.table("aip_out").collect()))
     assert tws == aip and len(tws) == ledger.count()
+
+
+def test_tws_processor_logic_matches_process_key():
+    """The transformWithState forward-compat path, exercised WITHOUT the
+    protobuf state-server runtime: OrderedKeyProcessor's handleInputRows is
+    pure per-key logic over a ValueState handle, so driving it with a fake
+    handle against the same multi-batch inputs as _process_key (driven with
+    a fake GroupState) must yield identical rows — same cursor carry, same
+    redelivery flags, same processing_index continuity.
+
+    The END-TO-END query (test above) stays env-gated: pyspark's
+    stateful_processor_api_client imports StateMessage_pb2 on every state
+    call and the google.protobuf runtime is absent from this container with
+    installs disallowed (verified: only typeshed stubs on the image).  This
+    test keeps the forward-compat semantics from rotting in the meantime."""
+    from pulsar_pekko_streams_example_spark.streaming import ordered_state as OS
+
+    if not OS.HAVE_TWS_API:
+        pytest.skip("StatefulProcessor API unavailable (Spark < 4)")
+
+    class FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    class FakeHandle:
+        def __init__(self):
+            self.state = FakeValueState()
+
+        def getValueState(self, name, schema):  # noqa: N802
+            return self.state
+
+    class FakeGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    # three micro-batches for one key: normal progress, a gap (seq 5 before
+    # 4 never arrives), and a redelivery of seq 1 alongside new seq 6
+    batches = [
+        [("m0", 0, 1), ("m1", 1, 1), ("m2", 2, 1)],
+        [("m5", 5, 1), ("m3", 3, 1)],
+        [("m1b", 1, 2), ("m6", 6, 1)],
+    ]
+
+    proc = OS.OrderedKeyProcessor()
+    proc.init(FakeHandle())
+    gstate = FakeGroupState()
+
+    tws_rows, aip_rows = [], []
+    for batch in batches:
+        pdf = pd.DataFrame(batch, columns=["message_id", "seq", "attempt"])
+        for out in proc.handleInputRows(("k1",), iter([pdf.copy()]), None):
+            tws_rows.append(out)
+        for out in OS._process_key(("k1",), iter([pdf.copy()]), gstate):
+            aip_rows.append(out)
+
+    tws = pd.concat(tws_rows, ignore_index=True)
+    aip = pd.concat(aip_rows, ignore_index=True)[list(tws.columns)]
+    pd.testing.assert_frame_equal(
+        tws.astype(aip.dtypes.to_dict()), aip, check_dtype=True
+    )
+    # the scenario actually exercised the interesting states
+    assert tws["is_redelivery"].sum() == 1
+    assert not tws["in_order"].all()
+    assert list(tws["processing_index"]) == list(range(len(tws)))
 
 
 def test_drop_duplicates_within_watermark_absorbs_redelivery(spark, tmpdir):
