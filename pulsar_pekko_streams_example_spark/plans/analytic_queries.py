@@ -750,7 +750,8 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                MAX(n) AS n_events,
                CAST(MAX(median2) AS DOUBLE) / 2000000.0 AS median_value,
                CAST(MAX(mad4) AS DOUBLE) / 4000000.0 AS mad_value,
-               SUM(CASE WHEN 2 * d > 3 * mad4 THEN 1 ELSE 0 END) AS n_anomalies
+               CAST(SUM(CASE WHEN 2 * d > 3 * mad4 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_anomalies
         FROM s5 GROUP BY event_type
         """,
     doc="Robust anomaly counts per event_type: median and median-absolute-"

@@ -1688,7 +1688,7 @@ def _df_bucket_case(col: str) -> str:
         dfs AS (SELECT s, COUNT(*) AS df FROM posting_all GROUP BY s)
         SELECT {_df_bucket_case('df')} AS df_bucket,
                COUNT(*) AS n_shingles,
-               SUM(df) AS n_postings
+               CAST(SUM(df) AS BIGINT) AS n_postings
         FROM dfs GROUP BY 1
         """,
     doc="Document-frequency distribution of the 3-gram shingle universe in "

@@ -4,7 +4,16 @@ test suite share one implementation.
 
 Strict by design: row count, sorted column names, and exact cell values after
 light normalization (Decimal→float, date/datetime→ISO string, float→repr).
-If this passes, the driver's order-insensitive value hash passes too.
+
+It also reproduces the driver's TYPE sensitivity: the driver hashes the
+DuckDB result through pandas, where HUGEINT/UHUGEINT become float64 — so a
+bare top-level ``SUM(int)`` in DuckDB (HUGEINT) hash-mismatches Spark's int64
+even when every value is identical (round-4 reds ``mad_robust_anomalies`` /
+``shingle_df_histogram``).  ``fetchall()`` converts HUGEINT to Python int and
+cannot see that divergence, so ``compare`` additionally inspects the DuckDB
+output *types* and flags any HUGEINT/UHUGEINT column as a mismatch.  With
+that check, if this passes, the driver's order-insensitive value hash passes
+too.
 """
 
 from __future__ import annotations
@@ -44,6 +53,14 @@ def compare(spark_df, duck_rel) -> list[str]:
     s_cols = list(spark_df.columns)
     s_rows = [tuple(r) for r in spark_df.collect()]
     d_cols = list(duck_rel.columns)
+    d_types = [str(t).upper() for t in getattr(duck_rel, "types", [])]
+    for col, typ in zip(d_cols, d_types):
+        if "HUGEINT" in typ:  # matches HUGEINT and UHUGEINT
+            problems.append(
+                f"oracle column {col!r} is DuckDB {typ}: the driver's pandas "
+                f"path renders it float64 and the value hash diverges from "
+                f"Spark's int64 — CAST it to BIGINT in the oracle SQL"
+            )
     d_rows = [tuple(r) for r in duck_rel.fetchall()]
 
     if sorted(s_cols) != sorted(d_cols):

@@ -35,3 +35,20 @@ def test_every_registry_query_has_an_oracle(capsys):
 def test_unknown_query_rejected():
     with pytest.raises(SystemExit):
         main(["run", "no_such_query"])
+
+
+def test_compare_flags_hugeint_oracle_columns(spark, duck):
+    """verify.compare must reproduce the driver's type sensitivity: a
+    DuckDB HUGEINT output column hash-diverges in the driver's pandas path
+    even when every value matches, so the mirror flags it (round-4 reds)."""
+    from pulsar_pekko_streams_example_spark.verify import compare
+
+    sdf = spark.createDataFrame([(242,)], "n_anomalies bigint")
+    hug = duck.sql("SELECT SUM(x) AS n_anomalies FROM (VALUES (242)) t(x)")
+    problems = compare(sdf, hug)
+    assert any("HUGEINT" in p for p in problems), problems
+
+    ok = duck.sql(
+        "SELECT CAST(SUM(x) AS BIGINT) AS n_anomalies FROM (VALUES (242)) t(x)"
+    )
+    assert compare(sdf, ok) == []

@@ -163,3 +163,31 @@ def test_unchecked_partition_orders_longest_waiting_first():
 
     rounds = [added(n) for n in order]
     assert rounds == sorted(rounds), "unchecked queries out of added-round order"
+
+
+def test_no_hugeint_oracle_output_columns(duck):
+    """No oracle may emit a HUGEINT/UHUGEINT output column.
+
+    The driver hashes the DuckDB result through pandas, where HUGEINT
+    becomes float64 — so a bare top-level SUM(int) hash-mismatches Spark's
+    int64 even when every value is identical (round-4 reds
+    mad_robust_anomalies / shingle_df_histogram).  Binding the oracle is
+    enough to type it; nothing executes.
+    """
+    offenders = {}
+    for name in sorted(REGISTRY):
+        oracle = REGISTRY[name].oracle
+        if oracle is None:
+            continue
+        rel = duck.sql(oracle)
+        bad = [
+            f"{col}:{typ}"
+            for col, typ in zip(rel.columns, (str(t).upper() for t in rel.types))
+            if "HUGEINT" in typ
+        ]
+        if bad:
+            offenders[name] = bad
+    assert not offenders, (
+        "oracles with HUGEINT output columns (CAST them to BIGINT): "
+        f"{offenders}"
+    )
