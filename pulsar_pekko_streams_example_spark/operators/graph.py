@@ -38,8 +38,8 @@ from pyspark.sql import functions as F
 _ROWS_PER_PARTITION = 1_000_000
 
 
-def _right_size(df: DataFrame, rows: int | None = None) -> DataFrame:
-    n = df.count() if rows is None else rows
+def _right_size(df: DataFrame) -> DataFrame:
+    n = df.count()  # cache-read on the just-checkpointed frame
     parts = df.rdd.getNumPartitions()
     target = max(1, min(parts, (n + _ROWS_PER_PARTITION - 1) // _ROWS_PER_PARTITION))
     return df.coalesce(target) if target < parts else df
@@ -289,11 +289,16 @@ def kcore_peel(
     (the survivor-edge checkpoint) and NONE for the final round.  The
     per-round profile rows (nodes = degree rows, edges = Σdeg/2) are built
     as LAZY one-row aggregates hanging off each round's checkpointed edge
-    list and unioned into the returned DataFrame — nothing gates on them
-    under a fixed round count, so collecting them per round (as this
-    operator originally did) only serialized the driver loop: 3 barriers x
-    rounds stacked up and the whole bench makespan critical-pathed on this
-    one query (round-3 verdict).  The degree table is likewise NOT
+    list, evaluated together in ONE job at the end, and returned as a
+    LOCAL-data DataFrame — nothing gates on them per round, so collecting
+    them per round (as this operator originally did) only serialized the
+    driver loop: 3 barriers x rounds stacked up and the whole bench
+    makespan critical-pathed on this one query (round-3 verdict).
+    Returning local data (rounds+1 rows) rather than the lazy union also
+    means the result stays valid after the non-reliable localCheckpoint
+    blocks age out: a lazy union over checkpointed RDDs re-runs all
+    per-round aggregates on every evaluation and becomes unrecomputable on
+    executor loss (round-4 advice).  The degree table is likewise NOT
     checkpointed anymore: its two semi-join probes re-evaluate a tiny
     aggregate over cache-resident edges inside one job — cheaper than a
     blocking materialization per round on the driver.
@@ -338,4 +343,8 @@ def kcore_peel(
     out = profiles[0]
     for p in profiles[1:]:
         out = out.unionByName(p)
-    return out
+    # one job for all rounds+1 one-row aggregates; the result is tiny
+    rows_local = out.collect()
+    return e.sparkSession.createDataFrame(
+        rows_local, "round long, nodes long, edges long"
+    )

@@ -29,6 +29,8 @@ from pulsar_pekko_streams_example_spark.sources.tables import load_table
 JACCARD_THRESHOLD = 0.7
 ANN_K = 5
 ANN_QUERY_FILTER = "vec_id % 100 = 0"
+COOC_SLOT_US = 300_000_000  # 5-minute co-occurrence windows
+COOC_MIN_SHARED = 3  # edge = users sharing >= 3 windows
 
 # --- shared DuckDB CTEs -----------------------------------------------------
 
@@ -1127,8 +1129,6 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Graph analytics beyond components: co-occurrence graph triangle listing
 # ---------------------------------------------------------------------------
-COOC_SLOT_US = 300_000_000  # 5-minute co-occurrence windows
-COOC_MIN_SHARED = 3  # edge = users sharing >= 3 windows
 
 
 @register(

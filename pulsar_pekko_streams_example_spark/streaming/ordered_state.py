@@ -180,6 +180,14 @@ try:  # Spark 4.x only: the StatefulProcessor API.  The class and its
 
     HAVE_TWS_API = True
 except ImportError:  # pragma: no cover - older Spark
+    # Only a genuinely missing API (Spark < 4) may downgrade the flag: a
+    # collateral ImportError (e.g. a protobuf-related failure inside some
+    # pyspark build) must surface, not silently skip the processor-logic
+    # unit tests this flag gates (round-4 advice).
+    import pyspark.sql.streaming as _ss
+
+    if hasattr(_ss, "StatefulProcessor"):
+        raise
     HAVE_TWS_API = False
 
 try:  # live transformWithState additionally needs the protobuf runtime

@@ -789,3 +789,16 @@ def test_retry_exhaustion_lands_in_dlq(spark, tmpdir):
     # latest-attempt-only + DLQ exclusion stop any further redelivery
     assert router.due_retries(spark, as_of="2100-01-01 00:00:00").count() == 0
     assert spark.read.parquet(router.sink_path).count() == 1  # just m-ok
+
+
+def test_tws_api_flag_true_on_spark4():
+    """HAVE_TWS_API gates the processor-logic unit test above; on a Spark 4
+    image it must be True, or a collateral import failure (not a missing
+    API) silently downgraded it and the gated coverage rotted (round-4
+    advice)."""
+    import pyspark
+
+    from pulsar_pekko_streams_example_spark.streaming import ordered_state as OS
+
+    if int(pyspark.__version__.split(".")[0]) >= 4:
+        assert OS.HAVE_TWS_API
