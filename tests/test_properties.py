@@ -514,3 +514,43 @@ def test_chunk_formulas_match_actual_chunking():
         else:
             assert p == 0
         assert overlap == o or n <= CHUNK_W, (n, overlap, o)
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=24),
+            st.integers(min_value=0, max_value=24),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_connected_components_matches_union_find(spark, pairs):
+    """Pointer-jumping CC must agree with a plain union-find on arbitrary
+    random graphs: same partition of nodes AND the min-id canonical label
+    per component (self-loops and duplicate/reversed edges included)."""
+    from pulsar_pekko_streams_example_spark.operators import graph
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        (r.node, r.component)
+        for r in graph.connected_components(edges.repartition(5)).collect()
+    }
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {(n, find(n)) for n in parent}
+    assert got == want

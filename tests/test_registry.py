@@ -191,3 +191,14 @@ def test_no_hugeint_oracle_output_columns(duck):
         "oracles with HUGEINT output columns (CAST them to BIGINT): "
         f"{offenders}"
     )
+
+
+def test_bench_warm_deps_name_real_queries():
+    """bench.WARM_DEP keys must be registry queries and its values must be
+    warm-build keys bench knows how to build — a rename in either place
+    would silently drop the wave-0 warm and reintroduce lock-wait walls."""
+    import bench
+
+    for query_name, warm_key in bench.WARM_DEP.items():
+        assert query_name in REGISTRY, query_name
+        assert warm_key in {"hot_shingles", "jaccard_pairs", "neardup_cc", "cooc_edges"}
