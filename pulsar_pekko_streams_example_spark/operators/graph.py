@@ -41,6 +41,12 @@ _ROWS_PER_PARTITION = 1_000_000
 def _right_size(df: DataFrame) -> DataFrame:
     n = df.count()  # cache-read on the just-checkpointed frame
     parts = df.rdd.getNumPartitions()
+    # parts == 0 happens: AQE collapses an empty shuffle result to ZERO
+    # partitions, and a 0-partition frame poisons every later
+    # coalesce(width) with "Number of partitions (0) must be positive" —
+    # repair to one partition so loop bodies always see a positive width
+    if parts == 0:
+        return df.coalesce(1)
     target = max(1, min(parts, (n + _ROWS_PER_PARTITION - 1) // _ROWS_PER_PARTITION))
     return df.coalesce(target) if target < parts else df
 
