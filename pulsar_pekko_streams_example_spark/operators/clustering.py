@@ -89,10 +89,13 @@ def assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
             "label",
             # one struct per centroid: (cosine, cluster_id); pick the best by
             # sorting on (-cosine, cluster_id) — deterministic, windowless.
+            # get(), not [0]: an all-null/empty embedding table yields ZERO
+            # centroids and [0] on the empty array is an ANSI error — get()
+            # degrades to a NULL assignment instead of failing the job
             F.expr(
-                "array_sort(transform(cents, c -> struct("
+                "get(array_sort(transform(cents, c -> struct("
                 f"{neg_cos} AS neg_cos, "
-                "c.cluster_id AS cluster_id)))[0]"
+                "c.cluster_id AS cluster_id))), 0)"
             ).alias("best"),
         )
     )

@@ -646,9 +646,11 @@ def audio_silence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum("duration_s").alias("total_duration_s"),
         F.sum("silent").alias("silent_samples"),
         F.sum("clipped").alias("clipped_samples"),
-        (F.sum("silent").cast("double") / F.sum("n_samples").cast("double")).alias(
-            "silence_ratio"
-        ),
+        # try_divide: a degenerate shard (all-null/empty clips) sums zero
+        # samples and ANSI mode errors even on double 0/0 — NULL ratio instead
+        F.try_divide(
+            F.sum("silent").cast("double"), F.sum("n_samples").cast("double")
+        ).alias("silence_ratio"),
     )
 
 

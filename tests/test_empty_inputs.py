@@ -27,7 +27,7 @@ from tests.conftest import SF_SMOKE
 
 all_queries()  # force registration
 
-# once-broken on empty / single-row input: pinned forever
+# once-broken on a degenerate input: pinned forever
 REGRESSIONS = [
     "ann_cosine_topk_vectorized",
     "zscore_anomalies",
@@ -38,6 +38,9 @@ REGRESSIONS = [
     "component_survivorship",
     "corpus_curation_funnel",
     "kcore_peel_profile",
+    # round 5, all-NULL sweep: [0] into a zero-centroid array / ANSI 0/0
+    "kmeans_cluster_profile",
+    "audio_silence_stats",
 ]
 
 SAMPLE_N = 25
@@ -76,6 +79,27 @@ def one_row_sf(spark, tmp_path_factory):
     return str(base)
 
 
+@pytest.fixture(scope="module")
+def all_null_sf(spark, tmp_path_factory):
+    """Five rows per table, EVERY column NULL (production schemas kept) —
+    the corrupted-shard shape: rows exist, values don't.  Found live:
+    kmeans assignment indexed [0] into a zero-centroid array and
+    audio_silence_stats hit ANSI 0/0 on an all-empty clip group."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("all_null_sf")
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        df = spark.read.parquet(f"{SF_SMOKE}/{t}.parquet")
+        nulled = df.limit(5).select(
+            [F.lit(None).cast(f.dataType).alias(f.name) for f in df.schema.fields]
+        )
+        nulled.write.mode("overwrite").parquet(str(base / f"{t}.parquet"))
+    return str(base)
+
+
 @pytest.mark.parametrize("name", _selected())
 def test_query_survives_empty_input(name, spark, empty_sf):
     REGISTRY[name].build(spark, empty_sf).collect()
@@ -87,3 +111,10 @@ def test_query_survives_single_row_input(name, spark, one_row_sf):
     lag/lead baselines.  (Found live: zscore_anomalies divided by n-1 under
     ANSI doubles.)"""
     REGISTRY[name].build(spark, one_row_sf).collect()
+
+
+@pytest.mark.parametrize("name", _selected())
+def test_query_survives_all_null_input(name, spark, all_null_sf):
+    """Rows present, every value NULL — the corrupted-shard corner.
+    (Found live: kmeans [0] on a zero-centroid array; audio ANSI 0/0.)"""
+    REGISTRY[name].build(spark, all_null_sf).collect()
