@@ -27,23 +27,32 @@ def with_text_features(docs: DataFrame) -> DataFrame:
     so quality aggregates sum integers — bit-identical across engines and
     partitionings.  A double→decimal cast of the raw score is NOT exact:
     engines round half-way doubles differently (caught at sf0.1).
+
+    Empty/whitespace-only docs (token_count = 0) are a real corpus shape
+    and both engines ERROR on the bare division (Spark ANSI, DuckDB
+    integer //).  Guards, mirrored verbatim in SQL_FEATURES_CTE below:
+    ratios go NULL (nullif divisor), quality_milli scores 0 — the worst
+    score, which is the right ranking for an empty document.
     """
     d = docs.withColumn("w", F.expr(H.tokens("text", "spark")))
     d = d.withColumn("token_count", F.size("w").cast("long"))
     d = d.withColumn(
         "distinct_ratio",
-        F.size(F.array_distinct("w")).cast("double") / F.col("token_count"),
+        F.size(F.array_distinct("w")).cast("double")
+        / F.expr("nullif(token_count, 0L)"),
     )
     d = d.withColumn(
         "stop_ratio",
-        F.size(F.expr(f"filter(w, t -> {_stop_pred('t')})")).cast("double") / F.col("token_count"),
+        F.size(F.expr(f"filter(w, t -> {_stop_pred('t')})")).cast("double")
+        / F.expr("nullif(token_count, 0L)"),
     )
     d = d.withColumn(
         "quality_milli",
         F.expr(
             "4 * least(token_count, 100L) "
-            "+ (300 * size(array_distinct(w))) div token_count "
-            f"+ (300 * (token_count - size(filter(w, t -> {_stop_pred('t')})))) div token_count"
+            "+ (300 * size(array_distinct(w))) div greatest(token_count, 1L) "
+            f"+ (300 * (token_count - size(filter(w, t -> {_stop_pred('t')})))) "
+            "div greatest(token_count, 1L)"
         ).cast("long"),
     )
     # single integer/1000 division: correctly-rounded IEEE op, engine-identical
@@ -114,11 +123,11 @@ feats AS (
 scored AS (
   SELECT *,
          CAST(4 * least(token_count, 100)
-              + (300 * distinct_tokens) // token_count
-              + (300 * (token_count - stop_tokens)) // token_count AS BIGINT) AS quality_milli,
+              + (300 * distinct_tokens) // greatest(token_count, 1)
+              + (300 * (token_count - stop_tokens)) // greatest(token_count, 1) AS BIGINT) AS quality_milli,
          CAST(4 * least(token_count, 100)
-              + (300 * distinct_tokens) // token_count
-              + (300 * (token_count - stop_tokens)) // token_count AS BIGINT) / 1000.0 AS quality
+              + (300 * distinct_tokens) // greatest(token_count, 1)
+              + (300 * (token_count - stop_tokens)) // greatest(token_count, 1) AS BIGINT) / 1000.0 AS quality
   FROM feats
 )
 """

@@ -900,25 +900,40 @@ def _duck_chunk_pairs_sql() -> str:
 )
 def chunk_shared_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spread(load_table(spark, sf_dir, "documents"))
-    w = H.tokens("text", "spark")
-    bound_t = f"({H.word_hash('t', 'spark')}) % {CDC_MOD} = 0"
-    # fold tokens left-to-right: a boundary token closes the current chunk
-    # and starts the next one (matching running-sum-of-flags chunk ids)
-    chunk_arr = f"""
-        aggregate(
-          {w},
-          named_struct('done', CAST(array() AS ARRAY<STRING>), 'cur', CAST(NULL AS STRING)),
-          (acc, t) -> CASE
-              WHEN ({bound_t}) AND acc.cur IS NOT NULL
-                THEN named_struct('done', array_append(acc.done, acc.cur), 'cur', t)
-              WHEN acc.cur IS NULL THEN named_struct('done', acc.done, 'cur', t)
-              ELSE named_struct('done', acc.done, 'cur', concat(acc.cur, ' ', t)) END,
-          acc -> CASE WHEN acc.cur IS NULL THEN acc.done
-                      ELSE array_append(acc.done, acc.cur) END
+    # Chunk boundaries by POSITION, not by a left fold: the earlier
+    # fold-with-append formulation re-copied either the open chunk's string
+    # (O(chunk² ) chars) or the finished-hash array (O(chunks²) elements)
+    # per token, and ONE pathological multi-hundred-KB document stalled a
+    # task for minutes.  Here every step is linear in the doc: a boundary
+    # token starts a new chunk, so chunk starts = position 1 plus every
+    # boundary position >= 2; each chunk's text is sliced+joined ONCE and
+    # word_hashed — identical hashes to the fold and to the oracle's
+    # window+string_agg twin.
+    bound_at = f"({H.word_hash('element_at(tk, i)', 'spark')}) % {CDC_MOD} = 0"
+    starts = (
+        "CASE WHEN size(tk) >= 2 THEN "
+        f"concat(array(1), filter(sequence(2, size(tk)), i -> {bound_at})) "
+        "ELSE array(1) END"
+    )
+    chunk_h = H.word_hash(
+        "array_join(slice(tk, element_at(st, j), "
+        "(CASE WHEN j < size(st) THEN element_at(st, j + 1) "
+        "ELSE size(tk) + 1 END) - element_at(st, j)), ' ')",
+        "spark",
+    )
+    ch = (
+        docs.select("doc_id", F.expr(H.tokens("text", "spark")).alias("tk"))
+        .withColumn("st", F.expr(starts))
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(tk) = 0 THEN CAST(array() AS ARRAY<LONG>) "
+                    f"ELSE transform(sequence(1, size(st)), j -> {chunk_h}) END"
+                )
+            ).alias("h"),
         )
-    """
-    chunks = docs.select("doc_id", F.explode(F.expr(chunk_arr)).alias("chunk_text"))
-    ch = chunks.select("doc_id", F.expr(H.word_hash("chunk_text", "spark")).alias("h"))
+    )
     a, b = ch.alias("a"), ch.alias("b")
     return (
         a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))

@@ -255,8 +255,8 @@ def _duck_funnel_sql() -> str:
           FROM base
         ),
         q AS (
-          SELECT *, 4 * least(tc, 100) + (300 * dt) // tc
-                    + (300 * (tc - st)) // tc AS qm
+          SELECT *, 4 * least(tc, 100) + (300 * dt) // greatest(tc, 1)
+                    + (300 * (tc - st)) // greatest(tc, 1) AS qm
           FROM feat
         ),
         keeper AS (
@@ -308,8 +308,13 @@ def pipeline_funnel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(size(array_distinct({toks})) AS LONG)").alias("dt"),
         F.expr(f"CAST(size(filter({toks}, t -> {stop})) AS LONG)").alias("st"),
     ).withColumn(
+        # greatest(tc, 1): empty docs score 0 instead of erroring the scan
+        # (ANSI / DuckDB both reject x div 0) — same guard as textstats
         "qm",
-        F.expr("4 * least(tc, 100L) + (300 * dt) div tc + (300 * (tc - st)) div tc"),
+        F.expr(
+            "4 * least(tc, 100L) + (300 * dt) div greatest(tc, 1L) "
+            "+ (300 * (tc - st)) div greatest(tc, 1L)"
+        ),
     )
     keeper = (
         q.filter((F.col("lang") == "en") & (F.col("qm") >= FUNNEL_QUALITY_MIN))

@@ -116,3 +116,78 @@ def test_degenerate_parity(name, why, spark, degenerate_sf, degenerate_duck):
     df = spec.build(spark, degenerate_sf)
     problems = compare(df, degenerate_duck.sql(spec.oracle))
     assert not problems, f"{name} [{why}]: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial TEXT shapes (round-5 sweep findings)
+#
+# A full-registry probe over a documents table of pathological texts found
+# two real defects the standard corpora cannot reach:
+#   * token_count = 0 (empty / whitespace-only / punctuation-only docs):
+#     the integer quality formula divided by zero — Spark ANSI and DuckDB
+#     both ERROR the whole scan (guard: nullif/greatest, textstats.py).
+#   * one multi-hundred-KB document: chunk_shared_pairs' fold-with-append
+#     chunker re-copied O(doc) state per token — 187 s for ONE 200k-char doc
+#     (fix: position-based chunk starts, linear in the doc).
+# At 100 TB both shapes are certainties, so they stay pinned here.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_text_sf(spark, tmp_path_factory):
+    """sf0.001 with documents replaced by pathological text shapes."""
+    base = tmp_path_factory.mktemp("adversarial_text_sf")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copyfile(f"{SF_SMOKE}/{t}.parquet", str(base / f"{t}.parquet"))
+
+    big = " ".join(f"w{i}" for i in range(4000))  # ~1/16 tokens are chunk boundaries
+    docs = [
+        (1, "", "en", "web", 0),                      # empty: token_count = 0
+        (2, "   \t\n  ", "en", "web", 7),             # whitespace-only: token_count = 0
+        (3, ".,;:!?", "en", "web", 6),                # punctuation-only
+        (4, "x", "en", "synthetic", 1),               # single 1-char token
+        (5, big, "en", "synthetic", len(big)),        # one huge many-chunk doc
+        (6, "a normal control document with stop words the and of", "en", "web", 53),
+    ]
+    spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(base / "documents.parquet"))
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def adversarial_text_duck(adversarial_text_sf):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{adversarial_text_sf}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
+    yield con
+    con.close()
+
+
+PINNED_TEXT = [
+    ("quality_histogram", "empty-doc quality: div-by-zero guard"),
+    ("lang_quality_stats", "empty-doc ratios go NULL, not ERROR"),
+    ("corpus_curation_funnel", "empty-doc quality in the funnel"),
+    ("quality_weighted_sample_counts", "empty-doc quality as a weight"),
+    ("pipeline_funnel_counts", "empty-doc quality, inline formula twin"),
+    ("chunk_shared_pairs", "huge doc: linear position-based chunker"),
+    ("context_chunking_stats", "huge doc: chunk-count window twin"),
+]
+
+
+@pytest.mark.parametrize("name,why", PINNED_TEXT, ids=[n for n, _ in PINNED_TEXT])
+def test_adversarial_text_parity(
+    name, why, spark, adversarial_text_sf, adversarial_text_duck
+):
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle; this pin needs one"
+    df = spec.build(spark, adversarial_text_sf)
+    problems = compare(df, adversarial_text_duck.sql(spec.oracle))
+    assert not problems, f"{name} [{why}]: " + "; ".join(problems)
