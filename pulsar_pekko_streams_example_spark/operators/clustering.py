@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from pulsar_pekko_streams_example_spark.functions.numeric import DEC
+from pulsar_pekko_streams_example_spark.functions.numeric import dsum
 from pulsar_pekko_streams_example_spark.operators.partitioning import spread
 from pulsar_pekko_streams_example_spark.operators.similarity import DOT, _norm
 
@@ -66,18 +66,21 @@ def assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
             ).alias("cents")
         )
     )
-    # Zero-norm guard: a degenerate (all-zero) embedding or centroid would
-    # make the cosine 0/0 = NaN, and NaN ORDERING DIFFERS across engines
-    # (Spark's array_sort puts NaN last; DuckDB's ORDER BY DESC puts it
-    # first), so assignments would silently diverge.  Define cosine := -1
-    # (the worst possible score) whenever either norm is 0 — identical CASE
-    # in the DuckDB oracle (_duck_assigned_cte).  Norms are >= 0, so the
-    # product is 0 iff either vector is all-zero.
+    # Degenerate-vector guard (the negated twin of similarity.safe_cos):
+    # a zero norm product would raise DIVIDE_BY_ZERO under ANSI, and a NaN
+    # cosine (NaN/Inf components — real at corpus scale) RANKS DIFFERENTLY
+    # across formulations: this array_sort on the NEGATED value puts NaN
+    # last (best never), while the oracle's DESC window puts NaN first, so
+    # assignments would silently diverge.  Define cosine := -1 (neg_cos 1,
+    # the worst possible score) for zero-norm and NaN alike — identical
+    # CASE/isnan guard in the DuckDB oracle (_duck_assigned_cte).  NULL
+    # embeddings keep NULL cosines: both engines tie-break the all-NULL
+    # struct on cluster_id, so the assignment stays deterministic.
     neg_cos = (
-        "CASE WHEN _norm_a * c.cnrm = CAST(0 AS DOUBLE) "
+        "nanvl(CASE WHEN _norm_a * c.cnrm = CAST(0 AS DOUBLE) "
         "THEN CAST(1 AS DOUBLE) "
         f"ELSE -({DOT.format(a='embedding', b='c.centroid')}"
-        " / (_norm_a * c.cnrm)) END"
+        " / (_norm_a * c.cnrm)) END, CAST(1 AS DOUBLE))"
     )
     scored = (
         spread(emb)
@@ -120,10 +123,13 @@ def update_sums(assigned: DataFrame) -> DataFrame:
         "cluster_id",
         F.posexplode("embedding").alias("dim0", "comp"),
     )
+    # dsum (try_cast accumulation): a NaN/Inf/float32-max component must not
+    # abort the whole update job — it contributes NULL (excluded), identical
+    # to the oracle's isfinite+TRY_CAST twin (functions/numeric.py)
     return (
         comp.groupBy("cluster_id", (F.col("dim0") + 1).cast("long").alias("dim"))
         .agg(
-            F.sum(F.col("comp").cast("double").cast(DEC)).cast("double").alias("comp_sum"),
+            dsum(F.col("comp").cast("double")).alias("comp_sum"),
             F.count(F.lit(1)).alias("n_members"),
         )
     )

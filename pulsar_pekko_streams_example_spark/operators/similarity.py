@@ -60,6 +60,33 @@ def _norm(col: str) -> str:
     return f"sqrt({DOT.format(a=col, b=col)})"
 
 
+def safe_cos(dot: str, norm_prod: str, dialect: str) -> str:
+    """TOTAL cosine: ``dot / norm_prod`` with degenerate inputs mapped to -1.
+
+    A 100 TB corpus WILL contain zero-norm, NaN, and float32-max embeddings
+    (truncated uploads, failed encoders).  Raw division is not total there:
+    Spark ANSI raises DIVIDE_BY_ZERO on a zero norm product, and a NaN
+    cosine RANKS DIFFERENTLY across formulations (Spark array_sort on the
+    negated value puts NaN last; a DESC window puts NaN first in both
+    engines) so assignments silently diverge.  Contract, identical in both
+    dialects: zero-norm or NaN cosine := -1 (the worst score — degenerate
+    vectors are similar to nothing); ±Inf survives (IEEE-consistent rank in
+    both engines); NULL embeddings stay NULL (NULLS LAST in both engines'
+    descending order).
+    """
+    if dialect == "spark":
+        return (
+            f"nanvl(CASE WHEN ({norm_prod}) = CAST(0 AS DOUBLE) "
+            "THEN CAST(-1 AS DOUBLE) "
+            f"ELSE ({dot}) / ({norm_prod}) END, CAST(-1 AS DOUBLE))"
+        )
+    return (
+        f"CASE WHEN ({norm_prod}) = CAST(0 AS DOUBLE) THEN CAST(-1 AS DOUBLE) "
+        f"WHEN isnan(({dot}) / ({norm_prod})) THEN CAST(-1 AS DOUBLE) "
+        f"ELSE ({dot}) / ({norm_prod}) END"
+    )
+
+
 def hyperplane_bit(j: int, emb: str, dialect: str) -> str:
     """SQL for signature bit j (0/1) of array column ``emb``, identical in
     both dialects: left-fold dot product with the integer hyperplane."""
@@ -166,7 +193,9 @@ def ann_lsh_topk(
         )
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    base = emb.select("vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm"))
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm")
+    )
     qe = base.select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -182,7 +211,7 @@ def ann_lsh_topk(
         .join(ne, ["neighbor_id"])
         .withColumn(
             "cosine",
-            F.expr(DOT.format(a="qe", b="ne")) / (F.col("qn") * F.col("nn")),
+            F.expr(safe_cos(DOT.format(a="qe", b="ne"), "qn * nn", "spark")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -223,7 +252,9 @@ def embedding_near_dup(
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
-    base = emb.select("vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm"))
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm")
+    )
     ea = base.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
@@ -234,7 +265,7 @@ def embedding_near_dup(
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
     )
-    cos = F.expr(DOT.format(a="ea", b="eb")) / (F.col("na") * F.col("nb"))
+    cos = F.expr(safe_cos(DOT.format(a="ea", b="eb"), "na * nb", "spark"))
     return (
         cand.join(ea, ["vec_a"])  # AQE broadcasts when the vector side is small
         .join(eb, ["vec_b"])
@@ -263,7 +294,7 @@ def cosine_topk(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            F.expr(DOT.format(a="qe", b="ne")) / (F.col("qn") * F.col("nn")),
+            F.expr(safe_cos(DOT.format(a="qe", b="ne"), "qn * nn", "spark")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -346,7 +377,9 @@ def cosine_topk_numpy(
     import numpy as np
 
     spark = emb.sparkSession
-    qdf = emb.filter(F.expr(query_filter)).select("vec_id", "embedding")
+    qdf = emb.filter(F.expr(query_filter)).filter(
+        F.col("embedding").isNotNull()
+    ).select("vec_id", "embedding")
     # guard the driver collect: fail fast instead of OOMing on a filter that
     # matches the corpus (limit+count scans at most max_queries+1 rows)
     if qdf.limit(max_queries + 1).count() > max_queries:
@@ -375,16 +408,28 @@ def cosine_topk_numpy(
             nid = pdf["vec_id"].to_numpy(dtype=np.int64)
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             nn = _fold_norms(mat)
-            scores = _fold_dots(qm, mat) / (qn[:, None] * nn[None, :])
-            scores[ids[:, None] == nid[None, :]] = -np.inf  # mask self-matches
-            top = min(k, scores.shape[1])
+            # numpy twin of safe_cos(): zero norm product or NaN -> -1,
+            # evaluated in the same order so values stay bit-identical
+            prod = qn[:, None] * nn[None, :]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                scores = _fold_dots(qm, mat) / prod
+            scores = np.where(prod == 0.0, -1.0, scores)
+            scores = np.where(np.isnan(scores), -1.0, scores)
+            self_m = ids[:, None] == nid[None, :]
+            scores = np.where(self_m, -np.inf, scores)  # mask self-matches
+            # take one extra column: a self-match inside the cut must not
+            # displace a genuine candidate from the batch-local top-k
+            top = min(k + 1, scores.shape[1])
             # per-row sort on (-score, neighbor_id): the same tie-break the
             # global rank window uses, so a tie straddling the batch-local
             # cut keeps the SAME rows the exact global top-k would keep
             nid2 = np.broadcast_to(nid, scores.shape)
             idx = np.lexsort((nid2, -scores), axis=1)[:, :top]
             rows = np.take_along_axis(scores, idx, axis=1)
-            keep = np.isfinite(rows.ravel())
+            # drop exactly the masked self rows (by position, not by value:
+            # a genuine -inf cosine from an Inf-component vector survives,
+            # matching the declarative path)
+            keep = ~np.take_along_axis(self_m, idx, axis=1).ravel()
             yield pd.DataFrame(
                 {
                     "query_id": np.repeat(ids, top)[keep],
@@ -393,7 +438,12 @@ def cosine_topk_numpy(
                 }
             )
 
-    partial = spread(emb).select("vec_id", "embedding").mapInPandas(part_topk, _TOPK_SCHEMA)
+    partial = (
+        spread(emb)
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+        .mapInPandas(part_topk, _TOPK_SCHEMA)
+    )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
         partial.withColumn("rnk", F.row_number().over(w).cast("long"))
@@ -423,7 +473,9 @@ def ivf_assignments(emb: DataFrame) -> DataFrame:
     pass over the embeddings; the argmax collapses to ONE hash aggregate of
     max(struct(csim, -cent_id)) with map-side partials — the only shuffle
     carries a single row per vector, never the score matrix."""
-    base = emb.select("vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm"))
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm")
+    )
     cent = base.filter(
         (F.col("vec_id") % IVF_CENT_STRIDE) == IVF_CENT_OFFSET
     ).select(
@@ -435,7 +487,7 @@ def ivf_assignments(emb: DataFrame) -> DataFrame:
         "vec_id",
         "cent_id",
         (
-            F.expr(DOT.format(a="embedding", b="ce")) / (F.col("nrm") * F.col("cn"))
+            F.expr(safe_cos(DOT.format(a="embedding", b="ce"), "nrm * cn", "spark"))
         ).alias("csim"),
     )
     return (
@@ -462,7 +514,9 @@ def ann_ivf_topk(
     contract (the oracle replicates the quantizer and probing exactly);
     returned scores/ranks are exact cosine."""
     emb = spread(emb)
-    base = emb.select("vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm"))
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm")
+    )
     cent = base.filter(
         (F.col("vec_id") % IVF_CENT_STRIDE) == IVF_CENT_OFFSET
     ).select(
@@ -474,7 +528,7 @@ def ann_ivf_topk(
         "vec_id",
         "cent_id",
         (
-            F.expr(DOT.format(a="embedding", b="ce")) / (F.col("nrm") * F.col("cn"))
+            F.expr(safe_cos(DOT.format(a="embedding", b="ce"), "nrm * cn", "spark"))
         ).alias("csim"),
     )
     assign = (
@@ -513,7 +567,7 @@ def ann_ivf_topk(
         .join(F.broadcast(q), "query_id")
         .withColumn(
             "cosine",
-            F.expr(DOT.format(a="qe", b="ne")) / (F.col("qn") * F.col("nn")),
+            F.expr(safe_cos(DOT.format(a="qe", b="ne"), "qn * nn", "spark")),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))

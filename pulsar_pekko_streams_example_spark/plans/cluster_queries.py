@@ -34,7 +34,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from pulsar_pekko_streams_example_spark.functions.numeric import DEC, davg, dsum, sql_davg, sql_dsum
-from pulsar_pekko_streams_example_spark.operators import clustering
+from pulsar_pekko_streams_example_spark.operators import clustering, similarity
 from pulsar_pekko_streams_example_spark.operators.partitioning import salted_join
 from pulsar_pekko_streams_example_spark.plans.data_queries import _duck_dot
 from pulsar_pekko_streams_example_spark.plans.registry import register
@@ -47,15 +47,15 @@ KM_DIM = 64  # embedding dimensionality of the test corpus
 def _duck_assigned_cte(k: int) -> str:
     """DuckDB twin of clustering.assign(): nearest-centroid by cosine,
     tie-break on lower cluster_id."""
-    # Zero-norm guard mirrors clustering.assign(): cosine := -1 when either
-    # norm is 0 (otherwise 0/0 = NaN, whose sort order differs per engine).
+    # Degenerate-vector guard mirrors clustering.assign(): cosine := -1 for
+    # zero-norm AND NaN (similarity.safe_cos — NaN would rank first in this
+    # DESC window but last in assign()'s negated array_sort).
     norms = (
         f"sqrt({_duck_dot('e.embedding', 'e.embedding')}) * "
         f"sqrt({_duck_dot('c.centroid', 'c.centroid')})"
     )
-    cos = (
-        f"CASE WHEN {norms} = CAST(0 AS DOUBLE) THEN CAST(-1 AS DOUBLE) "
-        f"ELSE {_duck_dot('e.embedding', 'c.centroid')} / ({norms}) END"
+    cos = similarity.safe_cos(
+        _duck_dot("e.embedding", "c.centroid"), norms, "duckdb"
     )
     return f"""
         cent AS (
@@ -129,12 +129,12 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH {_duck_assigned_cte(KM_K).strip()}
         SELECT a.cluster_id, CAST(r.range AS BIGINT) AS dim,
-               CAST(SUM(CAST(CAST(e.embedding[r.range] AS DOUBLE)
-                             AS DECIMAL(38,6))) AS DOUBLE) AS comp_sum,
+               {sql_dsum('CAST(e.embedding[r.range] AS DOUBLE)')} AS comp_sum,
                COUNT(*) AS n_members
         FROM assigned a
         JOIN embeddings e ON a.vec_id = e.vec_id
         CROSS JOIN range(1, {KM_DIM} + 1) r
+        WHERE e.embedding IS NOT NULL
         GROUP BY a.cluster_id, dim
         """,
     doc="Lloyd's update step in mergeable form: exact per-(cluster, dim) "
@@ -149,10 +149,13 @@ def kmeans_update_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clustering.update_sums(assigned)
 
 
-_DUCK_COS2 = (
-    f"{_duck_dot('e.embedding', 'c.centroid')} / "
-    f"(sqrt({_duck_dot('e.embedding', 'e.embedding')}) * "
-    f"sqrt({_duck_dot('c.centroid', 'c.centroid')}))"
+# round-2 assignment shares assign()'s guarded-cosine contract (safe_cos):
+# centroid means can be degenerate too (all members NaN in one dimension)
+_DUCK_COS2 = similarity.safe_cos(
+    _duck_dot("e.embedding", "c.centroid"),
+    f"sqrt({_duck_dot('e.embedding', 'e.embedding')}) * "
+    f"sqrt({_duck_dot('c.centroid', 'c.centroid')})",
+    "duckdb",
 )
 
 
@@ -162,12 +165,12 @@ _DUCK_COS2 = (
         WITH {_duck_assigned_cte(KM_K).strip()},
         sums AS (
           SELECT a.cluster_id, CAST(r.range AS BIGINT) AS dim,
-                 CAST(SUM(CAST(CAST(e.embedding[r.range] AS DOUBLE)
-                               AS DECIMAL(38,6))) AS DOUBLE) AS comp_sum,
+                 {sql_dsum('CAST(e.embedding[r.range] AS DOUBLE)')} AS comp_sum,
                  COUNT(*) AS n_members
           FROM assigned a
           JOIN embeddings e ON a.vec_id = e.vec_id
           CROSS JOIN range(1, {KM_DIM} + 1) r
+          WHERE e.embedding IS NOT NULL
           GROUP BY a.cluster_id, dim
         ),
         cent2 AS (
@@ -354,7 +357,9 @@ SEMDEDUP_PROBE_MOD = 20    # vec_id % 20 == 0 => probe batch (5%); rest = corpus
         """.format(
         assigned=_duck_assigned_cte(KM_K).strip(),
         nrm=f"sqrt({_duck_dot('e.embedding', 'e.embedding')})",
-        cos=_duck_dot("p.embedding", "m.embedding") + " / (p.nrm * m.nrm)",
+        cos=similarity.safe_cos(
+            _duck_dot("p.embedding", "m.embedding"), "p.nrm * m.nrm", "duckdb"
+        ),
     ),
     doc="Semantic dedup, cluster-scoped (the SemDeDup recipe): a probe batch "
     "(5% of vectors, the 'new data') is compared ONLY against corpus members "
@@ -398,7 +403,9 @@ def semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("m_emb"),
         F.expr(_norm("embedding")).alias("m_nrm"),
     )
-    cos = f"{DOT.format(a='p_emb', b='m_emb')} / (p_nrm * m_nrm)"
+    cos = similarity.safe_cos(
+        DOT.format(a="p_emb", b="m_emb"), "p_nrm * m_nrm", "spark"
+    )
     # salted join: cluster_id has only k distinct values, so a plain shuffle
     # join caps the pair-scoring parallelism at k reducers.  Salting the
     # (large) member side and replicating the (5%) probe side re-buckets the

@@ -375,11 +375,11 @@ def _duck_embedding_near_dup_sql(threshold: float) -> str:
         ),
         n AS (
           SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
-          FROM embeddings
+          FROM embeddings WHERE embedding IS NOT NULL
         ),
         scored AS (
           SELECT c.vec_a, c.vec_b,
-                 {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+                 {similarity.safe_cos(_duck_dot('a.embedding', 'b.embedding'), 'a.nrm * b.nrm', 'duckdb')} AS cosine
           FROM cand c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id
         )
         SELECT vec_a, vec_b, cosine FROM scored WHERE cosine >= {threshold}
@@ -408,15 +408,15 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # are bit-identical to this SQL (operators/similarity.py::_fold_dots).
 _ANN_TOPK_ORACLE = f"""
     WITH q AS (
-      SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE {ANN_QUERY_FILTER}
+      SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+      WHERE ({ANN_QUERY_FILTER.replace('vec_id', 'vec_id')}) AND embedding IS NOT NULL
     ),
     scored AS (
       SELECT q.query_id, c.vec_id AS neighbor_id,
-             {_duck_dot('qe', 'c.embedding')}
-               / (sqrt({_duck_dot('qe', 'qe')}) * sqrt({_duck_dot('c.embedding', 'c.embedding')}))
+             {similarity.safe_cos(_duck_dot('qe', 'c.embedding'), f"sqrt({_duck_dot('qe', 'qe')}) * sqrt({_duck_dot('c.embedding', 'c.embedding')})", 'duckdb')}
                AS cosine
       FROM q CROSS JOIN embeddings c
-      WHERE q.query_id <> c.vec_id
+      WHERE q.query_id <> c.vec_id AND c.embedding IS NOT NULL
     )
     SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
     FROM (
@@ -672,11 +672,11 @@ def _duck_ann_lsh_sql(k: int) -> str:
         ),
         n AS (
           SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
-          FROM embeddings
+          FROM embeddings WHERE embedding IS NOT NULL
         ),
         scored AS (
           SELECT cd.query_id, cd.neighbor_id,
-                 {_duck_dot('q.embedding', 'c.embedding')} / (q.nrm * c.nrm) AS cosine
+                 {similarity.safe_cos(_duck_dot('q.embedding', 'c.embedding'), 'q.nrm * c.nrm', 'duckdb')} AS cosine
           FROM cand cd
           JOIN n q ON cd.query_id = q.vec_id
           JOIN n c ON cd.neighbor_id = c.vec_id
@@ -709,7 +709,7 @@ def _duck_ann_ivf_sql(k: int, nprobe: int) -> str:
     return f"""
         WITH base AS (
           SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
-          FROM embeddings
+          FROM embeddings WHERE embedding IS NOT NULL
         ),
         cent AS (
           SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
@@ -717,7 +717,7 @@ def _duck_ann_ivf_sql(k: int, nprobe: int) -> str:
         ),
         scored AS (
           SELECT b.vec_id, c.cent_id,
-                 {_duck_dot('b.embedding', 'c.ce')} / (b.nrm * c.cn) AS csim
+                 {similarity.safe_cos(_duck_dot('b.embedding', 'c.ce'), 'b.nrm * c.cn', 'duckdb')} AS csim
           FROM base b CROSS JOIN cent c
         ),
         assign AS (
@@ -741,7 +741,7 @@ def _duck_ann_ivf_sql(k: int, nprobe: int) -> str:
         ),
         rescored AS (
           SELECT cd.query_id, cd.neighbor_id,
-                 {_duck_dot('q.embedding', 'n.embedding')} / (q.nrm * n.nrm) AS cosine
+                 {similarity.safe_cos(_duck_dot('q.embedding', 'n.embedding'), 'q.nrm * n.nrm', 'duckdb')} AS cosine
           FROM cand cd
           JOIN base q ON cd.query_id = q.vec_id
           JOIN base n ON cd.neighbor_id = n.vec_id
@@ -2625,16 +2625,18 @@ CAL_BANDS_PER_UNIT = 20  # 0.05-wide cosine bands
         ),
         n AS (
           SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
-          FROM embeddings
+          FROM embeddings WHERE embedding IS NOT NULL
         ),
         scored AS (
-          SELECT {_duck_dot('a.embedding', 'b.embedding')} / (a.nrm * b.nrm) AS cosine
+          SELECT {similarity.safe_cos(_duck_dot('a.embedding', 'b.embedding'), 'a.nrm * b.nrm', 'duckdb')} AS cosine
           FROM cand c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id
         ),
         hist AS (
           SELECT CAST(FLOOR(cosine * {CAL_BANDS_PER_UNIT}) AS BIGINT) AS band,
                  COUNT(*) AS pairs
-          FROM scored GROUP BY 1
+          FROM scored
+          WHERE cosine IS NOT NULL
+          GROUP BY 1
         )
         SELECT band,
                CAST(band * {100 // CAL_BANDS_PER_UNIT} AS BIGINT) AS band_lo_centi,

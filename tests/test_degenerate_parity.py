@@ -191,3 +191,102 @@ def test_adversarial_text_parity(
     df = spec.build(spark, adversarial_text_sf)
     problems = compare(df, adversarial_text_duck.sql(spec.oracle))
     assert not problems, f"{name} [{why}]: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial EMBEDDING shapes (round-5 sweep findings)
+#
+# A full-registry probe over an embeddings table of pathological vectors
+# found two real defect classes the standard corpora cannot reach:
+#   * float32-near-max components: the exact DECIMAL(38,6) accumulation
+#     (dsum / k-means update sums) ANSI-errored the whole job on a summand
+#     >= 1e32 (a 3e38 component squares to ~1e77 in PQ distortion).  Fix:
+#     TRY_CAST-total accumulation, identical in both engines.
+#   * NaN cosines rank FIRST in a DESC window but LAST in the negated
+#     array_sort argmax, so k-means assignments silently diverged; a zero
+#     norm product is an ANSI DIVIDE_BY_ZERO.  Fix: similarity.safe_cos
+#     (zero-norm / NaN cosine := -1) at every cosine site in BOTH engines,
+#     plus the NULL-embedding exclusion contract in the ANN operators.
+# At 100 TB truncated uploads and failed encoders make every one of these
+# shapes a certainty, so they stay pinned here.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb_sf(spark, tmp_path_factory):
+    """sf0.001 with embeddings replaced by pathological vectors (dim = 64,
+    the corpus contract): NaN / ±Inf / float32-max / zero-norm / NULL rows
+    in centroid (vec_id < 8), probe (% 20 == 0), and ANN-query (% 100 == 0)
+    positions."""
+    base = tmp_path_factory.mktemp("adversarial_emb_sf")
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copyfile(f"{SF_SMOKE}/{t}.parquet", str(base / f"{t}.parquet"))
+
+    dim = 64
+    nan, inf = float("nan"), float("inf")
+    def sane(seed):
+        return [float((seed * (i + 3)) % 7 - 3) for i in range(dim)]
+    rows = [
+        (0, [0.0] * dim, 0),                        # zero-norm; centroid + probe + query
+        (1, [nan] * dim, 0),                        # all-NaN centroid
+        (2, [1.0] * 32 + [nan] * 32, 1),            # partial-NaN centroid
+        (3, [inf] + [0.0] * (dim - 1), 1),          # +Inf-spike centroid
+        (4, [-inf] + [1.0] * (dim - 1), 2),         # -Inf-spike centroid
+        (5, [3.0e38] * dim, 2),                     # float32-near-max centroid
+        (6, [1.0e-30] * dim, 3),                    # tiny-norm centroid
+        (7, sane(11), 3),                           # sane centroid; IVF centroid (%64==7)
+        (9, None, 4),                               # NULL embedding
+        (10, [1.0, None] + [0.0] * (dim - 2), 4),   # NULL element
+        (20, [0.0] * dim, 5),                       # zero-norm probe (%20==0)
+        (40, sane(17), 5),                          # sane probe
+        (100, [nan] * dim, 6),                      # NaN ANN query (%100==0)
+        (200, sane(23), 6),                         # sane ANN query (%100==0)
+    ] + [(i, sane(i), i % 8) for i in range(11, 20)] + [
+        (i, sane(i * 7 + 1), i % 8) for i in range(21, 40)
+    ]
+    spark.createDataFrame(
+        rows, "vec_id bigint, embedding array<float>, label int"
+    ).write.mode("overwrite").parquet(str(base / "embeddings.parquet"))
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def adversarial_emb_duck(adversarial_emb_sf):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{adversarial_emb_sf}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
+    yield con
+    con.close()
+
+
+PINNED_EMB = [
+    ("kmeans_cluster_profile", "NaN/zero-norm centroids: guarded argmax"),
+    ("kmeans_update_components", "float32-max components: total dsum"),
+    ("kmeans_round2_movement", "degenerate round-2 centroids: safe_cos"),
+    ("pq_code_histogram", "1e77 squared distortion: total dsum"),
+    ("semantic_dedup_probe", "zero-norm probe: safe_cos, no div-by-zero"),
+    ("semdedup_threshold_curve", "NaN pair cosine banding: safe_cos"),
+    ("ann_cosine_topk", "NaN query + NULL-embedding exclusion"),
+    ("ann_cosine_topk_vectorized", "numpy twin of the safe_cos guards"),
+    ("ann_lsh_topk", "NaN signatures bucket consistently"),
+    ("ann_ivf_topk", "degenerate centroid/query in IVF probing"),
+    ("embedding_near_dup", "NaN/Inf candidate pairs: safe_cos verify"),
+]
+
+
+@pytest.mark.parametrize("name,why", PINNED_EMB, ids=[n for n, _ in PINNED_EMB])
+def test_adversarial_embedding_parity(
+    name, why, spark, adversarial_emb_sf, adversarial_emb_duck
+):
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle; this pin needs one"
+    df = spec.build(spark, adversarial_emb_sf)
+    problems = compare(df, adversarial_emb_duck.sql(spec.oracle))
+    assert not problems, f"{name} [{why}]: " + "; ".join(problems)
