@@ -30,8 +30,13 @@ from pyspark.sql import functions as F
 DEC = "decimal(38,6)"
 
 
-def _dec(c: Column) -> Column:
+def dcast(c: Column) -> Column:
+    """Total double→DECIMAL(38,6) cell cast (NaN/Inf/out-of-range → NULL).
+    Use for inline decimal accumulations that dsum/davg don't cover."""
     return c.try_cast(DEC)
+
+
+_dec = dcast
 
 
 def dsum(col: Column | str) -> Column:
@@ -49,11 +54,16 @@ def davg(col: Column | str) -> Column:
     return F.sum(_dec(c)).cast("double") / F.count(c)
 
 
-def _sql_dec(expr: str) -> str:
+def sql_dcast(expr: str) -> str:
+    """DuckDB twin of dcast() (isfinite pre-guard: DuckDB TRY_CAST still
+    errors on NaN/Inf→DECIMAL)."""
     return (
         f"TRY_CAST(CASE WHEN isfinite(CAST(({expr}) AS DOUBLE)) "
         f"THEN ({expr}) END AS DECIMAL(38,6))"
     )
+
+
+_sql_dec = sql_dcast
 
 
 def sql_dsum(expr: str) -> str:

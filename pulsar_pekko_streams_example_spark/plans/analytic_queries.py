@@ -22,8 +22,10 @@ from pyspark.sql.window import Window
 from pulsar_pekko_streams_example_spark.functions.numeric import (
     DEC,
     davg,
+    dcast,
     dsum,
     sql_davg,
+    sql_dcast,
     sql_dsum,
 )
 from pulsar_pekko_streams_example_spark.plans.registry import register
@@ -120,12 +122,12 @@ def sliding_window_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "zscore_anomalies",
-    oracle="""
+    oracle=f"""
         WITH stats AS (
           SELECT event_type,
                  COUNT(value) AS n,
-                 CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS s1,
-                 CAST(SUM(CAST(value * value AS DECIMAL(38,6))) AS DOUBLE) AS s2
+                 {sql_dsum('value')} AS s1,
+                 {sql_dsum('value * value')} AS s2
           FROM events GROUP BY event_type
         ),
         scored AS (
@@ -707,13 +709,27 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Robust anomaly detection — median / MAD instead of mean / stddev
 # ---------------------------------------------------------------------------
+# Exact-integer envelope for the MAD machinery: values quantize to int64
+# micro-units and flow through 2*vi, |2*vi - median2|, 3*mad4 — clamping
+# |value| at 1e11 (vi at 1e17) keeps every intermediate below 2^63 for any
+# input double.  An out-of-envelope outlier still COUNTS as an anomaly (it
+# clamps to the envelope edge, which any sane band flags); NaN and NULL
+# values carry no magnitude and are excluded.  Identical CASE in both
+# engines; without it one 1e35 garbage value ANSI-aborts the whole job.
+MAD_CLAMP = "100000000000.0"  # 1e11, as a double literal
+MAD_CLAMP_VI = 100_000_000_000_000_000  # 1e17 = clamp * 1e6, exact int64
+
+
 @register(
     "mad_robust_anomalies",
-    oracle="""
+    oracle=f"""
         WITH v AS (
           SELECT event_type, event_id,
-                 CAST(floor(value * 1000000.0) AS BIGINT) AS vi
+                 CASE WHEN value > {MAD_CLAMP} THEN CAST({MAD_CLAMP_VI} AS BIGINT)
+                      WHEN value < -{MAD_CLAMP} THEN CAST(-{MAD_CLAMP_VI} AS BIGINT)
+                      ELSE CAST(floor(value * 1000000.0) AS BIGINT) END AS vi
           FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
         ),
         s1 AS (
           SELECT event_type, event_id, vi,
@@ -757,7 +773,9 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Robust anomaly counts per event_type: median and median-absolute-"
     "deviation instead of the mean/stddev of zscore_anomalies, so a few "
     "extreme outliers cannot inflate the band that is supposed to catch "
-    "them.  Exact cross-engine medians with NO floating interpolation: "
+    "them (outliers beyond the 1e11 exact-integer envelope clamp to its "
+    "edge and still count; NaN/NULL values are excluded — see MAD_CLAMP). "
+    "Exact cross-engine medians with NO floating interpolation: "
     "values quantize to int64 micro-units, the median is carried as the "
     "SUM OF THE TWO MIDDLE ORDER STATISTICS (median2 = 2*median, mad4 = "
     "4*MAD), and the |v - med| > 3*MAD flag is the pure-integer test "
@@ -769,10 +787,18 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("window", "statistics", "anomaly", "exact-audit", "added-r3"),
 )
 def mad_robust_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        "event_id",
-        F.expr("CAST(floor(value * 1000000.0) AS BIGINT)").alias("vi"),
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.expr("value IS NOT NULL AND NOT isnan(value)"))
+        .select(
+            "event_type",
+            "event_id",
+            F.expr(
+                f"CASE WHEN value > {MAD_CLAMP} THEN CAST({MAD_CLAMP_VI} AS BIGINT) "
+                f"WHEN value < -{MAD_CLAMP} THEN CAST(-{MAD_CLAMP_VI} AS BIGINT) "
+                "ELSE CAST(floor(value * 1000000.0) AS BIGINT) END"
+            ).alias("vi"),
+        )
     )
     wp = Window.partitionBy("event_type")
     r1 = F.expr("(n + 1) div 2")
@@ -1046,7 +1072,7 @@ AB_SPLIT_LT = 48  # < 48 -> variant A (~49.5%), else B
                       THEN 'A' ELSE 'B' END AS variant,
                  SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases,
                  SUM(CASE WHEN event_type = 'purchase'
-                          THEN CAST(value AS DECIMAL(38,6)) ELSE CAST(0 AS DECIMAL(38,6)) END)
+                          THEN {sql_dcast('value')} ELSE CAST(0 AS DECIMAL(38,6)) END)
                    AS revenue
           FROM events GROUP BY 1, 2
         )
@@ -1083,8 +1109,10 @@ def ab_test_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
             "purchases"
         ),
+        # dcast (try_cast): one NaN/Inf/1e35 garbage purchase value must not
+        # abort the experiment readout — it contributes NULL, oracle-identical
         F.sum(
-            F.when(F.col("event_type") == "purchase", F.col("value").cast(DEC)).otherwise(
+            F.when(F.col("event_type") == "purchase", dcast(F.col("value"))).otherwise(
                 F.lit(0).cast(DEC)
             )
         ).alias("revenue"),

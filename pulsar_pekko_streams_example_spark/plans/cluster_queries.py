@@ -262,19 +262,25 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                CAST(SUM(k) AS DOUBLE) / COUNT(*) AS avg_k
         FROM (
           SELECT event_type,
-                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+                 CASE WHEN json_valid(props)
+                      THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      END AS k
           FROM events
         ) t
         GROUP BY event_type
         """,
     doc="Semi-structured payload stats: JSON-path extraction of the ad-hoc "
     "props field into a typed column inside the scan projection (JVM-side "
-    "get_json_object, no UDF), then one hash aggregation by event_type.",
+    "get_json_object, no UDF), then one hash aggregation by event_type.  "
+    "External payloads are hostile by default: malformed JSON, a missing "
+    "key, and a non-numeric k all extract to NULL (Spark's get_json_object "
+    "+ try_cast are natively total; the oracle needs json_valid + TRY_CAST "
+    "because DuckDB's json_extract ERRORS on malformed input).",
     tags=("events", "json"),
 )
 def events_props_json_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object(F.col("props"), "$.k").cast("long").alias("k")
+    k = F.get_json_object(F.col("props"), "$.k").try_cast("long").alias("k")
     return (
         ev.select("event_type", k)
         .groupBy("event_type")

@@ -544,25 +544,39 @@ def skew_safe_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Percentiles are order statistics over the FINITE values only: a NaN ranks
+# differently across engines (Spark's percentile sorts it last; DuckDB's
+# quantile_cont skips it), and one ±Inf would poison every interpolated
+# cut above/below it — so non-finite values map to NULL INSIDE the
+# aggregate (groups survive even if all their values are garbage).
+_FINITE_VALUE_SPARK = (
+    "CASE WHEN NOT isnan(value) AND abs(value) < CAST('Infinity' AS DOUBLE) "
+    "THEN value END"
+)
+_FINITE_VALUE_DUCK = "CASE WHEN isfinite(value) THEN value END"
+
+
 @register(
     "value_percentiles",
-    oracle="""
+    oracle=f"""
         SELECT event_type,
-               quantile_cont(value, 0.5) AS p50,
-               quantile_cont(value, 0.95) AS p95,
-               quantile_cont(value, 0.99) AS p99
+               quantile_cont({_FINITE_VALUE_DUCK}, 0.5) AS p50,
+               quantile_cont({_FINITE_VALUE_DUCK}, 0.95) AS p95,
+               quantile_cont({_FINITE_VALUE_DUCK}, 0.99) AS p99
         FROM events GROUP BY event_type
         """,
     doc="Exact interpolated percentiles per event type (G5's latency "
-    "percentile shape, util/StandardTestTools.scala:54-60).  Exact "
-    "percentile = per-group sort; at 100 TB swap in percentile_approx "
-    "(t-digest-style mergeable sketch) — same query shape, bounded memory.",
+    "percentile shape, util/StandardTestTools.scala:54-60), over finite "
+    "values only (non-finite -> NULL inside the aggregate, identical in "
+    "both engines).  Exact percentile = per-group sort; at 100 TB swap in "
+    "percentile_approx (t-digest-style mergeable sketch) — same query "
+    "shape, bounded memory.",
     tags=("agg", "percentile", "exact-audit"),
 )
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
-        F.expr("percentile(value, 0.5)").alias("p50"),
-        F.expr("percentile(value, 0.95)").alias("p95"),
-        F.expr("percentile(value, 0.99)").alias("p99"),
+        F.expr(f"percentile({_FINITE_VALUE_SPARK}, 0.5)").alias("p50"),
+        F.expr(f"percentile({_FINITE_VALUE_SPARK}, 0.95)").alias("p95"),
+        F.expr(f"percentile({_FINITE_VALUE_SPARK}, 0.99)").alias("p99"),
     )

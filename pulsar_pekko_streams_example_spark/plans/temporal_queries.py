@@ -616,6 +616,24 @@ def windowed_first_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 _WEEK_US = 7 * 86_400_000_000
 _DECAY_CAP = 40  # cap the shift so the divisor stays well inside int64
+# Exact-integer envelope for the micro-unit value (cf. MAD_CLAMP in
+# analytic_queries): a value above 1e9 clamps to 1e15 micros (9.2e18/1e15 ≈
+# 9200 max-clamped events per user before the int64 SUM could overflow — the
+# documented per-user budget); NEGATIVE values floor to 0 (the score is a
+# magnitude by contract, and signed integer division diverges: Spark `div`
+# truncates toward zero, DuckDB `//` floors); NaN/NULL values carry no
+# magnitude and contribute NULL (excluded from sums, counted in n_events).
+# Spark's floor(double)->LONG would otherwise SILENTLY saturate (NaN->0,
+# 1e41->int64 max) while DuckDB's CAST errors — the explicit CASE replaces
+# both behaviors with one engine-identical contract.
+_DECAY_CLAMP = "1000000000.0"  # 1e9, double literal
+_DECAY_CLAMP_VI = 1_000_000_000_000_000  # 1e15 = clamp * 1e6, exact int64
+_DECAY_VI = (
+    "CASE WHEN value IS NULL OR isnan(value) THEN CAST(NULL AS BIGINT) "
+    f"WHEN value > {_DECAY_CLAMP} THEN CAST({_DECAY_CLAMP_VI} AS BIGINT) "
+    "WHEN value < 0 THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(FLOOR(value * CAST(1000000 AS DOUBLE)) AS BIGINT) END"
+)
 
 
 @register(
@@ -624,7 +642,7 @@ _DECAY_CAP = 40  # cap the shift so the divisor stays well inside int64
         WITH mx AS (SELECT MAX(epoch_us(ts)) AS max_us FROM events),
         scored AS (
           SELECT user_id,
-                 CAST(FLOOR(value * CAST(1000000 AS DOUBLE)) AS BIGINT) AS value_micro,
+                 {_DECAY_VI} AS value_micro,
                  LEAST((mx.max_us - epoch_us(ts)) // {_WEEK_US}, {_DECAY_CAP}) AS age_weeks
           FROM events CROSS JOIN mx
         )
@@ -645,17 +663,13 @@ _DECAY_CAP = 40  # cap the shift so the divisor stays well inside int64
     tags=("event-time", "scoring", "agg", "added-r3"),
 )
 def decayed_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # value >= 0 by the events-table contract: integer division of a NEGATIVE
-    # numerator would diverge across engines (Spark `div` truncates toward
-    # zero, DuckDB `//` floors), so a signed-value variant would need a CASE
-    # on the sign in both dialects.
+    # _DECAY_VI: the explicit micro-unit envelope (clamp/zero-floor/NaN
+    # exclusion) — identical CASE text in both dialects, see the constant.
     ev = load_table(spark, sf_dir, "events")
     mx = ev.agg(F.expr("MAX(unix_micros(ts))").alias("max_us"))
     scored = ev.crossJoin(F.broadcast(mx)).select(
         "user_id",
-        F.expr("CAST(FLOOR(value * CAST(1000000 AS DOUBLE)) AS BIGINT)").alias(
-            "value_micro"
-        ),
+        F.expr(_DECAY_VI).alias("value_micro"),
         F.expr(
             f"LEAST((max_us - unix_micros(ts)) div {_WEEK_US}, {_DECAY_CAP})"
         ).alias("age_weeks"),

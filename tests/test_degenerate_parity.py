@@ -290,3 +290,91 @@ def test_adversarial_embedding_parity(
     df = spec.build(spark, adversarial_emb_sf)
     problems = compare(df, adversarial_emb_duck.sql(spec.oracle))
     assert not problems, f"{name} [{why}]: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial EVENT shapes (round-5 sweep findings)
+#
+# The events table's `value` double and `props` JSON arrive from outside the
+# engine; the probe found two crash classes the standard corpora cannot
+# reach: a 1e35 value ANSI-aborted the exact DECIMAL revenue accumulation
+# (ab_test_report) and overflowed int64 in the exact-integer MAD machinery
+# (mad_robust_anomalies — fixed with the MAD_CLAMP envelope: outliers clamp
+# and still count, NaN/NULL are excluded).  Timestamps at the epoch and far
+# future, duplicate timestamps, NaN/±Inf values, and malformed JSON round
+# out the class.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_ev_sf(spark, tmp_path_factory):
+    """sf0.001 with adversarial rows APPENDED to the real events table, so
+    every query still sees a normal corpus plus the poison."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("adversarial_ev_sf")
+    for t in TABLES:
+        if t != "events":
+            shutil.copyfile(f"{SF_SMOKE}/{t}.parquet", str(base / f"{t}.parquet"))
+
+    nan, inf = float("nan"), float("inf")
+    extra = [
+        (100001, "1970-01-01 00:00:00.000000", 9001, "purchase", 1.0e35, '{"k": 1}'),
+        (100002, "2200-12-31 23:59:59.999999", 9001, "purchase", -1.0e35, '{"k": 2}'),
+        (100003, "2024-06-01 12:00:00.000000", 9002, "error", nan, '{"k": 3}'),
+        (100004, "2024-06-01 12:00:01.000000", 9002, "click", inf, '{"k": 4}'),
+        (100005, "2024-06-01 12:00:02.000000", 9002, "click", -inf, '{"k": 5}'),
+        (100006, "2024-06-01 12:00:03.000000", 9003, "purchase", 0.0, "not json"),
+        (100007, "2024-06-01 12:00:03.000000", 9003, "purchase", -5.25, None),
+        (100008, "2024-06-01 12:00:03.000000", 9003, "", 2.5, '{"k": 7}'),
+        (100009, "2024-06-01 12:00:04.000000", 9003, "click", 1.0, '{"k": "NaN"}'),
+    ]
+    ex = spark.createDataFrame(
+        extra,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ev.unionByName(ex).write.mode("overwrite").parquet(str(base / "events.parquet"))
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def adversarial_ev_duck(adversarial_ev_sf):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{adversarial_ev_sf}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
+    yield con
+    con.close()
+
+
+PINNED_EV = [
+    ("ab_test_report", "1e35/NaN/Inf purchase values: total revenue dcast"),
+    ("mad_robust_anomalies", "MAD_CLAMP envelope: clamp+count, NaN excluded"),
+    ("zscore_anomalies", "NaN/Inf in mean/stddev accumulation"),
+    ("value_percentiles", "NaN/Inf rank consistently in the exact sort"),
+    ("latency_stats", "degenerate values in the latency aggregate"),
+    ("daily_value_ohlc", "epoch/far-future days, NaN/Inf OHLC"),
+    ("decayed_user_value", "extreme values under decay weights"),
+    ("windowed_throughput", "epoch/far-future window buckets"),
+    ("user_sessions", "duplicate timestamps + 230-year gap"),
+    ("events_props_json_stats", "malformed + NULL props JSON"),
+    ("conversion_latency_histogram", "dup-ts conversion ordering"),
+]
+
+
+@pytest.mark.parametrize("name,why", PINNED_EV, ids=[n for n, _ in PINNED_EV])
+def test_adversarial_event_parity(
+    name, why, spark, adversarial_ev_sf, adversarial_ev_duck
+):
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle; this pin needs one"
+    df = spec.build(spark, adversarial_ev_sf)
+    problems = compare(df, adversarial_ev_duck.sql(spec.oracle))
+    assert not problems, f"{name} [{why}]: " + "; ".join(problems)
