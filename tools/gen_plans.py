@@ -77,11 +77,6 @@ SHOWCASE = [
         "the events scan — BroadcastHashJoin, facts never shuffle for the join.",
     ),
     (
-        "cooccurrence_triangles",
-        "Edges via slot-postings self-join; triangle enumeration as two edge "
-        "hash equi-joins with a<b<c orientation — no nested loop anywhere.",
-    ),
-    (
         "customer_spend_deciles_approx",
         "Scale-safe decile ranking: NO Window operator anywhere — scalar "
         "min/max/count broadcast, 256-bin histogram aggregate, bin→decile "
