@@ -47,7 +47,7 @@ DAY_US = 86_400_000_000
           FROM orders
         )
         SELECT o_orderkey, o_custkey, day,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) OVER w AS DOUBLE) AS rev_7d,
+               CAST(SUM({sql_dcast('o_totalprice')}) OVER w AS DOUBLE) AS rev_7d,
                COUNT(*) OVER w AS orders_7d
         FROM o
         WINDOW w AS (PARTITION BY o_custkey ORDER BY day
@@ -77,7 +77,8 @@ def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         "o_custkey",
         "day",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("rev_7d"),
+        # dcast: one 1e35 garbage price must not abort the window job
+        F.sum(dcast(F.col("o_totalprice"))).over(w).cast("double").alias("rev_7d"),
         F.count(F.lit(1)).over(w).alias("orders_7d"),
     )
 
@@ -455,9 +456,15 @@ def incremental_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             dsum("o_totalprice").alias("revenue"),
         )
 
+    # p and NOT p do NOT partition the table under three-valued logic: a
+    # NULL o_orderdate makes both filters NULL and the row would vanish
+    # from BOTH branches while the full recompute keeps it (day NULL) —
+    # the classic silent-row-loss bug of incremental pipelines.  Undatable
+    # rows belong to the fresh branch (they cannot be in a frozen snapshot
+    # keyed by date), so frozen + fresh = full, always.
     cutoff = F.col("o_orderdate") < INCR_CUTOFF
     frozen = daily(orders.filter(cutoff))       # the materialized snapshot
-    fresh = daily(orders.filter(~cutoff))       # the day's tail scan
+    fresh = daily(orders.filter(~F.coalesce(cutoff, F.lit(False))))
     return frozen.unionByName(fresh)
 
 
@@ -655,15 +662,34 @@ def price_frontier_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Year-over-year growth: lag window over a pre-aggregated year table
 # ---------------------------------------------------------------------------
+# Exact-integer cents for the YoY ledger (cf. MAD_CLAMP): revenue is a
+# magnitude, so NaN/NULL prices contribute NULL (excluded), negatives floor
+# to 0, and one price above 1e12 clamps to 1e14 cents instead of letting
+# Spark's floor() silently saturate at int64 max and the yearly SUM
+# ANSI-overflow.  Identical CASE text in both dialects.
+_YOY_CENTS = (
+    "CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) "
+    "THEN CAST(NULL AS BIGINT) "
+    "WHEN o_totalprice > 1000000000000.0 THEN CAST(100000000000000 AS BIGINT) "
+    "WHEN o_totalprice < 0 THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT) END"
+)
+# The permille numerator 1000*(rev - prev) must fit int64: the year-over-year
+# cent diff saturates at ±9e15 (a ±$90T swing) before the multiply.
+_YOY_DIFF = "LEAST(GREATEST(rev_cents - prev_cents, -9000000000000000), 9000000000000000)"
+
+
 @register(
     "orders_yoy_growth",
-    oracle="""
+    oracle=f"""
         WITH yearly AS (
+          -- no date, no year (NULL-yr groups order differently per engine);
+          -- an all-garbage year coalesces to 0 revenue so the diff/LEAST/
+          -- GREATEST chain never sees NULL (engines disagree on NULL-skip)
           SELECT o_orderpriority,
                  CAST(year(o_orderdate) AS BIGINT) AS yr,
-                 CAST(SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT))
-                      AS BIGINT) AS rev_cents
-          FROM orders GROUP BY 1, 2
+                 CAST(COALESCE(SUM({_YOY_CENTS}), 0) AS BIGINT) AS rev_cents
+          FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
         ),
         lagged AS (
           SELECT o_orderpriority, yr, rev_cents,
@@ -672,37 +698,46 @@ def price_frontier_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM yearly
         )
         SELECT o_orderpriority, yr, rev_cents,
-               CAST(((rev_cents - prev_cents) * 1000) // prev_cents AS BIGINT)
+               CAST((({_YOY_DIFF}) * 1000) // prev_cents AS BIGINT)
                  AS growth_permille
-        FROM lagged WHERE prev_cents IS NOT NULL
+        FROM lagged WHERE prev_cents IS NOT NULL AND prev_cents > 0
         """,
     doc="Year-over-year revenue growth per priority class — the reporting "
     "lag-window shape.  PRE-AGGREGATE THEN WINDOW again: the fact table "
     "collapses to |priorities| x |years| rows of exact integer cents "
     "before any window, so LAG runs over a table that fits one executor "
-    "page at any corpus size.  Growth is integer permille (floor), no "
-    "float division; positive revenue makes floor vs truncate moot.",
+    "page at any corpus size.  Growth is integer permille — Spark's `div` "
+    "and DuckDB's integer `//` both truncate toward zero (verified on the "
+    "18 shrinking-year rows of the sane corpus), so no correction term — "
+    "over a positive base only (growth vs a zero-revenue year is "
+    "undefined).",
     tags=("window", "lag", "agg", "added-r3"),
 )
 def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    yearly = orders.groupBy(
-        "o_orderpriority",
-        F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("yr"),
-    ).agg(
-        F.expr(
-            "CAST(SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)) AS BIGINT)"
-        ).alias("rev_cents")
+    yearly = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            "o_orderpriority",
+            F.expr("CAST(year(o_orderdate) AS BIGINT)").alias("yr"),
+        )
+        .agg(
+            F.expr(f"CAST(COALESCE(SUM({_YOY_CENTS}), 0) AS BIGINT)").alias(
+                "rev_cents"
+            )
+        )
     )
     w = Window.partitionBy("o_orderpriority").orderBy("yr")
     lagged = yearly.withColumn("prev_cents", F.lag("rev_cents").over(w))
-    return lagged.filter(F.col("prev_cents").isNotNull()).select(
-        "o_orderpriority",
-        "yr",
-        "rev_cents",
-        F.expr("CAST(((rev_cents - prev_cents) * 1000) div prev_cents AS BIGINT)").alias(
-            "growth_permille"
-        ),
+    return (
+        lagged.filter(F.col("prev_cents").isNotNull() & (F.col("prev_cents") > 0))
+        .withColumn("numer", F.expr(f"({_YOY_DIFF}) * 1000"))
+        .select(
+            "o_orderpriority",
+            "yr",
+            "rev_cents",
+            F.expr("CAST(numer div prev_cents AS BIGINT)").alias("growth_permille"),
+        )
     )
 
 
@@ -933,8 +968,7 @@ RFM_M_CENTS = (300_000_000, 150_000_000)  # >=3.0M$ -> 2, >=1.5M$ -> 1, else 0
           SELECT o_custkey,
                  MAX(epoch_us(o_orderdate)) AS last_us,
                  COUNT(*) AS freq,
-                 CAST(SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT))
-                      AS BIGINT) AS cents
+                 CAST(SUM({_YOY_CENTS}) AS BIGINT) AS cents
           FROM orders GROUP BY o_custkey
         ),
         anchor AS (SELECT MAX(last_us) AS anchor_us FROM per_cust),
@@ -973,9 +1007,10 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_cust = orders.groupBy("o_custkey").agg(
         F.expr("MAX(unix_micros(o_orderdate))").alias("last_us"),
         F.count(F.lit(1)).alias("freq"),
-        F.expr(
-            "CAST(SUM(CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)) AS BIGINT)"
-        ).alias("cents"),
+        # _YOY_CENTS: the shared exact-cents envelope (NaN->NULL, clamp, no
+        # silent floor() saturation) — a poisoned price must not skew or
+        # crash the whole segmentation
+        F.expr(f"CAST(SUM({_YOY_CENTS}) AS BIGINT)").alias("cents"),
     )
     anchor = per_cust.agg(F.max("last_us").alias("anchor_us"))
     scored = per_cust.crossJoin(F.broadcast(anchor)).select(
@@ -1443,6 +1478,21 @@ _RECON_BUCKET = """CASE
   ELSE 'over_2x' END"""
 
 
+def _recon_micros(col: str) -> str:
+    """Total micro-unit quantizer for the reconciliation feeds, identical
+    text in both dialects (cf. MAD_CLAMP): symmetric clamp at 1e9 currency
+    units (1e15 micros) keeps 1000*ABS(cm - tm) inside int64 for ANY input
+    double — Spark's floor() would otherwise silently saturate at int64 max
+    and the 1000x multiply ANSI-overflows; NaN quantizes to NULL (not
+    comparable -> the orphan bucket, same as a missing detail feed)."""
+    return (
+        f"CASE WHEN {col} IS NULL OR isnan({col}) THEN CAST(NULL AS BIGINT) "
+        f"WHEN {col} > 1000000000.0 THEN CAST(1000000000000000 AS BIGINT) "
+        f"WHEN {col} < -1000000000.0 THEN CAST(-1000000000000000 AS BIGINT) "
+        f"ELSE CAST(FLOOR({col} * 1000000.0) AS BIGINT) END"
+    )
+
+
 @register(
     "order_reconciliation_report",
     oracle=f"""
@@ -1453,14 +1503,13 @@ _RECON_BUCKET = """CASE
           FROM lineitem GROUP BY 1
         ),
         j AS (
-          SELECT o.o_orderkey, o.o_totalprice, l.calc
+          SELECT {_recon_micros('l.calc')} AS cm,
+                 {_recon_micros('o.o_totalprice')} AS tm
           FROM orders o LEFT JOIN l ON o.o_orderkey = l.l_orderkey
         ),
         dev AS (
-          SELECT CASE WHEN calc IS NULL THEN NULL
-                      ELSE (1000 * ABS(CAST(FLOOR(calc * 1000000) AS BIGINT)
-                                       - CAST(FLOOR(o_totalprice * 1000000) AS BIGINT)))
-                           // GREATEST(ABS(CAST(FLOOR(o_totalprice * 1000000) AS BIGINT)), 1)
+          SELECT CASE WHEN cm IS NULL OR tm IS NULL THEN NULL
+                      ELSE (1000 * ABS(cm - tm)) // GREATEST(ABS(tm), 1)
                  END AS dev_permille
           FROM j
         )
@@ -1489,16 +1538,18 @@ def order_reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.expr("l_extendedprice * (1 - l_discount) * (1 + l_tax)")).alias("calc")
     )
     j = orders.join(l, orders.o_orderkey == l.l_orderkey, "left")
-    # NULL (not a numeric sentinel) marks missing details — a legitimate
-    # deviation can land on any integer; ABS + GREATEST(.., 1) keep the
-    # division total on zero/negative header totals (ANSI doubles raise on
-    # /0 where the oracle's // returns NULL) and the buckets monotone
+    # NULL (not a numeric sentinel) marks missing details OR a NaN feed — a
+    # legitimate deviation can land on any integer; _recon_micros clamps
+    # both feeds into the 1000x-multiply-safe envelope, and ABS +
+    # GREATEST(.., 1) keep the division total on zero/negative header
+    # totals (ANSI raises on /0 where the oracle's // returns NULL)
     dev = j.select(
+        F.expr(_recon_micros("calc")).alias("cm"),
+        F.expr(_recon_micros("o_totalprice")).alias("tm"),
+    ).select(
         F.expr(
-            "CASE WHEN calc IS NULL THEN NULL "
-            "ELSE (1000 * ABS(CAST(FLOOR(calc * 1000000) AS BIGINT) "
-            "- CAST(FLOOR(o_totalprice * 1000000) AS BIGINT))) "
-            "div GREATEST(ABS(CAST(FLOOR(o_totalprice * 1000000) AS BIGINT)), 1) END"
+            "CASE WHEN cm IS NULL OR tm IS NULL THEN NULL "
+            "ELSE (1000 * ABS(cm - tm)) div GREATEST(ABS(tm), 1) END"
         ).alias("dev_permille")
     )
     return dev.groupBy(

@@ -405,10 +405,11 @@ def order_date_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "customer_spend_deciles",
-    oracle="""
+    oracle=f"""
         WITH spend AS (
-          SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+          SELECT o_custkey, {sql_dsum('o_totalprice')} AS spend
           FROM orders GROUP BY o_custkey
+          HAVING spend IS NOT NULL
         ),
         ranked AS (
           SELECT o_custkey, spend,
@@ -433,7 +434,14 @@ def customer_spend_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_pekko_streams_example_spark.functions.numeric import dsum
 
     o = load_table(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("spend"))
+    # dsum is total: a customer whose every price is garbage aggregates to
+    # NULL spend and carries no rankable magnitude — excluded in BOTH
+    # engines (NULLs sort first in Spark ASC but last in DuckDB)
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("spend"))
+        .filter(F.col("spend").isNotNull())
+    )
     w = Window.orderBy(F.col("spend").asc(), F.col("o_custkey").asc())
     ranked = spend.withColumn("decile", F.ntile(10).over(w).cast("int"))
     return ranked.groupBy("decile").agg(
@@ -453,8 +461,9 @@ _DECILE_BINS = 256
     "customer_spend_deciles_approx",
     oracle=f"""
         WITH spend AS (
-          SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS DOUBLE) AS spend
+          SELECT o_custkey, {sql_dsum('o_totalprice')} AS spend
           FROM orders GROUP BY o_custkey
+          HAVING spend IS NOT NULL
         ),
         stats AS (SELECT MIN(spend) AS mn, MAX(spend) AS mx, COUNT(*) AS n FROM spend),
         binned AS (
@@ -494,7 +503,14 @@ def customer_spend_deciles_approx(spark: SparkSession, sf_dir: str) -> DataFrame
     from pulsar_pekko_streams_example_spark.functions.numeric import dsum
 
     o = load_table(spark, sf_dir, "orders")
-    spend = o.groupBy("o_custkey").agg(dsum("o_totalprice").alias("spend"))
+    # dsum is total: a customer whose every price is garbage aggregates to
+    # NULL spend and carries no rankable magnitude — excluded in BOTH
+    # engines (NULLs sort first in Spark ASC but last in DuckDB)
+    spend = (
+        o.groupBy("o_custkey")
+        .agg(dsum("o_totalprice").alias("spend"))
+        .filter(F.col("spend").isNotNull())
+    )
     stats = spend.agg(
         F.min("spend").alias("mn"),
         F.max("spend").alias("mx"),

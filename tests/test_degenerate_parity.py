@@ -378,3 +378,97 @@ def test_adversarial_event_parity(
     df = spec.build(spark, adversarial_ev_sf)
     problems = compare(df, adversarial_ev_duck.sql(spec.oracle))
     assert not problems, f"{name} [{why}]: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial ORDER/LINEITEM shapes (round-5 sweep findings)
+#
+# The probe with 1e35/NaN/Inf prices, negative quantities, discounts
+# outside [0,1], NULL keys, and epoch/far-future dates found three crash
+# sites: the YoY cents ledger and the reconciliation micro-quantizer let
+# Spark's floor() saturate at int64 max and then ANSI-overflowed the
+# downstream multiply/sum (fixed with explicit envelopes), and the rolling
+# revenue window used a plain decimal cast (fixed with the total dcast).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_ord_sf(spark, tmp_path_factory):
+    """sf0.001 with adversarial rows APPENDED to orders and lineitem."""
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("adversarial_ord_sf")
+    for t in TABLES:
+        if t not in ("orders", "lineitem"):
+            shutil.copyfile(f"{SF_SMOKE}/{t}.parquet", str(base / f"{t}.parquet"))
+
+    nan, inf = float("nan"), float("inf")
+    o_extra = [
+        (900001, 9001, "O", 1.0e35, "1970-01-01 00:00:00", "1-URGENT"),
+        (900002, 9001, "F", -123.45, "2199-12-31 00:00:00", "5-LOW"),
+        (900003, None, "O", nan, "2024-06-01 00:00:00", "3-MEDIUM"),
+        (900004, 9002, None, inf, "2024-06-02 00:00:00", None),
+        (900005, 9002, "O", 0.0, None, "2-HIGH"),
+    ]
+    l_extra = [
+        (900001, 1, 1, 1, 1.0e20, 1.0e35, 0.5, 0.08, "N", "O", "1970-01-01 00:00:00"),
+        (900001, 1, 1, 2, -5.0, -1.0, 1.5, -0.1, "R", "F", "2199-12-31 00:00:00"),
+        (900003, None, None, 1, nan, nan, nan, nan, None, None, None),
+        (900004, 2, 2, 1, 1.0, 1.0, inf, 0.0, "N", "O", "2024-06-02 00:00:00"),
+    ]
+    oo = spark.createDataFrame(
+        o_extra,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate string, o_orderpriority string",
+    ).withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+    ll = spark.createDataFrame(
+        l_extra,
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int, "
+        "l_quantity double, l_extendedprice double, l_discount double, "
+        "l_tax double, l_returnflag string, l_linestatus string, l_shipdate string",
+    ).withColumn("l_shipdate", F.col("l_shipdate").cast("timestamp"))
+    spark.read.parquet(f"{SF_SMOKE}/orders.parquet").unionByName(oo).write.mode(
+        "overwrite"
+    ).parquet(str(base / "orders.parquet"))
+    spark.read.parquet(f"{SF_SMOKE}/lineitem.parquet").unionByName(ll).write.mode(
+        "overwrite"
+    ).parquet(str(base / "lineitem.parquet"))
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def adversarial_ord_duck(adversarial_ord_sf):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{adversarial_ord_sf}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
+    yield con
+    con.close()
+
+
+PINNED_ORD = [
+    ("orders_yoy_growth", "1e35/NaN/negative prices: cents envelope"),
+    ("order_reconciliation_report", "both feeds poisoned: micro envelope"),
+    ("rolling_revenue_7d", "1e35 price in the range-frame window: dcast"),
+    ("q1_pricing_summary", "NaN/Inf lineitem measures in the exact sums"),
+    ("winsorized_price_stats", "garbage prices in exact order statistics"),
+    ("rfm_customer_segments", "NULL custkey + extreme monetary values"),
+    ("customer_spend_deciles_approx", "1e35 spend in the histogram bins"),
+    ("incremental_daily_revenue", "epoch/far-future dates vs pushed cutoffs"),
+]
+
+
+@pytest.mark.parametrize("name,why", PINNED_ORD, ids=[n for n, _ in PINNED_ORD])
+def test_adversarial_order_parity(
+    name, why, spark, adversarial_ord_sf, adversarial_ord_duck
+):
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle; this pin needs one"
+    df = spec.build(spark, adversarial_ord_sf)
+    problems = compare(df, adversarial_ord_duck.sql(spec.oracle))
+    assert not problems, f"{name} [{why}]: " + "; ".join(problems)
