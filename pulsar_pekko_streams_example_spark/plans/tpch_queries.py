@@ -34,7 +34,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pulsar_pekko_streams_example_spark.functions.numeric import davg, dsum, sql_davg, sql_dsum
+from pulsar_pekko_streams_example_spark.functions.numeric import (
+    davg,
+    dcast,
+    dsum,
+    sql_davg,
+    sql_dcast,
+    sql_dsum,
+)
 from pulsar_pekko_streams_example_spark.plans.registry import register
 from pulsar_pekko_streams_example_spark.sources.tables import load_table
 
@@ -587,7 +594,7 @@ def custkey_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
         WITH pa AS (
           SELECT p_brand, p_retailprice,
-                 CAST(SUM(CAST(p_retailprice AS DECIMAL(38,6)))
+                 CAST(SUM({sql_dcast('p_retailprice')})
                         OVER (PARTITION BY p_brand) AS DOUBLE)
                    / COUNT(p_retailprice) OVER (PARTITION BY p_brand) AS brand_avg
           FROM part
@@ -604,9 +611,10 @@ def custkey_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
 def parts_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = load_table(spark, sf_dir, "part")
     w = Window.partitionBy("p_brand")
+    # dcast: one 1e35 garbage price must not abort the whole window pass
     pa = p.withColumn(
         "brand_avg",
-        (F.sum(F.col("p_retailprice").cast("decimal(38,6)")).over(w).cast("double"))
+        (F.sum(dcast(F.col("p_retailprice"))).over(w).cast("double"))
         / F.count("p_retailprice").over(w),
     )
     return (

@@ -472,3 +472,89 @@ def test_adversarial_order_parity(
     df = spec.build(spark, adversarial_ord_sf)
     problems = compare(df, adversarial_ord_duck.sql(spec.oracle))
     assert not problems, f"{name} [{why}]: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial DIMENSION shapes (round-5 sweep): NULL keys/names/segments,
+# dangling foreign keys, NaN/±Inf/1e35 balances and prices, hostile and
+# non-ASCII strings in customer / supplier / part.  One crash found (the
+# per-brand average's plain decimal window cast -> dcast); the rest pins
+# that NULL dimension keys and garbage measures flow consistently through
+# joins, windows, and the salted aggregate in both engines.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_dim_sf(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("adversarial_dim_sf")
+    for t in TABLES:
+        if t not in ("customer", "supplier", "part"):
+            shutil.copyfile(f"{SF_SMOKE}/{t}.parquet", str(base / f"{t}.parquet"))
+
+    nan, inf = float("nan"), float("inf")
+    c_extra = [
+        (980001, None, None, nan, None),
+        (980002, "Ünïcodé name 日本", 999, -1.0e35, ""),
+        (980003, "x' OR 1=1 --", 0, inf, "BUILDING"),
+    ]
+    s_extra = [
+        (970001, None, None, nan),
+        (970002, "süpplier esc\\tname", 999, 1.0e35),
+    ]
+    p_extra = [
+        (960001, None, None, None, None, nan),
+        (960002, "pärt ünicode", "Brand#99", "", -5, -1.0e35),
+    ]
+    cc = spark.createDataFrame(
+        c_extra,
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double, "
+        "c_mktsegment string",
+    )
+    ss = spark.createDataFrame(
+        s_extra, "s_suppkey long, s_name string, s_nationkey int, s_acctbal double"
+    )
+    pp = spark.createDataFrame(
+        p_extra,
+        "p_partkey long, p_name string, p_brand string, p_type string, "
+        "p_size int, p_retailprice double",
+    )
+    for t, extra in (("customer", cc), ("supplier", ss), ("part", pp)):
+        spark.read.parquet(f"{SF_SMOKE}/{t}.parquet").unionByName(extra).write.mode(
+            "overwrite"
+        ).parquet(str(base / f"{t}.parquet"))
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def adversarial_dim_duck(adversarial_dim_sf):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{adversarial_dim_sf}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
+    yield con
+    con.close()
+
+
+PINNED_DIM = [
+    ("parts_above_brand_avg", "1e35 price in the per-brand window: dcast"),
+    ("q2_cheapest_part_per_type", "NULL brand/type/price rank consistently"),
+    ("q5_local_supplier_volume", "dangling nationkeys drop from the join"),
+    ("salted_segment_event_agg", "NULL/empty segments through the salt"),
+    ("nation_participation_full_outer", "bogus nationkey 999 in full outer"),
+]
+
+
+@pytest.mark.parametrize("name,why", PINNED_DIM, ids=[n for n, _ in PINNED_DIM])
+def test_adversarial_dimension_parity(
+    name, why, spark, adversarial_dim_sf, adversarial_dim_duck
+):
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle; this pin needs one"
+    df = spec.build(spark, adversarial_dim_sf)
+    problems = compare(df, adversarial_dim_duck.sql(spec.oracle))
+    assert not problems, f"{name} [{why}]: " + "; ".join(problems)
