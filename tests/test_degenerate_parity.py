@@ -558,3 +558,71 @@ def test_adversarial_dimension_parity(
     df = spec.build(spark, adversarial_dim_sf)
     problems = compare(df, adversarial_dim_duck.sql(spec.oracle))
     assert not problems, f"{name} [{why}]: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Adversarial DOCUMENT-IDENTITY shapes (round-5 sweep): duplicate doc_ids
+# (a non-unique "primary" key is a certainty when 100 TB of shards merge),
+# negative ids, n_chars disagreeing with the text, NULL lang/source.  The
+# probe found no crashes; these pins hold the dedup family's tie-breaks and
+# group semantics identical across engines on a corpus where the id column
+# lies.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_docid_sf(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("adversarial_docid_sf")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copyfile(f"{SF_SMOKE}/{t}.parquet", str(base / f"{t}.parquet"))
+
+    extra = [
+        (0, "duplicate id zero doc", "en", "web", 21),
+        (0, "duplicate id zero doc", "en", "web", 21),
+        (-5, "negative doc id", "en", "web", 15),
+        (999999, "n_chars lies here", "en", "web", -100),
+        (999998, "lang is null", None, None, 12),
+    ]
+    ex = spark.createDataFrame(
+        extra, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    spark.read.parquet(f"{SF_SMOKE}/documents.parquet").unionByName(ex).write.mode(
+        "overwrite"
+    ).parquet(str(base / "documents.parquet"))
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def adversarial_docid_duck(adversarial_docid_sf):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{adversarial_docid_sf}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
+    yield con
+    con.close()
+
+
+PINNED_DOCID = [
+    ("dedup_exact_by_source", "exact-dup groups with a duplicated id"),
+    ("dedup_minhash_lsh", "LSH pair tie-breaks under id collisions"),
+    ("doc_fingerprints", "fingerprints keyed by a non-unique id"),
+    ("lang_quality_stats", "NULL lang/source grouping"),
+    ("corpus_curation_funnel", "duplicate ids through the whole funnel"),
+]
+
+
+@pytest.mark.parametrize("name,why", PINNED_DOCID, ids=[n for n, _ in PINNED_DOCID])
+def test_adversarial_docid_parity(
+    name, why, spark, adversarial_docid_sf, adversarial_docid_duck
+):
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle; this pin needs one"
+    df = spec.build(spark, adversarial_docid_sf)
+    problems = compare(df, adversarial_docid_duck.sql(spec.oracle))
+    assert not problems, f"{name} [{why}]: " + "; ".join(problems)
