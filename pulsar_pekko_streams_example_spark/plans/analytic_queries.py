@@ -94,6 +94,7 @@ def rolling_revenue_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS events,
                {sql_dsum('value')} AS volume
         FROM events, (SELECT unnest(range(4)) AS k) slots
+        WHERE ts IS NOT NULL  -- F.window drops timeless rows; mirror it
         GROUP BY 1, 2
         """,
     doc="Sliding event-time windows — F.window(ts, '1 hour', '15 minutes'): "

@@ -443,7 +443,7 @@ def latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS attempts,
                COUNT(DISTINCT message_id) AS messages,
                {sql_dsum('value')} AS volume
-        FROM attempts GROUP BY 1
+        FROM attempts WHERE attempt_time IS NOT NULL GROUP BY 1
         """
     ),
     doc="G1/G6: sampled in-progress/batch-size gauges become tumbling event-time "

@@ -230,6 +230,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
                       OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > {temporal.SESSION_GAP_S * 1_000_000}
                       THEN 1 ELSE 0 END AS new_s
           FROM events
+          WHERE ts IS NOT NULL  -- session_window drops timeless rows; mirror it
           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
         ),
         sess AS (

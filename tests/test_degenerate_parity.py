@@ -626,3 +626,71 @@ def test_adversarial_docid_parity(
     df = spec.build(spark, adversarial_docid_sf)
     problems = compare(df, adversarial_docid_duck.sql(spec.oracle))
     assert not problems, f"{name} [{why}]: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# NULL event timestamps (round-5 sweep): Spark's native F.window /
+# session_window silently DROP rows with a NULL timestamp, while an
+# arithmetic epoch_us(ts)//... GROUP BY keeps a NULL bucket — three window
+# oracles diverged by exactly the timeless rows.  Contract: an event with
+# no timestamp belongs to no time window (WHERE ts IS NOT NULL in the
+# oracles, matching the native operators).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_ts_sf(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("adversarial_ts_sf")
+    for t in TABLES:
+        if t != "events":
+            shutil.copyfile(f"{SF_SMOKE}/{t}.parquet", str(base / f"{t}.parquet"))
+
+    extra = [
+        (200001, None, 42, "click", 1.5, '{"k": 9}'),
+        (200002, None, 42, "purchase", 2.5, '{"k": 9}'),
+    ]
+    ex = spark.createDataFrame(
+        extra,
+        "event_id long, ts string, user_id long, event_type string, "
+        "value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    spark.read.parquet(f"{SF_SMOKE}/events.parquet").unionByName(ex).write.mode(
+        "overwrite"
+    ).parquet(str(base / "events.parquet"))
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def adversarial_ts_duck(adversarial_ts_sf):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{adversarial_ts_sf}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
+    yield con
+    con.close()
+
+
+PINNED_TS = [
+    ("session_window_native", "native session_window drops timeless rows"),
+    ("sliding_window_activity", "F.window drops timeless rows"),
+    ("windowed_throughput", "tumbling window drops timeless rows"),
+    ("user_sessions", "lag/cumsum twin stays consistent with NULL ts"),
+]
+
+
+@pytest.mark.parametrize("name,why", PINNED_TS, ids=[n for n, _ in PINNED_TS])
+def test_adversarial_timestamp_parity(
+    name, why, spark, adversarial_ts_sf, adversarial_ts_duck
+):
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle; this pin needs one"
+    df = spec.build(spark, adversarial_ts_sf)
+    problems = compare(df, adversarial_ts_duck.sql(spec.oracle))
+    assert not problems, f"{name} [{why}]: " + "; ".join(problems)
