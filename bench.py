@@ -65,6 +65,7 @@ mix; 28 remains the default.
 
 from __future__ import annotations
 
+import atexit
 import json
 import os
 import sys
@@ -147,6 +148,9 @@ def main() -> None:
         "</allocations>"
     )
     alloc.close()
+    # the JVM reads the file once at session build; remove it at interpreter
+    # exit (not before getOrCreate) so a run never leaks the temp file
+    atexit.register(lambda: os.path.exists(alloc.name) and os.unlink(alloc.name))
     spark = get_spark(
         app_name="bench",
         extra_conf={
@@ -280,10 +284,15 @@ def main() -> None:
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(timings),
         "warm": warm,
+        # top-N contention-free walls ride in BOTH lines: the driver keeps
+        # only the tail of stdout, and losing `sequential` to head-truncation
+        # (round 5) left the concurrent-mix regressions unclassifiable from
+        # the artifact alone.  It is <= SEQ_TOP_N entries — it fits.
+        "sequential": sequential,
     }
-    print(json.dumps({**summary, "sequential": sequential, "queries": timings}))
-    # Second, compact line (scalars only) so a head-truncated capture still
-    # parses a complete JSON object with the headline value.
+    print(json.dumps({**summary, "queries": timings}))
+    # Second, compact line (scalars + sequential only) so a head-truncated
+    # capture still parses a complete JSON object with the headline value.
     print(json.dumps(summary))
 
 

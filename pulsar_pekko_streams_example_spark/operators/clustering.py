@@ -71,16 +71,20 @@ def assign(emb: DataFrame, centroids: DataFrame) -> DataFrame:
     # cosine (NaN/Inf components — real at corpus scale) RANKS DIFFERENTLY
     # across formulations: this array_sort on the NEGATED value puts NaN
     # last (best never), while the oracle's DESC window puts NaN first, so
-    # assignments would silently diverge.  Define cosine := -1 (neg_cos 1,
-    # the worst possible score) for zero-norm and NaN alike — identical
-    # CASE/isnan guard in the DuckDB oracle (_duck_assigned_cte).  NULL
-    # embeddings keep NULL cosines: both engines tie-break the all-NULL
-    # struct on cluster_id, so the assignment stays deterministic.
+    # assignments would silently diverge.  NULL cosines (NULL embedding or a
+    # NULL *element* on either side — the dot fold propagates NULL) are the
+    # same trap with the opposite sign: array_sort ranks a NULL first field
+    # FIRST (best!) while the oracle's DESC window ranks NULL LAST, so one
+    # NULL-element seed centroid would silently capture every vector.
+    # Contract, identical in the DuckDB oracle (_duck_assigned_cte): cosine
+    # := -1 (neg_cos 1, the worst possible score) for zero-norm, NaN, and
+    # NULL alike — degenerate vectors are similar to nothing; ties break on
+    # cluster_id, so assignment stays deterministic and total.
     neg_cos = (
-        "nanvl(CASE WHEN _norm_a * c.cnrm = CAST(0 AS DOUBLE) "
+        "coalesce(nanvl(CASE WHEN _norm_a * c.cnrm = CAST(0 AS DOUBLE) "
         "THEN CAST(1 AS DOUBLE) "
         f"ELSE -({DOT.format(a='embedding', b='c.centroid')}"
-        " / (_norm_a * c.cnrm)) END, CAST(1 AS DOUBLE))"
+        " / (_norm_a * c.cnrm)) END, CAST(1 AS DOUBLE)), CAST(1 AS DOUBLE))"
     )
     scored = (
         spread(emb)

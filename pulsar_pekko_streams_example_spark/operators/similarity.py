@@ -277,8 +277,13 @@ def embedding_near_dup(
 
 def cosine_topk(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
     """Brute-force cosine top-k: queries × corpus via broadcast nested-loop,
-    declarative dot products, rank window per query."""
-    emb = spread(emb)
+    declarative dot products, rank window per query.
+
+    NULL contract (shared with ``cosine_topk_numpy`` and the oracle): fully
+    NULL embeddings are excluded on BOTH sides; a NULL *element* makes the
+    dot fold NULL, coalesced to cosine -1 — the numpy path cannot represent
+    NULL (NaN → -1 there), so all three formulations must score it -1."""
+    emb = spread(emb).filter(F.col("embedding").isNotNull())
     q = emb.filter(F.expr(query_filter)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("qe"),
@@ -294,7 +299,10 @@ def cosine_topk(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            F.expr(safe_cos(DOT.format(a="qe", b="ne"), "qn * nn", "spark")),
+            F.coalesce(
+                F.expr(safe_cos(DOT.format(a="qe", b="ne"), "qn * nn", "spark")),
+                F.lit(-1.0),
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -406,6 +414,10 @@ def cosine_topk_numpy(
             if not len(pdf):
                 continue
             nid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            # NULL elements become NaN here; the NaN -> -1 rule below then
+            # scores the row -1, which IS the shared contract: the
+            # declarative path and the oracle coalesce their NULL dot folds
+            # to -1 so all three formulations agree
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             nn = _fold_norms(mat)
             # numpy twin of safe_cos(): zero norm product or NaN -> -1,

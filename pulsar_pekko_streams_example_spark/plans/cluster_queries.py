@@ -49,7 +49,11 @@ def _duck_assigned_cte(k: int) -> str:
     tie-break on lower cluster_id."""
     # Degenerate-vector guard mirrors clustering.assign(): cosine := -1 for
     # zero-norm AND NaN (similarity.safe_cos — NaN would rank first in this
-    # DESC window but last in assign()'s negated array_sort).
+    # DESC window but last in assign()'s negated array_sort) AND NULL (a
+    # NULL embedding or NULL element on either side: this DESC window ranks
+    # NULL LAST while assign()'s array_sort ranks a NULL struct field FIRST,
+    # so a NULL-element seed centroid would otherwise win every vector on
+    # the Spark side only).
     norms = (
         f"sqrt({_duck_dot('e.embedding', 'e.embedding')}) * "
         f"sqrt({_duck_dot('c.centroid', 'c.centroid')})"
@@ -63,7 +67,8 @@ def _duck_assigned_cte(k: int) -> str:
           FROM embeddings WHERE vec_id < {k}
         ),
         scored AS (
-          SELECT e.vec_id, e.label, c.cluster_id, {cos} AS cosine
+          SELECT e.vec_id, e.label, c.cluster_id,
+                 COALESCE({cos}, CAST(-1 AS DOUBLE)) AS cosine
           FROM embeddings e CROSS JOIN cent c
         ),
         assigned AS (
@@ -179,7 +184,8 @@ _DUCK_COS2 = similarity.safe_cos(
           FROM sums GROUP BY cluster_id
         ),
         scored2 AS (
-          SELECT e.vec_id, c.cluster_id, {_DUCK_COS2} AS cosine
+          SELECT e.vec_id, c.cluster_id,
+                 COALESCE({_DUCK_COS2}, CAST(-1 AS DOUBLE)) AS cosine
           FROM embeddings e CROSS JOIN cent2 c
         ),
         assigned2 AS (
@@ -348,7 +354,7 @@ SEMDEDUP_PROBE_MOD = 20    # vec_id % 20 == 0 => probe batch (5%); rest = corpus
         ),
         pm_scored AS (
           SELECT p.vec_id AS probe_id, m.vec_id AS match_id,
-                 {{cos}} AS cosine
+                 COALESCE({{cos}}, CAST(-1 AS DOUBLE)) AS cosine
           FROM probes p JOIN members m ON p.cluster_id = m.cluster_id
         ),
         best AS (
@@ -417,10 +423,15 @@ def semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (large) member side and replicating the (5%) probe side re-buckets the
     # same pairs across k x n_salts partitions — the salt never changes the
     # result, only the layout.
+    # NULL cosine (NULL embedding / NULL element on either side) := -1, the
+    # worst score, in BOTH engines: the min(struct) argmin below ranks a NULL
+    # first field FIRST (best) while the oracle's DESC window ranks it LAST —
+    # without the coalesce one NULL-element member would eat its cluster's
+    # probes on the Spark side only (same contract as clustering.assign).
     scored = salted_join(members, probes, "cluster_id", n_salts=16).select(
         "probe_id",
         "match_id",
-        F.expr(cos).alias("cosine"),
+        F.coalesce(F.expr(cos), F.lit(-1.0)).alias("cosine"),
     )
     best = (
         scored.groupBy("probe_id")
@@ -480,9 +491,11 @@ def _l2sq_duck(a: str, b: str) -> str:
         ),
         scored AS (
           SELECT s.vec_id, s.m, c.code_id,
-                 {_l2sq_duck('s.subv', 'c.codev')} AS d,
+                 COALESCE({_l2sq_duck('s.subv', 'c.codev')},
+                          CAST('Infinity' AS DOUBLE)) AS d,
                  ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.m
-                                    ORDER BY {_l2sq_duck('s.subv', 'c.codev')}, c.code_id)
+                                    ORDER BY COALESCE({_l2sq_duck('s.subv', 'c.codev')},
+                                                      CAST('Infinity' AS DOUBLE)), c.code_id)
                    AS rk
           FROM sub s JOIN cb c ON s.m = c.m
         )
@@ -524,6 +537,13 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sort_array(F.collect_list(F.struct("code_id", "codev"))).alias("codes")
         )
     )
+    # NULL distance (NULL subvector / NULL element on either side — the L2
+    # fold propagates NULL) := +Infinity, the worst score, in BOTH engines:
+    # this array_sort argmin ranks a NULL struct field FIRST (best) while
+    # the oracle's ASC window ranks NULL LAST, so one NULL-element codebook
+    # entry would otherwise capture every subvector on the Spark side only.
+    # NaN distances rank beyond Infinity identically in both engines, and
+    # the Infinity sentinel is excluded from sse by the total dsum.
     best = (
         sub.join(cb, "m")
         .select(
@@ -531,7 +551,8 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "m",
             F.expr(
                 "array_sort(transform(codes, c -> struct("
-                f"{_l2sq_spark('subv', 'c.codev')} AS d, "
+                f"coalesce({_l2sq_spark('subv', 'c.codev')}, "
+                "CAST('Infinity' AS DOUBLE)) AS d, "
                 "c.code_id AS code_id)))[0]"
             ).alias("best"),
         )

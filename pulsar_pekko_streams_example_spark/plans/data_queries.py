@@ -412,8 +412,12 @@ _ANN_TOPK_ORACLE = f"""
       WHERE ({ANN_QUERY_FILTER.replace('vec_id', 'vec_id')}) AND embedding IS NOT NULL
     ),
     scored AS (
+      -- COALESCE: a NULL array ELEMENT makes the dot fold NULL; contract
+      -- shared by all three formulations is cosine := -1 (the numpy path
+      -- cannot represent NULL — NaN → -1 there)
       SELECT q.query_id, c.vec_id AS neighbor_id,
-             {similarity.safe_cos(_duck_dot('qe', 'c.embedding'), f"sqrt({_duck_dot('qe', 'qe')}) * sqrt({_duck_dot('c.embedding', 'c.embedding')})", 'duckdb')}
+             COALESCE({similarity.safe_cos(_duck_dot('qe', 'c.embedding'), f"sqrt({_duck_dot('qe', 'qe')}) * sqrt({_duck_dot('c.embedding', 'c.embedding')})", 'duckdb')},
+                      CAST(-1 AS DOUBLE))
                AS cosine
       FROM q CROSS JOIN embeddings c
       WHERE q.query_id <> c.vec_id AND c.embedding IS NOT NULL

@@ -621,8 +621,8 @@ _DECAY_CAP = 40  # cap the shift so the divisor stays well inside int64
 # analytic_queries): a value above 1e9 clamps to 1e15 micros (9.2e18/1e15 ≈
 # 9200 max-clamped events per user before the int64 SUM could overflow — the
 # documented per-user budget); NEGATIVE values floor to 0 (the score is a
-# magnitude by contract, and signed integer division diverges: Spark `div`
-# truncates toward zero, DuckDB `//` floors); NaN/NULL values carry no
+# magnitude by contract — that alone justifies the clamp; both engines'
+# integer division truncates toward zero, cf. orders_yoy_growth); NaN/NULL values carry no
 # magnitude and contribute NULL (excluded from sums, counted in n_events).
 # Spark's floor(double)->LONG would otherwise SILENTLY saturate (NaN->0,
 # 1e41->int64 max) while DuckDB's CAST errors — the explicit CASE replaces

@@ -231,15 +231,21 @@ def adversarial_emb_sf(spark, tmp_path_factory):
         (0, [0.0] * dim, 0),                        # zero-norm; centroid + probe + query
         (1, [nan] * dim, 0),                        # all-NaN centroid
         (2, [1.0] * 32 + [nan] * 32, 1),            # partial-NaN centroid
-        (3, [inf] + [0.0] * (dim - 1), 1),          # +Inf-spike centroid
+        (3, [1.0, None] + [0.5] * (dim - 2), 1),    # NULL-element centroid/codebook:
+                                                    #   NULL cosine/L2 must rank WORST
+                                                    #   in both engines, not capture
+                                                    #   the corpus via array_sort's
+                                                    #   NULL-field-first ordering
         (4, [-inf] + [1.0] * (dim - 1), 2),         # -Inf-spike centroid
         (5, [3.0e38] * dim, 2),                     # float32-near-max centroid
-        (6, [1.0e-30] * dim, 3),                    # tiny-norm centroid
+        (6, None, 3),                               # NULL-embedding centroid/codebook
         (7, sane(11), 3),                           # sane centroid; IVF centroid (%64==7)
+        (8, [1.0e-30] * dim, 3),                    # tiny-norm vector
         (9, None, 4),                               # NULL embedding
         (10, [1.0, None] + [0.0] * (dim - 2), 4),   # NULL element
         (20, [0.0] * dim, 5),                       # zero-norm probe (%20==0)
         (40, sane(17), 5),                          # sane probe
+        (41, [inf] + [0.0] * (dim - 1), 2),         # +Inf-spike vector
         (100, [nan] * dim, 6),                      # NaN ANN query (%100==0)
         (200, sane(23), 6),                         # sane ANN query (%100==0)
     ] + [(i, sane(i), i % 8) for i in range(11, 20)] + [
