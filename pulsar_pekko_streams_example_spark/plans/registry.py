@@ -67,6 +67,13 @@ def register(
 # always lands on the never-checked (or previously red) remainder first, and
 # coverage converges to all queries in ceil(N/budget) rounds with no manual
 # curation.
+#
+# The rotation is CHANGE-AWARE (round-6 fix of the round-5 staleness gap): a
+# green row only attests the code the driver actually ran, so each round's
+# fingerprints are recorded in QUERY_FINGERPRINTS.json and a query whose
+# build/oracle (or one-hop referenced library code) changed after its last
+# green row re-enters the fronted partition — see query_fingerprint /
+# _fresh_checked and tools/fingerprint_queries.py.
 _MODULE_ORDER = [
     "core_queries",
     "tpch_queries",
@@ -79,20 +86,26 @@ _MODULE_ORDER = [
 ]
 
 
-def _driver_checked(root: "Path | None" = None) -> frozenset[str]:
-    """Names holding a GREEN driver row in any prior round's CORRECTNESS file.
+def _green_rounds(root: "Path | None" = None) -> dict[str, int]:
+    """Per query, the LATEST round with a GREEN driver row in that round's
+    CORRECTNESS file (name → round number).
 
     A red or errored row does NOT count as checked — the query stays at the
     front of the export order until the driver confirms the fix.  Missing or
     malformed files are ignored (round 1 starts with none).
     """
     import json
+    import re
     from pathlib import Path
 
-    checked: set[str] = set()
+    latest: dict[str, int] = {}
     if root is None:
         root = Path(__file__).resolve().parents[2]
     for path in sorted(root.glob("CORRECTNESS_r*.json")):
+        m = re.match(r"CORRECTNESS_r(\d+)\.json", path.name)
+        if not m:
+            continue
+        rnd = int(m.group(1))
         try:
             rows = json.loads(path.read_text())
         except (OSError, ValueError):
@@ -108,8 +121,95 @@ def _driver_checked(root: "Path | None" = None) -> frozenset[str]:
                 and row.get("schema_match")
                 and row.get("hash_match", True)
             ):
-                checked.add(name)
-    return frozenset(checked)
+                latest[name] = max(latest.get(name, 0), rnd)
+    return latest
+
+
+def _driver_checked(root: "Path | None" = None) -> frozenset[str]:
+    """Names holding a GREEN driver row in any prior round's CORRECTNESS file
+    (union across rounds; see ``_green_rounds`` for the per-name round)."""
+    return frozenset(_green_rounds(root))
+
+
+def _code_names(code) -> set[str]:
+    """Global names referenced by a code object, including nested lambdas /
+    comprehensions (their code objects live in co_consts)."""
+    import types
+
+    names = set(code.co_names)
+    for const in code.co_consts:
+        if isinstance(const, types.CodeType):
+            names |= _code_names(const)
+    return names
+
+
+def query_fingerprint(name: str) -> str:
+    """Content fingerprint of a query's behavior-relevant source.
+
+    Hashes the builder function's source, the oracle SQL, the doc, and — one
+    hop out — everything the builder references by global name that lives in
+    this package: a referenced FUNCTION contributes its own source, a
+    referenced MODULE (e.g. ``similarity``, ``clustering``) contributes its
+    whole file, and a referenced module-level CONSTANT contributes its repr.
+    The driver-check rotation compares this against the fingerprint recorded
+    for the round of the query's last green row (QUERY_FINGERPRINTS.json):
+    an edit AFTER that row — including a library-operator edit the registered
+    wrapper never shows (e.g. operators/similarity.py under ann_cosine_topk)
+    — makes the row stale and re-fronts the query for the driver budget.
+
+    One hop is a heuristic, deliberately: recursing the full import graph
+    would stale most of the registry on any operators/ edit (a 50-query
+    budget cannot absorb that), while builder-source-only missed every
+    library edit round 5 produced.  The failure mode of a missed deep edit
+    is the pre-existing one (a stale green row), now strictly rarer.
+    """
+    import hashlib
+    import inspect
+    import types
+
+    spec = REGISTRY[name]
+    fn = spec.build
+    parts = [inspect.getsource(fn), spec.oracle or "", spec.doc]
+    pkg = __name__.split(".", 1)[0]
+    for ref in sorted(_code_names(fn.__code__)):
+        obj = fn.__globals__.get(ref)
+        if obj is None:
+            continue
+        if isinstance(obj, types.ModuleType):
+            if obj.__name__.startswith(pkg) and getattr(obj, "__file__", None):
+                from pathlib import Path
+
+                parts.append(f"{ref}::{Path(obj.__file__).read_text()}")
+        elif callable(obj):
+            if getattr(obj, "__module__", "").startswith(pkg):
+                try:
+                    parts.append(f"{ref}::{inspect.getsource(obj)}")
+                except (OSError, TypeError):
+                    parts.append(f"{ref}::{obj!r}")
+        else:
+            # module-level constant (threshold, cap, SQL fragment, ...)
+            parts.append(f"{ref}::{obj!r}")
+    return hashlib.sha256("\n".join(parts).encode()).hexdigest()
+
+
+def _fingerprint_snapshot(root: "Path | None" = None) -> dict:
+    """QUERY_FINGERPRINTS.json: {name: {str(round): fingerprint}} — the
+    fingerprint each query had when round N's driver check ran (the tree at
+    round N's artifact commit).  Rounds 1-5 were reconstructed from git
+    history (tools/fingerprint_queries.py --bootstrap docs the procedure);
+    the current round's entries are refreshed by ``--update`` before each
+    commit.  Missing file/entries degrade CONSERVATIVELY: a green row whose
+    round has no recorded fingerprint counts as stale and re-fronts."""
+    import json
+    from pathlib import Path
+
+    if root is None:
+        root = Path(__file__).resolve().parents[2]
+    try:
+        snap = json.loads((root / "QUERY_FINGERPRINTS.json").read_text())
+    except (OSError, ValueError):
+        return {}
+    return snap if isinstance(snap, dict) else {}
 
 
 def interleaved_order() -> list[str]:
@@ -197,9 +297,26 @@ def _batched_round_robin(
     return ordered
 
 
+def _fresh_checked(root: "Path | None" = None) -> frozenset[str]:
+    """Names whose latest green driver row still attests the CURRENT code:
+    green in some round R, and the fingerprint recorded for R equals the
+    query's fingerprint now.  A query edited after its last green row (the
+    round-5 staleness gap: ~17 silently stale rows) drops out of this set
+    and re-enters the fronted partition until the driver re-greens it."""
+    greens = _green_rounds(root)
+    snap = _fingerprint_snapshot(root)
+    fresh: set[str] = set()
+    for name, rnd in greens.items():
+        if name not in REGISTRY:
+            continue  # renamed/removed query; nothing to export
+        if snap.get(name, {}).get(str(rnd)) == query_fingerprint(name):
+            fresh.add(name)
+    return frozenset(fresh)
+
+
 def _export_order() -> list[str]:
     interleaved = interleaved_order()
-    checked = _driver_checked()
+    checked = _fresh_checked()
     unchecked = [n for n in interleaved if n not in checked]
     fronted = _batched_round_robin(
         unchecked,

@@ -16,7 +16,10 @@ from pulsar_pekko_streams_example_spark.plans.registry import (
     _batched_round_robin,
     _driver_checked,
     _export_order,
+    _fresh_checked,
+    _green_rounds,
     added_round,
+    query_fingerprint,
 )
 
 
@@ -62,15 +65,108 @@ def test_driver_checked_empty_when_no_files(tmp_path):
 def test_export_order_fronts_unchecked_queries():
     order = _export_order()
     assert set(order) == set(REGISTRY), "export order must cover the registry exactly"
-    checked = _driver_checked()
+    checked = _fresh_checked()
     flags = [name in checked for name in order]
-    # once the first checked query appears, every later query is checked too
+    # once the first fresh-checked query appears, every later query is too
     if True in flags:
         first_checked = flags.index(True)
         assert all(flags[first_checked:]), (
-            "a never-driver-checked query sorts after a checked one: "
+            "an unchecked/stale query sorts after a fresh-checked one: "
             + str([n for n in order[first_checked:] if n not in checked][:5])
         )
+
+
+def test_green_rounds_tracks_latest_green(tmp_path):
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    red = {"rows_match": True, "schema_match": True, "hash_match": False, "err": None}
+    _write(tmp_path / "CORRECTNESS_r01.json", {"a": green, "b": green})
+    _write(tmp_path / "CORRECTNESS_r03.json", {"a": green, "b": red})
+    assert _green_rounds(tmp_path) == {"a": 3, "b": 1}
+
+
+def test_fresh_checked_drops_queries_edited_after_their_green_row(tmp_path):
+    """THE round-5 staleness gap: a green driver row only attests the code
+    the driver ran.  A query whose fingerprint no longer matches the one
+    recorded for its last green round must re-front the export order."""
+    fresh_name, stale_name = sorted(REGISTRY)[:2]
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    _write(tmp_path / "CORRECTNESS_r02.json", {fresh_name: green, stale_name: green})
+    _write(
+        tmp_path / "QUERY_FINGERPRINTS.json",
+        {
+            # fresh: round-2 record equals the current fingerprint
+            fresh_name: {"2": query_fingerprint(fresh_name)},
+            # stale: the code was edited after round 2's check
+            stale_name: {"2": "0" * 64},
+        },
+    )
+    fresh = _fresh_checked(tmp_path)
+    assert fresh_name in fresh
+    assert stale_name not in fresh
+
+
+def test_fresh_checked_is_conservative_without_fingerprint_records(tmp_path):
+    """No ledger (or no entry for the green round) => treat as stale: the
+    rotation must not trust a green row it cannot tie to today's code."""
+    name = sorted(REGISTRY)[0]
+    green = {"rows_match": True, "schema_match": True, "hash_match": True, "err": None}
+    _write(tmp_path / "CORRECTNESS_r01.json", {name: green})
+    assert _fresh_checked(tmp_path) == frozenset()
+    # a record for a DIFFERENT round doesn't rescue it either
+    _write(
+        tmp_path / "QUERY_FINGERPRINTS.json",
+        {name: {"3": query_fingerprint(name)}},
+    )
+    assert _fresh_checked(tmp_path) == frozenset()
+
+
+def test_fingerprint_sees_one_hop_library_edits():
+    """ann_cosine_topk's registered wrapper is three lines; the round-6
+    NULL-contract fix landed in operators/similarity.py without touching the
+    wrapper.  The fingerprint must cover that hop, or library edits would
+    never re-front their queries."""
+    import pulsar_pekko_streams_example_spark.plans.registry as reg
+
+    assert query_fingerprint("ann_cosine_topk") == query_fingerprint(
+        "ann_cosine_topk"
+    ), "fingerprint not deterministic"
+    spec = reg.REGISTRY["ann_cosine_topk"]
+    names = reg._code_names(spec.build.__code__)
+    assert "similarity" in names, "wrapper must reference the similarity module"
+    # and the referenced module resolves inside the package, so its file
+    # content participates in the hash (the one-hop contract)
+    import types
+
+    obj = spec.build.__globals__["similarity"]
+    assert isinstance(obj, types.ModuleType)
+    assert obj.__name__.startswith("pulsar_pekko_streams_example_spark")
+
+
+def test_registry_ledger_covers_every_query_for_the_upcoming_round():
+    """QUERY_FINGERPRINTS.json must carry a CURRENT-round entry matching
+    today's code for every registry query — otherwise a green row earned
+    this round would read as stale forever after (tools/fingerprint_queries
+    --update refreshes it; run it before committing query edits)."""
+    import json
+    from pathlib import Path
+
+    root = Path(__file__).resolve().parents[1]
+    ledger = json.loads((root / "QUERY_FINGERPRINTS.json").read_text())
+    rounds = [
+        int(m.group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+        if (m := re.match(r"CORRECTNESS_r(\d+)\.json", p.name))
+    ]
+    upcoming = str(max(rounds, default=0) + 1)
+    missing = [
+        n
+        for n in sorted(REGISTRY)
+        if ledger.get(n, {}).get(upcoming) != query_fingerprint(n)
+    ]
+    assert not missing, (
+        f"stale/missing round-{upcoming} fingerprints (run `python "
+        f"tools/fingerprint_queries.py --update`): {missing[:8]}"
+    )
 
 
 def _assert_batchwise_round_robin(front, batch_of, family_of):
@@ -106,7 +202,7 @@ def test_export_order_interleaves_families_within_partition():
     """Inside the unchecked partition the round-robin interleave survives
     for TODAY's checked-set (whatever CORRECTNESS files are in the repo)."""
     order = _export_order()
-    checked = _driver_checked()
+    checked = _fresh_checked()
     front = [n for n in order if n not in checked]
     if len(front) < 3:
         return  # nothing meaningful to assert late in the build
@@ -149,7 +245,7 @@ def test_unchecked_partition_orders_longest_waiting_first():
     """Queries added in a later round (tag added-rN) must not displace
     unchecked queries carried over from earlier rounds — the driver budget
     pays down coverage debt before trying anything new."""
-    checked = _driver_checked()
+    checked = _fresh_checked()
     order = [n for n in _export_order() if n not in checked]
 
     def added(n):
