@@ -31,6 +31,18 @@ ANN_K = 5
 ANN_QUERY_FILTER = "vec_id % 100 = 0"
 COOC_SLOT_US = 300_000_000  # 5-minute co-occurrence windows
 COOC_MIN_SHARED = 3  # edge = users sharing >= 3 windows
+# Hot-slot cap (the cooc twin of dedup.JACCARD_MAX_DF): slots with more
+# distinct users than this leave the universe BEFORE the slot self-join.
+# The join's cost is Σ users(slot)², so ONE globally hot 5-minute slot — a
+# flash event or bot storm with 10⁶ users — contributes 5·10¹¹ candidate
+# pairs at corpus scale, unboundedly feeding all five graph consumers; a
+# slot where everyone co-occurs with everyone also carries no pairwise
+# affinity signal (same argument as stop-shingles).  The default is far
+# above any slot the test corpora produce (so oracle-checked results are
+# unchanged there) while bounding the blow-up at 100 TB; the DuckDB oracles
+# replicate the cap with the same constant, and the adversarial events
+# corpus pins the cap actually biting (tests/test_degenerate_parity.py).
+COOC_MAX_SLOT_USERS = 10_000
 
 # --- shared DuckDB CTEs -----------------------------------------------------
 
@@ -130,6 +142,33 @@ def _shared_components(spark: SparkSession, sf_dir: str):
     )
 
 
+# DuckDB twin of the capped (user, slot) universe + edge mining — shared by
+# every graph-family oracle so the cap stays engine-identical by construction.
+# `slot IS NOT NULL` is explicit (NULL timestamps previously died in the slot
+# equi-join; the NOT IN cap filter would otherwise drop them asymmetrically).
+DUCK_COOC_W_CTE = f"""
+w_all AS (
+  SELECT DISTINCT user_id, epoch_us(ts) // {COOC_SLOT_US} AS slot FROM events
+  WHERE ts IS NOT NULL
+),
+hot_slots AS (
+  SELECT slot FROM w_all GROUP BY slot HAVING COUNT(*) > {COOC_MAX_SLOT_USERS}
+),
+w AS (
+  SELECT user_id, slot FROM w_all
+  WHERE slot NOT IN (SELECT slot FROM hot_slots)
+)
+"""
+
+DUCK_COOC_EDGE_CTE = f"""{DUCK_COOC_W_CTE},
+e AS (
+  SELECT a.user_id AS ua, b.user_id AS ub
+  FROM w a JOIN w b ON a.slot = b.slot AND a.user_id < b.user_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {COOC_MIN_SHARED}
+)
+"""
+
+
 def _shared_cooc_edges(spark: SparkSession, sf_dir: str):
     """The co-occurrence edge list (users sharing >= COOC_MIN_SHARED 5-min
     slots), materialized ONCE per session and shared by all five graph
@@ -148,9 +187,27 @@ def _shared_cooc_edges(spark: SparkSession, sf_dir: str):
 
     def build():
         ev = load_table(spark, sf_dir, "events")
-        w = ev.select(
-            "user_id", F.expr(f"unix_micros(ts) div {COOC_SLOT_US}").alias("slot")
-        ).distinct()
+        w = (
+            ev.select(
+                "user_id", F.expr(f"unix_micros(ts) div {COOC_SLOT_US}").alias("slot")
+            )
+            .filter(F.col("slot").isNotNull())
+            .distinct()
+        )
+        # hot-slot cap, the cap_postings pattern (operators/dedup.py:81):
+        # one map-side-combinable aggregate finds the few slots whose
+        # distinct-user count exceeds COOC_MAX_SLOT_USERS (at most
+        # postings/cap slots can), materialized eagerly so neither self-join
+        # side re-derives the slot universe, then a broadcast anti-join
+        # removes them.  Σ users(slot)² is now bounded by cap·postings.
+        hot = (
+            w.groupBy("slot")
+            .agg(F.count(F.lit(1)).alias("n_users"))
+            .filter(F.col("n_users") > COOC_MAX_SLOT_USERS)
+            .select("slot")
+            .localCheckpoint(eager=True)
+        )
+        w = w.join(F.broadcast(hot), ["slot"], "left_anti")
         a, b = w.alias("a"), w.alias("b")
         return (
             a.join(
@@ -165,7 +222,9 @@ def _shared_cooc_edges(spark: SparkSession, sf_dir: str):
         )
 
     return shared_df(
-        spark, ("cooc-edges", sf_dir, COOC_SLOT_US, COOC_MIN_SHARED), build
+        spark,
+        ("cooc-edges", sf_dir, COOC_SLOT_US, COOC_MIN_SHARED, COOC_MAX_SLOT_USERS),
+        build,
     )
 
 
@@ -1155,14 +1214,7 @@ def decontamination_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cooccurrence_triangles",
     oracle=f"""
-        WITH w AS (
-          SELECT DISTINCT user_id, epoch_us(ts) // {COOC_SLOT_US} AS slot FROM events
-        ),
-        e AS (
-          SELECT a.user_id AS ua, b.user_id AS ub
-          FROM w a JOIN w b ON a.slot = b.slot AND a.user_id < b.user_id
-          GROUP BY 1, 2 HAVING COUNT(*) >= {COOC_MIN_SHARED}
-        )
+        WITH {DUCK_COOC_EDGE_CTE}
         SELECT e1.ua, e1.ub AS ub, e2.ub AS uc
         FROM e e1 JOIN e e2 ON e1.ub = e2.ua
                   JOIN e e3 ON e3.ua = e1.ua AND e3.ub = e2.ub
@@ -1223,14 +1275,7 @@ def _duck_pagerank_sql(iters: int) -> str:
           ) c ON d.node = c.node
         )""")
     return f"""
-        WITH w AS (
-          SELECT DISTINCT user_id, epoch_us(ts) // {COOC_SLOT_US} AS slot FROM events
-        ),
-        e AS (
-          SELECT a.user_id AS ua, b.user_id AS ub
-          FROM w a JOIN w b ON a.slot = b.slot AND a.user_id < b.user_id
-          GROUP BY 1, 2 HAVING COUNT(*) >= {COOC_MIN_SHARED}
-        ),
+        WITH {DUCK_COOC_EDGE_CTE},
         sym AS (
           SELECT ua AS src, ub AS dst FROM e
           UNION ALL
@@ -1608,14 +1653,7 @@ def lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cooccurrence_degree_histogram",
     oracle=f"""
-        WITH w AS (
-          SELECT DISTINCT user_id, epoch_us(ts) // {COOC_SLOT_US} AS slot FROM events
-        ),
-        e AS (
-          SELECT a.user_id AS ua, b.user_id AS ub
-          FROM w a JOIN w b ON a.slot = b.slot AND a.user_id < b.user_id
-          GROUP BY 1, 2 HAVING COUNT(*) >= {COOC_MIN_SHARED}
-        ),
+        WITH {DUCK_COOC_EDGE_CTE},
         sym AS (SELECT ua AS node FROM e UNION ALL SELECT ub FROM e),
         deg AS (SELECT node, COUNT(*) AS degree FROM sym GROUP BY node)
         SELECT degree, COUNT(*) AS n_nodes
@@ -1732,6 +1770,56 @@ def shingle_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         dfs.select(F.expr(_df_bucket_case("df")).alias("df_bucket"), "df")
         .groupBy("df_bucket")
         .agg(F.count(F.lit(1)).alias("n_shingles"), F.sum("df").alias("n_postings"))
+    )
+
+
+@register(
+    "cooc_slot_df_histogram",
+    oracle=f"""
+        WITH w_all AS (
+          SELECT DISTINCT user_id, epoch_us(ts) // {COOC_SLOT_US} AS slot FROM events
+          WHERE ts IS NOT NULL
+        ),
+        dfs AS (SELECT slot, COUNT(*) AS df FROM w_all GROUP BY slot)
+        SELECT {_df_bucket_case('df')} AS df_bucket,
+               COUNT(*) AS n_slots,
+               CAST(SUM(df) AS BIGINT) AS n_postings,
+               CAST(SUM(CASE WHEN df > {COOC_MAX_SLOT_USERS} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_capped_slots
+        FROM dfs GROUP BY 1
+        """,
+    doc="Distinct-user distribution of the 5-minute co-occurrence slots in "
+    "power-of-two buckets — the skew report that justifies "
+    "COOC_MAX_SLOT_USERS, the exact twin of shingle_df_histogram's case "
+    "for JACCARD_MAX_DF: the slot self-join's cost is Σ users(slot)², so "
+    "n_postings in the top buckets is the quadratic wedge volume the cap "
+    "removes from all five graph consumers, and n_capped_slots counts the "
+    "slots (flash events, bot storms) the cap actually drops.  Computed "
+    "over the PRE-cap universe — the report must see what the cap removes. "
+    "Two map-side-combinable hash aggregations; <= 14 rows at any scale.",
+    tags=("graph", "statistics", "added-r6"),
+)
+def cooc_slot_df_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    dfs = (
+        ev.select(
+            "user_id", F.expr(f"unix_micros(ts) div {COOC_SLOT_US}").alias("slot")
+        )
+        .filter(F.col("slot").isNotNull())
+        .distinct()
+        .groupBy("slot")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    return (
+        dfs.select(F.expr(_df_bucket_case("df")).alias("df_bucket"), "df")
+        .groupBy("df_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_slots"),
+            F.sum("df").alias("n_postings"),
+            F.sum(
+                F.when(F.col("df") > COOC_MAX_SLOT_USERS, 1).otherwise(0)
+            ).cast("long").alias("n_capped_slots"),
+        )
     )
 
 
@@ -2445,10 +2533,7 @@ def _duck_kcore_sql(k: int, rounds: int) -> str:
         for r in range(rounds + 1)
     )
     return f"""
-        WITH w AS (
-          SELECT DISTINCT user_id, epoch_us(ts) // {COOC_SLOT_US} AS slot
-          FROM events
-        ),
+        WITH {DUCK_COOC_W_CTE},
         {', '.join(ctes)}
         SELECT round, CAST(nodes AS BIGINT) AS nodes, CAST(edges AS BIGINT) AS edges
         FROM ({rows})
@@ -2503,10 +2588,7 @@ FROM first_reach GROUP BY hop
 
 @register(
     "sql_recursive_reachability",
-    oracle=f"""WITH RECURSIVE w AS (
-          SELECT DISTINCT user_id, epoch_us(ts) // {COOC_SLOT_US} AS slot
-          FROM events
-        ), e AS MATERIALIZED (
+    oracle=f"""WITH RECURSIVE {DUCK_COOC_W_CTE}, e AS MATERIALIZED (
           SELECT a.user_id AS ua, b.user_id AS ub FROM w a JOIN w b
           ON a.slot = b.slot AND a.user_id < b.user_id
           GROUP BY 1, 2 HAVING COUNT(*) >= {COOC_MIN_SHARED}

@@ -1146,8 +1146,18 @@ def hll_cube_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST((unix_micros(ts) div 86400000000) % 7 AS BIGINT)").alias("dow"),
         F.expr("CAST(user_id AS STRING)").alias("uid"),
     )
-    base = raw.groupBy("etype", "dow", F.expr(reg).alias("reg")).agg(
-        F.expr(f"MAX({rho})").alias("m")
+    # The register cell table is |types| x 7 x 64 rows at ANY corpus size —
+    # materialize it ONCE (eager localCheckpoint, the hot_shingles pattern)
+    # so the four lattice levels aggregate the tiny checkpoint instead of
+    # each rebuilding the corpus-scan subtree.  Measured before the fix:
+    # union branches got fresh exprIds and ReuseExchange matched only the
+    # exact-audit branch, so the plan scanned events FIVE times; now the
+    # corpus is scanned once for the cells + once for the exact CUBE audit
+    # (tests/test_plans.py::test_hll_cube_scans_corpus_twice_only pins it).
+    base = (
+        raw.groupBy("etype", "dow", F.expr(reg).alias("reg"))
+        .agg(F.expr(f"MAX({rho})").alias("m"))
+        .localCheckpoint(eager=True)
     )
     def level(keys: tuple[str, ...]):
         g = base.groupBy(*(list(keys) + ["reg"])).agg(F.max("m").alias("m"))

@@ -335,6 +335,34 @@ def adversarial_ev_sf(spark, tmp_path_factory):
         (100008, "2024-06-01 12:00:03.000000", 9003, "", 2.5, '{"k": 7}'),
         (100009, "2024-06-01 12:00:04.000000", 9003, "click", 1.0, '{"k": "NaN"}'),
     ]
+    # Bot-storm slot: COOC_MAX_SLOT_USERS + 1 distinct users inside ONE
+    # 5-minute window — the flash-event shape whose Σ users² wedge volume
+    # the hot-slot cap exists to drop.  Bridge pair A (9100, 9101) shares
+    # the storm slot plus TWO quiet slots: its edge exists ONLY if an
+    # engine forgets the cap, so parity pins both engines applying it.
+    # Bridge pair B (9102, 9103) shares THREE quiet slots plus the storm:
+    # its edge must SURVIVE the cap in both engines.
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        COOC_MAX_SLOT_USERS,
+    )
+
+    storm_ts = "2024-07-01 00:01:00.000000"
+    quiet = [
+        "2024-07-02 10:00:00.000000",
+        "2024-07-03 10:00:00.000000",
+        "2024-07-04 10:00:00.000000",
+    ]
+    eid = 200000
+    for i in range(COOC_MAX_SLOT_USERS + 1):
+        extra.append((eid := eid + 1, storm_ts, 500000 + i, "click", 1.0, None))
+    for u in (9100, 9101, 9102, 9103):
+        extra.append((eid := eid + 1, storm_ts, u, "click", 1.0, None))
+    for u in (9100, 9101):
+        for ts in quiet[:2]:
+            extra.append((eid := eid + 1, ts, u, "click", 1.0, None))
+    for u in (9102, 9103):
+        for ts in quiet:
+            extra.append((eid := eid + 1, ts, u, "click", 1.0, None))
     ex = spark.createDataFrame(
         extra,
         "event_id long, ts string, user_id long, event_type string, "
@@ -372,6 +400,15 @@ PINNED_EV = [
     ("user_sessions", "duplicate timestamps + 230-year gap"),
     ("events_props_json_stats", "malformed + NULL props JSON"),
     ("conversion_latency_histogram", "dup-ts conversion ordering"),
+    # hot-slot cap family: the bot-storm slot must be dropped from the edge
+    # universe IDENTICALLY in both engines (bridge pair A edge gone, bridge
+    # pair B edge kept) — and the histogram must report the capped slot
+    ("cooc_slot_df_histogram", "bot-storm slot lands in the top bucket, capped"),
+    ("cooccurrence_degree_histogram", "storm slot dropped before the self-join"),
+    ("cooccurrence_triangles", "triangle listing over the capped edge set"),
+    ("cooccurrence_pagerank", "pagerank over the capped edge set"),
+    ("kcore_peel_profile", "k-core peel over the capped edge set"),
+    ("sql_recursive_reachability", "recursive BFS over the capped edge set"),
 ]
 
 
@@ -384,6 +421,24 @@ def test_adversarial_event_parity(
     df = spec.build(spark, adversarial_ev_sf)
     problems = compare(df, adversarial_ev_duck.sql(spec.oracle))
     assert not problems, f"{name} [{why}]: " + "; ".join(problems)
+
+
+def test_hot_slot_cap_actually_bites(spark, adversarial_ev_sf):
+    """Anti-vacuity guard for the cap pins above: on this fixture the storm
+    slot must actually EXCEED the cap, bridge pair A's edge must be GONE
+    (its third shared slot was the storm slot), and bridge pair B's edge
+    must SURVIVE (three quiet shared slots) — otherwise the graph-family
+    parity pins would pass without exercising the cap at all."""
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        _shared_cooc_edges,
+    )
+
+    edges = {
+        (r["ua"], r["ub"])
+        for r in _shared_cooc_edges(spark, adversarial_ev_sf).collect()
+    }
+    assert (9100, 9101) not in edges, "cap did not drop the storm-slot edge"
+    assert (9102, 9103) in edges, "cap dropped an edge it must keep"
 
 
 # ---------------------------------------------------------------------------

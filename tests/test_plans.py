@@ -341,3 +341,44 @@ def test_round3_additions_plan_posture(spark):
             assert "Exchange SinglePartition" not in plan, name
         if name not in one_row_scalar_broadcast:
             assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_hll_cube_scans_corpus_twice_only(spark):
+    """hll_cube_users: the four lattice levels must aggregate the
+    materialized register-cell table (one corpus scan inside the eager
+    checkpoint), so the query plan itself carries exactly ONE parquet scan
+    — the exact-CUBE audit branch.  Before the checkpoint, union branches
+    got fresh expression ids, ReuseExchange matched only the audit branch,
+    and the plan scanned events five times (round-5 verdict, next #5)."""
+    import re
+
+    plan = plan_of(REGISTRY["hll_cube_users"].build(spark, SF_SMOKE))
+    # formatted explain lists each scan twice (tree line + detail header);
+    # count the numbered detail headers
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1, (
+        "lattice levels must read the checkpointed cell table, not rescan "
+        "the corpus"
+    )
+
+
+def test_cooc_slot_histogram_single_scan(spark):
+    """The slot-df evidence report must be one scan + two hash aggregations
+    — no joins, no corpus-sized window."""
+    import re
+
+    plan = plan_of(REGISTRY["cooc_slot_df_histogram"].build(spark, SF_SMOKE))
+    assert len(re.findall(r"\(\d+\) Scan parquet", plan)) == 1
+    assert "Join" not in plan and "Window" not in plan
+
+
+def test_cooc_edges_cap_is_broadcast_anti_join(spark):
+    """The hot-slot cap must apply as a broadcast anti-join on the tiny
+    materialized hot-slot list — never a shuffle of the slot universe per
+    consumer — and the slot self-join must stay an equi-join."""
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        _shared_cooc_edges,
+    )
+
+    plan = plan_of(_shared_cooc_edges(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
