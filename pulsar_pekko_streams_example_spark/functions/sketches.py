@@ -34,14 +34,26 @@ BLOOM_A = [(1103515245 * (j + 1) + 12345) % P for j in range(BLOOM_K)]
 BLOOM_B = [(362436069 * (j + 1) + 521288629) % P for j in range(BLOOM_K)]
 
 
+def _canon_key(key: str) -> str:
+    """Reduce an arbitrary int64 expression into [0, P) BEFORE the affine
+    hash.  ``A * key`` with a raw key near ±2⁶³ overflows int64 (ANSI Spark
+    errors the job; DuckDB errors too — a 100 TB feed WILL contain negative
+    and boundary ids), and C-style ``%`` would hand negative keys negative
+    buckets.  Since (A·x + B) mod P == (A·(x mod P) + B) mod P, canonical
+    reduction changes NOTHING for keys already in [0, P) — every test-corpus
+    id — while making the hash total and non-negative on the full domain:
+    |key % P| < P ≈ 1e9, so A·(canon) < 1e18 stays safely inside int64."""
+    return f"((({key}) % {P}) + {P}) % {P}"
+
+
 def cms_bucket(j: int, key: str) -> str:
     """Dialect-neutral SQL: bucket of integer expression ``key`` in row j."""
-    return f"((({CMS_A[j]} * {key} + {CMS_B[j]}) % {P}) % {CMS_WIDTH})"
+    return f"((({CMS_A[j]} * ({_canon_key(key)}) + {CMS_B[j]}) % {P}) % {CMS_WIDTH})"
 
 
 def bloom_bit(j: int, key: str) -> str:
     """Dialect-neutral SQL: bit index of integer expression ``key``, hash j."""
-    return f"((({BLOOM_A[j]} * {key} + {BLOOM_B[j]}) % {P}) % {BLOOM_M})"
+    return f"((({BLOOM_A[j]} * ({_canon_key(key)}) + {BLOOM_B[j]}) % {P}) % {BLOOM_M})"
 
 
 def cms_build(rows: DataFrame, key: str) -> DataFrame:

@@ -127,6 +127,22 @@ QSK_BINS = 256
 QSK_WIDTH = 4  # covers [0, 1024); higher values saturate into the top bin
 
 
+def _qsk_bin(dialect: str) -> str:
+    """Total bin expression: clamp the DOUBLE into [0, {BINS*WIDTH - 1}]
+    BEFORE the int64 cast — a raw ``CAST(FLOOR(value / 4) AS BIGINT)``
+    ANSI-errors on 1e300 / ±Inf in Spark and errors in DuckDB too.
+    Negative values (and -Inf) clamp to bin 0, values >= 1024 (and +Inf)
+    saturate into the top bin — the documented histogram envelope; NaN and
+    NULL carry no magnitude and are excluded by the caller's filter (the
+    clamp itself must not see NaN: GREATEST/LEAST NaN ordering is an
+    engine-semantics trap)."""
+    hi = float(QSK_BINS * QSK_WIDTH - 1)  # 1023.0 -> floor(/4) <= 255
+    clamped = (
+        f"LEAST(CAST({hi} AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE), value))"
+    )
+    return f"CAST(FLOOR({clamped} / {QSK_WIDTH}) AS BIGINT)"
+
+
 def _qsk_threshold(pct: int, dialect: str) -> str:
     """Rank of the pct-quantile: ceil(n * pct / 100) in pure int64.
 
@@ -143,9 +159,11 @@ def _qsk_threshold(pct: int, dialect: str) -> str:
     oracle=f"""
         WITH binned AS (
           SELECT event_type,
-                 LEAST({QSK_BINS - 1}, CAST(FLOOR(value / {QSK_WIDTH}) AS BIGINT)) AS bin,
+                 {_qsk_bin('duckdb')} AS bin,
                  COUNT(*) AS c
-          FROM events GROUP BY 1, 2
+          FROM events
+          WHERE value IS NOT NULL AND NOT isnan(value)
+          GROUP BY 1, 2
         ),
         cum AS (
           SELECT event_type, bin, c,
@@ -168,19 +186,22 @@ def _qsk_threshold(pct: int, dialect: str) -> str:
     "bin upper edges; error is bounded by the bin width and the top bin "
     "saturates (documented).  The quantile pick (smallest bin whose "
     "cumulative count reaches ceil(q·n)) is pure int64 arithmetic — "
-    "engine-exact, no floating-point thresholds.",
+    "engine-exact, no floating-point thresholds.  Hostile-value envelope: "
+    "negative values and -Inf clamp to bin 0, >= 1024 and +Inf saturate "
+    "the top bin, NaN/NULL carry no magnitude and are excluded (from n "
+    "too) — the double clamps BEFORE the int64 cast, so 1e300 cannot "
+    "ANSI-abort the job.",
     tags=("sketch", "quantile", "scale-default"),
 )
 def quantile_sketch_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
     ev = load_table(spark, sf_dir, "events")
-    binned = ev.groupBy(
-        "event_type",
-        F.least(
-            F.lit(QSK_BINS - 1), F.floor(F.col("value") / QSK_WIDTH).cast("long")
-        ).alias("bin"),
-    ).agg(F.count(F.lit(1)).alias("c"))
+    binned = (
+        ev.filter(F.col("value").isNotNull() & ~F.isnan("value"))
+        .groupBy("event_type", F.expr(_qsk_bin("spark")).alias("bin"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
     wc = (
         Window.partitionBy("event_type")
         .orderBy("bin")
@@ -217,11 +238,16 @@ JCE_BUCKETS = 1024
     "join_cardinality_estimate",
     oracle=f"""
         WITH a AS (
-          SELECT user_id % {JCE_BUCKETS} AS b, COUNT(*) AS ca
+          -- canonical (pmod) bucket, the twin of Spark's F.pmod: C-style %
+          -- hands negative ids negative buckets and the sides would bucket
+          -- the SAME hostile id differently
+          SELECT ((user_id % {JCE_BUCKETS}) + {JCE_BUCKETS}) % {JCE_BUCKETS} AS b,
+                 COUNT(*) AS ca
           FROM events GROUP BY 1
         ),
         c AS (
-          SELECT c_custkey % {JCE_BUCKETS} AS b, COUNT(*) AS cc
+          SELECT ((c_custkey % {JCE_BUCKETS}) + {JCE_BUCKETS}) % {JCE_BUCKETS} AS b,
+                 COUNT(*) AS cc
           FROM customer GROUP BY 1
         ),
         est AS (
@@ -233,7 +259,8 @@ JCE_BUCKETS = 1024
           FROM events e JOIN customer cu ON e.user_id = cu.c_custkey
         )
         SELECT estimated_rows, exact_rows,
-               CAST(((estimated_rows - exact_rows) * 1000) // exact_rows AS BIGINT)
+               CAST(((estimated_rows - exact_rows) * 1000)
+                    // NULLIF(exact_rows, 0) AS BIGINT)
                  AS overestimate_permille
         FROM est CROSS JOIN ex
         """,
@@ -270,8 +297,11 @@ def join_cardinality_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "estimated_rows",
             "exact_rows",
+            # NULLIF: a corpus whose sides share no key (exact_rows = 0)
+            # reports NULL instead of ANSI-dividing by zero
             F.expr(
-                "CAST(((estimated_rows - exact_rows) * 1000) div exact_rows AS BIGINT)"
+                "CAST(((estimated_rows - exact_rows) * 1000) "
+                "div NULLIF(exact_rows, 0) AS BIGINT)"
             ).alias("overestimate_permille"),
         )
     )
@@ -284,6 +314,27 @@ DAY_US = 86_400_000_000
 BITMAP_WORD = 63  # bits per word: shifts stay < 63, no signed-overflow UB
 
 
+def _bm_word(dialect: str) -> str:
+    """FLOOR-division word index, total and bijective with ``_bm_bit`` on
+    the whole int64 id domain.  A plain truncating ``id div 63`` pairs a
+    NEGATIVE id with the pmod bit of a DIFFERENT word (trunc and floor
+    disagree exactly when the C-style remainder is negative), silently
+    merging two users into one bit — and a raw ``id % 63`` shift count is
+    negative for negative ids, which DuckDB's ``<<`` rejects outright.
+    floor = trunc - 1 when the remainder is negative; computed WITHOUT
+    ``id - bit`` subtraction, which would underflow at int64 min."""
+    div = "div" if dialect == "spark" else "//"
+    return (
+        f"((user_id {div} {BITMAP_WORD}) + "
+        f"(CASE WHEN user_id % {BITMAP_WORD} < 0 THEN -1 ELSE 0 END))"
+    )
+
+
+def _bm_bit() -> str:
+    """Canonical (pmod) bit position in [0, {BITMAP_WORD}) — dialect-neutral."""
+    return f"(((user_id % {BITMAP_WORD}) + {BITMAP_WORD}) % {BITMAP_WORD})"
+
+
 @register(
     "bitmap_daily_retention",
     oracle=f"""
@@ -291,8 +342,8 @@ BITMAP_WORD = 63  # bits per word: shifts stay < 63, no signed-overflow UB
           SELECT DISTINCT epoch_us(ts) // {DAY_US} AS day, user_id FROM events
         ),
         bm AS (
-          SELECT day, user_id // {BITMAP_WORD} AS word,
-                 bit_or(1::BIGINT << CAST(user_id % {BITMAP_WORD} AS INTEGER)) AS bits
+          SELECT day, {_bm_word('duckdb')} AS word,
+                 bit_or(1::BIGINT << CAST({_bm_bit()} AS INTEGER)) AS bits
           FROM act GROUP BY 1, 2
         ),
         daily AS (
@@ -326,10 +377,10 @@ def bitmap_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"unix_micros(ts) div {DAY_US}").alias("day"), "user_id"
     ).distinct()
     bm = act.groupBy(
-        "day", F.expr(f"user_id div {BITMAP_WORD}").alias("word")
+        "day", F.expr(_bm_word("spark")).alias("word")
     ).agg(
         F.expr(
-            f"bit_or(shiftleft(1L, CAST(user_id % {BITMAP_WORD} AS INT)))"
+            f"bit_or(shiftleft(1L, CAST({_bm_bit()} AS INT)))"
         ).alias("bits")
     )
     daily = bm.groupBy("day").agg(
@@ -360,8 +411,8 @@ def bitmap_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
           SELECT DISTINCT epoch_us(ts) // {DAY_US} AS day, user_id FROM events
         ),
         bm AS (
-          SELECT day, user_id // {BITMAP_WORD} AS word,
-                 bit_or(1::BIGINT << CAST(user_id % {BITMAP_WORD} AS INTEGER)) AS bits
+          SELECT day, {_bm_word('duckdb')} AS word,
+                 bit_or(1::BIGINT << CAST({_bm_bit()} AS INTEGER)) AS bits
           FROM act GROUP BY 1, 2
         ),
         weekly AS (
@@ -393,10 +444,10 @@ def bitmap_weekly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"unix_micros(ts) div {DAY_US}").alias("day"), "user_id"
     ).distinct()
     bm = act.groupBy(
-        "day", F.expr(f"user_id div {BITMAP_WORD}").alias("word")
+        "day", F.expr(_bm_word("spark")).alias("word")
     ).agg(
         F.expr(
-            f"bit_or(shiftleft(1L, CAST(user_id % {BITMAP_WORD} AS INT)))"
+            f"bit_or(shiftleft(1L, CAST({_bm_bit()} AS INT)))"
         ).alias("bits")
     )
     weekly = bm.groupBy(

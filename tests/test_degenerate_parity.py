@@ -334,6 +334,24 @@ def adversarial_ev_sf(spark, tmp_path_factory):
         (100007, "2024-06-01 12:00:03.000000", 9003, "purchase", -5.25, None),
         (100008, "2024-06-01 12:00:03.000000", 9003, "", 2.5, '{"k": 7}'),
         (100009, "2024-06-01 12:00:04.000000", 9003, "click", 1.0, '{"k": "NaN"}'),
+        # sketch-family hostiles (round-6 sweep): negative and int64-boundary
+        # user ids hit the CMS/bitmap/JCE hash-and-shift arithmetic (a raw
+        # A*key overflows int64; % hands negatives negative buckets/shifts),
+        # 1e300 hits the quantile-bin int64 cast, a single-value type and an
+        # all-NaN type probe degenerate distributions/empty strata
+        (100010, "2024-06-03 10:00:00.000000", -5, "click", -7.5, None),
+        (100011, "2024-06-03 10:00:01.000000", -(2**63), "click", 100.0, None),
+        (100012, "2024-06-03 10:00:02.000000", 2**63 - 1, "click", 1.0e300, None),
+        (100013, "2024-06-03 10:00:03.000000", -5, "purchase", 1023.999, None),
+        (100014, "2024-06-03 10:00:04.000000", -5, "purchase", 1024.0, None),
+        (100015, "2024-06-04 10:00:00.000000", -68, "mono", 8.0, None),
+        (100016, "2024-06-04 10:00:01.000000", -68, "mono", 8.0, None),
+        (100017, "2024-06-04 10:00:02.000000", -68, "mono", 8.0, None),
+        (100018, "2024-06-04 10:00:03.000000", 9004, "allnan", nan, None),
+        (100019, "2024-06-04 10:00:04.000000", 9004, "allnan", nan, None),
+        # -68 and -5: same pmod-63 bit as ids 58 / 121-off-by-word shapes —
+        # the floor-div word keeps them bijective instead of colliding
+        (100020, "2024-06-04 10:00:05.000000", 58, "click", 2.0, None),
     ]
     # Bot-storm slot: COOC_MAX_SLOT_USERS + 1 distinct users inside ONE
     # 5-minute window — the flash-event shape whose Σ users² wedge volume
@@ -409,6 +427,15 @@ PINNED_EV = [
     ("cooccurrence_pagerank", "pagerank over the capped edge set"),
     ("kcore_peel_profile", "k-core peel over the capped edge set"),
     ("sql_recursive_reachability", "recursive BFS over the capped edge set"),
+    # sketch family under boundary ids / degenerate distributions (round-6):
+    ("cms_heavy_hitters", "±2^63 ids: canonical mod-P hash, no int64 overflow"),
+    ("quantile_sketch_value", "1e300/Inf clamp, NaN excluded, mono/allnan strata"),
+    ("bitmap_daily_retention", "negative ids: floor-div word + pmod bit bijection"),
+    ("bitmap_weekly_rollup", "negative-id words OR-roll up identically"),
+    ("join_cardinality_estimate", "negative ids bucket canonically on both sides"),
+    ("hll_distinct_users", "boundary ids through the string-fold register hash"),
+    ("hll_daily_rollup", "register-MAX rollup over hostile-id registers"),
+    ("hll_cube_users", "lattice rollups + exact CUBE audit on hostile ids"),
 ]
 
 
@@ -557,6 +584,13 @@ def adversarial_dim_sf(spark, tmp_path_factory):
         (980001, None, None, nan, None),
         (980002, "Ünïcodé name 日本", 999, -1.0e35, ""),
         (980003, "x' OR 1=1 --", 0, inf, "BUILDING"),
+        # boundary/negative custkeys in the Bloom-filter BUILD segment: a
+        # raw A*key bloom hash would int64-overflow (ANSI abort) on these
+        # before the canonical mod-P reduction (functions/sketches.py)
+        (2**63 - 1, "boundary key", 0, 1.0, "BUILDING"),
+        (-(2**63), "int64-min key", 0, 1.0, "BUILDING"),
+        (-42, "negative key", 0, 1.0, "BUILDING"),
+        (None, "NULL custkey member", 0, 1.0, "BUILDING"),
     ]
     s_extra = [
         (970001, None, None, nan),
@@ -607,6 +641,8 @@ PINNED_DIM = [
     ("q5_local_supplier_volume", "dangling nationkeys drop from the join"),
     ("salted_segment_event_agg", "NULL/empty segments through the salt"),
     ("nation_participation_full_outer", "bogus nationkey 999 in full outer"),
+    ("bloom_membership", "±2^63/negative/NULL member keys: total bloom hash"),
+    ("join_cardinality_estimate", "hostile custkeys bucket canonically"),
 ]
 
 
