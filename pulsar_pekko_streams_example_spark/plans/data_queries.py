@@ -187,25 +187,33 @@ def _shared_cooc_edges(spark: SparkSession, sf_dir: str):
 
     def build():
         ev = load_table(spark, sf_dir, "events")
+        # The distinct (user, slot) universe is checkpointed ONCE: the
+        # hot-slot aggregate, and both self-join sides, all read the
+        # materialized table, so the corpus is scanned exactly once per
+        # session (an eager checkpoint of only the hot LIST — the
+        # cap_postings pattern — was measured to re-derive the universe a
+        # second time and doubled the contended build wall at sf0.1).  The
+        # checkpoint is the same (user, slot) volume the self-join shuffle
+        # must materialize anyway.
         w = (
             ev.select(
                 "user_id", F.expr(f"unix_micros(ts) div {COOC_SLOT_US}").alias("slot")
             )
             .filter(F.col("slot").isNotNull())
             .distinct()
+            .localCheckpoint(eager=True)
         )
-        # hot-slot cap, the cap_postings pattern (operators/dedup.py:81):
-        # one map-side-combinable aggregate finds the few slots whose
-        # distinct-user count exceeds COOC_MAX_SLOT_USERS (at most
-        # postings/cap slots can), materialized eagerly so neither self-join
-        # side re-derives the slot universe, then a broadcast anti-join
-        # removes them.  Σ users(slot)² is now bounded by cap·postings.
+        # hot-slot cap, the cooc twin of JACCARD_MAX_DF (operators/dedup.py):
+        # one map-side-combinable aggregate over the checkpointed universe
+        # finds the few slots whose distinct-user count exceeds
+        # COOC_MAX_SLOT_USERS (at most postings/cap slots can), then a
+        # broadcast anti-join removes them.  Σ users(slot)² is now bounded
+        # by cap·postings.
         hot = (
             w.groupBy("slot")
             .agg(F.count(F.lit(1)).alias("n_users"))
             .filter(F.col("n_users") > COOC_MAX_SLOT_USERS)
             .select("slot")
-            .localCheckpoint(eager=True)
         )
         w = w.join(F.broadcast(hot), ["slot"], "left_anti")
         a, b = w.alias("a"), w.alias("b")

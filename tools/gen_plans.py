@@ -182,6 +182,21 @@ SHOWCASE = [
         "windows, equi-semi-joins a dense day spine (NO range/nested-loop "
         "join), register-MAX merge, one bounded aggregate per output day.",
     ),
+    (
+        "hll_cube_users",
+        "Distinct-count lattice from the CHECKPOINTED register-cell table "
+        "(|types|x7x64 rows): all four rollup levels read Scan ExistingRDD, "
+        "so the query plan carries exactly ONE parquet scan — the exact "
+        "CUBE audit branch.  (Round-6 fix: union branches previously got "
+        "fresh exprIds, defeated ReuseExchange, and scanned events 5x.)",
+    ),
+    (
+        "cooc_slot_df_histogram",
+        "Hot-slot evidence report: one pushed-filter scan (IsNotNull(ts)), "
+        "distinct + two map-side-combinable hash aggregations, no joins, "
+        "no windows — the Σ users(slot)² volume COOC_MAX_SLOT_USERS drops "
+        "from the graph family's slot self-join, quantified per bucket.",
+    ),
 ]
 
 
