@@ -495,22 +495,32 @@ def dlq_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # payload JSON decode — the schema codec (util/PulsarClientSetup.scala:21-29)
 # ---------------------------------------------------------------------------
+_PJD_K = (
+    "CASE WHEN json_valid(props) "
+    "THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) END"
+)
+
+
 @register(
     "payload_json_decode",
     oracle=f"""
         SELECT event_type,
                COUNT(*) AS events,
-               {sql_davg("CAST(json_extract_string(props, '$.k') AS BIGINT)")} AS avg_k,
-               MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+               {sql_davg(_PJD_K)} AS avg_k,
+               MAX({_PJD_K}) AS max_k
         FROM events GROUP BY event_type
         """,
     doc="Schema codec: JSON payload decode (play-json encode/decode, "
-    "util/PulsarClientSetup.scala:21-29) → get_json_object + typed aggregate.",
+    "util/PulsarClientSetup.scala:21-29) → get_json_object + typed aggregate.  "
+    "External payloads are hostile: malformed JSON, a missing key, and a "
+    "non-numeric k (e.g. the string 'NaN') all decode to NULL — try_cast in "
+    "Spark, json_valid + TRY_CAST in the oracle (a plain CAST ANSI-aborts "
+    "the whole job on one poisoned message; round-6 sweep finding).",
     tags=("functions", "json"),
 )
 def payload_json_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
-    k = F.get_json_object("props", "$.k").cast("long")
+    k = F.get_json_object("props", "$.k").try_cast("long")
     return ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("events"),
         davg(k).alias("avg_k"),

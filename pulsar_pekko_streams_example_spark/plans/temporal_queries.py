@@ -763,8 +763,13 @@ ATTRIB_WINDOW_US = 86_400_000_000  # 24h lookback
           FROM events WHERE event_type = 'purchase'
         ),
         clicks AS (
+          -- json_valid + TRY_CAST: a malformed props payload or non-numeric
+          -- k (the string 'NaN') attributes to campaign NULL instead of
+          -- aborting the job (round-6 sweep finding; Spark twin: try_cast)
           SELECT user_id, epoch_us(ts) AS c_us,
-                 CAST(json_extract_string(props, '$.k') AS BIGINT) AS campaign
+                 CASE WHEN json_valid(props)
+                      THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                      END AS campaign
           FROM events WHERE event_type = 'click'
         ),
         touches AS (
@@ -804,7 +809,7 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     clicks = ev.filter(F.col("event_type") == "click").select(
         "user_id",
         F.unix_micros("ts").alias("c_us"),
-        F.get_json_object(F.col("props"), "$.k").cast("long").alias("campaign"),
+        F.get_json_object(F.col("props"), "$.k").try_cast("long").alias("campaign"),
     )
     touches = (
         purchases.join(clicks, "user_id")

@@ -417,6 +417,8 @@ PINNED_EV = [
     ("windowed_throughput", "epoch/far-future window buckets"),
     ("user_sessions", "duplicate timestamps + 230-year gap"),
     ("events_props_json_stats", "malformed + NULL props JSON"),
+    ("payload_json_decode", "non-numeric k string: try_cast, no ANSI abort"),
+    ("linear_attribution", "poisoned campaign payload attributes to NULL"),
     ("conversion_latency_histogram", "dup-ts conversion ordering"),
     # hot-slot cap family: the bot-storm slot must be dropped from the edge
     # universe IDENTICALLY in both engines (bridge pair A edge gone, bridge
