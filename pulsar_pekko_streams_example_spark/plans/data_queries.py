@@ -625,17 +625,27 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "image_meta_features",
     oracle="""
-        SELECT 16 + (ascii(text[1]) % 240) AS width,
+        WITH raw AS (
+          -- BYTE semantics to match the engine (_fake_dims reads UTF-8
+          -- bytes, not code points — round-6 sweep: ascii(text[1]) parsed
+          -- the first CODEPOINT and strlen counted chars, so any non-ASCII
+          -- doc decoded different dims/sizes per engine)
+          SELECT hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS nb
+          FROM documents
+        )
+        SELECT 16 + (CASE WHEN nb >= 1 THEN ('0x' || substr(hx, 1, 2))::INT ELSE 0 END) % 240 AS width,
                COUNT(*) AS docs,
-               CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(SUM(nb) AS BIGINT) AS total_bytes,
                CAST(MAX(3) AS INT) AS channels
-        FROM documents GROUP BY 1
+        FROM raw GROUP BY 1
         """,
     doc="Multimodal plumbing end-to-end: text bytes stand in for image blobs "
     "(no codecs in this container — operators/multimodal.py stubs the header "
     "parse deterministically), mapInPandas Arrow-batched decode emits typed "
     "metadata columns, aggregated by decoded width.  The oracle recomputes "
-    "the stub parse arithmetically.",
+    "the stub parse arithmetically over the UTF-8 BYTES (hex(encode(text))), "
+    "exact for any unicode text.",
     tags=("multimodal", "pandas-udf"),
 )
 def image_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -655,14 +665,27 @@ def image_meta_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "video_frame_samples",
     oracle="""
-        SELECT CAST(LEAST(4, GREATEST(1, strlen(text) // 64)) AS BIGINT) AS frames,
-               COUNT(*) AS docs
-        FROM documents GROUP BY 1
+        WITH per_row AS (
+          -- BYTES, not chars: the stub slices the UTF-8 byte stream
+          SELECT doc_id,
+                 LEAST(4, GREATEST(1, octet_length(encode(text)) // 64)) AS f
+          FROM documents
+        ),
+        -- the engine counts frame rows PER media_id, so duplicate doc ids
+        -- (real when 100 TB of shards merge — the doc-identity corpus)
+        -- merge their frame counts; the oracle models the same merge
+        per_media AS (
+          SELECT doc_id, CAST(SUM(f) AS BIGINT) AS frames
+          FROM per_row GROUP BY doc_id
+        )
+        SELECT frames, COUNT(*) AS docs
+        FROM per_media GROUP BY 1
         """,
     doc="Multimodal frame sampling: fixed-stride byte slicing stands in for "
     "keyframe seeks (operators/multimodal.py), one blob fanning out to ≤4 "
     "frame rows inside the Arrow batch; oracle recomputes the frame count "
-    "arithmetically.",
+    "arithmetically over UTF-8 bytes and merges duplicate media ids exactly "
+    "like the engine's per-media_id count (round-6 sweep findings).",
     tags=("multimodal", "pandas-udf"),
 )
 def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -679,20 +702,36 @@ def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "audio_silence_stats",
     oracle=f"""
-        WITH feats AS (
+        WITH raw AS (
+          -- BYTE semantics to match the engine: the stub decode reads UTF-8
+          -- bytes as unsigned 8-bit PCM.  The previous char-regex oracle
+          -- ([q-z{{|}}~] for silence, ' ' for clipping) was only correct on
+          -- printable ASCII: it missed bytes 127-143 (DEL + UTF-8
+          -- continuation bytes) as silent and tabs/newlines/0xE0+ lead
+          -- bytes as clipped (round-6 sweep finding).
           SELECT source,
-                 strlen(text) AS n_samples,
-                 strlen(text) / 8000.0 AS duration_s,
-                 strlen(text) - strlen(regexp_replace(text, '[q-z{{|}}~]', '', 'g')) AS silent,
-                 strlen(text) - strlen(replace(text, ' ', '')) AS clipped
+                 hex(encode(text)) AS hx,
+                 octet_length(encode(text)) AS nb
           FROM documents
+        ),
+        feats AS (
+          SELECT source,
+                 nb AS n_samples,
+                 nb / 8000.0 AS duration_s,
+                 list_sum(list_transform(range(1, nb + 1), i ->
+                   CASE WHEN abs(('0x' || substr(hx, (2 * i - 1)::INT, 2))::INT - 128) < 16
+                        THEN 1 ELSE 0 END)) AS silent,
+                 list_sum(list_transform(range(1, nb + 1), i ->
+                   CASE WHEN abs(('0x' || substr(hx, (2 * i - 1)::INT, 2))::INT - 128) >= 96
+                        THEN 1 ELSE 0 END)) AS clipped
+          FROM raw
         )
         SELECT source,
                COUNT(*) AS clips,
                {sql_dsum('duration_s')} AS total_duration_s,
-               CAST(SUM(silent) AS BIGINT) AS silent_samples,
-               CAST(SUM(clipped) AS BIGINT) AS clipped_samples,
-               CAST(SUM(silent) AS DOUBLE) / CAST(SUM(n_samples) AS DOUBLE) AS silence_ratio
+               CAST(SUM(COALESCE(silent, 0)) AS BIGINT) AS silent_samples,
+               CAST(SUM(COALESCE(clipped, 0)) AS BIGINT) AS clipped_samples,
+               CAST(SUM(COALESCE(silent, 0)) AS DOUBLE) / CAST(SUM(n_samples) AS DOUBLE) AS silence_ratio
         FROM feats GROUP BY source
         """,
     doc="Multimodal audio plumbing end-to-end: text bytes stand in for 8-bit "
@@ -700,8 +739,9 @@ def video_frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decode_audio_features stubs the decode deterministically), mapInPandas "
     "extracts duration/silence/clipping per clip with the source metadata "
     "column riding through the UDF (no join back), then a per-source rollup.  "
-    "The oracle recomputes the stub decode arithmetically: |amp|<16 ⇔ byte in "
-    "[q-z{|}~], |amp|>=96 ⇔ space, over the ASCII corpus.",
+    "The oracle replays the stub decode over the UTF-8 BYTES via "
+    "hex(encode(text)): |amp|<16 silent, |amp|>=96 clipped — exact for any "
+    "unicode/control-character text.",
     tags=("multimodal", "pandas-udf", "audio"),
 )
 def audio_silence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

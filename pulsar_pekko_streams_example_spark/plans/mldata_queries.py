@@ -774,9 +774,16 @@ def _quant_exprs(dialect: str) -> tuple[str, str]:
     "embedding_quantization_error",
     oracle=f"""
         WITH comp AS (
+          -- range over the ACTUAL array length (a hardcoded {_EMB_DIM} fanned
+          -- ragged corpora out to phantom NULL dims), and only FINITE
+          -- components: a NaN/Inf component carries no reconstruction-error
+          -- signal, poisons the min/max calibration, and diverges the
+          -- engines (Spark's floor silently saturates NaN->0 where DuckDB's
+          -- INT cast errors) — round-6 sweep findings
           SELECT label, CAST(r.range AS BIGINT) AS dim,
                  CAST(embedding[r.range] AS DOUBLE) AS x
-          FROM embeddings CROSS JOIN range(1, {_EMB_DIM} + 1) r
+          FROM embeddings CROSS JOIN range(1, len(embedding) + 1) r
+          WHERE isfinite(CAST(embedding[r.range] AS DOUBLE))
         ),
         stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY dim)
         SELECT label,
@@ -798,13 +805,19 @@ def _quant_exprs(dialect: str) -> tuple[str, str]:
 )
 def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spread(load_table(spark, sf_dir, "embeddings"))
-    comp = emb.select(
-        "label",
-        F.posexplode("embedding").alias("pos", "xf"),
-    ).select(
-        "label",
-        (F.col("pos") + 1).cast("long").alias("dim"),
-        F.col("xf").cast("double").alias("x"),
+    comp = (
+        emb.select(
+            "label",
+            F.posexplode("embedding").alias("pos", "xf"),
+        )
+        .select(
+            "label",
+            (F.col("pos") + 1).cast("long").alias("dim"),
+            F.col("xf").cast("double").alias("x"),
+        )
+        # finite components only — the oracle's isfinite twin (NULL/NaN/±Inf
+        # excluded from calibration, error accounting, and n_components)
+        .filter(F.expr("NOT isnan(x) AND abs(x) < CAST('Infinity' AS DOUBLE)"))
     )
     stats = comp.groupBy("dim").agg(F.min("x").alias("mn"), F.max("x").alias("mx"))
     _, err = _quant_exprs("spark")
