@@ -275,6 +275,23 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         sequential[name] = round(time.perf_counter() - t0, 3)
 
+    # warm-build sequential walls (round-6 verdict ask #6): the shared
+    # subtree builds are the heaviest walls in the mix yet were absent from
+    # the contention-free map, leaving their regressions unclassifiable.
+    # Reset the session cache (their mix walls measured a COLD build) and
+    # rebuild in dependency order — each wall is that stage's own compute on
+    # top of now-cached upstreams, mirroring how the mix warm chain runs.
+    # This runs AFTER the query sequential pass, which still needs the warm
+    # caches hot.
+    if SEQ_TOP_N > 0:
+        from pulsar_pekko_streams_example_spark.operators import cache as shared_cache
+
+        shared_cache.reset(spark)
+        for key in warm_builds:  # insertion order = dependency order
+            t0 = time.perf_counter()
+            warm_builds[key](spark, SF_DIR)
+            sequential[key] = round(time.perf_counter() - t0, 3)
+
     # Scalars FIRST, the per-query dict LAST: a tail-truncated capture
     # of this line loses per-query detail, not the headline number.
     summary = {
@@ -287,7 +304,8 @@ def main() -> None:
         # top-N contention-free walls ride in BOTH lines: the driver keeps
         # only the tail of stdout, and losing `sequential` to head-truncation
         # (round 5) left the concurrent-mix regressions unclassifiable from
-        # the artifact alone.  It is <= SEQ_TOP_N entries — it fits.
+        # the artifact alone.  It is <= SEQ_TOP_N + 4 warm-build entries —
+        # it fits.
         "sequential": sequential,
     }
     print(json.dumps({**summary, "queries": timings}))

@@ -84,3 +84,19 @@ def shared_df(
         with _REGISTRY_LOCK:
             _BUILT[full_key] = df
     return df
+
+
+def reset(spark: SparkSession) -> None:
+    """Unpersist and forget every shared subtree built by this application.
+
+    Measurement hook, not a production path: the bench's sequential pass
+    re-times each warm build contention-free AFTER the concurrent mix, and
+    a cache hit would measure the memo (microseconds) instead of the build.
+    Dropping the entries in dependency-agnostic bulk is safe because the
+    builds re-memoize on next call."""
+    app_id = spark.sparkContext.applicationId
+    with _REGISTRY_LOCK:
+        mine = [k for k in _BUILT if k[0] == app_id]
+        for k in mine:
+            _BUILT.pop(k).unpersist()
+            _BUILDING.pop(k, None)

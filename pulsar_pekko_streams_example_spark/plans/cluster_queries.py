@@ -138,7 +138,7 @@ def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                COUNT(*) AS n_members
         FROM assigned a
         JOIN embeddings e ON a.vec_id = e.vec_id
-        CROSS JOIN range(1, len(e.embedding) + 1) r
+        CROSS JOIN LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS range) r
         WHERE e.embedding IS NOT NULL
         GROUP BY a.cluster_id, dim
         """,
@@ -174,7 +174,7 @@ _DUCK_COS2 = similarity.safe_cos(
                  COUNT(*) AS n_members
           FROM assigned a
           JOIN embeddings e ON a.vec_id = e.vec_id
-          CROSS JOIN range(1, len(e.embedding) + 1) r
+          CROSS JOIN LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS range) r
           WHERE e.embedding IS NOT NULL
           GROUP BY a.cluster_id, dim
         ),

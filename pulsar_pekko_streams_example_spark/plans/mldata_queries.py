@@ -782,7 +782,8 @@ def _quant_exprs(dialect: str) -> tuple[str, str]:
           -- INT cast errors) — round-6 sweep findings
           SELECT label, CAST(r.range AS BIGINT) AS dim,
                  CAST(embedding[r.range] AS DOUBLE) AS x
-          FROM embeddings CROSS JOIN range(1, len(embedding) + 1) r
+          FROM embeddings
+          CROSS JOIN LATERAL (SELECT unnest(range(1, len(embedding) + 1)) AS range) r
           WHERE isfinite(CAST(embedding[r.range] AS DOUBLE))
         ),
         stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY dim)

@@ -135,7 +135,9 @@ def _qsk_bin(dialect: str) -> str:
     saturate into the top bin — the documented histogram envelope; NaN and
     NULL carry no magnitude and are excluded by the caller's filter (the
     clamp itself must not see NaN: GREATEST/LEAST NaN ordering is an
-    engine-semantics trap)."""
+    engine-semantics trap).  The expression is dialect-neutral today; the
+    assert keeps call sites honest if a divergence ever needs one."""
+    assert dialect in ("spark", "duckdb"), dialect
     hi = float(QSK_BINS * QSK_WIDTH - 1)  # 1023.0 -> floor(/4) <= 255
     clamped = (
         f"LEAST(CAST({hi} AS DOUBLE), GREATEST(CAST(0.0 AS DOUBLE), value))"

@@ -261,6 +261,26 @@ def test_unchecked_partition_orders_longest_waiting_first():
     assert rounds == sorted(rounds), "unchecked queries out of added-round order"
 
 
+def test_hostile_smoke_every_oracle_binds(duck):
+    """Every registered oracle must BIND in DuckDB (parse + resolve —
+    milliseconds per oracle, nothing executes).  Round 6 shipped three
+    oracles with an illegal lateral ``range(...)`` table function in the
+    final snapshot commit and they reached the driver as err rows; this
+    named gate makes an unparseable oracle an immediate, attributable red
+    before any commit.  The full hostile-corpus EXECUTION sweep stays in
+    tools/sweep_hostile.py; this is its always-on smoke tier."""
+    errors = {}
+    for name in sorted(REGISTRY):
+        oracle = REGISTRY[name].oracle
+        if oracle is None:
+            continue
+        try:
+            duck.sql(oracle)  # binds and types; no fetch
+        except Exception as e:  # noqa: BLE001 — collect all offenders
+            errors[name] = str(e).splitlines()[0][:160]
+    assert not errors, f"oracles that fail to bind: {errors}"
+
+
 def test_no_hugeint_oracle_output_columns(duck):
     """No oracle may emit a HUGEINT/UHUGEINT output column.
 
