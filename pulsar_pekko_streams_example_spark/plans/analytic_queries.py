@@ -281,7 +281,16 @@ _RANK_BINS = 256
 @register(
     "priority_price_rank_approx",
     oracle=f"""
-        WITH o AS (SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price FROM orders),
+        WITH o AS (
+          -- finite prices only: a NaN/Inf price carries no rank signal and
+          -- poisons the min/max bin calibration (DuckDB's INT cast errors on
+          -- NaN where Spark's floor saturates; MIN/MAX NaN ordering also
+          -- diverges) — round-7 sweep finding.  NULL fails the guard too.
+          SELECT o_orderpriority, CAST(o_totalprice AS DOUBLE) AS price
+          FROM orders
+          WHERE NOT isnan(CAST(o_totalprice AS DOUBLE))
+            AND abs(CAST(o_totalprice AS DOUBLE)) < CAST('Infinity' AS DOUBLE)
+        ),
         stats AS (SELECT MIN(price) AS mn, MAX(price) AS mx, COUNT(*) AS n FROM o),
         binned AS (
           SELECT o_orderpriority,
@@ -322,6 +331,9 @@ def priority_price_rank_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     o = orders.select(
         "o_orderpriority", F.col("o_totalprice").cast("double").alias("price")
+    ).filter(
+        # finite prices only — the oracle's guard twin (NULL fails it too)
+        F.expr("NOT isnan(price) AND abs(price) < CAST('Infinity' AS DOUBLE)")
     )
     stats = o.agg(
         F.min("price").alias("mn"),
@@ -540,7 +552,10 @@ def daily_revenue_gapfilled(spark: SparkSession, sf_dir: str) -> DataFrame:
                    OVER (PARTITION BY o_custkey
                          ORDER BY epoch_us(o_orderdate) // {DAY_US}, o_orderkey)
                    AS prev_day
-          FROM orders
+          -- dateless orders have no position in a cadence timeline, and a
+          -- NULL day would order NULLS FIRST in Spark's lag window but
+          -- NULLS LAST in DuckDB's, shifting every gap in the partition
+          FROM orders WHERE o_orderdate IS NOT NULL
         )
         SELECT CAST((day - prev_day) // 7 AS BIGINT) AS gap_weeks,
                COUNT(*) AS n_gaps
@@ -557,8 +572,10 @@ def order_interarrival_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     day = F.expr(f"unix_micros(cast(o_orderdate as timestamp)) div {DAY_US}")
     w = Window.partitionBy("o_custkey").orderBy("day", "o_orderkey")
-    seq = orders.select("o_custkey", "o_orderkey", day.alias("day")).withColumn(
-        "prev_day", F.lag("day").over(w)
+    seq = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .select("o_custkey", "o_orderkey", day.alias("day"))
+        .withColumn("prev_day", F.lag("day").over(w))
     )
     return (
         seq.filter(F.col("prev_day").isNotNull())
@@ -617,10 +634,14 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "price_frontier_by_priority",
     oracle=f"""
         WITH daily AS (
+          -- dateless orders have no day, so they cannot sit on a daily
+          -- frontier — and their NULL day would order NULLS FIRST in
+          -- Spark's running-min window but NULLS LAST in DuckDB's,
+          -- suppressing different frontier rows per engine
           SELECT o_orderpriority,
                  epoch_us(o_orderdate) // {DAY_US} AS day,
                  MIN(o_totalprice) AS day_min
-          FROM orders GROUP BY 1, 2
+          FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1, 2
         ),
         runmin AS (
           SELECT o_orderpriority, day, day_min,
@@ -645,10 +666,14 @@ def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def price_frontier_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        "o_orderpriority",
-        F.expr(f"unix_micros(o_orderdate) div {DAY_US}").alias("day"),
-    ).agg(F.min("o_totalprice").alias("day_min"))
+    daily = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .groupBy(
+            "o_orderpriority",
+            F.expr(f"unix_micros(o_orderdate) div {DAY_US}").alias("day"),
+        )
+        .agg(F.min("o_totalprice").alias("day_min"))
+    )
     w = (
         Window.partitionBy("o_orderpriority")
         .orderBy("day")

@@ -229,8 +229,13 @@ def kmeans_round2_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM documents GROUP BY source
         ),
         w AS (
+          -- total sqrt: a poisoned negative n_chars can drive a source's
+          -- char sum below zero, where DuckDB's sqrt ERRORS and Spark's
+          -- returns NaN — clamp to 0 (a non-positive corpus weighs nothing);
+          -- COALESCE first because GREATEST's NULL handling also differs
+          -- per engine (round-7 sweep finding)
           SELECT source, n_docs, chars,
-                 sqrt(CAST(chars AS DOUBLE)) AS weight
+                 sqrt(CAST(GREATEST(COALESCE(chars, 0), 0) AS DOUBLE)) AS weight
           FROM s
         )
         SELECT source, n_docs, chars, weight,
@@ -250,7 +255,10 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_chars").alias("chars"),
     )
-    per_src = per_src.withColumn("weight", F.sqrt(F.col("chars").cast("double")))
+    per_src = per_src.withColumn(
+        "weight",
+        F.expr("sqrt(CAST(GREATEST(COALESCE(chars, 0), 0) AS DOUBLE))"),
+    )
     total = F.sum(F.col("weight").cast(DEC)).over(
         Window.partitionBy().rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing

@@ -416,7 +416,12 @@ def _duck_simhash_pairs_sql(max_hamming: int) -> str:
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.simhash_hamming_histogram(docs, max_hamming=3)
+    # one (doc_id, simhash) row per doc_id: doc_fingerprints' fingerprint
+    # join emits one row per PHYSICAL row, so a duplicated doc_id would
+    # inflate the value histogram's counts relative to the oracle's
+    # per-doc_id sims (round-7 sweep finding on the duplicate-id corpus)
+    fps = dedup.doc_fingerprints(docs).select("doc_id", "simhash").distinct()
+    return dedup.simhash_hamming_histogram(None, max_hamming=3, fingerprints=fps)
 
 
 # ---------------------------------------------------------------------------

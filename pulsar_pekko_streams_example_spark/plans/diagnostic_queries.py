@@ -70,12 +70,27 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # ANALYZE-style column profile — CBO sizing inputs as a queryable table
 # ---------------------------------------------------------------------------
+# Total cents profile cell (cf. analytic_queries._YOY_CENTS): NULL/NaN prices
+# profile as NULL, and |price| beyond 1e12 clamps to the ±1e14-cent envelope
+# instead of aborting the int64 cast (DuckDB errors on 1e35·100 -> BIGINT;
+# floor saturation differs per engine) — round-7 sweep finding.  A clamped
+# min/max is the honest profile of a poisoned column: the real bound is
+# "beyond the envelope", not a crash.  Identical CASE text in both dialects.
+_PROFILE_CENTS = (
+    "CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) "
+    "THEN CAST(NULL AS BIGINT) "
+    "WHEN o_totalprice > 1000000000000.0 THEN CAST(100000000000000 AS BIGINT) "
+    "WHEN o_totalprice < -1000000000000.0 THEN CAST(-100000000000000 AS BIGINT) "
+    "ELSE CAST(floor(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT) END"
+)
+
+
 @register(
     "orders_column_profile",
-    oracle="""
+    oracle=f"""
         WITH base AS (
           SELECT o_orderkey, o_custkey, o_orderdate, o_orderpriority,
-                 CAST(floor(o_totalprice * 100) AS BIGINT) AS price_cents
+                 {_PROFILE_CENTS} AS price_cents
           FROM orders
         ),
         agg AS (
@@ -121,7 +136,7 @@ def orders_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderdate",
         "o_orderpriority",
-        F.expr("CAST(floor(o_totalprice * 100) AS LONG)").alias("price_cents"),
+        F.expr(_PROFILE_CENTS).alias("price_cents"),
     )
     agg = o.agg(
         F.count(F.lit(1)).alias("n_rows"),

@@ -766,7 +766,17 @@ def _quant_exprs(dialect: str) -> tuple[str, str]:
         "CASE WHEN mx = mn THEN mn ELSE "
         f"mn + (CAST({q} AS DOUBLE) + CAST(0.5 AS DOUBLE)) * (mx - mn) / CAST(255 AS DOUBLE) END"
     )
-    err = f"CAST(FLOOR(ABS(x - ({xq})) * CAST(1000000 AS DOUBLE)) AS BIGINT)"
+    # per-component error saturates at 10^15 micro-units (an error of 1e9 in
+    # raw units — far beyond any real reconstruction error, which is bounded
+    # by the per-dim calibration range): a float32-max component makes the
+    # raw product ~1e44, which overflows DuckDB's BIGINT cast and Spark's
+    # int64 SUM.  LEAST runs on DOUBLE in both engines (Spark's floor(double)
+    # saturates silently at int64 max, DuckDB's floor stays DOUBLE), so the
+    # capped value is BIGINT-safe everywhere — round-7 sweep finding.
+    err = (
+        f"CAST(LEAST(FLOOR(ABS(x - ({xq})) * CAST(1000000 AS DOUBLE)), "
+        f"CAST(1000000000000000 AS DOUBLE)) AS BIGINT)"
+    )
     return q, err
 
 
@@ -789,8 +799,21 @@ def _quant_exprs(dialect: str) -> tuple[str, str]:
         stats AS (SELECT dim, MIN(x) AS mn, MAX(x) AS mx FROM comp GROUP BY dim)
         SELECT label,
                COUNT(*) AS n_components,
-               CAST(SUM({_quant_exprs('duckdb')[1]}) AS BIGINT) AS sum_err_micro,
-               CAST(SUM({_quant_exprs('duckdb')[1]}) // COUNT(*) AS BIGINT) AS avg_err_micro
+               -- DECIMAL(38,0) accumulation + saturating total: int64 SUM of
+               -- capped per-component errors can still overflow on a hostile
+               -- corpus (Spark ANSI aborts, DuckDB widens to HUGEINT) —
+               -- accumulate exactly, saturate the published total at int64
+               CAST(LEAST(SUM(CAST({_quant_exprs('duckdb')[1]} AS DECIMAL(38,0))),
+                          CAST(9000000000000000000 AS DECIMAL(38,0))) AS BIGINT)
+                 AS sum_err_micro,
+               -- divide the SATURATED BIGINT total, not the decimal sum:
+               -- DuckDB's // on DECIMAL rounds (731.77 -> 732) where BIGINT
+               -- division floors like Spark's div — and the published avg
+               -- should derive from the published total anyway
+               CAST(CAST(LEAST(SUM(CAST({_quant_exprs('duckdb')[1]} AS DECIMAL(38,0))),
+                               CAST(9000000000000000000 AS DECIMAL(38,0))) AS BIGINT)
+                    // COUNT(*) AS BIGINT)
+                 AS avg_err_micro
         FROM comp JOIN stats USING (dim)
         GROUP BY label
         """,
@@ -825,8 +848,15 @@ def embedding_quantization_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = comp.join(F.broadcast(stats), "dim")
     return joined.groupBy("label").agg(
         F.count(F.lit(1)).alias("n_components"),
-        F.expr(f"CAST(SUM({err}) AS BIGINT)").alias("sum_err_micro"),
-        F.expr(f"CAST(SUM({err}) div COUNT(*) AS BIGINT)").alias("avg_err_micro"),
+        F.expr(
+            f"CAST(LEAST(SUM(CAST({err} AS DECIMAL(38,0))), "
+            f"CAST(9000000000000000000 AS DECIMAL(38,0))) AS BIGINT)"
+        ).alias("sum_err_micro"),
+        F.expr(
+            f"CAST(CAST(LEAST(SUM(CAST({err} AS DECIMAL(38,0))), "
+            f"CAST(9000000000000000000 AS DECIMAL(38,0))) AS BIGINT) "
+            f"div COUNT(*) AS BIGINT)"
+        ).alias("avg_err_micro"),
     )
 
 

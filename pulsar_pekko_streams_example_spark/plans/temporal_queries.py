@@ -190,6 +190,19 @@ def pivot_daily_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 UNPIVOT_METRICS = ("l_quantity", "l_discount", "l_tax")
 
+# Measure envelope for the melted totals: a |value| beyond 1e9 is garbage for
+# these per-line measures (quantity/discount/tax) and would push the decimal
+# total past 2^53 micro-units, where DECIMAL->DOUBLE conversion is no longer
+# bit-identical across engines (DuckDB converts int128 to double BEFORE the
+# scale division — two roundings; Spark rounds once.  A 1e20 summand made the
+# engines disagree by 1 ULP — round-7 sweep finding).  NaN/Inf/NULL carry no
+# total signal either; all of them contribute NULL, identically in both
+# dialects, while COUNT(*) still counts the row.
+_MEASURE_GUARD = (
+    "CASE WHEN value IS NULL OR isnan(value) OR abs(value) > 1000000000.0 "
+    "THEN CAST(NULL AS DOUBLE) ELSE value END"
+)
+
 
 @register(
     "unpivot_lineitem_measures",
@@ -199,7 +212,7 @@ UNPIVOT_METRICS = ("l_quantity", "l_discount", "l_tax")
               f"SELECT '{m}' AS metric, {m} AS value FROM lineitem"
               for m in UNPIVOT_METRICS)}
         )
-        SELECT metric, COUNT(*) AS n, {sql_dsum('value')} AS total
+        SELECT metric, COUNT(*) AS n, {sql_dsum(_MEASURE_GUARD)} AS total
         FROM long GROUP BY metric
         """,
     doc="UNPIVOT (melt): wide measure columns to long (metric, value) rows — "
@@ -214,7 +227,7 @@ def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
         valueColumnName="value",
     )
     return long.groupBy("metric").agg(
-        F.count(F.lit(1)).alias("n"), dsum("value").alias("total")
+        F.count(F.lit(1)).alias("n"), dsum(F.expr(_MEASURE_GUARD)).alias("total")
     )
 
 
@@ -832,18 +845,37 @@ def linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Cohort LTV curve: cumulative revenue per acquisition cohort by year offset
 # ---------------------------------------------------------------------------
+# Total cents ledger for the LTV curve (cf. analytic_queries._YOY_CENTS):
+# revenue is a magnitude, so NULL/NaN prices contribute NULL (excluded),
+# negatives floor to 0, and a price above 1e12 clamps to 1e14 cents instead
+# of letting the BIGINT cast abort (DuckDB errors on inf/1e35·100 -> int64;
+# Spark ANSI can overflow the yearly SUM) — round-7 sweep finding.  Identical
+# CASE text in both dialects.
+_LTV_CENTS = (
+    "CASE WHEN o_totalprice IS NULL OR isnan(o_totalprice) "
+    "THEN CAST(NULL AS BIGINT) "
+    "WHEN o_totalprice > 1000000000000.0 THEN CAST(100000000000000 AS BIGINT) "
+    "WHEN o_totalprice < 0 THEN CAST(0 AS BIGINT) "
+    "ELSE CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT) END"
+)
+
+
 @register(
     "cohort_ltv_curve",
-    oracle="""
+    oracle=f"""
         WITH cohorts AS (
           SELECT o_custkey, MIN(year(o_orderdate)) AS cohort_yr
           FROM orders GROUP BY o_custkey
         ),
         facts AS (
+          -- dateless orders have no offset position (and a NULL offset_yrs
+          -- would order NULLS FIRST in Spark's cumulative window but NULLS
+          -- LAST in DuckDB's) — they carry no cohort-curve signal; drop them
           SELECT c.cohort_yr,
                  year(o.o_orderdate) - c.cohort_yr AS offset_yrs,
-                 CAST(FLOOR(o.o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT) AS cents
+                 {_LTV_CENTS} AS cents
           FROM orders o JOIN cohorts c ON o.o_custkey = c.o_custkey
+          WHERE o.o_orderdate IS NOT NULL
         ),
         rev AS (
           SELECT cohort_yr, offset_yrs, CAST(SUM(cents) AS BIGINT) AS rev_cents
@@ -879,12 +911,14 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     cohorts = orders.groupBy("o_custkey").agg(
         F.expr("MIN(year(o_orderdate))").alias("cohort_yr")
     )
-    facts = orders.join(cohorts, "o_custkey").select(
-        "cohort_yr",
-        F.expr("year(o_orderdate) - cohort_yr").alias("offset_yrs"),
-        F.expr("CAST(FLOOR(o_totalprice * CAST(100 AS DOUBLE)) AS BIGINT)").alias(
-            "cents"
-        ),
+    facts = (
+        orders.filter(F.col("o_orderdate").isNotNull())
+        .join(cohorts, "o_custkey")
+        .select(
+            "cohort_yr",
+            F.expr("year(o_orderdate) - cohort_yr").alias("offset_yrs"),
+            F.expr(_LTV_CENTS).alias("cents"),
+        )
     )
     rev = facts.groupBy("cohort_yr", "offset_yrs").agg(
         F.sum("cents").cast("long").alias("rev_cents")

@@ -1190,7 +1190,12 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
                     WHEN date_diff('day', o.o_orderdate, l.l_shipdate) <= 90 THEN 'medium'
                     ELSE 'slow' END AS latency_class,
                CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-               CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+               -- NOT the complement via NOT IN: a NULL priority makes
+               -- NOT IN yield NULL (counted 0) while the engine's
+               -- when(high).otherwise(1) counts it low — same single
+               -- predicate, inverted branches, so NULL lands in ELSE=low
+               -- identically in both engines (round-7 sweep finding)
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
         FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         WHERE l.l_shipdate >= o.o_orderdate
         GROUP BY latency_class
@@ -1453,11 +1458,21 @@ def nation_participation_full_outer(spark: SparkSession, sf_dir: str) -> DataFra
 # ---------------------------------------------------------------------------
 # SQL-string API: ONE ANSI-portable text runs on Spark AND the oracle
 # ---------------------------------------------------------------------------
+# The revenue summand is guarded the way functions/numeric.dcast is, but in
+# ONE text both engines accept: a NaN/±Inf revenue line contributes NULL
+# (DuckDB's plain CAST aborts on -Inf -> DECIMAL; TRY_CAST still errors on
+# NaN/Inf there, hence the explicit finiteness CASE), and a finite
+# out-of-envelope value (>= 1e32) nulls via TRY_CAST in both engines —
+# round-7 sweep finding.
 _PORTABLE_SQL = """
     SELECT l_returnflag,
            CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
            COUNT(*) AS items,
-           CAST(SUM(CAST((l_extendedprice * (1 - l_discount)) AS DECIMAL(38,6))) AS DOUBLE)
+           CAST(SUM(TRY_CAST(
+             CASE WHEN NOT isnan(l_extendedprice * (1 - l_discount))
+                   AND abs(l_extendedprice * (1 - l_discount)) < CAST('Infinity' AS DOUBLE)
+                  THEN l_extendedprice * (1 - l_discount) END
+             AS DECIMAL(38,6))) AS DOUBLE)
              AS revenue
     FROM {table}
     WHERE l_shipdate >= CAST('1998-01-01' AS TIMESTAMP)

@@ -284,6 +284,8 @@ PINNED_EMB = [
     ("ann_lsh_topk", "NaN signatures bucket consistently"),
     ("ann_ivf_topk", "degenerate centroid/query in IVF probing"),
     ("embedding_near_dup", "NaN/Inf candidate pairs: safe_cos verify"),
+    # round-7 sweep finding
+    ("embedding_quantization_error", "float32-max err: saturated micro sum"),
 ]
 
 
@@ -550,6 +552,15 @@ PINNED_ORD = [
     ("rfm_customer_segments", "NULL custkey + extreme monetary values"),
     ("customer_spend_deciles_approx", "1e35 spend in the histogram bins"),
     ("incremental_daily_revenue", "epoch/far-future dates vs pushed cutoffs"),
+    # round-7 sweep findings
+    ("cohort_ltv_curve", "Inf/1e35 prices: cents envelope; NULL-date offset"),
+    ("order_interarrival_histogram", "NULL dates: NULLS FIRST/LAST lag order"),
+    ("orders_column_profile", "1e35*100 cents cast: profile envelope"),
+    ("price_frontier_by_priority", "NULL-date day in the running-min window"),
+    ("priority_price_rank_approx", "NaN/Inf prices in bin calibration"),
+    ("q12_ship_latency_priority", "NULL priority: NOT IN counts 0 vs ELSE 1"),
+    ("sql_api_monthly_returns", "-Inf revenue line: guarded portable text"),
+    ("unpivot_lineitem_measures", "1e20 summand: 1-ULP decimal->double"),
 ]
 
 
@@ -713,6 +724,9 @@ PINNED_DOCID = [
     ("doc_fingerprints", "fingerprints keyed by a non-unique id"),
     ("lang_quality_stats", "NULL lang/source grouping"),
     ("corpus_curation_funnel", "duplicate ids through the whole funnel"),
+    # round-7 sweep findings
+    ("mixture_temperature_weights", "negative chars sum: clamped sqrt"),
+    ("simhash_near_pairs", "duplicate doc_id: one sims row per id"),
 ]
 
 
