@@ -42,6 +42,7 @@ FIXTURES = [
     "adversarial_ord_sf",
     "adversarial_dim_sf",
     "adversarial_docid_sf",
+    "adversarial_ts_sf",
     "degenerate_sf",
 ]
 
