@@ -382,3 +382,18 @@ def test_cooc_edges_cap_is_broadcast_anti_join(spark):
     plan = plan_of(_shared_cooc_edges(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_null_date_guards_push_to_parquet_scan(spark):
+    """The round-7 NULL-date exclusions (cadence lag, running-min frontier,
+    cohort offsets) must reach the orders scan as pushed IsNotNull filters —
+    at 100 TB a post-scan filter re-reads every dateless row for nothing."""
+    for name in (
+        "order_interarrival_histogram",
+        "price_frontier_by_priority",
+        "cohort_ltv_curve",
+    ):
+        plan = plan_of(REGISTRY[name].build(spark, SF_SMOKE))
+        assert "PushedFilters: [" in plan, name
+        pushed = plan.split("PushedFilters:")[1].split("]")[0]
+        assert "IsNotNull(o_orderdate)" in pushed, (name, pushed)
