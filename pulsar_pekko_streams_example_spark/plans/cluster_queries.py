@@ -239,8 +239,13 @@ def kmeans_round2_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM s
         )
         SELECT source, n_docs, chars, weight,
-               weight / CAST(SUM(CAST(weight AS DECIMAL(38,6))) OVER ()
-                             AS DOUBLE) AS share
+               -- an all-degenerate corpus (every weight clamps to 0) has no
+               -- defined mixture: share is NULL, never 0/0 (Spark ANSI
+               -- raises DIVIDE_BY_ZERO even on doubles)
+               CASE WHEN CAST(SUM(CAST(weight AS DECIMAL(38,6))) OVER ()
+                          AS DOUBLE) > 0
+                    THEN weight / CAST(SUM(CAST(weight AS DECIMAL(38,6))) OVER ()
+                                       AS DOUBLE) END AS share
         FROM w
         """,
     doc="Temperature-based source mixture (alpha=0.5): per-source sampling "
@@ -264,7 +269,10 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             Window.unboundedPreceding, Window.unboundedFollowing
         )
     )
-    return per_src.withColumn("share", F.col("weight") / total.cast("double"))
+    return per_src.withColumn(
+        "share",
+        F.when(total.cast("double") > 0, F.col("weight") / total.cast("double")),
+    )
 
 
 @register(

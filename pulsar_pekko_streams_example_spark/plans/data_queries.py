@@ -971,23 +971,35 @@ MIN_SHARED_CHUNKS = 2
 
 
 def _duck_chunk_pairs_sql() -> str:
+    # chunking is per PHYSICAL row (rid), not per doc_id: a duplicated
+    # doc_id would interleave two rows' token streams into one window
+    # partition with colliding pos values — the engine chunks each row's own
+    # token array (round-7 compound-corpus sweep finding).  rid never
+    # reaches the output; only its uniqueness matters.
     bound = f"({H.word_hash('t', 'duckdb')}) % {CDC_MOD} = 0"
     return f"""
-        WITH docw AS (SELECT doc_id, {H.tokens('text', 'duckdb')} AS w FROM documents),
-        tok AS (
-          SELECT doc_id, w[pos] AS t, pos
-          FROM (SELECT doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM docw)
+        WITH docw AS (
+          SELECT ROW_NUMBER() OVER () AS rid, doc_id,
+                 {H.tokens('text', 'duckdb')} AS w
+          FROM documents
         ),
-        flagged AS (SELECT doc_id, t, pos, CASE WHEN {bound} THEN 1 ELSE 0 END AS b FROM tok),
+        tok AS (
+          SELECT rid, doc_id, w[pos] AS t, pos
+          FROM (SELECT rid, doc_id, w, unnest(range(1, len(w) + 1)) AS pos FROM docw)
+        ),
+        flagged AS (
+          SELECT rid, doc_id, t, pos, CASE WHEN {bound} THEN 1 ELSE 0 END AS b
+          FROM tok
+        ),
         chunked AS (
-          SELECT doc_id, t, pos,
-                 SUM(b) OVER (PARTITION BY doc_id ORDER BY pos
+          SELECT rid, doc_id, t, pos,
+                 SUM(b) OVER (PARTITION BY rid ORDER BY pos
                               ROWS UNBOUNDED PRECEDING) AS chunk_id
           FROM flagged
         ),
         chunks AS (
-          SELECT doc_id, chunk_id, string_agg(t, ' ' ORDER BY pos) AS chunk_text
-          FROM chunked GROUP BY doc_id, chunk_id
+          SELECT rid, doc_id, chunk_id, string_agg(t, ' ' ORDER BY pos) AS chunk_text
+          FROM chunked GROUP BY rid, doc_id, chunk_id
         ),
         ch AS (SELECT doc_id, {H.word_hash('chunk_text', 'duckdb')} AS h FROM chunks),
         pairs AS (
@@ -1227,14 +1239,24 @@ def sequence_packing_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "decontamination_report",
     oracle=f"""
         WITH {DUCK_DOC_CTE},
-        src AS (SELECT doc_id, source FROM documents),
+        -- source rides WITH each row's postings (from docw) instead of a
+        -- re-join on doc_id: a duplicated doc_id would fan every posting out
+        -- by its row count and misclassify rows whose duplicates carry a
+        -- different source — the engine classifies per PHYSICAL row
+        -- (round-7 compound-corpus sweep finding)
+        psrc AS (
+          SELECT doc_id, source, unnest(sh) AS s
+          FROM (SELECT doc_id, source,
+                       {H.shingles(dedup.SHINGLE_N, 'duckdb')} AS sh
+                FROM docw)
+        ),
         tp AS (
-          SELECT p.doc_id AS test_doc, p.s FROM posting p
-          JOIN src ON p.doc_id = src.doc_id WHERE src.source = 'src19'
+          SELECT doc_id AS test_doc, s FROM psrc
+          WHERE source = 'src19' AND s NOT IN (SELECT s FROM hot)
         ),
         rp AS (
-          SELECT p.doc_id AS train_doc, p.s FROM posting p
-          JOIN src ON p.doc_id = src.doc_id WHERE src.source <> 'src19'
+          SELECT doc_id AS train_doc, s FROM psrc
+          WHERE source <> 'src19' AND s NOT IN (SELECT s FROM hot)
         ),
         overlap AS (
           SELECT rp.train_doc, tp.test_doc, COUNT(*) AS shared

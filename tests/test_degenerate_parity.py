@@ -807,3 +807,127 @@ def test_adversarial_timestamp_parity(
     df = spec.build(spark, adversarial_ts_sf)
     problems = compare(df, adversarial_ts_duck.sql(spec.oracle))
     assert not problems, f"{name} [{why}]: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# COMPOUND corpus (round-7): every table poisoned AT ONCE.  The per-table
+# fixtures above each assume the OTHER tables are sane; cross-table queries
+# (fact-fact joins, dimension lookups, reconciliation) can hold contracts
+# that only survive one hostile side.  This corpus composes the per-table
+# poisons — duplicate/negative doc ids PLUS pathological texts, degenerate
+# embeddings, hostile events (and timeless rows), poisoned orders+lineitem,
+# and hostile dimensions — so every join sees garbage on BOTH sides.
+# ---------------------------------------------------------------------------
+
+
+def _unwrap_fixture(fn):
+    while hasattr(fn, "__wrapped__"):
+        fn = fn.__wrapped__
+    return fn
+
+
+def build_adversarial_all_sf(spark, tmp_path_factory) -> str:
+    """Compose the per-table poisoned tables into one sf dir (also called by
+    tools/sweep_hostile.py, so it must only need (spark, tmp_path_factory))."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("adversarial_all_sf")
+    poisoned: dict[str, str] = {}
+    for fixture_name, tables in [
+        ("adversarial_docid_sf", ["documents"]),
+        ("adversarial_emb_sf", ["embeddings"]),
+        ("adversarial_ev_sf", ["events"]),
+        ("adversarial_ord_sf", ["orders", "lineitem"]),
+        ("adversarial_dim_sf", ["customer", "supplier", "part"]),
+    ]:
+        d = _unwrap_fixture(globals()[fixture_name])(spark, tmp_path_factory)
+        for t in tables:
+            poisoned[t] = f"{d}/{t}.parquet"
+
+    for t in TABLES:
+        src = poisoned.get(t, f"{SF_SMOKE}/{t}.parquet")
+        dst = str(base / f"{t}.parquet")
+        if t == "documents":
+            # dup/negative ids PLUS the pathological text shapes; the text
+            # rows reuse ids 1-6, adding duplicate-id-with-DIFFERENT-text
+            # hostility no per-table fixture reaches
+            docs = spark.read.parquet(src)
+            big = " ".join(f"w{i}" for i in range(4000))
+            extra_rows = [
+                (1, "", "en", "web", 0),
+                (2, "   \t\n  ", "en", "web", 7),
+                (3, ".,;:!?", "en", "web", 6),
+                (5, big, "en", "synthetic", len(big)),
+            ]
+            ex = spark.createDataFrame(
+                extra_rows,
+                "doc_id bigint, text string, lang string, source string, n_chars bigint",
+            )
+            docs.unionByName(ex).write.mode("overwrite").parquet(dst)
+        elif t == "events":
+            # the hostile event rows PLUS timeless rows (NULL ts)
+            ev = spark.read.parquet(src)
+            ex = spark.createDataFrame(
+                [
+                    (200001, None, 42, "click", 1.5, '{"k": 9}'),
+                    (200002, None, 42, "purchase", 2.5, '{"k": 9}'),
+                ],
+                "event_id long, ts string, user_id long, event_type string, "
+                "value double, props string",
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+            ev.unionByName(ex).write.mode("overwrite").parquet(dst)
+        elif os.path.isdir(src):
+            shutil.copytree(src, dst)
+        else:
+            shutil.copyfile(src, dst)
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def adversarial_all_sf(spark, tmp_path_factory):
+    return build_adversarial_all_sf(spark, tmp_path_factory)
+
+
+@pytest.fixture(scope="module")
+def adversarial_all_duck(adversarial_all_sf):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{adversarial_all_sf}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
+    yield con
+    con.close()
+
+
+# cross-table joins where BOTH sides are now hostile — the shapes the
+# per-table pins cannot reach
+PINNED_ALL = [
+    ("q5_local_supplier_volume", "poisoned facts x hostile dims, 6-way join"),
+    ("q9_product_profit", "poisoned lineitem x hostile part/supplier"),
+    ("q12_ship_latency_priority", "NULL priority x poisoned shipdates"),
+    ("rfm_customer_segments", "hostile customers x poisoned monetary values"),
+    ("order_reconciliation_report", "both reconciliation feeds poisoned"),
+    ("cohort_ltv_curve", "poisoned prices x dateless orders, one corpus"),
+    ("nation_participation_full_outer", "hostile keys on both outer sides"),
+    ("linear_attribution", "timeless + poisoned-payload event joins"),
+    # round-7 compound-corpus findings: oracle-side dup-id fan-outs
+    ("chunk_shared_pairs", "dup id x different text: per-ROW chunk streams"),
+    ("decontamination_report", "dup id x different source: no src re-join"),
+]
+
+
+@pytest.mark.parametrize("name,why", PINNED_ALL, ids=[n for n, _ in PINNED_ALL])
+def test_adversarial_compound_parity(
+    name, why, spark, adversarial_all_sf, adversarial_all_duck
+):
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle; this pin needs one"
+    df = spec.build(spark, adversarial_all_sf)
+    problems = compare(df, adversarial_all_duck.sql(spec.oracle))
+    assert not problems, f"{name} [{why}]: " + "; ".join(problems)

@@ -41,6 +41,9 @@ REGRESSIONS = [
     # round 5, all-NULL sweep: [0] into a zero-centroid array / ANSI 0/0
     "kmeans_cluster_profile",
     "audio_silence_stats",
+    # round 7, all-NULL sweep: every source weight clamps to 0, so the
+    # mixture share hit ANSI 0.0/0.0 (share is NULL when total weight is 0)
+    "mixture_temperature_weights",
 ]
 
 SAMPLE_N = 25

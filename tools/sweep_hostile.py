@@ -43,6 +43,7 @@ FIXTURES = [
     "adversarial_dim_sf",
     "adversarial_docid_sf",
     "adversarial_ts_sf",
+    "adversarial_all_sf",
     "degenerate_sf",
 ]
 
