@@ -8,6 +8,7 @@ re-run it in one command:
 
     python tools/sweep_hostile.py            # parity sweep (default)
     python tools/sweep_hostile.py --crash    # crash-freedom only (faster)
+    python tools/sweep_hostile.py adversarial_ord_sf   # one corpus only
 
 Any ERR/MISMATCH it prints is a finding: fix the contract in BOTH engines,
 then pin the query on that corpus in tests/test_degenerate_parity.py.
@@ -71,6 +72,13 @@ def _unwrap(fixture):
 
 def main() -> None:
     crash_only = "--crash" in sys.argv
+    # --fixture NAME [NAME...]: sweep only the named corpora (fast targeted
+    # rerun after fixing a finding); default sweeps every FIXTURES entry
+    wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
+    selected = [f for f in FIXTURES if not wanted or f in wanted]
+    unknown = [w for w in wanted if w not in FIXTURES]
+    if unknown:
+        sys.exit(f"unknown fixture(s) {unknown}; choose from {FIXTURES}")
 
     from pulsar_pekko_streams_example_spark.session import get_spark
 
@@ -81,7 +89,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     tmp = _FakeTmp("/tmp/hostile_sweep")
     corpora: dict[str, str] = {}
-    for name in FIXTURES:
+    for name in selected:
         fix = getattr(fixtures_mod, name, None)
         if fix is None:
             print(f"SKIP missing fixture {name}")
