@@ -810,6 +810,81 @@ def test_adversarial_timestamp_parity(
 
 
 # ---------------------------------------------------------------------------
+# Exotic-UNICODE corpus (round-7): the text surface the ASCII-pathology
+# fixture cannot reach.  Every character-level primitive (word_hash's
+# split('')+ascii() fold, the single-space tokenizer, shingle concat,
+# chunk hashing) must agree across engines on combining sequences,
+# zero-width joiners, emoji ZWJ families, RTL override marks, NBSP
+# (NOT a token separator), embedded NUL bytes, and the highest code point.
+# Verified identical at adoption time (round-7 probe: every class hashes
+# the same in both engines); this corpus keeps it that way.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def adversarial_unicode_sf(spark, tmp_path_factory):
+    base = tmp_path_factory.mktemp("adversarial_unicode_sf")
+    for t in TABLES:
+        if t != "documents":
+            shutil.copyfile(f"{SF_SMOKE}/{t}.parquet", str(base / f"{t}.parquet"))
+
+    docs = [
+        (300001, "café café composed vs combining", "fr", "web", 34),
+        (300002, "a‍b zwj inside a token twice a‍b", "en", "web", 35),
+        (300003, "nbsp is not a separator one token", "en", "web", 36),
+        (300004, "\U0001F468‍\U0001F469‍\U0001F467 family emoji doc", "en", "social", 20),
+        (300005, "‮rtl‬ override marks wrap this", "ar", "web", 30),
+        (300006, "nul\x00byte inside the text", "en", "web", 24),
+        (300007, "\U0010FFFF highest code point leads", "en", "synthetic", 33),
+        (300008, "​​​", "en", "web", 3),  # zero-width-only doc
+        (300009, "plain ascii control document unicode corpus", "en", "web", 44),
+    ]
+    ex = spark.createDataFrame(
+        docs, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    spark.read.parquet(f"{SF_SMOKE}/documents.parquet").unionByName(ex).write.mode(
+        "overwrite"
+    ).parquet(str(base / "documents.parquet"))
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def adversarial_unicode_duck(adversarial_unicode_sf):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{adversarial_unicode_sf}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
+    yield con
+    con.close()
+
+
+PINNED_UNICODE = [
+    ("doc_fingerprints", "char-fold hash over every exotic class"),
+    ("dedup_minhash_lsh", "shingle concat + minhash over unicode tokens"),
+    ("simhash_near_pairs", "per-char bit votes on multi-byte text"),
+    ("chunk_shared_pairs", "chunk-text hashing across code points"),
+    ("lang_quality_stats", "quality ratios over zero-width-only docs"),
+    ("token_count_histogram", "NBSP keeps tokens joined in both engines"),
+]
+
+
+@pytest.mark.parametrize("name,why", PINNED_UNICODE, ids=[n for n, _ in PINNED_UNICODE])
+def test_adversarial_unicode_parity(
+    name, why, spark, adversarial_unicode_sf, adversarial_unicode_duck
+):
+    spec = REGISTRY[name]
+    assert spec.oracle is not None, f"{name} lost its oracle; this pin needs one"
+    df = spec.build(spark, adversarial_unicode_sf)
+    problems = compare(df, adversarial_unicode_duck.sql(spec.oracle))
+    assert not problems, f"{name} [{why}]: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
 # COMPOUND corpus (round-7): every table poisoned AT ONCE.  The per-table
 # fixtures above each assume the OTHER tables are sane; cross-table queries
 # (fact-fact joins, dimension lookups, reconciliation) can hold contracts

@@ -44,6 +44,7 @@ FIXTURES = [
     "adversarial_dim_sf",
     "adversarial_docid_sf",
     "adversarial_ts_sf",
+    "adversarial_unicode_sf",
     "adversarial_all_sf",
     "degenerate_sf",
 ]
