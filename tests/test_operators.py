@@ -70,6 +70,15 @@ def test_shared_df_memoizes_and_substitution_is_exact(spark):
     b = shared_df(spark, ("t-memo", SF_CORRECT), build)
     assert a is b and len(builds) == 1
 
+    # reset() (bench's sequential warm re-time hook) must force a fresh
+    # build on the next call — a stale memo would measure microseconds
+    from pulsar_pekko_streams_example_spark.operators import cache
+
+    cache.reset(spark)
+    c = shared_df(spark, ("t-memo", SF_CORRECT), build)
+    assert c is not a and len(builds) == 2
+    assert c.count() == a.count()
+
     docs = load_table(spark, SF_CORRECT, "documents")
     posting = shared_df(
         spark, ("t-postings", SF_CORRECT), lambda: dedup.shingle_postings(docs)
