@@ -1,0 +1,105 @@
+"""End-to-end STREAMING throughput of the envelope pipeline — the number the
+reference's examples bound by construction.
+
+The reference's steady-state throughput is configuration-derived, not
+measured: 5 permits / 1 s simulated latency ≈ 5 msg/s (part 3), ≤ 4 msg/s
+per workload pair (part 5) — see BASELINE.md.  This tool measures the Spark
+engine's equivalent pipeline END TO END through Structured Streaming:
+
+    parquet-backlog file source (admission-capped micro-batches)
+      → Arrow-batched processor (the deterministic simulated processor, T1/T4)
+      → ack/nack routing (T2)
+      → parquet sink (S3's durable-republish analog)
+
+and prints ONE JSON line: messages/second over the whole run, sink-verified
+(ack + nack counts must equal the seeded message count).
+
+    python tools/bench_streaming.py              # 1M messages
+    SPARK_GRAFT_STREAM_MSGS=200000 python tools/bench_streaming.py
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import pathlib
+import shutil
+import sys
+import tempfile
+import time
+
+REPO = pathlib.Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+N_MESSAGES = int(os.environ.get("SPARK_GRAFT_STREAM_MSGS", "1000000"))
+SEED_FILES = 32  # backlog split so admission and micro-batching are exercised
+
+
+def main() -> None:
+    from pyspark.sql import functions as F
+
+    from examples._common import seed_messages
+    from pulsar_pekko_streams_example_spark.session import get_spark
+    from pulsar_pekko_streams_example_spark.sources.streams import (
+        envelope_file_stream,
+    )
+    from pulsar_pekko_streams_example_spark.streaming.processor import (
+        apply_processor,
+        simulated_processor,
+    )
+
+    spark = get_spark(app_name="bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    base = tempfile.mkdtemp(prefix="spark-graft-stream-bench-")
+    try:
+        src = os.path.join(base, "backlog")
+        seed_messages(spark, N_MESSAGES).repartition(SEED_FILES).write.mode(
+            "overwrite"
+        ).parquet(src)
+        ack_path = os.path.join(base, "acked")
+        nack_path = os.path.join(base, "nacked")
+
+        stream = envelope_file_stream(spark, src, max_files_per_trigger=8)
+        processed = apply_processor(stream, simulated_processor())
+        # single sink, partitioned by outcome: one stream drains the backlog,
+        # and both outcome feeds stay queryable (the DLQ-candidate shape)
+        routed = processed.withColumn(
+            "outcome", F.when(F.col("ok"), "ack").otherwise("nack")
+        )
+        t0 = time.perf_counter()
+        q = (
+            routed.writeStream.format("parquet")
+            .partitionBy("outcome")
+            .option("path", ack_path)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+
+        out = spark.read.parquet(ack_path)
+        n_ack = out.filter(F.col("outcome") == "ack").count()
+        n_nack = out.filter(F.col("outcome") == "nack").count()
+        assert n_ack + n_nack == N_MESSAGES, (n_ack, n_nack, N_MESSAGES)
+        _ = nack_path  # one partitioned sink covers both outcome feeds
+        print(
+            json.dumps(
+                {
+                    "metric": "streaming_envelope_msgs_per_sec",
+                    "value": round(N_MESSAGES / wall, 1),
+                    "unit": "msg/s",
+                    "messages": N_MESSAGES,
+                    "wall_sec": round(wall, 2),
+                    "acked": n_ack,
+                    "nacked": n_nack,
+                    "reference_derived_msgs_per_sec": 5,
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
