@@ -802,3 +802,22 @@ def test_tws_api_flag_true_on_spark4():
 
     if int(pyspark.__version__.split(".")[0]) >= 4:
         assert OS.HAVE_TWS_API
+
+
+def test_streaming_throughput_bench_pipeline(spark):
+    """tools/bench_streaming.py end-to-end smoke at tiny scale: the sink
+    must account for every seeded message across both outcome feeds and
+    the measured rate must be positive — keeps the published throughput
+    tool from rotting as the pipeline pieces evolve."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "tools" / "bench_streaming.py"
+    spec = importlib.util.spec_from_file_location("bench_streaming", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    result = mod.run(spark, n_messages=2000, seed_files=4)
+    assert result["acked"] + result["nacked"] == 2000
+    assert result["nacked"] == 200  # deterministic failure_mod=10
+    assert result["value"] > 0

@@ -35,11 +35,11 @@ N_MESSAGES = int(os.environ.get("SPARK_GRAFT_STREAM_MSGS", "1000000"))
 SEED_FILES = 32  # backlog split so admission and micro-batching are exercised
 
 
-def main() -> None:
+def run(spark, n_messages: int, seed_files: int = SEED_FILES) -> dict:
+    """Drive ``n_messages`` through the pipeline; return the measurement."""
     from pyspark.sql import functions as F
 
     from examples._common import seed_messages
-    from pulsar_pekko_streams_example_spark.session import get_spark
     from pulsar_pekko_streams_example_spark.sources.streams import (
         envelope_file_stream,
     )
@@ -48,16 +48,13 @@ def main() -> None:
         simulated_processor,
     )
 
-    spark = get_spark(app_name="bench-streaming")
-    spark.sparkContext.setLogLevel("ERROR")
     base = tempfile.mkdtemp(prefix="spark-graft-stream-bench-")
     try:
         src = os.path.join(base, "backlog")
-        seed_messages(spark, N_MESSAGES).repartition(SEED_FILES).write.mode(
+        seed_messages(spark, n_messages).repartition(seed_files).write.mode(
             "overwrite"
         ).parquet(src)
-        ack_path = os.path.join(base, "acked")
-        nack_path = os.path.join(base, "nacked")
+        sink = os.path.join(base, "outcomes")
 
         stream = envelope_file_stream(spark, src, max_files_per_trigger=8)
         processed = apply_processor(stream, simulated_processor())
@@ -70,7 +67,7 @@ def main() -> None:
         q = (
             routed.writeStream.format("parquet")
             .partitionBy("outcome")
-            .option("path", ack_path)
+            .option("path", sink)
             .option("checkpointLocation", os.path.join(base, "ckpt"))
             .trigger(availableNow=True)
             .start()
@@ -78,27 +75,30 @@ def main() -> None:
         q.awaitTermination()
         wall = time.perf_counter() - t0
 
-        out = spark.read.parquet(ack_path)
+        out = spark.read.parquet(sink)
         n_ack = out.filter(F.col("outcome") == "ack").count()
         n_nack = out.filter(F.col("outcome") == "nack").count()
-        assert n_ack + n_nack == N_MESSAGES, (n_ack, n_nack, N_MESSAGES)
-        _ = nack_path  # one partitioned sink covers both outcome feeds
-        print(
-            json.dumps(
-                {
-                    "metric": "streaming_envelope_msgs_per_sec",
-                    "value": round(N_MESSAGES / wall, 1),
-                    "unit": "msg/s",
-                    "messages": N_MESSAGES,
-                    "wall_sec": round(wall, 2),
-                    "acked": n_ack,
-                    "nacked": n_nack,
-                    "reference_derived_msgs_per_sec": 5,
-                }
-            )
-        )
+        assert n_ack + n_nack == n_messages, (n_ack, n_nack, n_messages)
+        return {
+            "metric": "streaming_envelope_msgs_per_sec",
+            "value": round(n_messages / wall, 1),
+            "unit": "msg/s",
+            "messages": n_messages,
+            "wall_sec": round(wall, 2),
+            "acked": n_ack,
+            "nacked": n_nack,
+            "reference_derived_msgs_per_sec": 5,
+        }
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def main() -> None:
+    from pulsar_pekko_streams_example_spark.session import get_spark
+
+    spark = get_spark(app_name="bench-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
+    print(json.dumps(run(spark, N_MESSAGES)))
 
 
 if __name__ == "__main__":
