@@ -821,3 +821,19 @@ def test_streaming_throughput_bench_pipeline(spark):
     assert result["acked"] + result["nacked"] == 2000
     assert result["nacked"] == 200  # deterministic failure_mod=10
     assert result["value"] > 0
+
+
+def test_streaming_ordered_bench_pipeline(spark):
+    """run_ordered smoke: exact sink accounting and a gap-free per-key
+    cursor through the grouped-stateful path at tiny scale."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "tools" / "bench_streaming.py"
+    spec = importlib.util.spec_from_file_location("bench_streaming_ord", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    result = mod.run_ordered(spark, n_messages=2000, n_keys=16)
+    assert result["messages"] == 2000
+    assert result["value"] > 0

@@ -93,12 +93,75 @@ def run(spark, n_messages: int, seed_files: int = SEED_FILES) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def run_ordered(spark, n_messages: int, n_keys: int = 1024) -> dict:
+    """K2 throughput: the per-key ORDERED serial path (applyInPandasWithState
+    over groupBy(key)) — the operator that bounds the reference's part 5 at
+    <= 4 msg/s per workload pair.  Sink-verified: every message lands exactly
+    once and every key's first-pass cursor is gap-free in order.
+
+    The backlog drains in ONE availableNow batch: the synthetic seed spreads
+    each key's seqs across files, so admission-split batches would arrive
+    with forward gaps the cursor correctly flags as continuity violations.
+    Cross-micro-batch cursor semantics (seq-ordered arrival) are pinned by
+    tests/test_streaming.py::test_ordered_per_key_across_microbatches; this
+    measures the grouped-stateful path's throughput."""
+    from pyspark.sql import functions as F
+
+    from examples._common import seed_messages
+    from pulsar_pekko_streams_example_spark.sources.streams import (
+        envelope_file_stream,
+    )
+    from pulsar_pekko_streams_example_spark.streaming.ordered_state import (
+        ordered_per_key,
+    )
+
+    base = tempfile.mkdtemp(prefix="spark-graft-stream-bench-ord-")
+    try:
+        src = os.path.join(base, "backlog")
+        seed_messages(spark, n_messages, keys=n_keys).repartition(
+            SEED_FILES
+        ).write.mode("overwrite").parquet(src)
+        sink = os.path.join(base, "ordered")
+
+        stream = envelope_file_stream(spark, src)
+        t0 = time.perf_counter()
+        q = (
+            ordered_per_key(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+
+        out = spark.read.parquet(sink)
+        n_out = out.count()
+        assert n_out == n_messages, (n_out, n_messages)
+        n_disorder = out.filter(~F.col("in_order")).count()
+        assert n_disorder == 0, f"{n_disorder} out-of-order rows"
+        return {
+            "metric": "streaming_ordered_per_key_msgs_per_sec",
+            "value": round(n_messages / wall, 1),
+            "unit": "msg/s",
+            "messages": n_messages,
+            "keys": n_keys,
+            "wall_sec": round(wall, 2),
+            "reference_derived_msgs_per_sec": 4,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     from pulsar_pekko_streams_example_spark.session import get_spark
 
     spark = get_spark(app_name="bench-streaming")
     spark.sparkContext.setLogLevel("ERROR")
     print(json.dumps(run(spark, N_MESSAGES)))
+    print(json.dumps(run_ordered(spark, N_MESSAGES)))
 
 
 if __name__ == "__main__":
