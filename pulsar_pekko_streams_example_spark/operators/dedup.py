@@ -375,7 +375,16 @@ def simhash_hamming_histogram(
 
 def doc_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc_id, simhash, fingerprint): 16-bit frequency-weighted SimHash over
-    word hashes + full-text polynomial rolling-hash fingerprint."""
+    word hashes + full-text polynomial rolling-hash fingerprint.
+
+    Exactly ONE row per doc_id, even when the corpus carries several physical
+    rows for the same id (a certainty when 100 TB of shards merge): the token
+    votes already merge across duplicates (groupBy doc_id), and the full-text
+    fingerprint aggregates as MIN over the id's rows — both join inputs are
+    per-doc_id aggregates, so the join can never fan out.  MIN is the
+    documented tie-break for a lying identity column: deterministic, engine-
+    portable (NULL-ignoring in both Spark and DuckDB), and the identity map
+    on the well-formed corpora where doc_id is unique."""
     words = tokenized(docs).select("doc_id", F.explode("w").alias("t"))
     # fold-hash each distinct token once; instances join the (tiny) map
     token_hashes = (
@@ -393,5 +402,9 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
         f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(H.SIMHASH_BITS)
     )
     sim = votes.select("doc_id", F.expr(f"CAST({simhash_expr} AS LONG)").alias("simhash"))
-    fp = docs.select("doc_id", F.expr(H.word_hash("text", "spark")).alias("fingerprint"))
+    fp = (
+        docs.select("doc_id", F.expr(H.word_hash("text", "spark")).alias("fingerprint"))
+        .groupBy("doc_id")
+        .agg(F.min("fingerprint").alias("fingerprint"))
+    )
     return sim.join(fp, "doc_id").select("doc_id", "simhash", "fingerprint")

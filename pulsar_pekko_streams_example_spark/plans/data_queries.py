@@ -357,7 +357,8 @@ def _duck_fingerprints_sql() -> str:
         votes AS (SELECT doc_id, {votes} FROM wordh GROUP BY doc_id)
         SELECT v.doc_id, CAST({sim} AS BIGINT) AS simhash, f.fingerprint
         FROM votes v
-        JOIN (SELECT doc_id, {H.word_hash('text', 'duckdb')} AS fingerprint FROM documents) f
+        JOIN (SELECT doc_id, MIN({H.word_hash('text', 'duckdb')}) AS fingerprint
+              FROM documents GROUP BY doc_id) f
           ON v.doc_id = f.doc_id
         """
 
@@ -416,11 +417,10 @@ def _duck_simhash_pairs_sql(max_hamming: int) -> str:
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # one (doc_id, simhash) row per doc_id: doc_fingerprints' fingerprint
-    # join emits one row per PHYSICAL row, so a duplicated doc_id would
-    # inflate the value histogram's counts relative to the oracle's
-    # per-doc_id sims (round-7 sweep finding on the duplicate-id corpus)
-    fps = dedup.doc_fingerprints(docs).select("doc_id", "simhash").distinct()
+    # doc_fingerprints guarantees one row per doc_id (the fingerprint side
+    # aggregates per id), so the value histogram's counts match the oracle's
+    # per-doc_id sims even on corpora with duplicated ids
+    fps = dedup.doc_fingerprints(docs).select("doc_id", "simhash")
     return dedup.simhash_hamming_histogram(None, max_hamming=3, fingerprints=fps)
 
 

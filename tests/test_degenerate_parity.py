@@ -741,6 +741,29 @@ def test_adversarial_docid_parity(
     assert not problems, f"{name} [{why}]: " + "; ".join(problems)
 
 
+def test_doc_fingerprints_operator_one_row_per_doc_id(spark, adversarial_docid_sf):
+    """OPERATOR-level contract (round-7 deferral, closed round 8): even when
+    the corpus carries duplicated physical rows for a doc_id, the fingerprint
+    join aggregates per id and can never fan out — callers get exactly one
+    (doc_id, simhash, fingerprint) row per id with no plan-layer distinct."""
+    from pyspark.sql import functions as F
+
+    from pulsar_pekko_streams_example_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{adversarial_docid_sf}/documents.parquet")
+    # precondition: the corpus really does lie (doc_id 0 has duplicate rows)
+    assert docs.filter(F.col("doc_id") == 0).count() >= 2
+    fps = dedup.doc_fingerprints(docs)
+    total, distinct_ids = fps.agg(
+        F.count(F.lit(1)), F.countDistinct("doc_id")
+    ).first()
+    assert total == distinct_ids, "doc_fingerprints fanned out on duplicate ids"
+    dup_rows = fps.filter(F.col("doc_id") == 0).collect()
+    assert len(dup_rows) == 1
+    # MIN tie-break over the id's physical rows: identical texts → the one hash
+    assert dup_rows[0].fingerprint is not None
+
+
 # ---------------------------------------------------------------------------
 # NULL event timestamps (round-5 sweep): Spark's native F.window /
 # session_window silently DROP rows with a NULL timestamp, while an
