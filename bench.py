@@ -286,6 +286,9 @@ def main() -> None:
     if SEQ_TOP_N > 0:
         from pulsar_pekko_streams_example_spark.operators import cache as shared_cache
 
+        # reset() evicts with unpersist(blocking=True), so the first rebuilt
+        # wall below (hot_shingles) never overlaps the old partitions'
+        # eviction I/O
         shared_cache.reset(spark)
         for key in warm_builds:  # insertion order = dependency order
             t0 = time.perf_counter()

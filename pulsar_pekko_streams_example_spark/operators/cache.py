@@ -93,10 +93,19 @@ def reset(spark: SparkSession) -> None:
     re-times each warm build contention-free AFTER the concurrent mix, and
     a cache hit would measure the memo (microseconds) instead of the build.
     Dropping the entries in dependency-agnostic bulk is safe because the
-    builds re-memoize on next call."""
+    builds re-memoize on next call.
+
+    ``_BUILDING`` locks are deliberately LEFT IN PLACE: a concurrent
+    ``shared_df`` caller may hold (or be queued on) a key's lock, and popping
+    it would hand the next caller a fresh lock for the same key — two threads
+    would then build and persist the same subtree, leaking the overwritten
+    entry's partitions until app exit.  Keeping the lock object means rebuild
+    serialization per key survives a reset; the few retained Lock objects are
+    trivially small.  Eviction blocks so a re-timed rebuild that starts right
+    after reset() never overlaps the old partitions' eviction I/O."""
     app_id = spark.sparkContext.applicationId
     with _REGISTRY_LOCK:
         mine = [k for k in _BUILT if k[0] == app_id]
-        for k in mine:
-            _BUILT.pop(k).unpersist()
-            _BUILDING.pop(k, None)
+        dropped = [_BUILT.pop(k) for k in mine]
+    for df in dropped:
+        df.unpersist(blocking=True)

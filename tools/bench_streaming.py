@@ -99,10 +99,12 @@ def run_ordered(spark, n_messages: int, n_keys: int = 1024) -> dict:
     <= 4 msg/s per workload pair.  Sink-verified: every message lands exactly
     once and every key's first-pass cursor is gap-free in order.
 
-    The backlog drains in ONE availableNow batch: the synthetic seed spreads
-    each key's seqs across files, so admission-split batches would arrive
-    with forward gaps the cursor correctly flags as continuity violations.
-    Cross-micro-batch cursor semantics (seq-ordered arrival) are pinned by
+    The backlog is seeded key-partitioned (each key's full seq range lives in
+    exactly one file, sorted by seq), so the measurement is robust to ANY
+    file-granularity micro-batch split — an admission cap or a future Spark
+    default can slice the backlog without manufacturing forward gaps the
+    cursor would (correctly) flag as continuity violations.  Cross-micro-batch
+    cursor semantics (seq-ordered arrival) are pinned by
     tests/test_streaming.py::test_ordered_per_key_across_microbatches; this
     measures the grouped-stateful path's throughput."""
     from pyspark.sql import functions as F
@@ -118,9 +120,11 @@ def run_ordered(spark, n_messages: int, n_keys: int = 1024) -> dict:
     base = tempfile.mkdtemp(prefix="spark-graft-stream-bench-ord-")
     try:
         src = os.path.join(base, "backlog")
+        # hash-partition by key: a key never straddles two files, so no
+        # file-level batch split can break its seq continuity
         seed_messages(spark, n_messages, keys=n_keys).repartition(
-            SEED_FILES
-        ).write.mode("overwrite").parquet(src)
+            SEED_FILES, "key"
+        ).sortWithinPartitions("key", "seq").write.mode("overwrite").parquet(src)
         sink = os.path.join(base, "ordered")
 
         stream = envelope_file_stream(spark, src)

@@ -73,8 +73,17 @@ def _unwrap(fixture):
 
 def main() -> None:
     crash_only = "--crash" in sys.argv
-    # --fixture NAME [NAME...]: sweep only the named corpora (fast targeted
-    # rerun after fixing a finding); default sweeps every FIXTURES entry
+    # Positional NAME [NAME...] args sweep only the named corpora (fast
+    # targeted rerun after fixing a finding); default sweeps every FIXTURES
+    # entry.  Unrecognized --flags are rejected so a typo'd selector can't be
+    # silently ignored.
+    bad_flags = [a for a in sys.argv[1:] if a.startswith("--") and a != "--crash"]
+    if bad_flags:
+        sys.exit(
+            f"unknown flag(s) {bad_flags}; fixtures are positional args "
+            f"(e.g. `sweep_hostile.py adversarial_docid_sf`), the only flag "
+            f"is --crash"
+        )
     wanted = [a for a in sys.argv[1:] if not a.startswith("--")]
     selected = [f for f in FIXTURES if not wanted or f in wanted]
     unknown = [w for w in wanted if w not in FIXTURES]
