@@ -1464,20 +1464,30 @@ def nation_participation_full_outer(spark: SparkSession, sf_dir: str) -> DataFra
 # NaN/Inf there, hence the explicit finiteness CASE), and a finite
 # out-of-envelope value (>= 1e32) nulls via TRY_CAST in both engines —
 # round-7 sweep finding.
-_PORTABLE_SQL = """
-    SELECT l_returnflag,
-           CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
-           COUNT(*) AS items,
-           CAST(SUM(TRY_CAST(
+# The summand is a named constant so tests/test_properties.py can property-
+# check the exact per-row text (totality + cross-engine parity on hostile
+# doubles) without re-deriving it; _PORTABLE_SQL's composed text is byte-
+# identical to the pre-refactor literal.
+_PORTABLE_REVENUE_SUMMAND = """TRY_CAST(
              CASE WHEN NOT isnan(l_extendedprice * (1 - l_discount))
                    AND abs(l_extendedprice * (1 - l_discount)) < CAST('Infinity' AS DOUBLE)
                   THEN l_extendedprice * (1 - l_discount) END
-             AS DECIMAL(38,6))) AS DOUBLE)
+             AS DECIMAL(38,6))"""
+
+_PORTABLE_SQL = (
+    """
+    SELECT l_returnflag,
+           CAST(date_trunc('month', l_shipdate) AS DATE) AS ship_month,
+           COUNT(*) AS items,
+           CAST(SUM("""
+    + _PORTABLE_REVENUE_SUMMAND
+    + """) AS DOUBLE)
              AS revenue
     FROM {table}
     WHERE l_shipdate >= CAST('1998-01-01' AS TIMESTAMP)
     GROUP BY l_returnflag, CAST(date_trunc('month', l_shipdate) AS DATE)
 """
+)
 
 
 @register(

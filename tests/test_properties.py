@@ -527,6 +527,242 @@ def test_chunk_formulas_match_actual_chunking():
         assert overlap == o or n <= CHUNK_W, (n, overlap, o)
 
 
+# ---------------------------------------------------------------------------
+# r7-hardened TOTAL envelope helpers: the oracle blind spot is a shared-
+# dialect bug (identical CASE text wrong in both engines), so each helper
+# gets a property against a PYTHON reference on hypothesis doubles including
+# NaN/±Inf/1e300 — totality (no abort), envelope semantics, and cross-engine
+# agreement in one pass.
+# ---------------------------------------------------------------------------
+
+_hostile_doubles = st.one_of(
+    st.sampled_from(
+        [
+            float("nan"),
+            float("inf"),
+            float("-inf"),
+            1e300,
+            -1e300,
+            1e32,
+            -1e32,
+            1e15,
+            1e12,
+            -1e12,
+            1e9,
+            -1e9,
+            1e9 + 2.0,
+            -(1e9 + 2.0),
+            1024.0,
+            1023.0,
+            -0.0,
+            0.0,
+            1e-300,
+        ]
+    ),
+    st.floats(allow_nan=True, allow_infinity=True),
+)
+
+
+def _eval_envelope_both(spark, expr: str, colname: str, values: list[float]):
+    """Evaluate the SAME expression text per-row in Spark and DuckDB; any
+    abort in either engine fails the property (totality)."""
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(values)], f"i long, {colname} double"
+    )
+    got_s = {r.i: r.out for r in df.select("i", F.expr(expr).alias("out")).collect()}
+    con = duckdb.connect()
+    try:
+        con.register("t", pd.DataFrame({"i": range(len(values)), colname: values}))
+        got_d = dict(con.sql(f"SELECT i, {expr} AS out FROM t").fetchall())
+    finally:
+        con.close()
+    return got_s, got_d
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=st.lists(_hostile_doubles, min_size=1, max_size=20))
+def test_recon_micros_total_envelope(spark, values):
+    """_recon_micros: NaN/NULL -> NULL, |x| > 1e9 clamps to ±1e15 micros,
+    else floor(x*1e6) — never aborts, never leaves ±1e15, identical in both
+    engines and to the double-arithmetic Python reference."""
+    import math
+
+    from pulsar_pekko_streams_example_spark.plans.analytic_queries import (
+        _recon_micros,
+    )
+
+    got_s, got_d = _eval_envelope_both(spark, _recon_micros("x"), "x", values)
+    for i, v in enumerate(values):
+        if math.isnan(v):
+            want = None
+        elif v > 1e9:
+            want = 10**15
+        elif v < -1e9:
+            want = -(10**15)
+        else:
+            want = math.floor(v * 1e6)
+        assert got_s[i] == got_d[i] == want, (i, v, got_s[i], got_d[i], want)
+        if want is not None:
+            assert -(10**15) <= want <= 10**15
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(values=st.lists(_hostile_doubles, min_size=1, max_size=20))
+def test_profile_cents_total_envelope(spark, values):
+    """_PROFILE_CENTS: NaN/NULL -> NULL, |x| > 1e12 clamps to ±1e14 cents,
+    else floor(x*100) — total on any double, engine-identical."""
+    import math
+
+    from pulsar_pekko_streams_example_spark.plans.diagnostic_queries import (
+        _PROFILE_CENTS,
+    )
+
+    got_s, got_d = _eval_envelope_both(spark, _PROFILE_CENTS, "o_totalprice", values)
+    for i, v in enumerate(values):
+        if math.isnan(v):
+            want = None
+        elif v > 1e12:
+            want = 10**14
+        elif v < -1e12:
+            want = -(10**14)
+        else:
+            want = math.floor(v * 100.0)
+        assert got_s[i] == got_d[i] == want, (i, v, got_s[i], got_d[i], want)
+        if want is not None:
+            assert -(10**14) <= want <= 10**14
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    values=st.lists(
+        st.one_of(
+            st.sampled_from(
+                [float("inf"), float("-inf"), 1e300, -1e300, 1023.0, 1024.0, -5.0, 0.0]
+            ),
+            st.floats(allow_nan=False, allow_infinity=True),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_qsk_bin_total_envelope(spark, values):
+    """_qsk_bin: every non-NaN double (the caller filters NaN/NULL) lands in
+    a bin 0..255 — negatives and -Inf clamp to 0, >= 1023 and +Inf saturate
+    to 255 — in both dialects, matching the clamp-then-floor reference."""
+    import math
+
+    from pulsar_pekko_streams_example_spark.plans.sketch_queries import (
+        QSK_BINS,
+        QSK_WIDTH,
+        _qsk_bin,
+    )
+
+    got_s, _ = _eval_envelope_both(spark, _qsk_bin("spark"), "value", values)
+    _, got_d = _eval_envelope_both(spark, _qsk_bin("duckdb"), "value", values)
+    hi = float(QSK_BINS * QSK_WIDTH - 1)
+    for i, v in enumerate(values):
+        want = math.floor(min(hi, max(0.0, v)) / QSK_WIDTH)
+        assert got_s[i] == got_d[i] == want, (i, v, got_s[i], got_d[i], want)
+        assert 0 <= want <= QSK_BINS - 1
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.one_of(
+                st.sampled_from(
+                    [float("nan"), float("inf"), float("-inf"), 1e300, 1e32, -1e32]
+                ),
+                st.floats(
+                    allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6
+                ),
+            ),
+            st.one_of(
+                st.sampled_from([float("nan"), float("inf"), float("-inf"), 1e300]),
+                st.floats(
+                    allow_nan=False, allow_infinity=False, min_value=-1e6, max_value=1e6
+                ),
+            ),
+        ),
+        min_size=1,
+        max_size=15,
+    )
+)
+def test_portable_revenue_summand_total_and_engine_identical(spark, rows):
+    """The sql_api_monthly_returns summand — the ONE text both engines run —
+    must be total (DuckDB's plain CAST aborts on -Inf -> DECIMAL; TRY_CAST
+    still errors on NaN/Inf there) and yield NULL exactly when the revenue
+    product is NaN/±Inf or |product| >= 1e32, the DECIMAL(38,6) envelope.
+    Finite magnitudes here stay <= ~1e12, so the aggregate variant can never
+    overflow the decimal sum — the property pins the per-row contract."""
+    import math
+    from decimal import Decimal
+
+    import duckdb
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from pulsar_pekko_streams_example_spark.plans.tpch_queries import (
+        _PORTABLE_REVENUE_SUMMAND,
+        _PORTABLE_SQL,
+    )
+
+    assert _PORTABLE_REVENUE_SUMMAND in _PORTABLE_SQL  # tested text IS the shipped text
+
+    df = spark.createDataFrame(
+        [(i, p, d) for i, (p, d) in enumerate(rows)],
+        "i long, l_extendedprice double, l_discount double",
+    )
+    got_s = {
+        r.i: r.out
+        for r in df.select(
+            "i", F.expr(_PORTABLE_REVENUE_SUMMAND).alias("out")
+        ).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.register(
+            "t",
+            pd.DataFrame(
+                {
+                    "i": range(len(rows)),
+                    "l_extendedprice": [p for p, _ in rows],
+                    "l_discount": [d for _, d in rows],
+                }
+            ),
+        )
+        got_d = dict(
+            con.sql(f"SELECT i, {_PORTABLE_REVENUE_SUMMAND} AS out FROM t").fetchall()
+        )
+    finally:
+        con.close()
+    for i, (p, d) in enumerate(rows):
+        prod = p * (1.0 - d)
+        if math.isnan(prod) or math.isinf(prod) or abs(prod) >= 1e32:
+            assert got_s[i] is None and got_d[i] is None, (i, p, d, got_s[i], got_d[i])
+        else:
+            assert got_s[i] is not None and got_d[i] is not None, (i, p, d)
+            # NULL-pattern is strict; values allow one quantum at the 6th
+            # decimal PLUS ~1 ULP of value*10^6: Spark converts double ->
+            # DECIMAL exactly (BigDecimal), DuckDB multiplies by 10^scale in
+            # double precision first, so beyond value*1e6 ~ 2^53 the engines
+            # differ by ULP(value*1e6)/1e6 (relative ~1e-16; found by this
+            # property on prod = -18014410882.90625 exactly).  Corpus prices
+            # are 2-decimal and ~1e4, far inside the exact range.
+            tol = max(Decimal("0.000001"), abs(Decimal(repr(prod))) * Decimal("1e-15"))
+            assert abs(Decimal(got_s[i]) - Decimal(got_d[i])) <= tol, (
+                i, p, d, got_s[i], got_d[i],
+            )
+            assert abs(float(got_s[i]) - prod) <= max(1e-6, abs(prod) * 1e-12), (
+                i, p, d, got_s[i], prod,
+            )
+
+
 @given(
     st.lists(
         st.tuples(
