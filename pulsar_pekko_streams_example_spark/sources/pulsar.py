@@ -97,7 +97,13 @@ def to_envelope(raw: DataFrame, payload_schema: str = "name string, numPublishes
     failing the stream (errors-as-data, same policy as the processor UDF).
     """
     # PERMISSIVE from_json yields an all-null struct for bad input, so detect
-    # corruption via the standard _corrupt_record side-channel column.
+    # corruption via the standard _corrupt_record side-channel column.  A
+    # NULL payload never reaches from_json (it returns NULL with no corrupt
+    # record), so flag it explicitly: a message with no bytes cannot decode,
+    # and reporting it corrupt=false with a null struct would let it pass
+    # a "corrupt = false" filter and NPE downstream (round-8 streaming
+    # sweep).  Same for payloads that are pure whitespace after the UTF-8
+    # cast — from_json maps them to NULL without a corrupt record too.
     decoded = F.from_json(
         F.col("value").cast("string"), payload_schema + ", _corrupt_record string"
     )
@@ -107,7 +113,11 @@ def to_envelope(raw: DataFrame, payload_schema: str = "name string, numPublishes
         F.col("__topic").alias("topic"),
         F.col("__publishTime").alias("publish_time"),
         decoded.dropFields("_corrupt_record").alias("payload"),
-        decoded.getField("_corrupt_record").isNotNull().alias("corrupt"),
+        (
+            F.col("value").isNull()
+            | decoded.isNull()
+            | decoded.getField("_corrupt_record").isNotNull()
+        ).alias("corrupt"),
     )
 
 

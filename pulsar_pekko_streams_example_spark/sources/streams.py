@@ -42,6 +42,36 @@ def envelope_file_stream(
     return reader.parquet(path)
 
 
+def bounded_event_time(
+    df: DataFrame,
+    ts_col: str = "publish_time",
+    lo: str = "2000-01-01",
+    hi: str = "2100-01-01",
+) -> DataFrame:
+    """Guard an event-time column before ``withWatermark``.
+
+    Watermarks advance to ``max(event_time) - delay``: ONE message carrying a
+    far-future timestamp (clock skew, a corrupted epoch, a hostile producer)
+    advances the watermark past every legitimate event, and the engine then
+    silently drops the rest of the stream as late — a single poisoned row
+    becomes total data loss with no error anywhere (round-8 streaming sweep).
+    Bounding event time to a validity window caps how far any one message can
+    drag the watermark; NULL event times are dropped here explicitly, which
+    is the same contract the batch window oracles pin (an event with no
+    timestamp belongs to no window) rather than an engine-version-dependent
+    behavior.  Route the rejects via ``filter(NOT ...)`` upstream if they
+    must be audited instead of dropped.
+    """
+    from pyspark.sql import functions as F
+
+    c = F.col(ts_col)
+    return df.filter(
+        c.isNotNull()
+        & (c >= F.lit(lo).cast("timestamp"))
+        & (c < F.lit(hi).cast("timestamp"))
+    )
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
     """Synthetic keyed source (for lifecycle tests): rate source mapped onto
     the envelope shape."""

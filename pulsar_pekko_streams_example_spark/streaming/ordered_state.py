@@ -15,6 +15,22 @@ Redelivered messages (attempt > 1) re-enter their key's queue: rows with
 seq ≤ last_seq are processed again (at-least-once) but flagged, so downstream
 can distinguish first-pass order from redelivery — the exact semantics the
 reference gets from broker redelivery on a Key_Shared subscription.
+
+Hostile-input contract (round-8 streaming sweep):
+
+- NULL ``seq`` (a message that claims no position): processed serially like
+  any other row — it consumes a ``processing_index`` — but emitted with
+  ``seq`` NULL, ``is_redelivery`` False, ``in_order`` False, and it never
+  advances the key's cursor.  (Arrow hands a null-bearing long column to
+  pandas as float64 + NaN; without the explicit guard ``int(NaN)`` raises
+  and KILLS the whole streaming query — one poisoned message must not take
+  down the consumer.)  Positionless rows sort after positioned ones within
+  a batch (pandas ``na_position='last'``).
+- NULL ``key``: forms its own serial group (Spark groups NULL keys
+  together), so ordering among the keyless messages is still serial —
+  mirroring a broker routing empty-keyed messages to one consumer.
+- NULL ``attempt`` sorts last among same-seq duplicates and is otherwise
+  inert (only ``seq`` drives the cursor).
 """
 
 from __future__ import annotations
@@ -70,14 +86,18 @@ def _process_key(
         "in_order": [],
     }
     for r in rows.itertuples(index=False):
-        redelivery = r.seq <= last_seq
+        positionless = pd.isna(r.seq)
+        redelivery = (not positionless) and r.seq <= last_seq
         out["key"].append(key[0])
         out["message_id"].append(r.message_id)
-        out["seq"].append(int(r.seq))
+        out["seq"].append(None if positionless else int(r.seq))
         out["processing_index"].append(processed)
         out["is_redelivery"].append(bool(redelivery))
-        out["in_order"].append(bool(redelivery or r.seq == last_seq + 1 or last_seq == -1))
-        if not redelivery:
+        out["in_order"].append(
+            (not positionless)
+            and bool(redelivery or r.seq == last_seq + 1 or last_seq == -1)
+        )
+        if not positionless and not redelivery:
             last_seq = int(r.seq)
         processed += 1
 
@@ -139,18 +159,22 @@ try:  # Spark 4.x only: the StatefulProcessor API.  The class and its
             )
             out = []
             for r in pdf.itertuples(index=False):
-                redelivery = r.seq <= last_seq
+                positionless = pd.isna(r.seq)
+                redelivery = (not positionless) and r.seq <= last_seq
                 out.append(
                     (
                         key[0],
                         r.message_id,
-                        int(r.seq),
+                        None if positionless else int(r.seq),
                         processed,
                         bool(redelivery),
-                        bool(redelivery or r.seq == last_seq + 1 or last_seq == -1),
+                        (not positionless)
+                        and bool(
+                            redelivery or r.seq == last_seq + 1 or last_seq == -1
+                        ),
                     )
                 )
-                if not redelivery:
+                if not positionless and not redelivery:
                     last_seq = int(r.seq)
                 processed += 1
             self._cursor.update((last_seq, processed))

@@ -58,8 +58,21 @@ def apply_processor(
             if not len(pdf):
                 continue
             try:
-                ok = fn(pdf)
-                pdf = pdf.assign(ok=ok.astype(bool), error=None)
+                # Align the verdicts to the batch index: a processor that
+                # returns a misaligned/shorter Series leaves NaN gaps, and a
+                # NaN verdict under a bare astype(bool) silently ACKS the
+                # message (NaN is truthy).  No-verdict is a failure — the
+                # reference turns every non-answer into ProcessFailure
+                # (round-8 streaming sweep finding).
+                ok = pd.Series(fn(pdf), index=pdf.index)
+                missing = ok.isna()
+                pdf = pdf.assign(
+                    ok=ok.fillna(False).astype(bool), error=None
+                )
+                if missing.any():
+                    pdf.loc[missing.to_numpy(), "error"] = (
+                        "NullVerdict: processor returned no verdict for this row"
+                    )
             except Exception as e:  # ProcessFailure path: capture, don't fail the stream
                 pdf = pdf.assign(ok=False, error=f"{type(e).__name__}: {e}")
             yield pdf

@@ -55,14 +55,27 @@ class RetryRouter:
             df.write.mode("append").parquet(path)
 
     def route_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
-        """foreachBatch body: one call per micro-batch."""
+        """foreachBatch body: one call per micro-batch.
+
+        NULL-safe delivery accounting (round-8 streaming sweep): a naive
+        ``filter(ok)`` / ``filter(~ok)`` split LOSES rows whose ``ok`` is
+        NULL under three-valued logic — they vanish from both branches and
+        the message is silently dropped.  A NULL verdict means the processor
+        never decided, which is a failure (the reference turns every
+        exception into ProcessFailure); a NULL ``attempt`` means the counter
+        was lost in transit and is treated as the first attempt, so the
+        message still gets its full retry budget instead of skipping both
+        the retry and DLQ filters.  Invariant: every input row lands in
+        exactly one of sink / retry / DLQ."""
         batch = batch.persist()
         try:
-            acks, nacks = batch.filter(F.col("ok")), batch.filter(~F.col("ok"))
+            ok = F.coalesce(F.col("ok"), F.lit(False))
+            att = F.coalesce(F.col("attempt"), F.lit(1))
+            acks, nacks = batch.filter(ok), batch.filter(~ok)
             self._write(acks, self.sink_path, batch_id)
 
-            retry = nacks.filter(F.col("attempt") < self.max_attempts).withColumn(
-                "attempt", F.col("attempt") + F.lit(1)
+            retry = nacks.filter(att < self.max_attempts).withColumn(
+                "attempt", att + F.lit(1)
             ).withColumn(
                 "available_at",
                 F.current_timestamp() + F.expr(f"INTERVAL {self.redelivery_delay_s} SECONDS"),
@@ -70,7 +83,7 @@ class RetryRouter:
             if retry.limit(1).count():
                 self._write(retry, self.retry_path, batch_id)
 
-            dlq = nacks.filter(F.col("attempt") >= self.max_attempts)
+            dlq = nacks.filter(att >= self.max_attempts)
             if dlq.limit(1).count():
                 self._write(dlq, self.dlq_path, batch_id)
         finally:

@@ -1,0 +1,523 @@
+"""Hostile-input sweep for the STREAMING layer (round-8 verdict ask #5).
+
+The ten-fixture batch sweep (tests/test_degenerate_parity.py) poisons the
+registry's batch corpora; this file feeds the same classes of poison —
+NULL keys/seqs/verdicts, corrupt payload bytes, hostile event times —
+through the streaming paths, where the failure modes are worse than a wrong
+row: one bad message can KILL the query (int(NaN) in the stateful
+processor), silently LOSE messages (three-valued-logic routing), silently
+ACK failures (NaN verdict astype(bool) is truthy), or silently drop the
+whole rest of the stream (watermark poisoned by one far-future timestamp).
+
+Reference semantics at stake: S7's redelivery loop
+(part2/PekkoStreamGenerator.scala:77-87) must never lose a message between
+ack/retry/DLQ; K2's Key_Shared ordering
+(part5/OrderedStreamGenerator.scala:137-161) must stay serial per key even
+for malformed members of the key's queue.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from pulsar_pekko_streams_example_spark.sources.streams import (
+    bounded_event_time,
+    envelope_file_stream,
+)
+from pulsar_pekko_streams_example_spark.streaming import RetryRouter, apply_processor
+from pulsar_pekko_streams_example_spark.streaming.ordered_state import ordered_per_key
+
+
+@pytest.fixture()
+def tmpdir():
+    with tempfile.TemporaryDirectory() as d:
+        yield d
+
+
+ENVELOPE = (
+    "message_id string, event_id long, topic string, key string, seq long, "
+    "attempt long, status string, publish_time timestamp"
+)
+
+
+def _envelopes(spark, rows):
+    """rows: (message_id, key, seq, attempt) — rest filled with benign values."""
+    return spark.createDataFrame(
+        [
+            (mid, 0, "persistent://t/ns/topic-0", key, seq, att, "success", None)
+            for (mid, key, seq, att) in rows
+        ],
+        schema=ENVELOPE,
+    )
+
+
+# ---------------------------------------------------------------------------
+# K2 ordered state under poison
+# ---------------------------------------------------------------------------
+
+
+def test_ordered_per_key_survives_null_seq(spark, tmpdir):
+    """A message with NULL seq (no position claim) must not kill the query:
+    Arrow hands the null-bearing long column to pandas as float64+NaN, and
+    the pre-fix int(NaN) raised inside applyInPandasWithState, failing the
+    stream.  Contract: the row is processed serially (consumes a
+    processing_index), emits seq NULL / in_order False, and the key's
+    cursor is untouched — later positioned messages still read in-order."""
+    src = os.path.join(tmpdir, "src")
+    _envelopes(
+        spark,
+        [
+            ("m1", "k1", 1, 1),
+            ("m-null", "k1", None, 1),
+            ("m2", "k1", 2, 1),
+            ("m3", "k1", 3, 1),
+        ],
+    ).coalesce(1).write.parquet(src)
+
+    q = (
+        ordered_per_key(envelope_file_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("null_seq_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = sorted(spark.table("null_seq_out").collect(), key=lambda r: r.processing_index)
+    assert len(rows) == 4  # nothing lost, stream alive
+    positionless = [r for r in rows if r.seq is None]
+    assert [r.message_id for r in positionless] == ["m-null"]
+    assert not positionless[0].in_order and not positionless[0].is_redelivery
+    # cursor undisturbed: the positioned rows are a gap-free in-order pass
+    positioned = [r for r in rows if r.seq is not None]
+    assert [r.seq for r in positioned] == [1, 2, 3]
+    assert all(r.in_order for r in positioned)
+    assert [r.processing_index for r in rows] == list(range(4))  # serial
+
+
+def test_ordered_per_key_null_key_forms_serial_group(spark, tmpdir):
+    """NULL keys group together (Spark's groupBy NULL semantics), so keyless
+    messages still process serially relative to one another — the analog of
+    a broker routing empty-keyed messages to a single consumer."""
+    src = os.path.join(tmpdir, "src")
+    _envelopes(
+        spark,
+        [
+            ("n1", None, 1, 1),
+            ("n2", None, 2, 1),
+            ("k1-1", "k1", 1, 1),
+            ("n3", None, 3, 1),
+        ],
+    ).coalesce(1).write.parquet(src)
+
+    q = (
+        ordered_per_key(envelope_file_stream(spark, src))
+        .writeStream.format("memory")
+        .queryName("null_key_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    rows = spark.table("null_key_out").collect()
+    assert len(rows) == 4
+    keyless = sorted((r for r in rows if r.key is None), key=lambda r: r.processing_index)
+    assert [r.seq for r in keyless] == [1, 2, 3]
+    assert [r.processing_index for r in keyless] == [0, 1, 2]  # serial group
+    assert all(r.in_order for r in keyless)
+
+
+def test_process_key_null_attempt_is_inert():
+    """NULL attempt must not perturb the cursor: only seq drives it.  Driven
+    at the logic level (same style as the TWS-parity test) so the pin stays
+    cheap."""
+    from pulsar_pekko_streams_example_spark.streaming import ordered_state as OS
+
+    class FakeGroupState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    pdf = pd.DataFrame(
+        [("m1", 1, None), ("m2", 2, 1)], columns=["message_id", "seq", "attempt"]
+    )
+    st = FakeGroupState()
+    (out,) = OS._process_key(("k",), iter([pdf]), st)
+    assert list(out["seq"]) == [1, 2]
+    assert list(out["in_order"]) == [True, True]
+    assert st.get == (2, 2)
+
+
+# ---------------------------------------------------------------------------
+# S7 routing under poison: no message may vanish
+# ---------------------------------------------------------------------------
+
+
+def test_retry_router_conserves_null_ok_and_null_attempt(spark, tmpdir):
+    """Delivery conservation: every input row lands in exactly one of
+    sink / retry / DLQ.  Pre-fix, filter(ok)/filter(~ok) dropped NULL-ok
+    rows from BOTH branches (the three-valued-logic trap pinned for batch
+    in round 5 — incremental_daily_revenue), and NULL-attempt rows skipped
+    both the retry and the DLQ filter: silently lost messages."""
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+        redelivery_delay_s=0,
+        max_attempts=3,
+    )
+    batch = spark.createDataFrame(
+        [
+            ("m-ok", 1, True),
+            ("m-fail", 1, False),
+            ("m-null-ok", 1, None),          # processor never decided
+            ("m-null-att", None, False),     # attempt counter lost in transit
+            ("m-null-both", None, None),
+            ("m-exhausted", 3, False),       # straight to DLQ
+        ],
+        "message_id string, attempt long, ok boolean",
+    )
+    router.route_batch(batch, batch_id=1)
+
+    sink = spark.read.parquet(router.sink_path)
+    retry = spark.read.parquet(router.retry_path)
+    dlq = spark.read.parquet(router.dlq_path)
+    assert sink.count() + retry.count() + dlq.count() == 6  # conservation
+    assert {r.message_id for r in sink.collect()} == {"m-ok"}
+    assert {r.message_id for r in dlq.collect()} == {"m-exhausted"}
+    by_id = {r.message_id: r for r in retry.collect()}
+    assert set(by_id) == {"m-fail", "m-null-ok", "m-null-att", "m-null-both"}
+    # NULL attempt is treated as attempt 1, so the retry carries attempt 2
+    # and the message keeps its full retry budget
+    assert by_id["m-null-att"].attempt == 2
+    assert by_id["m-null-both"].attempt == 2
+    assert by_id["m-null-ok"].attempt == 2
+
+
+def test_retry_router_null_ok_eventually_reaches_dlq(spark, tmpdir):
+    """A message whose processor never returns a verdict must still follow
+    the S7 terminal path: retry cycles, then DLQ — never an infinite loop
+    and never a silent drop."""
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+        redelivery_delay_s=0,
+        max_attempts=2,
+    )
+    batch = spark.createDataFrame(
+        [("m-undecided", None, None)], "message_id string, attempt long, ok boolean"
+    )
+    router.route_batch(batch, batch_id=1)
+    for cycle in range(2, 5):
+        due = router.due_retries(spark, as_of="2100-01-01 00:00:00")
+        if not due.count():
+            break
+        router.route_batch(
+            due.drop("available_at", "_batch_id").withColumn(
+                "ok", F.lit(None).cast("boolean")
+            ),
+            batch_id=cycle,
+        )
+    dlq = spark.read.parquet(router.dlq_path)
+    assert [r.message_id for r in dlq.collect()] == ["m-undecided"]
+    assert router.due_retries(spark, as_of="2100-01-01 00:00:00").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# T1/T4 processor verdicts under poison
+# ---------------------------------------------------------------------------
+
+
+def test_apply_processor_null_verdict_is_failure(spark):
+    """A NaN/None verdict is a failure, not an ack: pre-fix,
+    Series.astype(bool) mapped NaN to True and silently ACKED the rows the
+    processor failed to decide."""
+    df = spark.range(6).select(
+        F.concat(F.lit("m-"), F.col("id")).alias("message_id"),
+        F.col("id").alias("event_id"),
+    )
+
+    def undecided_on_even(pdf: pd.DataFrame) -> pd.Series:
+        s = (pdf["event_id"] % 2 != 0).astype("object")
+        s[pdf["event_id"] % 2 == 0] = None
+        return s
+
+    rows = {r.message_id: r for r in apply_processor(df, undecided_on_even).collect()}
+    assert len(rows) == 6
+    for mid, r in rows.items():
+        i = int(mid.split("-")[1])
+        if i % 2 == 0:
+            assert r.ok is False and "NullVerdict" in r.error, r
+        else:
+            assert r.ok is True and r.error is None, r
+
+
+def test_apply_processor_misaligned_verdicts_fail_safe(spark):
+    """A processor returning a Series on a FOREIGN index (e.g. after
+    reset_index) aligns to NaN everywhere — every row must come back as a
+    failure, never as an ack; and a wrong-LENGTH verdict list fails the
+    whole batch through the ProcessFailure path."""
+    # one partition → one Arrow batch, so the wrong-LENGTH case below is
+    # genuinely wrong (per-row partitions would make a 1-verdict list valid)
+    df = spark.range(5).coalesce(1).select(
+        F.concat(F.lit("m-"), F.col("id")).alias("message_id"),
+        F.col("id").alias("event_id"),
+    )
+
+    def foreign_index(pdf: pd.DataFrame) -> pd.Series:
+        return pd.Series([True] * len(pdf), index=range(10_000, 10_000 + len(pdf)))
+
+    rows = apply_processor(df, foreign_index).collect()
+    assert len(rows) == 5
+    assert all((not r.ok) and "NullVerdict" in r.error for r in rows)
+
+    def wrong_length(pdf: pd.DataFrame):
+        return [True]  # list of length 1 for an N-row batch
+
+    rows = apply_processor(df, wrong_length).collect()
+    assert len(rows) == 5
+    assert all(not r.ok for r in rows)
+    assert all(r.error for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# S1 payload decode under poison
+# ---------------------------------------------------------------------------
+
+
+def test_to_envelope_flags_undecodable_payloads(spark):
+    """Corrupt-record policy over hostile payload bytes: NULL payload, empty
+    bytes, whitespace, invalid UTF-8, malformed JSON, JSON null — all must
+    come through as corrupt=true rows (errors-as-data; the stream never
+    fails and no undecodable payload masquerades as a decoded one), while
+    the one valid payload decodes."""
+    from pulsar_pekko_streams_example_spark.sources.pulsar import to_envelope
+
+    rows = [
+        ("a1", b'{"name": "ok", "numPublishes": 3}'),
+        ("a2", None),
+        ("a3", b""),
+        ("a4", b"   "),
+        ("a5", b"\xff\xfe broken utf8"),
+        ("a6", b'{"name": unquoted}'),
+        ("a7", b"null"),
+    ]
+    raw = spark.createDataFrame(
+        [(v, "k", "t", mid.encode(), None, None) for (mid, v) in rows],
+        "value binary, __key string, __topic string, __messageId binary, "
+        "__publishTime timestamp, __eventTime timestamp",
+    )
+    out = {bytes.fromhex(r.message_id).decode(): r for r in to_envelope(raw).collect()}
+    assert len(out) == 7  # every message surfaced, stream-safe
+    assert not out["a1"].corrupt
+    assert out["a1"].payload.name == "ok" and out["a1"].payload.numPublishes == 3
+    for mid in ("a2", "a3", "a4", "a5", "a6", "a7"):
+        assert out[mid].corrupt, f"{mid} should be corrupt"
+        # an undecodable payload never presents decoded fields
+        p = out[mid].payload
+        assert p is None or p.name is None
+
+
+# ---------------------------------------------------------------------------
+# Watermark poisoning by hostile event times
+# ---------------------------------------------------------------------------
+
+
+def test_far_future_timestamp_poisons_watermark_without_guard(spark, tmpdir):
+    """Demonstrates the engine behavior the bounded_event_time guard exists
+    for: one year-9999 message in batch 1 advances the watermark past every
+    legitimate event, and batch 2's perfectly normal rows are dropped as
+    late — silently.  This pins the hazard so an engine-version change in
+    the semantics is noticed."""
+    src = os.path.join(tmpdir, "in")
+    out_dir = os.path.join(tmpdir, "sink")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    os.makedirs(src)
+
+    def batch(ids, ts_expr):
+        return spark.range(*ids).select(
+            F.col("id").cast("string").alias("message_id"),
+            F.concat(F.lit("k"), (F.col("id") % 3).cast("string")).alias("key"),
+            ts_expr.alias("publish_time"),
+        )
+
+    normal_ts = F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(
+        secs=F.col("id") * 60
+    )
+    batch((0, 10), normal_ts).unionByName(
+        batch((100, 101), F.lit("9999-01-01 00:00:00").cast("timestamp"))
+    ).coalesce(1).write.parquet(src, mode="append")
+
+    stream = spark.readStream.schema(
+        "message_id string, key string, publish_time timestamp"
+    ).parquet(src)
+    windowed = (
+        stream.withWatermark("publish_time", "10 minutes")
+        .groupBy(F.window("publish_time", "5 minutes").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "key", "n")
+    )
+
+    def drain():
+        q = (
+            windowed.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    # batch 2: normal rows an hour later — still years before the poisoned
+    # watermark, so the engine treats them as hopelessly late
+    batch((200, 260), normal_ts + F.expr("INTERVAL 1 HOUR")).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    drain()
+
+    got = spark.read.parquet(out_dir)
+    # the first 10 events' windows were closed by the poisoned watermark...
+    assert got.filter(F.col("ws") < "2024-01-02").agg(F.sum("n")).collect()[0][0] == 10
+    # ...and batch 2's 60 legitimate events were dropped entirely
+    assert got.agg(F.sum("n")).collect()[0][0] == 10
+
+
+def test_bounded_event_time_guard_keeps_stream_sane(spark, tmpdir):
+    """Same poisoned feed, with the guard: the year-9999 row is excluded
+    before the watermark, so every legitimate event in both batches is
+    aggregated — no silent loss."""
+    src = os.path.join(tmpdir, "in")
+    out_dir = os.path.join(tmpdir, "sink")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    os.makedirs(src)
+
+    def batch(ids, ts_expr):
+        return spark.range(*ids).select(
+            F.col("id").cast("string").alias("message_id"),
+            F.concat(F.lit("k"), (F.col("id") % 3).cast("string")).alias("key"),
+            ts_expr.alias("publish_time"),
+        )
+
+    normal_ts = F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(
+        secs=F.col("id") * 60
+    )
+    batch((0, 10), normal_ts).unionByName(
+        batch((100, 101), F.lit("9999-01-01 00:00:00").cast("timestamp"))
+    ).unionByName(
+        batch((300, 301), F.lit(None).cast("timestamp"))  # timeless event
+    ).coalesce(1).write.parquet(src, mode="append")
+
+    stream = spark.readStream.schema(
+        "message_id string, key string, publish_time timestamp"
+    ).parquet(src)
+    windowed = (
+        bounded_event_time(stream)
+        .withWatermark("publish_time", "10 minutes")
+        .groupBy(F.window("publish_time", "5 minutes").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "key", "n")
+    )
+
+    def drain():
+        q = (
+            windowed.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    batch((200, 260), normal_ts + F.expr("INTERVAL 1 HOUR")).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    drain()
+    # close the tail windows with an in-bounds heartbeat
+    batch((400, 401), F.lit("2024-01-02 00:00:00").cast("timestamp")).coalesce(
+        1
+    ).write.parquet(src, mode="append")
+    drain()
+
+    got = spark.read.parquet(out_dir)
+    # all 70 legitimate events aggregated; poisoned + timeless excluded
+    assert (
+        got.filter(F.col("ws") < "2024-01-02").agg(F.sum("n")).collect()[0][0] == 70
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full envelope pipeline, poisoned end to end
+# ---------------------------------------------------------------------------
+
+
+def test_envelope_pipeline_conserves_poisoned_backlog(spark, tmpdir):
+    """source → processor → router over a backlog where every poison class
+    appears at once (NULL key/seq/attempt/status/publish_time + a processor
+    that cannot decide some rows): the pipeline neither fails nor loses a
+    message — sink + retry + DLQ account for every seeded envelope."""
+    src = os.path.join(tmpdir, "src")
+    rows = [
+        ("p1", "k1", 1, 1),
+        ("p2", None, None, None),
+        ("p3", "k1", None, 1),
+        ("p4", None, 2, 2),
+        ("p5", "k2", 2, 5),  # fails (seq 2) at its last allowed attempt
+        ("p6", "k2", 2, 1),
+    ]
+    _envelopes(spark, rows).coalesce(1).write.parquet(src)
+
+    def flaky(pdf: pd.DataFrame) -> pd.Series:
+        # undecided wherever the key is missing; fail seq 2; ack the rest
+        s = pd.Series(True, index=pdf.index, dtype="object")
+        s[pdf["key"].isna()] = None
+        s[pdf["seq"] == 2] = False
+        return s
+
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+        redelivery_delay_s=0,
+        max_attempts=5,
+    )
+    q = (
+        router.attach(
+            apply_processor(envelope_file_stream(spark, src), flaky),
+            os.path.join(tmpdir, "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    sink = spark.read.parquet(router.sink_path)
+    retry = spark.read.parquet(router.retry_path)
+    dlq = spark.read.parquet(router.dlq_path)
+    assert sink.count() + retry.count() + dlq.count() == len(rows)
+    assert {r.message_id for r in sink.collect()} == {"p1", "p3"}
+    assert {r.message_id for r in dlq.collect()} == {"p5"}  # attempt 5 == max
+    assert {r.message_id for r in retry.collect()} == {"p2", "p4", "p6"}
