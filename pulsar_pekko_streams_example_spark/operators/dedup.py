@@ -264,7 +264,7 @@ def simhash_near_pairs(
     the property that makes simhash dedup linear-ish at 100 TB.
     """
     assert max_hamming < 4, "4-band exactness requires max_hamming <= 3"
-    fps = fingerprints if fingerprints is not None else doc_fingerprints(docs)
+    fps = fingerprints if fingerprints is not None else doc_simhashes(docs)
     sims = fps.select("doc_id", "simhash")
     bands = sims.select(
         "doc_id",
@@ -321,7 +321,7 @@ def simhash_hamming_histogram(
     aggregate-before-expand shape that keeps this O(1)-ish at 100 TB.
     """
     assert max_hamming < 4, "4-band exactness requires max_hamming <= 3"
-    fps = fingerprints if fingerprints is not None else doc_fingerprints(docs)
+    fps = fingerprints if fingerprints is not None else doc_simhashes(docs)
     vals = fps.groupBy("simhash").agg(F.count(F.lit(1)).alias("cnt"))
     bands = vals.select(
         "simhash",
@@ -373,18 +373,13 @@ def simhash_hamming_histogram(
     )
 
 
-def doc_fingerprints(docs: DataFrame) -> DataFrame:
-    """(doc_id, simhash, fingerprint): 16-bit frequency-weighted SimHash over
-    word hashes + full-text polynomial rolling-hash fingerprint.
+def doc_simhashes(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash): 16-bit frequency-weighted SimHash over word hashes.
 
-    Exactly ONE row per doc_id, even when the corpus carries several physical
-    rows for the same id (a certainty when 100 TB of shards merge): the token
-    votes already merge across duplicates (groupBy doc_id), and the full-text
-    fingerprint aggregates as MIN over the id's rows — both join inputs are
-    per-doc_id aggregates, so the join can never fan out.  MIN is the
-    documented tie-break for a lying identity column: deterministic, engine-
-    portable (NULL-ignoring in both Spark and DuckDB), and the identity map
-    on the well-formed corpora where doc_id is unique."""
+    One row per doc_id by construction (the vote aggregation groups on it) —
+    the simhash-only consumers (near-pair LSH, hamming histogram) use this
+    directly and skip the full-text fingerprint hash + join that
+    ``doc_fingerprints`` adds for its richer output."""
     words = tokenized(docs).select("doc_id", F.explode("w").alias("t"))
     # fold-hash each distinct token once; instances join the (tiny) map
     token_hashes = (
@@ -401,7 +396,24 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
     simhash_expr = " + ".join(
         f"(CASE WHEN s{j} > 0 THEN {2**j} ELSE 0 END)" for j in range(H.SIMHASH_BITS)
     )
-    sim = votes.select("doc_id", F.expr(f"CAST({simhash_expr} AS LONG)").alias("simhash"))
+    return votes.select(
+        "doc_id", F.expr(f"CAST({simhash_expr} AS LONG)").alias("simhash")
+    )
+
+
+def doc_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, simhash, fingerprint): 16-bit frequency-weighted SimHash over
+    word hashes + full-text polynomial rolling-hash fingerprint.
+
+    Exactly ONE row per doc_id, even when the corpus carries several physical
+    rows for the same id (a certainty when 100 TB of shards merge): the token
+    votes already merge across duplicates (groupBy doc_id), and the full-text
+    fingerprint aggregates as MIN over the id's rows — both join inputs are
+    per-doc_id aggregates, so the join can never fan out.  MIN is the
+    documented tie-break for a lying identity column: deterministic, engine-
+    portable (NULL-ignoring in both Spark and DuckDB), and the identity map
+    on the well-formed corpora where doc_id is unique."""
+    sim = doc_simhashes(docs)
     fp = (
         docs.select("doc_id", F.expr(H.word_hash("text", "spark")).alias("fingerprint"))
         .groupBy("doc_id")

@@ -417,11 +417,11 @@ def _duck_simhash_pairs_sql(max_hamming: int) -> str:
 )
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
-    # doc_fingerprints guarantees one row per doc_id (the fingerprint side
-    # aggregates per id), so the value histogram's counts match the oracle's
-    # per-doc_id sims even on corpora with duplicated ids
-    fps = dedup.doc_fingerprints(docs).select("doc_id", "simhash")
-    return dedup.simhash_hamming_histogram(None, max_hamming=3, fingerprints=fps)
+    # doc_simhashes is one row per doc_id by construction (the vote agg
+    # groups on it), so the value histogram's counts match the oracle's
+    # per-doc_id sims even on corpora with duplicated ids — and the unused
+    # full-text fingerprint hash + join never enters the plan
+    return dedup.simhash_hamming_histogram(docs, max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

@@ -562,12 +562,15 @@ def test_tws_processor_logic_matches_process_key():
         def update(self, v):
             self._v = v
 
-    # three micro-batches for one key: normal progress, a gap (seq 5 before
-    # 4 never arrives), and a redelivery of seq 1 alongside new seq 6
+    # four micro-batches for one key: normal progress, a gap (seq 5 before
+    # 4 never arrives), a redelivery of seq 1 alongside new seq 6, and a
+    # positionless (NULL-seq) message next to normal progress — both
+    # variants must handle the NaN identically (round-8 hostile contract)
     batches = [
         [("m0", 0, 1), ("m1", 1, 1), ("m2", 2, 1)],
         [("m5", 5, 1), ("m3", 3, 1)],
         [("m1b", 1, 2), ("m6", 6, 1)],
+        [("m-null", None, 1), ("m7", 7, 1)],
     ]
 
     proc = OS.OrderedKeyProcessor()
@@ -591,6 +594,10 @@ def test_tws_processor_logic_matches_process_key():
     assert tws["is_redelivery"].sum() == 1
     assert not tws["in_order"].all()
     assert list(tws["processing_index"]) == list(range(len(tws)))
+    # the positionless row was processed without advancing the cursor
+    nulls = tws[tws["message_id"] == "m-null"]
+    assert len(nulls) == 1 and pd.isna(nulls["seq"].iloc[0])
+    assert not nulls["in_order"].iloc[0]
 
 
 def test_drop_duplicates_within_watermark_absorbs_redelivery(spark, tmpdir):
