@@ -67,7 +67,7 @@ class RetryRouter:
         message still gets its full retry budget instead of skipping both
         the retry and DLQ filters.  Invariant: every input row lands in
         exactly one of sink / retry / DLQ."""
-        batch = batch.persist()
+        batch = self._with_surrogate_ids(batch).persist()
         try:
             ok = F.coalesce(F.col("ok"), F.lit(False))
             att = F.coalesce(F.col("attempt"), F.lit(1))
@@ -88,6 +88,39 @@ class RetryRouter:
                 self._write(dlq, self.dlq_path, batch_id)
         finally:
             batch.unpersist()
+
+    # columns whose values change across delivery attempts of the SAME
+    # message — excluded from the anonymous-message surrogate id below
+    _MUTABLE = ("message_id", "attempt", "available_at", "ok", "error", "_batch_id")
+
+    def _with_surrogate_ids(self, batch: DataFrame) -> DataFrame:
+        """Give NULL-``message_id`` rows a deterministic content-derived id.
+
+        Message identity is load-bearing for the delivery ledger: the retry
+        frontier windows on it and the DLQ exclusion anti-joins on it.  With
+        NULL ids, every anonymous message falls into ONE window partition —
+        only one of them would ever be redelivered, and its stale attempts
+        could never be superseded (NULL never equi-joins the DLQ), so the
+        survivor loops forever.  A surrogate hashed from the attempt-stable
+        columns restores the lifecycle: distinct-content anonymous messages
+        retry and terminate independently, identical-content ones coalesce
+        (they are genuinely indistinguishable, and at-least-once delivery of
+        the content still holds).  Deterministic, so redeliveries of the
+        same anonymous message map to the same surrogate."""
+        if "message_id" not in batch.columns:
+            return batch
+        stable = sorted(c for c in batch.columns if c not in self._MUTABLE)
+        content = (
+            F.to_json(F.struct(*[F.col(c) for c in stable]))
+            if stable
+            # no attempt-stable columns at all: nothing distinguishes the
+            # anonymous messages — one shared surrogate is the honest answer
+            else F.lit("")
+        )
+        surrogate = F.concat(F.lit("anon-"), F.sha2(content, 256))
+        return batch.withColumn(
+            "message_id", F.coalesce(F.col("message_id"), surrogate)
+        )
 
     def due_retries(self, spark: SparkSession, as_of=None) -> DataFrame:
         """Re-ingestion scan: rows whose redelivery delay has elapsed.

@@ -243,6 +243,48 @@ def test_retry_router_null_ok_eventually_reaches_dlq(spark, tmpdir):
     assert router.due_retries(spark, as_of="2100-01-01 00:00:00").count() == 0
 
 
+def test_retry_router_null_message_id_gets_stable_surrogate(spark, tmpdir):
+    """Message identity is load-bearing for the retry frontier (window on
+    message_id) and the DLQ exclusion (anti-join on message_id).  Two
+    DISTINCT anonymous failures must retry and terminate independently —
+    without the content-derived surrogate they collapse into one window
+    partition (only one ever redelivered) and NULL never equi-joins the
+    DLQ (the survivor loops forever)."""
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+        redelivery_delay_s=0,
+        max_attempts=2,
+    )
+    batch = spark.createDataFrame(
+        [(None, "payload-A", 1, False), (None, "payload-B", 1, False)],
+        "message_id string, body string, attempt long, ok boolean",
+    )
+    router.route_batch(batch, batch_id=1)
+
+    due = router.due_retries(spark, as_of="2100-01-01 00:00:00")
+    rows = due.collect()
+    # BOTH anonymous messages are in the frontier, under distinct surrogates
+    assert len(rows) == 2
+    assert {r.body for r in rows} == {"payload-A", "payload-B"}
+    assert all(r.message_id and r.message_id.startswith("anon-") for r in rows)
+    assert len({r.message_id for r in rows}) == 2
+
+    # redelivery of the same anonymous content maps to the SAME surrogate,
+    # so the lifecycle terminates: second failure reaches the DLQ and the
+    # frontier drains to empty
+    router.route_batch(
+        due.drop("available_at", "_batch_id").withColumn(
+            "message_id", F.lit(None).cast("string")  # still anonymous on the wire
+        ).withColumn("ok", F.lit(False)),
+        batch_id=2,
+    )
+    dlq = spark.read.parquet(router.dlq_path)
+    assert dlq.count() == 2 and {r.body for r in dlq.collect()} == {"payload-A", "payload-B"}
+    assert router.due_retries(spark, as_of="2100-01-01 00:00:00").count() == 0
+
+
 # ---------------------------------------------------------------------------
 # T1/T4 processor verdicts under poison
 # ---------------------------------------------------------------------------

@@ -14,6 +14,12 @@ Any ERR/MISMATCH it prints is a finding: fix the contract in BOTH engines,
 then pin the query on that corpus in tests/test_degenerate_parity.py.
 The pinned subset there is the regression net; this sweep is the probe that
 feeds it.
+
+The STREAMING layer has no oracle to sweep against; its hostile-input
+contract (NULL seq/key/verdict, corrupt payload bytes, watermark-poisoning
+timestamps) lives as scenario pins in tests/test_streaming_hostile.py —
+run `pytest tests/test_streaming_hostile.py` as the streaming-mode
+equivalent of this sweep.
 """
 
 from __future__ import annotations
