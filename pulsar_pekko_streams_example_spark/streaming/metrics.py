@@ -25,12 +25,20 @@ OBSERVATION_NAME = "engine_metrics"
 
 def with_engine_metrics(df: DataFrame, name: str = OBSERVATION_NAME) -> DataFrame:
     """Attach the SingleStreamCollector counter set to any DataFrame carrying
-    an ``ok`` column: processed / successes / failures per batch."""
+    an ``ok`` column: processed / successes / failures per batch.
+
+    NULL verdicts count as failures (same contract as RetryRouter's routing:
+    a processor that never decided did not succeed) — a bare
+    ``count(when(ok))`` + ``count(when(~ok))`` pair would count a NULL-ok
+    row in ``processed`` but in NEITHER outcome, so the books would not
+    balance (round-8 streaming sweep).  Invariant: successes + failures ==
+    processed, every batch."""
+    ok = F.coalesce(F.col("ok"), F.lit(False))
     return df.observe(
         name,
         F.count(F.lit(1)).alias("processed"),
-        F.count(F.when(F.col("ok"), 1)).alias("successes"),
-        F.count(F.when(~F.col("ok"), 1)).alias("failures"),
+        F.count(F.when(ok, 1)).alias("successes"),
+        F.count(F.when(~ok, 1)).alias("failures"),
     )
 
 

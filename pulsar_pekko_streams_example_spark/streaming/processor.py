@@ -93,5 +93,9 @@ def simulated_processor(failure_mod: int = 10) -> Callable[[pd.DataFrame], pd.Se
 
 def route_outcomes(df: DataFrame) -> tuple[DataFrame, DataFrame]:
     """T2 ack/nack routing (part2/PekkoStreamGenerator.scala:57-89):
-    split processed rows into (ack_df, nack_df)."""
-    return df.filter(F.col("ok")), df.filter(~F.col("ok"))
+    split processed rows into (ack_df, nack_df).
+
+    NULL verdicts route to nack (no row may vanish between the branches
+    under three-valued logic — same contract as RetryRouter.route_batch)."""
+    ok = F.coalesce(F.col("ok"), F.lit(False))
+    return df.filter(ok), df.filter(~ok)

@@ -342,6 +342,61 @@ def test_apply_processor_misaligned_verdicts_fail_safe(spark):
     assert all(r.error for r in rows)
 
 
+def test_engine_metrics_balance_with_null_verdicts(spark, tmpdir):
+    """G4 accounting under poison: successes + failures must equal processed
+    even when verdicts are NULL — pre-fix, NULL-ok rows counted in processed
+    but in neither outcome, so the books didn't balance and the metrics
+    disagreed with the router's NULL-is-failure contract.  Driven through
+    the real observe() + StreamingQueryListener path."""
+    import time
+
+    from pulsar_pekko_streams_example_spark.streaming import metrics as M
+
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("a", True), ("b", False), ("c", None), ("d", None)],
+        "message_id string, ok boolean",
+    ).coalesce(1).write.parquet(os.path.join(src, "f0"))
+
+    listener = M.install(spark)
+    try:
+        stream = spark.readStream.schema("message_id string, ok boolean").parquet(
+            src + "/*"
+        )
+        q = (
+            M.with_engine_metrics(stream)
+            .writeStream.format("noop")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        deadline = time.time() + 30
+        while time.time() < deadline and listener.totals()["batches"] < 1:
+            time.sleep(0.5)
+        totals = listener.totals()
+        assert totals["processed"] == 4
+        assert totals["successes"] == 1
+        assert totals["failures"] == 3  # the two NULL verdicts count here
+        assert totals["successes"] + totals["failures"] == totals["processed"]
+    finally:
+        M.uninstall(spark, listener)
+
+
+def test_route_outcomes_null_verdict_is_nack(spark):
+    """T2 split conservation: ack ∪ nack must cover every processed row;
+    NULL verdicts go to nack (pre-fix they vanished from both branches)."""
+    from pulsar_pekko_streams_example_spark.streaming.processor import route_outcomes
+
+    df = spark.createDataFrame(
+        [("a", True), ("b", False), ("c", None)], "message_id string, ok boolean"
+    )
+    acks, nacks = route_outcomes(df)
+    assert {r.message_id for r in acks.collect()} == {"a"}
+    assert {r.message_id for r in nacks.collect()} == {"b", "c"}
+
+
 # ---------------------------------------------------------------------------
 # S1 payload decode under poison
 # ---------------------------------------------------------------------------

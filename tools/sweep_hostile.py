@@ -57,15 +57,24 @@ FIXTURES = [
 
 
 class _FakeTmp:
-    """Minimal stand-in for pytest's tmp_path_factory."""
+    """Minimal stand-in for pytest's tmp_path_factory.
+
+    Fixture dirs are wiped before reuse: the base survives across sweep runs
+    (it is a fixed /tmp path), and a leftover corpus from a previous run made
+    the fixtures' copytree abort with FileExistsError — worse, a pipeline
+    like ``sweep | grep | tail`` reports the TAIL's exit code, so the crash
+    looked like a clean empty run (round-8 finding)."""
 
     def __init__(self, base: str) -> None:
         self.base = pathlib.Path(base)
         self.n = 0
 
     def mktemp(self, name: str) -> pathlib.Path:
+        import shutil
+
         self.n += 1
         p = self.base / f"{name}_{self.n}"
+        shutil.rmtree(p, ignore_errors=True)
         p.mkdir(parents=True, exist_ok=True)
         return p
 
