@@ -316,6 +316,33 @@ def main() -> None:
     # capture still parses a complete JSON object with the headline value.
     print(json.dumps(summary))
 
+    # Committed full-detail artifact (round-8 verdict ask #3): the driver's
+    # tail-capture of stdout truncates the per-query mix map (~58/176 walls
+    # survived in BENCH_r08.json), so round-over-round per-query comparison
+    # needs a file the truncation can't touch.  Written only for full-registry
+    # runs at the driver's per-round SF (0.1) so a local sf0.001 iteration
+    # never clobbers the judgeable numbers; SPARK_GRAFT_BENCH_DETAIL=0
+    # disables, =<path> overrides the destination.
+    detail_env = os.environ.get("SPARK_GRAFT_BENCH_DETAIL", "")
+    if detail_env != "0" and (
+        detail_env or (summary["sf"] == 0.1 and len(timings) == len(queries))
+    ):
+        import glob
+        import re
+
+        repo = os.path.dirname(os.path.abspath(__file__))
+        rounds = [
+            int(m.group(1))
+            for f in glob.glob(os.path.join(repo, "CORRECTNESS_r*.json"))
+            if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", f))
+        ]
+        path = detail_env or os.path.join(
+            repo, f"BENCH_DETAIL_r{max(rounds, default=0) + 1:02d}.json"
+        )
+        with open(path, "w") as fh:
+            json.dump({**summary, "queries": timings}, fh, indent=1, sort_keys=True)
+            fh.write("\n")
+
 
 if __name__ == "__main__":
     main()

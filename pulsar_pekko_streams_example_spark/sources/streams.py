@@ -72,6 +72,44 @@ def bounded_event_time(
     )
 
 
+#: Default event-time validity window for ``watermarked``.  Wide enough that
+#: no legitimate workload hits it, narrow enough that a corrupted epoch
+#: (year-9999 clock skew, a hostile producer) cannot drag the watermark past
+#: the live stream.
+DEFAULT_EVENT_TIME_BOUNDS: tuple[str, str] = ("2000-01-01", "2100-01-01")
+
+
+def watermarked(
+    df: DataFrame,
+    delay: str,
+    ts_col: str = "publish_time",
+    bounds: tuple[str, str] | None = DEFAULT_EVENT_TIME_BOUNDS,
+) -> DataFrame:
+    """The library's watermark entry point: bounded event time BY DEFAULT.
+
+    ``df.withWatermark(ts, delay)`` alone is unsafe against hostile input —
+    the watermark advances to ``max(event_time) - delay``, so a single
+    far-future timestamp silently drops every subsequent legitimate event as
+    late (total loss, pinned by
+    ``tests/test_streaming_hostile.py::test_far_future_timestamp_poisons_watermark_without_guard``).
+    This helper composes :func:`bounded_event_time` with ``withWatermark`` so
+    the default path is guarded; the guard also drops NULL event times (an
+    event with no timestamp belongs to no window — same contract the batch
+    window oracles pin).
+
+    Opt-out: pass ``bounds=None`` for a bare ``withWatermark`` (only when the
+    producer is trusted AND rejects must be audited upstream instead).
+
+    Reference semantics at stake: arrival-time fidelity of the envelope
+    stream (``part1/PulsarPekkoSource.scala:44-131`` delivers every received
+    message downstream; a watermark that jumps a century violates that).
+    """
+    if bounds is not None:
+        lo, hi = bounds
+        df = bounded_event_time(df, ts_col=ts_col, lo=lo, hi=hi)
+    return df.withWatermark(ts_col, delay)
+
+
 def rate_stream(spark: SparkSession, rows_per_second: int = 10) -> DataFrame:
     """Synthetic keyed source (for lifecycle tests): rate source mapped onto
     the envelope shape."""

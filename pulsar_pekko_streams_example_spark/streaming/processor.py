@@ -58,13 +58,32 @@ def apply_processor(
             if not len(pdf):
                 continue
             try:
+                result = fn(pdf)
+                # Fail CLOSED on malformed returns: pd.Series(scalar, index)
+                # broadcasts, so a buggy processor returning a bare truthy
+                # scalar (True, a non-empty string) would silently ACK the
+                # whole batch.  One verdict per row or the batch is a
+                # ProcessFailure — same contract as the wrong-length case.
+                n = (
+                    len(result)
+                    if hasattr(result, "__len__")
+                    and not isinstance(result, (str, bytes))
+                    else None
+                )
+                if n != len(pdf):
+                    raise TypeError(
+                        "processor must return one verdict per row: got "
+                        f"{type(result).__name__}"
+                        f"{'' if n is None else f' of length {n}'} "
+                        f"for a batch of {len(pdf)} rows"
+                    )
                 # Align the verdicts to the batch index: a processor that
-                # returns a misaligned/shorter Series leaves NaN gaps, and a
+                # returns a misaligned Series leaves NaN gaps, and a
                 # NaN verdict under a bare astype(bool) silently ACKS the
                 # message (NaN is truthy).  No-verdict is a failure — the
                 # reference turns every non-answer into ProcessFailure
                 # (round-8 streaming sweep finding).
-                ok = pd.Series(fn(pdf), index=pdf.index)
+                ok = pd.Series(result, index=pdf.index)
                 missing = ok.isna()
                 pdf = pdf.assign(
                     ok=ok.fillna(False).astype(bool), error=None

@@ -106,7 +106,17 @@ class RetryRouter:
         retry and terminate independently, identical-content ones coalesce
         (they are genuinely indistinguishable, and at-least-once delivery of
         the content still holds).  Deterministic, so redeliveries of the
-        same anonymous message map to the same surrogate."""
+        same anonymous message map to the same surrogate.
+
+        Multiplicity caveat (driver ADVICE r8): N byte-identical anonymous
+        failures coalesce onto ONE surrogate, so the retry frontier
+        redelivers one of them — callers whose duplicates are
+        meaning-bearing must carry a broker-side unique field in the
+        envelope (raw ``__messageId`` bytes, or publish_time + partition
+        offset).  Any such column participates automatically: the surrogate
+        hashes EVERY attempt-stable column present in the batch (everything
+        outside ``_MUTABLE``), so distinct broker identities yield distinct
+        surrogates with no configuration."""
         if "message_id" not in batch.columns:
             return batch
         stable = sorted(c for c in batch.columns if c not in self._MUTABLE)

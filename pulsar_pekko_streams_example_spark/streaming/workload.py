@@ -28,13 +28,31 @@ from pyspark.sql.streaming import StreamingQuery
 
 @dataclass(frozen=True)
 class Workload:
-    """part4/WorkloadManagementService.scala:35-42 — equality by name only."""
+    """part4/WorkloadManagementService.scala:35-42 — equality by name only.
+
+    The name IS the identity: the registry keys on it, reconciliation diffs
+    on it, the dup-filter compares it.  A NULL/empty name would give the
+    workload no identity at all (it could never be targeted for deletion,
+    and every nameless workload would collide), so construction fails closed
+    (round-9 control-plane sweep).
+
+    Duplicate names with CONFLICTING configs in one requested set collapse
+    by equality-by-name — first inserted wins (Python set semantics, pinned
+    by test) — the same collapse the reference's case-class equality
+    produces in its Set[Workload].
+    """
 
     workload_name: str
     topic: str  # source identifier (path/topic)
     processing_parallelism: int = 5
     ack_parallelism: int = 5
     ordered: bool = False
+
+    def __post_init__(self) -> None:
+        if not isinstance(self.workload_name, str) or not self.workload_name:
+            raise ValueError(
+                f"workload_name must be a non-empty string, got {self.workload_name!r}"
+            )
 
     def __eq__(self, other: object) -> bool:
         return isinstance(other, Workload) and other.workload_name == self.workload_name
@@ -45,10 +63,17 @@ class Workload:
 
 @dataclass
 class WorkloadReport:
-    """part4/WorkloadManagementService.scala:44-50."""
+    """part4/WorkloadManagementService.scala:44-50.
+
+    ``start_errors`` / ``stop_errors`` carry the tick's per-workload
+    failures (errors-as-data): one poisoned workload must not abort the
+    rest of the reconciliation — the reference's queues run under a
+    resume supervision strategy (L10), not stop-the-world."""
 
     requested: set[Workload]
     existing: set[Workload]
+    start_errors: dict[str, str] = field(default_factory=dict)
+    stop_errors: dict[str, str] = field(default_factory=dict)
 
     @property
     def workloads_to_start(self) -> set[Workload]:
@@ -71,6 +96,7 @@ class WorkloadManager:
     spark: SparkSession
     stream_factory: StreamFactory
     registry: dict[str, StreamingQuery] = field(default_factory=dict)
+    discovery_errors: list[str] = field(default_factory=list)
     _lock: threading.Lock = field(default_factory=threading.Lock)
 
     def running(self) -> set[str]:
@@ -94,7 +120,14 @@ class WorkloadManager:
             return True
 
     def stop(self, workload_name: str, drain: bool = True) -> bool:
-        """L2 + L6 graceful shutdown: drain in-flight work, then stop."""
+        """L2 + L6 graceful shutdown: drain in-flight work, then stop.
+
+        If ``query.stop()`` itself fails, the query is RE-REGISTERED before
+        the error propagates: popping it and then losing the stop would
+        leave an ACTIVE stream no tick can ever target again (a zombie
+        consuming the topic forever, round-9 control-plane sweep).  Kept
+        registered, the next reconcile tick simply retries the delete —
+        desired-state convergence instead of a leak."""
         with self._lock:
             query = self.registry.pop(workload_name, None)
         if query is None:
@@ -104,20 +137,46 @@ class WorkloadManager:
                 query.processAllAvailable()  # complete() + drain analog
             except Exception:
                 pass
-        query.stop()  # close() analog
+        try:
+            query.stop()  # close() analog
+        except Exception:
+            with self._lock:
+                # setdefault: if a concurrent start() already took the name,
+                # the new query wins — the failed-stop one is surfaced to the
+                # caller via the raise either way
+                self.registry.setdefault(workload_name, query)
+            raise
         return True
 
     def reconcile(self, requested: set[Workload]) -> WorkloadReport:
-        """L3/L4 one discovery tick: diff desired vs running, apply both sides."""
+        """L3/L4 one discovery tick: diff desired vs running, apply both sides.
+
+        Per-workload isolation: a stream factory that raises (broker down
+        for ONE topic, a misconfigured workload) must not abort the tick —
+        pre-fix, set-iteration order decided which healthy workloads
+        silently never started.  Failures land in the report's
+        ``start_errors`` / ``stop_errors`` and the next tick retries them
+        (the failed start never registered; the failed stop stays
+        registered)."""
         with self._lock:
             existing_names = set(self.registry)
         existing = {Workload(n, "") for n in existing_names}
         report = WorkloadReport(requested=set(requested), existing=existing)
         for w in report.workloads_to_start:
-            self.start(w)
+            try:
+                self.start(w)
+            except Exception as e:
+                report.start_errors[w.workload_name] = f"{type(e).__name__}: {e}"
         for w in report.workloads_to_delete:
-            self.stop(w.workload_name)
+            try:
+                self.stop(w.workload_name)
+            except Exception as e:
+                report.stop_errors[w.workload_name] = f"{type(e).__name__}: {e}"
         return report
+
+    #: ring buffer of the most recent discovery-tick failures (L10
+    #: supervision observability: resumed, not swallowed)
+    MAX_DISCOVERY_ERRORS = 16
 
     def run_discovery_loop(
         self,
@@ -125,12 +184,24 @@ class WorkloadManager:
         interval_s: float = 5.0,
         stop_event: threading.Event | None = None,
     ) -> threading.Thread:
-        """L3 discovery tick (Source.tick 5 s analog) on a daemon thread."""
+        """L3 discovery tick (Source.tick 5 s analog) on a daemon thread.
+
+        The loop SURVIVES tick failures (a flaky ``get_requested`` config
+        store, a reconcile error): pre-fix one transient exception killed
+        the daemon thread and the control plane silently stopped converging
+        forever — the worst failure mode a reconciler can have.  Reference:
+        the discovery tick runs under a resume supervision strategy
+        (part4/WorkloadManagementService.scala:161-202 + L10).  Failures are
+        recorded on ``self.discovery_errors`` (newest last, bounded)."""
         stop_event = stop_event or threading.Event()
 
         def loop() -> None:
             while not stop_event.is_set():
-                self.reconcile(get_requested())
+                try:
+                    self.reconcile(get_requested())
+                except Exception as e:
+                    self.discovery_errors.append(f"{type(e).__name__}: {e}")
+                    del self.discovery_errors[: -self.MAX_DISCOVERY_ERRORS]
                 stop_event.wait(interval_s)
 
         t = threading.Thread(target=loop, daemon=True, name="workload-discovery")
@@ -138,7 +209,14 @@ class WorkloadManager:
         t.start()
         return t
 
-    def shutdown_all(self) -> None:
-        """L9 coordinated shutdown: drain + stop every registered query."""
+    def shutdown_all(self) -> dict[str, str]:
+        """L9 coordinated shutdown: drain + stop every registered query.
+        One failing stop must not strand the rest; failures are returned
+        (name → error) and the failed queries stay registered for a retry."""
+        errors: dict[str, str] = {}
         for name in list(self.running()):
-            self.stop(name)
+            try:
+                self.stop(name)
+            except Exception as e:
+                errors[name] = f"{type(e).__name__}: {e}"
+        return errors

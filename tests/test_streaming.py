@@ -15,6 +15,7 @@ from pulsar_pekko_streams_example_spark.envelope import attempts_ledger
 from pulsar_pekko_streams_example_spark.sources.streams import (
     envelope_file_stream,
     rate_stream,
+    watermarked,
 )
 from pulsar_pekko_streams_example_spark.streaming import (
     RetryRouter,
@@ -218,7 +219,7 @@ def test_watermark_windowed_aggregation(spark, tmpdir):
 
     stream = envelope_file_stream(spark, src)
     windowed = (
-        stream.withWatermark("publish_time", "2 minutes")
+        watermarked(stream, "2 minutes")
         .groupBy(F.window("publish_time", "5 minutes").alias("w"), F.col("key"))
         .agg(F.count(F.lit(1)).alias("n"))
         .select(F.col("w.start").alias("win_start"), "key", "n")
@@ -356,23 +357,23 @@ def test_stream_stream_interval_join(spark, tmpdir):
     base.coalesce(1).write.parquet(src, mode="append")
 
     stream = envelope_file_stream(spark, src)
-    errors = (
-        stream.filter(F.col("status") == "error")
-        .select(
+    errors = watermarked(
+        stream.filter(F.col("status") == "error").select(
             F.col("event_id").alias("err_id"),
             F.col("key").alias("err_key"),
             F.col("publish_time").alias("err_ts"),
-        )
-        .withWatermark("err_ts", "1 minute")
+        ),
+        "1 minute",
+        ts_col="err_ts",
     )
-    clicks = (
-        stream.filter(F.col("status") == "click")
-        .select(
+    clicks = watermarked(
+        stream.filter(F.col("status") == "click").select(
             F.col("event_id").alias("clk_id"),
             F.col("key").alias("clk_key"),
             F.col("publish_time").alias("clk_ts"),
-        )
-        .withWatermark("clk_ts", "1 minute")
+        ),
+        "1 minute",
+        ts_col="clk_ts",
     )
     joined = errors.join(
         clicks,
@@ -627,11 +628,9 @@ def test_drop_duplicates_within_watermark_absorbs_redelivery(spark, tmpdir):
 
     envelopes(0, 100).coalesce(1).write.parquet(src, mode="append")
 
-    deduped = (
-        envelope_file_stream(spark, src)
-        .withWatermark("publish_time", "10 minutes")
-        .dropDuplicatesWithinWatermark(["message_id"])
-    )
+    deduped = watermarked(
+        envelope_file_stream(spark, src), "10 minutes"
+    ).dropDuplicatesWithinWatermark(["message_id"])
 
     def drain():
         q = (
@@ -685,7 +684,7 @@ def test_streaming_session_window_matches_batch(spark, tmpdir):
 
     stream = spark.readStream.schema("user_id long, ts timestamp").parquet(src)
     q = (
-        sessions(stream.withWatermark("ts", "1 minute"))
+        sessions(watermarked(stream, "1 minute", ts_col="ts"))
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", ckpt)
@@ -695,12 +694,13 @@ def test_streaming_session_window_matches_batch(spark, tmpdir):
     )
     q.awaitTermination(120)
     # append mode holds back sessions the watermark hasn't closed; push a
-    # far-future heartbeat through the SAME checkpoint to close them all
+    # far-future (but in-bounds) heartbeat through the SAME checkpoint to
+    # close them all
     spark.createDataFrame(
         [(999, "2030-01-01 00:00:00")], "user_id long, ts string"
     ).select("user_id", F.col("ts").cast("timestamp").alias("ts")).coalesce(1).write.parquet(src, mode="append")
     q2 = (
-        sessions(stream.withWatermark("ts", "1 minute"))
+        sessions(watermarked(stream, "1 minute", ts_col="ts"))
         .writeStream.format("parquet")
         .option("path", out_dir)
         .option("checkpointLocation", ckpt)
@@ -742,7 +742,7 @@ def test_streaming_sliding_window_matches_batch(spark, tmpdir):
     stream = spark.readStream.schema("grp long, ts timestamp").parquet(src)
     def drain():
         q = (
-            slid(stream.withWatermark("ts", "1 minute"))
+            slid(watermarked(stream, "1 minute", ts_col="ts"))
             .writeStream.format("parquet")
             .option("path", out_dir)
             .option("checkpointLocation", ckpt)

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 from pulsar_pekko_streams_example_spark.sources.streams import (
     bounded_event_time,
     envelope_file_stream,
+    watermarked,
 )
 from pulsar_pekko_streams_example_spark.streaming import RetryRouter, apply_processor
 from pulsar_pekko_streams_example_spark.streaming.ordered_state import ordered_per_key
@@ -285,6 +286,47 @@ def test_retry_router_null_message_id_gets_stable_surrogate(spark, tmpdir):
     assert router.due_retries(spark, as_of="2100-01-01 00:00:00").count() == 0
 
 
+def test_retry_router_broker_identity_disambiguates_anonymous_dups(spark, tmpdir):
+    """Byte-identical anonymous messages coalesce onto one surrogate (the
+    documented trade-off) — but when the envelope carries ANY broker-side
+    unique field (raw __messageId bytes, a partition offset), it enters the
+    surrogate hash automatically and the duplicates retry independently.
+    Pins the ADVICE-r8 remedy: delivery multiplicity is preserved with no
+    router configuration, just a distinguishing column on the wire."""
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+        redelivery_delay_s=0,
+        max_attempts=2,
+    )
+    # identical payloads; only the broker-assigned raw id differs
+    batch = spark.createDataFrame(
+        [
+            (None, "same-payload", b"\x01\x02", 1, False),
+            (None, "same-payload", b"\x03\x04", 1, False),
+        ],
+        "message_id string, body string, __messageId binary, attempt long, ok boolean",
+    )
+    router.route_batch(batch, batch_id=1)
+    due = router.due_retries(spark, as_of="2100-01-01 00:00:00")
+    rows = due.collect()
+    assert len(rows) == 2, "broker identity must keep duplicate payloads distinct"
+    assert len({r.message_id for r in rows}) == 2
+
+    # without the broker field, the same two failures are indistinguishable
+    # and coalesce — the documented at-least-once-of-content behavior
+    router2 = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink2"),
+        retry_path=os.path.join(tmpdir, "retry2"),
+        dlq_path=os.path.join(tmpdir, "dlq2"),
+        redelivery_delay_s=0,
+        max_attempts=2,
+    )
+    router2.route_batch(batch.drop("__messageId"), batch_id=1)
+    assert router2.due_retries(spark, as_of="2100-01-01 00:00:00").count() == 1
+
+
 # ---------------------------------------------------------------------------
 # T1/T4 processor verdicts under poison
 # ---------------------------------------------------------------------------
@@ -340,6 +382,30 @@ def test_apply_processor_misaligned_verdicts_fail_safe(spark):
     assert len(rows) == 5
     assert all(not r.ok for r in rows)
     assert all(r.error for r in rows)
+
+
+def test_apply_processor_scalar_return_fails_closed(spark):
+    """A processor returning a bare scalar must fail the batch, never ack it:
+    pd.Series(scalar, index) BROADCASTS, so pre-fix a buggy processor
+    returning True (or any non-empty string) silently ACKED every row —
+    the exact opposite of the reference's every-non-answer-is-a-
+    ProcessFailure contract (driver ADVICE r8)."""
+    df = spark.range(4).coalesce(1).select(
+        F.concat(F.lit("m-"), F.col("id")).alias("message_id"),
+        F.col("id").alias("event_id"),
+    )
+
+    for scalar in (True, "ok", 1):
+        rows = apply_processor(df, lambda pdf, s=scalar: s).collect()
+        assert len(rows) == 4
+        assert all(not r.ok for r in rows), f"scalar {scalar!r} acked rows"
+        assert all(r.error and "one verdict per row" in r.error for r in rows)
+
+    # a 1-char string must not sneak through as a length-1 sequence ack
+    # either, and a length-matching STRING (4 chars for 4 rows) must not be
+    # treated as 4 per-row verdicts
+    rows = apply_processor(df, lambda pdf: "acks").collect()
+    assert all(not r.ok and "one verdict per row" in r.error for r in rows)
 
 
 def test_engine_metrics_balance_with_null_verdicts(spark, tmpdir):
@@ -566,6 +632,97 @@ def test_bounded_event_time_guard_keeps_stream_sane(spark, tmpdir):
     )
 
 
+def test_watermarked_helper_default_path_survives_poison(spark, tmpdir):
+    """The library's front-door watermark (``watermarked``, guard ON by
+    default) over the same poisoned feed the canary test uses: the
+    year-9999 row and the NULL-timestamp row are excluded before the
+    watermark, so every legitimate event in both batches aggregates — a
+    user composing ``watermarked(stream, delay)`` can no longer reach the
+    total-loss behavior pinned by
+    test_far_future_timestamp_poisons_watermark_without_guard."""
+    src = os.path.join(tmpdir, "in")
+    out_dir = os.path.join(tmpdir, "sink")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    os.makedirs(src)
+
+    def batch(ids, ts_expr):
+        return spark.range(*ids).select(
+            F.col("id").cast("string").alias("message_id"),
+            F.concat(F.lit("k"), (F.col("id") % 3).cast("string")).alias("key"),
+            ts_expr.alias("publish_time"),
+        )
+
+    normal_ts = F.lit("2024-01-01 00:00:00").cast("timestamp") + F.make_interval(
+        secs=F.col("id") * 60
+    )
+    batch((0, 10), normal_ts).unionByName(
+        batch((100, 101), F.lit("9999-01-01 00:00:00").cast("timestamp"))
+    ).unionByName(
+        batch((300, 301), F.lit(None).cast("timestamp"))
+    ).coalesce(1).write.parquet(src, mode="append")
+
+    stream = spark.readStream.schema(
+        "message_id string, key string, publish_time timestamp"
+    ).parquet(src)
+    windowed = (
+        watermarked(stream, "10 minutes")  # default bounds — the front door
+        .groupBy(F.window("publish_time", "5 minutes").alias("w"), "key")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "key", "n")
+    )
+
+    def drain():
+        q = (
+            windowed.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drain()
+    batch((200, 260), normal_ts + F.expr("INTERVAL 1 HOUR")).coalesce(1).write.parquet(
+        src, mode="append"
+    )
+    drain()
+    batch((400, 401), F.lit("2024-01-02 00:00:00").cast("timestamp")).coalesce(
+        1
+    ).write.parquet(src, mode="append")
+    drain()
+
+    got = spark.read.parquet(out_dir)
+    assert (
+        got.filter(F.col("ws") < "2024-01-02").agg(F.sum("n")).collect()[0][0] == 70
+    )
+
+
+def test_watermarked_opt_out_is_bare_watermark(spark, tmpdir):
+    """``bounds=None`` must be a genuine opt-out: no guard filter, rows with
+    hostile timestamps reach the watermark operator untouched (the caller
+    asked for engine semantics; the library must not second-guess)."""
+    src = os.path.join(tmpdir, "in")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("a", "9999-01-01 00:00:00"), ("b", None)],
+        "message_id string, ts_raw string",
+    ).select(
+        "message_id", F.col("ts_raw").cast("timestamp").alias("publish_time")
+    ).coalesce(1).write.parquet(src, mode="append")
+
+    stream = spark.readStream.schema(
+        "message_id string, publish_time timestamp"
+    ).parquet(src)
+    bare = watermarked(stream, "10 minutes", bounds=None)
+    # no filter was injected: the plan below the watermark is the raw scan
+    assert "Filter" not in bare._jdf.queryExecution().analyzed().toString().split(
+        "EventTimeWatermark"
+    )[-1]
+    guarded = watermarked(stream, "10 minutes")
+    assert "Filter" in guarded._jdf.queryExecution().analyzed().toString()
+
+
 # ---------------------------------------------------------------------------
 # Full envelope pipeline, poisoned end to end
 # ---------------------------------------------------------------------------
@@ -618,3 +775,206 @@ def test_envelope_pipeline_conserves_poisoned_backlog(spark, tmpdir):
     assert {r.message_id for r in sink.collect()} == {"p1", "p3"}
     assert {r.message_id for r in dlq.collect()} == {"p5"}  # attempt 5 == max
     assert {r.message_id for r in retry.collect()} == {"p2", "p4", "p6"}
+
+
+# ---------------------------------------------------------------------------
+# L1–L5 control plane under poison (round-9 sweep)
+# ---------------------------------------------------------------------------
+
+
+class _FakeQuery:
+    """Stand-in StreamingQuery for control-plane tests: the manager only
+    touches isActive / processAllAvailable / stop."""
+
+    def __init__(self, fail_stop: bool = False):
+        self.isActive = True
+        self.fail_stop = fail_stop
+
+    def processAllAvailable(self):
+        pass
+
+    def stop(self):
+        if self.fail_stop:
+            raise RuntimeError("broker connection lost mid-stop")
+        self.isActive = False
+
+
+def test_workload_nameless_identity_fails_closed():
+    """The name IS the identity (part4/WorkloadManagementService.scala:35-42
+    equality by name): a NULL/empty/non-string name would make the workload
+    untargetable by reconciliation (it could never be deleted) and collide
+    every nameless workload onto one registry key — construction must
+    refuse."""
+    from pulsar_pekko_streams_example_spark.streaming.workload import Workload
+
+    for bad in (None, "", 7):
+        with pytest.raises(ValueError):
+            Workload(bad, "topic")
+
+
+def test_workload_conflicting_duplicates_collapse_first_wins():
+    """Duplicate names with CONFLICTING configs in one requested set collapse
+    by equality-by-name — first inserted wins.  Pins the set semantics the
+    reconciler inherits (same collapse the reference's case-class equality
+    produces in Set[Workload], dup-filter at
+    part4/WorkloadManagementService.scala:122-124)."""
+    from pulsar_pekko_streams_example_spark.streaming.workload import Workload
+
+    a5 = Workload("a", "t", processing_parallelism=5)
+    a9 = Workload("a", "t", processing_parallelism=9)
+    assert a5 == a9 and len({a5, a9}) == 1
+    assert next(iter({a5, a9})).processing_parallelism == 5
+    assert next(iter({a9, a5})).processing_parallelism == 9
+
+
+def test_reconcile_isolates_poisoned_factory(spark):
+    """One workload whose stream factory raises (broker down for ONE topic)
+    must not abort the tick: pre-fix, set-iteration order decided which
+    HEALTHY workloads silently never started.  The failure is data on the
+    report, and the next tick retries the poisoned one."""
+    from pulsar_pekko_streams_example_spark.streaming.workload import (
+        Workload,
+        WorkloadManager,
+    )
+
+    broker_down = {"poison"}
+
+    def factory(w):
+        if w.workload_name in broker_down:
+            raise RuntimeError("no broker for topic")
+        return _FakeQuery()
+
+    mgr = WorkloadManager(spark=spark, stream_factory=factory)
+    req = {Workload("poison", "t"), Workload("good1", "t"), Workload("good2", "t")}
+    report = mgr.reconcile(req)
+    assert mgr.running() == {"good1", "good2"}
+    assert set(report.start_errors) == {"poison"}
+    assert "no broker" in report.start_errors["poison"]
+
+    # broker recovers → the SAME requested set converges on the next tick
+    broker_down.clear()
+    report = mgr.reconcile(req)
+    assert mgr.running() == {"good1", "good2", "poison"}
+    assert not report.start_errors
+
+
+def test_stop_failure_keeps_query_managed_until_it_succeeds(spark):
+    """A query whose stop() throws must STAY registered: pre-fix it was
+    popped first, leaving an ACTIVE stream no tick could ever target again
+    (a zombie consuming the topic forever).  Kept registered, reconcile
+    retries the delete each tick until the stop lands."""
+    from pulsar_pekko_streams_example_spark.streaming.workload import (
+        Workload,
+        WorkloadManager,
+    )
+
+    q = _FakeQuery(fail_stop=True)
+    mgr = WorkloadManager(spark=spark, stream_factory=lambda w: q)
+    assert mgr.start(Workload("angry", "t"))
+
+    report = mgr.reconcile(set())  # desired: gone
+    assert mgr.running() == {"angry"}, "failed stop must not unmanage the query"
+    assert "angry" in report.stop_errors and q.isActive
+
+    # shutdown_all reports instead of stranding the rest
+    errors = mgr.shutdown_all()
+    assert "angry" in errors and mgr.running() == {"angry"}
+
+    q.fail_stop = False  # broker back → the retry converges
+    report = mgr.reconcile(set())
+    assert mgr.running() == set() and not report.stop_errors and not q.isActive
+
+
+def test_discovery_loop_survives_transient_tick_failures(spark):
+    """One flaky get_requested() (config store hiccup) must not kill the
+    discovery daemon: pre-fix the thread died on the first exception and the
+    control plane silently stopped converging FOREVER — the worst failure
+    mode a reconciler can have.  The loop resumes (L10 supervision), records
+    the error, and later ticks still converge; a workload that appears and
+    vanishes between ticks is started then stopped."""
+    import threading
+    import time as _time
+
+    from pulsar_pekko_streams_example_spark.streaming.workload import (
+        Workload,
+        WorkloadManager,
+    )
+
+    mgr = WorkloadManager(spark=spark, stream_factory=lambda w: _FakeQuery())
+    ticks = []
+
+    def get_requested():
+        ticks.append(1)
+        n = len(ticks)
+        if n == 2:
+            raise RuntimeError("config store flaked")
+        if n < 4:
+            return {Workload("ephemeral", "t")}  # appears...
+        return {Workload("steady", "t")}  # ...and vanishes
+
+    ev = threading.Event()
+    t = mgr.run_discovery_loop(get_requested, interval_s=0.02, stop_event=ev)
+    deadline = _time.time() + 10
+    while _time.time() < deadline and mgr.running() != {"steady"}:
+        _time.sleep(0.05)
+    ev.set()
+    t.join(5)
+    assert mgr.running() == {"steady"}
+    assert t.is_alive() is False
+    assert any("config store flaked" in e for e in mgr.discovery_errors)
+    assert len(mgr.discovery_errors) <= mgr.MAX_DISCOVERY_ERRORS
+
+
+def test_discovery_error_ring_is_bounded(spark):
+    """A permanently failing tick must not grow driver memory without bound:
+    the error ring keeps only the newest MAX_DISCOVERY_ERRORS entries."""
+    import threading
+
+    from pulsar_pekko_streams_example_spark.streaming.workload import WorkloadManager
+
+    mgr = WorkloadManager(spark=spark, stream_factory=lambda w: _FakeQuery())
+    n = {"i": 0}
+
+    def always_fails():
+        n["i"] += 1
+        raise RuntimeError(f"tick {n['i']}")
+
+    ev = threading.Event()
+    t = mgr.run_discovery_loop(always_fails, interval_s=0.0, stop_event=ev)
+    import time as _time
+
+    deadline = _time.time() + 10
+    while _time.time() < deadline and n["i"] < 40:
+        _time.sleep(0.02)
+    ev.set()
+    t.join(5)
+    assert n["i"] >= 40
+    assert len(mgr.discovery_errors) == mgr.MAX_DISCOVERY_ERRORS
+    # newest last: the ring holds the most recent errors, not the first ones
+    assert mgr.discovery_errors[-1] == f"tick {n['i']}" or mgr.discovery_errors[
+        -1
+    ].startswith("RuntimeError")
+
+
+def test_reconcile_same_name_new_config_does_not_restart(spark):
+    """Equality-by-name across ticks: a requested workload whose name is
+    already running but whose topic/config CHANGED is NOT restarted — the
+    running query keeps its original config (reference: Set difference over
+    name-equality, part4/WorkloadManagementService.scala:44-50).  Pinned so
+    a future 'restart on config drift' feature is a deliberate change."""
+    from pulsar_pekko_streams_example_spark.streaming.workload import (
+        Workload,
+        WorkloadManager,
+    )
+
+    made = []
+
+    def factory(w):
+        made.append((w.workload_name, w.topic))
+        return _FakeQuery()
+
+    mgr = WorkloadManager(spark=spark, stream_factory=factory)
+    mgr.reconcile({Workload("w1", "topic-OLD")})
+    report = mgr.reconcile({Workload("w1", "topic-NEW")})
+    assert made == [("w1", "topic-OLD")], "config drift must not restart"
+    assert not report.workloads_to_start and not report.workloads_to_delete

@@ -159,6 +159,94 @@ def run_ordered(spark, n_messages: int, n_keys: int = 1024) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def run_windowed(spark, n_messages: int) -> dict:
+    """G1 throughput: the watermarked tumbling-window path through the
+    library's front door (``watermarked`` = bounded_event_time + watermark,
+    guard ON).  The seeded backlog carries one poisoned year-9999 envelope —
+    the measurement double-checks the guard at scale: every legitimate
+    message must land in a window (the unguarded engine would emit 0 rows
+    for everything after the poison, per the round-8 canary test)."""
+    from pyspark.sql import functions as F
+
+    from examples._common import seed_messages
+    from pulsar_pekko_streams_example_spark.sources.streams import (
+        envelope_file_stream,
+        watermarked,
+    )
+
+    base = tempfile.mkdtemp(prefix="spark-graft-stream-bench-win-")
+    try:
+        src = os.path.join(base, "backlog")
+        poison = seed_messages(spark, 1).select(
+            F.lit("poison").alias("message_id"),
+            F.lit(-1).cast("long").alias("event_id"),
+            "topic",
+            "key",
+            "seq",
+            "attempt",
+            "status",
+            F.lit("9999-01-01 00:00:00").cast("timestamp").alias("publish_time"),
+        )
+        seed_messages(spark, n_messages, keys=64).unionByName(poison).repartition(
+            SEED_FILES
+        ).write.mode("overwrite").parquet(src)
+        sink = os.path.join(base, "windows")
+
+        stream = envelope_file_stream(spark, src)
+        windowed = (
+            watermarked(stream, "10 minutes")
+            .groupBy(F.window("publish_time", "1 minute").alias("w"), "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("w.start").alias("win_start"), "key", "n")
+        )
+        t0 = time.perf_counter()
+        q = (
+            windowed.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # one in-bounds heartbeat batch closes the tail windows
+        seed_messages(spark, 1).select(
+            F.lit("heartbeat").alias("message_id"),
+            F.lit(-2).cast("long").alias("event_id"),
+            "topic",
+            "key",
+            "seq",
+            "attempt",
+            "status",
+            F.lit("2024-06-01 00:00:00").cast("timestamp").alias("publish_time"),
+        ).coalesce(1).write.mode("append").parquet(src)
+        q2 = (
+            windowed.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", os.path.join(base, "ckpt"))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q2.awaitTermination()
+        wall = time.perf_counter() - t0
+
+        out = spark.read.parquet(sink)
+        n_windowed = out.agg(F.sum("n")).collect()[0][0]
+        # every legitimate message windowed; poison excluded by the guard
+        assert n_windowed == n_messages, (n_windowed, n_messages)
+        return {
+            "metric": "streaming_windowed_msgs_per_sec",
+            "value": round(n_messages / wall, 1),
+            "unit": "msg/s",
+            "messages": n_messages,
+            "wall_sec": round(wall, 2),
+            "poisoned_rows_excluded": 1,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     from pulsar_pekko_streams_example_spark.session import get_spark
 
@@ -166,6 +254,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     print(json.dumps(run(spark, N_MESSAGES)))
     print(json.dumps(run_ordered(spark, N_MESSAGES)))
+    print(json.dumps(run_windowed(spark, N_MESSAGES)))
 
 
 if __name__ == "__main__":
