@@ -18,8 +18,17 @@ from pyspark.sql import functions as F
 
 def republish(df: DataFrame) -> DataFrame:
     """The producer republish transform: hop counter + 1
-    (util/PulsarClientSetup.scala:17)."""
-    return df.withColumn("attempt", F.col("attempt") + 1)
+    (util/PulsarClientSetup.scala:17).
+
+    NULL hop counters coalesce to 1 before the increment: the reference's
+    counter is a non-nullable Int so the case can't arise there, but our
+    envelope admits NULLs, and NULL+1=NULL would freeze the counter at
+    NULL across every republish — the hop ledger (hop_monotonic) and the
+    retry budget would never see those messages age.  Same
+    NULL-attempt-is-first-attempt contract as RetryRouter.route_batch."""
+    return df.withColumn(
+        "attempt", F.coalesce(F.col("attempt"), F.lit(1)) + F.lit(1)
+    )
 
 
 def write_partitioned(

@@ -48,6 +48,7 @@ class MetricsListener(StreamingQueryListener):
     analog; swap the list for a metrics backend in production)."""
 
     rows: list = field(default_factory=list)
+    malformed: list = field(default_factory=list)
     _lock: threading.Lock = field(default_factory=threading.Lock)
 
     def onQueryStarted(self, event) -> None:  # noqa: N802
@@ -57,15 +58,27 @@ class MetricsListener(StreamingQueryListener):
         observed = event.progress.observedMetrics or {}
         m = observed.get(OBSERVATION_NAME)
         if m is not None:
+            # Defensive read: a FOREIGN observation that reuses our name but
+            # not our columns must not raise here — listener exceptions are
+            # swallowed by the event bus, so a KeyError would silently drop
+            # the batch's row from the ledger and the books would stop
+            # balancing with no error anywhere.  Malformed rows are recorded
+            # (errors-as-data) so totals() can surface them.
+            try:
+                row = {
+                    "batch_id": event.progress.batchId,
+                    "processed": m["processed"],
+                    "successes": m["successes"],
+                    "failures": m["failures"],
+                }
+            except Exception:
+                with self._lock:
+                    self.malformed.append(
+                        {"batch_id": event.progress.batchId, "observed": repr(m)}
+                    )
+                return
             with self._lock:
-                self.rows.append(
-                    {
-                        "batch_id": event.progress.batchId,
-                        "processed": m["processed"],
-                        "successes": m["successes"],
-                        "failures": m["failures"],
-                    }
-                )
+                self.rows.append(row)
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
@@ -80,6 +93,7 @@ class MetricsListener(StreamingQueryListener):
                 "successes": sum(r["successes"] for r in self.rows),
                 "failures": sum(r["failures"] for r in self.rows),
                 "batches": len(self.rows),
+                "malformed_batches": len(self.malformed),
             }
 
 

@@ -24,6 +24,7 @@ per-stream read limits.
 
 from __future__ import annotations
 
+import atexit
 import os
 import tempfile
 from dataclasses import dataclass
@@ -61,6 +62,9 @@ def fair_scheduler_confs(config: PermitConfig) -> dict[str, str]:
     )
     xml.write(FAIR_SCHEDULER_XML)
     xml.close()
+    # the JVM reads the file once at session build; reclaim it at interpreter
+    # exit so repeated session builds don't accrete temp files
+    atexit.register(lambda p=xml.name: os.path.exists(p) and os.unlink(p))
     return {
         "spark.scheduler.mode": "FAIR",
         "spark.scheduler.allocation.file": xml.name,

@@ -801,3 +801,68 @@ def test_connected_components_matches_union_find(spark, pairs):
             parent[max(ra, rb)] = min(ra, rb)
     want = {(n, find(n)) for n in parent}
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Control-plane convergence (round-9 sweep): for ANY interleaving of desired
+# sets with factory/stop failure injection, reconciliation never raises, the
+# registry only ever holds workloads that were desired at their start tick
+# (or are awaiting a stop retry), and one clean tick converges exactly.
+# ---------------------------------------------------------------------------
+
+tick_plan = st.lists(
+    st.tuples(
+        st.sets(st.sampled_from(["a", "b", "c", "d"]), max_size=4),  # desired
+        st.sets(st.sampled_from(["a", "b", "c", "d"]), max_size=2),  # start fails
+        st.sets(st.sampled_from(["a", "b", "c", "d"]), max_size=2),  # stop fails
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=list(HealthCheck))
+@given(plan=tick_plan, final=st.sets(st.sampled_from(["a", "b", "c", "d"]), max_size=4))
+def test_workload_reconciliation_converges(spark, plan, final):
+    from pulsar_pekko_streams_example_spark.streaming.workload import (
+        Workload,
+        WorkloadManager,
+    )
+
+    fail_start: set = set()
+    fail_stop: set = set()
+
+    class Q:
+        def __init__(self, name):
+            self.name = name
+            self.isActive = True
+
+        def processAllAvailable(self):
+            pass
+
+        def stop(self):
+            if self.name in fail_stop:
+                raise RuntimeError("stop refused")
+            self.isActive = False
+
+    def factory(w):
+        if w.workload_name in fail_start:
+            raise RuntimeError("start refused")
+        return Q(w.workload_name)
+
+    mgr = WorkloadManager(spark=spark, stream_factory=factory)
+    desired_union: set = set()
+    for desired, bad_start, bad_stop in plan:
+        fail_start, fail_stop = set(bad_start), set(bad_stop)
+        desired_union |= desired
+        report = mgr.reconcile({Workload(n, "t") for n in desired})
+        # errors are data, never exceptions; the registry never invents names
+        assert set(report.start_errors) <= desired
+        assert mgr.running() <= desired_union
+        # every non-failing desired workload is running after its tick
+        assert desired - fail_start <= mgr.running() | set(report.start_errors)
+
+    # failures clear → ONE clean tick converges exactly to the final set
+    fail_start, fail_stop = set(), set()
+    mgr.reconcile({Workload(n, "t") for n in final})
+    assert mgr.running() == final

@@ -59,3 +59,19 @@ def test_republish_increments_hop(spark, tmpdir):
     msgs = seed_messages(spark, 20)
     out = republish(msgs)
     assert out.agg(F.min("attempt"), F.max("attempt")).collect()[0] == (2, 2)
+
+
+def test_republish_null_hop_counter_ages(spark):
+    """A NULL hop counter must still age on republish: NULL+1=NULL would
+    freeze the counter forever, so the hop ledger and the retry budget
+    would never see those messages make progress.  NULL coalesces to 1
+    (first attempt) before the increment — the same contract
+    RetryRouter.route_batch applies to NULL attempts."""
+    msgs = spark.createDataFrame(
+        [("m1", None), ("m2", 3)], "message_id string, attempt long"
+    )
+    got = {r.message_id: r.attempt for r in republish(msgs).collect()}
+    assert got == {"m1": 2, "m2": 4}
+    # and it keeps aging on the next hop
+    got2 = {r.message_id: r.attempt for r in republish(republish(msgs)).collect()}
+    assert got2 == {"m1": 3, "m2": 5}

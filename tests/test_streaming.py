@@ -844,3 +844,22 @@ def test_streaming_ordered_bench_pipeline(spark):
     result = mod.run_ordered(spark, n_messages=2000, n_keys=16)
     assert result["messages"] == 2000
     assert result["value"] > 0
+
+
+def test_streaming_windowed_bench_pipeline(spark):
+    """run_windowed smoke: the watermarked (guarded-by-default) window path
+    must account for every legitimate message while excluding the seeded
+    year-9999 poison row — the bench doubles as a scale check of the
+    watermarked() front door."""
+    import importlib.util
+    import pathlib
+
+    path = pathlib.Path(__file__).resolve().parents[1] / "tools" / "bench_streaming.py"
+    spec = importlib.util.spec_from_file_location("bench_streaming_win", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    result = mod.run_windowed(spark, n_messages=2000)
+    assert result["messages"] == 2000
+    assert result["poisoned_rows_excluded"] == 1
+    assert result["value"] > 0

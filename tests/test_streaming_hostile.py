@@ -777,6 +777,39 @@ def test_envelope_pipeline_conserves_poisoned_backlog(spark, tmpdir):
     assert {r.message_id for r in retry.collect()} == {"p2", "p4", "p6"}
 
 
+def test_metrics_listener_survives_foreign_observation():
+    """A foreign observation that reuses the engine_metrics name but not its
+    columns must not raise inside the listener: the event bus swallows
+    listener exceptions, so a KeyError would silently drop the batch's row
+    from the ledger — the books would stop balancing with no error
+    anywhere.  Malformed observations are recorded as data instead."""
+    from types import SimpleNamespace
+
+    from pulsar_pekko_streams_example_spark.streaming.metrics import MetricsListener
+
+    listener = MetricsListener()
+
+    def progress_event(batch_id, observed):
+        return SimpleNamespace(
+            progress=SimpleNamespace(batchId=batch_id, observedMetrics=observed)
+        )
+
+    listener.onQueryProgress(
+        progress_event(0, {"engine_metrics": {"rows_seen": 9}})  # foreign shape
+    )
+    listener.onQueryProgress(
+        progress_event(
+            1, {"engine_metrics": {"processed": 5, "successes": 3, "failures": 2}}
+        )
+    )
+    listener.onQueryProgress(progress_event(2, None))  # no observations at all
+
+    totals = listener.totals()
+    assert totals["processed"] == 5 and totals["batches"] == 1
+    assert totals["malformed_batches"] == 1
+    assert listener.malformed[0]["batch_id"] == 0
+
+
 # ---------------------------------------------------------------------------
 # L1–L5 control plane under poison (round-9 sweep)
 # ---------------------------------------------------------------------------
