@@ -42,12 +42,15 @@ def run(spark: SparkSession, base: str) -> dict:
     ]
     observed = []
     for desired, expect_running in transitions:
-        mgr.reconcile(desired)
+        report = mgr.reconcile(desired)
+        # supervision contract (round-9 sweep): tick failures are data on
+        # the report, never exceptions that abort the tick
+        assert not report.start_errors and not report.stop_errors
         running = mgr.running()
         assert running == expect_running, (running, expect_running)
         observed.append(sorted(running))
 
-    mgr.shutdown_all()
+    assert mgr.shutdown_all() == {}  # every stop converged
     assert mgr.running() == set()
     return {"transitions": observed}
 

@@ -8,7 +8,11 @@ from pulsar_pekko_streams_example_spark.streaming.metrics import (
     with_engine_metrics,
 )
 from pulsar_pekko_streams_example_spark.streaming.retry import RetryRouter
-from pulsar_pekko_streams_example_spark.streaming.workload import Workload, WorkloadManager
+from pulsar_pekko_streams_example_spark.streaming.workload import (
+    Workload,
+    WorkloadManager,
+    WorkloadReport,
+)
 
 __all__ = [
     "MetricsListener",
@@ -19,4 +23,5 @@ __all__ = [
     "RetryRouter",
     "Workload",
     "WorkloadManager",
+    "WorkloadReport",
 ]
