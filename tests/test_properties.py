@@ -866,3 +866,196 @@ def test_workload_reconciliation_converges(spark, plan, final):
     fail_start, fail_stop = set(), set()
     mgr.reconcile({Workload(n, "t") for n in final})
     assert mgr.running() == final
+
+
+# ---------------------------------------------------------------------------
+# K2 per-key cursor invariants (logic level, no Spark): for ANY micro-batch
+# split of a key's backlog — duplicates, gaps, NULL seqs included — the
+# processor conserves rows, stays serial, and the cursor lands on the max
+# positioned seq.  A contiguous in-order stream split at arbitrary batch
+# boundaries must read 100% in-order with zero redeliveries.
+# ---------------------------------------------------------------------------
+
+
+class _FakeGroupState:
+    def __init__(self):
+        self._v = None
+
+    @property
+    def exists(self):
+        return self._v is not None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+
+
+def _run_key_batches(batches):
+    """Feed batches (lists of (message_id, seq, attempt)) through
+    _process_key with persistent fake state; return (all_out_rows, state)."""
+    import pandas as pd
+
+    from pulsar_pekko_streams_example_spark.streaming import ordered_state as OS
+
+    st = _FakeGroupState()
+    outs = []
+    for rows in batches:
+        if not rows:
+            continue
+        pdf = pd.DataFrame(rows, columns=["message_id", "seq", "attempt"])
+        # Arrow fidelity: nullable long arrives as float64 + NaN
+        pdf["seq"] = pdf["seq"].astype("float64")
+        (out,) = OS._process_key(("k",), iter([pdf]), st)
+        outs.append(out)
+    return (pd.concat(outs, ignore_index=True) if outs else None), st
+
+
+seq_batches = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=999_999),  # message id
+            st.one_of(st.none(), st.integers(min_value=0, max_value=12)),  # seq
+            st.one_of(st.none(), st.integers(min_value=1, max_value=3)),  # attempt
+        ),
+        max_size=8,
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=list(HealthCheck))
+@given(batches=seq_batches)
+def test_ordered_cursor_invariants_under_arbitrary_batches(batches):
+    import pandas as pd
+
+    rows_in = [(f"m-{mid}-{i}-{j}", s, a)
+               for i, b in enumerate(batches) for j, (mid, s, a) in enumerate(b)]
+    out, state = _run_key_batches(
+        [[(f"m-{mid}-{i}-{j}", s, a) for j, (mid, s, a) in enumerate(b)]
+         for i, b in enumerate(batches)]
+    )
+    if not rows_in:
+        assert out is None
+        return
+    # conservation: every message exactly once, serial contiguous indexing
+    assert sorted(out["message_id"]) == sorted(m for m, _, _ in rows_in)
+    assert sorted(out["processing_index"]) == list(range(len(rows_in)))
+    # cursor lands on the max positioned seq ever seen (-1 if none)
+    seqs = [s for _, s, _ in rows_in if s is not None]
+    assert state.get == (max(seqs) if seqs else -1, len(rows_in))
+    # positionless rows never read in-order and never flag redelivery
+    nulls = out[out["seq"].isna()]
+    assert not nulls["in_order"].any() and not nulls["is_redelivery"].any()
+    # a redelivery is exactly a positioned row at-or-below the cursor at its
+    # processing time; replay the processing order to check the flag
+    cursor = -1
+    for r in out.sort_values("processing_index").itertuples(index=False):
+        if pd.isna(r.seq):
+            continue
+        assert r.is_redelivery == (r.seq <= cursor)
+        if not r.is_redelivery:
+            cursor = int(r.seq)
+
+
+@settings(max_examples=40, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    n=st.integers(min_value=1, max_value=20),
+    cuts=st.sets(st.integers(min_value=1, max_value=19), max_size=4),
+)
+def test_ordered_contiguous_stream_reads_fully_in_order(n, cuts):
+    """Gap-free seqs 1..n split at arbitrary micro-batch boundaries: every
+    row in-order, zero redeliveries — the exact Key_Shared guarantee the
+    reference derives from mapZIOPar(1) per key."""
+    bounds = sorted(c for c in cuts if c < n)
+    seqs = list(range(1, n + 1))
+    batches, prev = [], 0
+    for b in bounds + [n]:
+        batches.append([(f"m{s}", s, 1) for s in seqs[prev:b]])
+        prev = b
+    out, state = _run_key_batches(batches)
+    assert out["in_order"].all() and not out["is_redelivery"].any()
+    assert state.get == (n, n)
+    assert list(out.sort_values("processing_index")["seq"]) == seqs
+
+
+# ---------------------------------------------------------------------------
+# S6/S7 delivery conservation (round-9): for ANY batch of verdicts —
+# NULL ok, NULL attempt, NULL message_id, attempt at/over the max — every
+# row lands in EXACTLY one of sink / retry / DLQ, the DLQ only holds
+# exhausted attempts, and retry rows age by exactly one attempt.
+# ---------------------------------------------------------------------------
+
+verdict_batch = st.lists(
+    st.tuples(
+        st.one_of(st.none(), st.integers(min_value=0, max_value=9)),  # id (None=anon)
+        st.one_of(st.none(), st.integers(min_value=1, max_value=6)),  # attempt
+        st.one_of(st.none(), st.booleans()),                          # ok
+    ),
+    min_size=1,
+    max_size=10,
+)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=verdict_batch)
+def test_retry_router_conserves_every_verdict_batch(spark, rows):
+    import os as _os
+    import tempfile as _tempfile
+
+    from pulsar_pekko_streams_example_spark.streaming.retry import RetryRouter
+
+    max_attempts = 3
+    with _tempfile.TemporaryDirectory() as d:
+        router = RetryRouter(
+            sink_path=_os.path.join(d, "sink"),
+            retry_path=_os.path.join(d, "retry"),
+            dlq_path=_os.path.join(d, "dlq"),
+            redelivery_delay_s=0,
+            max_attempts=max_attempts,
+        )
+        # unique payload per row so anonymous rows keep their multiplicity
+        batch = spark.createDataFrame(
+            [
+                (None if i0 is None else f"m-{i0}", f"payload-{j}", att, ok)
+                for j, (i0, att, ok) in enumerate(rows)
+            ],
+            "message_id string, body string, attempt long, ok boolean",
+        )
+        router.route_batch(batch, batch_id=1)
+
+        def load(p):
+            from pyspark.errors import AnalysisException
+
+            if not _os.path.exists(p):
+                return []
+            try:
+                return spark.read.parquet(p).collect()
+            except AnalysisException:  # dir exists but holds no footers
+                return []
+
+        sink, retry, dlq = (
+            load(router.sink_path),
+            load(router.retry_path),
+            load(router.dlq_path),
+        )
+        # conservation: exactly one destination per row, by unique payload
+        assert sorted(r.body for r in sink + retry + dlq) == sorted(
+            f"payload-{j}" for j in range(len(rows))
+        )
+        inputs = {f"payload-{j}": (i0, att, ok) for j, (i0, att, ok) in enumerate(rows)}
+        for r in sink:
+            assert inputs[r.body][2] is True  # only genuine acks
+        for r in dlq:
+            att = inputs[r.body][1]
+            assert inputs[r.body][2] is not True
+            assert (att or 1) >= max_attempts  # only exhausted attempts
+        for r in retry:
+            att = inputs[r.body][1]
+            assert inputs[r.body][2] is not True
+            assert (att or 1) < max_attempts
+            assert r.attempt == (att or 1) + 1  # aged exactly one attempt
+            assert r.message_id is not None  # surrogate or real — never NULL
