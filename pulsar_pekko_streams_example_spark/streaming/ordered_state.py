@@ -105,22 +105,71 @@ def _process_key(
     yield pd.DataFrame(out)
 
 
-def ordered_per_key(stream_df: DataFrame) -> DataFrame:
+def ordered_per_key(
+    stream_df: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Apply the per-key ordered stateful processor.
 
     ``stream_df`` must carry (key, message_id, seq, attempt).  Each key's
     state is its consumer cursor; the shuffle on key is the Key_Shared
     routing — at 1000 executors every key still lands on exactly one task
     per micro-batch.
+
+    State sizing at 100 TB (``idle_timeout_ms``): each cursor is 16 bytes
+    but the DEFAULT NoTimeout keeps one forever per key ever seen — on an
+    unbounded key space (session ids, request ids) the state store grows
+    without bound and eventually dominates checkpoint/recovery time.  Pass
+    ``idle_timeout_ms`` to expire a key's cursor once the WATERMARK passes
+    its last event time plus the TTL (the broker analog: an idle Key_Shared
+    consumer's ownership lapses).  Event-time expiry is deliberate:
+
+    - it is DETERMINISTIC under replay — a 100 TB backfill reprocessed from
+      a checkpoint expires exactly the same cursors at exactly the same
+      points, where a processing-time TTL would expire different keys on
+      every run;
+    - Spark runs extra no-data micro-batches unconditionally under
+      ProcessingTimeTimeout (FlatMapGroupsWithStateExec.shouldRunAnotherBatch
+      is constant-true there), so Trigger.AvailableNow backfills would
+      NEVER terminate — event-time timeouts only re-batch while the
+      watermark still advances.
+
+    Requires a watermarked input — compose with the library front door,
+    ``ordered_per_key(watermarked(stream, delay), idle_timeout_ms=...)``;
+    the engine rejects the query otherwise.  Trade-off, documented and
+    pinned by test: a message arriving AFTER its key's cursor expired
+    starts a fresh cursor — a late redelivery is then read as a first
+    delivery (in_order, not flagged), exactly as a rejoining consumer
+    cannot recognize pre-lapse redeliveries.  Keep the default for bounded
+    key spaces where exact redelivery flagging matters more than state
+    size.
     """
+    if idle_timeout_ms is None:
+        fn, conf = _process_key, GroupStateTimeout.NoTimeout
+    else:
+
+        def fn(key, pdfs, state):
+            if state.hasTimedOut:
+                state.remove()  # idle cursor lapses; emit nothing
+                return
+            batches = list(pdfs)
+            yield from _process_key(key, iter(batches), state)
+            # expire when the watermark passes this key's newest event time
+            # + TTL; the engine requires the timestamp to sit strictly past
+            # the current watermark (fallback when event times are NULL)
+            ts = pd.concat([b["publish_time"] for b in batches]).max()
+            wm = state.getCurrentWatermarkMs()
+            newest = wm if pd.isna(ts) else int(pd.Timestamp(ts).value // 1_000_000)
+            state.setTimeoutTimestamp(max(newest + idle_timeout_ms, wm + 1))
+
+        conf = GroupStateTimeout.EventTimeTimeout
     return (
         stream_df.groupBy("key")
         .applyInPandasWithState(
-            _process_key,
+            fn,
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=conf,
         )
     )
 

@@ -1011,3 +1011,68 @@ def test_reconcile_same_name_new_config_does_not_restart(spark):
     report = mgr.reconcile({Workload("w1", "topic-NEW")})
     assert made == [("w1", "topic-OLD")], "config drift must not restart"
     assert not report.workloads_to_start and not report.workloads_to_delete
+
+
+def test_ordered_per_key_idle_timeout_expires_cursor(spark, tmpdir):
+    """State sizing at scale: with idle_timeout_ms set, a key's cursor
+    lapses once the WATERMARK passes its last event time + TTL — the state
+    store stays bounded on unbounded key spaces, expiry is deterministic
+    under replay, and (unlike a processing-time TTL, where Spark re-batches
+    unconditionally) Trigger.AvailableNow backfills still terminate.  The
+    documented trade-off is pinned both ways: a redelivery AFTER the lapse
+    reads as a fresh first delivery (is_redelivery False), while WITHOUT
+    the timeout the same sequence is flagged (the exact-flagging
+    default)."""
+
+    def ts(hours):
+        return F.lit("2024-01-01 00:00:00").cast("timestamp") + F.expr(
+            f"INTERVAL {hours} HOURS"
+        )
+
+    def envelopes_at(rows, hours):
+        return _envelopes(spark, rows).withColumn("publish_time", ts(hours))
+
+    def run(with_ttl):
+        d = os.path.join(tmpdir, "ttl" if with_ttl else "nottl")
+        src, out_dir, ckpt = (os.path.join(d, p) for p in ("in", "out", "ckpt"))
+        os.makedirs(src)
+
+        def drain():
+            stream = watermarked(envelope_file_stream(spark, src), "10 minutes")
+            q = (
+                ordered_per_key(
+                    stream, idle_timeout_ms=3_600_000 if with_ttl else None
+                )
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(120)
+
+        envelopes_at(
+            [("a1", "k1", 1, 1), ("a2", "k1", 2, 1), ("a3", "k1", 3, 1)], hours=0
+        ).coalesce(1).write.parquet(src, mode="append")
+        drain()
+        # heartbeat on ANOTHER key, 3 h later: the watermark passes k1's
+        # last event + 1 h TTL, and k1 gets no data this trigger, so its
+        # cursor is the timed-out invocation and is removed
+        envelopes_at([("hb", "k-other", 1, 1)], hours=3).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        drain()
+        # the would-be redelivery: seq 2 again on k1, after the lapse
+        envelopes_at([("a2-redux", "k1", 2, 2)], hours=4).coalesce(1).write.parquet(
+            src, mode="append"
+        )
+        drain()
+        rows = {r.message_id: r for r in spark.read.parquet(out_dir).collect()}
+        assert len(rows) == 5  # conservation either way
+        return rows["a2-redux"]
+
+    lapsed = run(with_ttl=True)
+    assert not lapsed.is_redelivery and lapsed.in_order  # fresh cursor
+    exact = run(with_ttl=False)
+    assert exact.is_redelivery  # default: flagged across any idle gap
