@@ -155,6 +155,69 @@ class RetryRouter:
         cutoff = F.lit(as_of).cast("timestamp") if as_of is not None else F.current_timestamp()
         return df.filter(F.col("available_at") <= cutoff)
 
+    def compact(self, spark: SparkSession) -> dict:
+        """Rewrite the retry ledger down to its delivery frontier.
+
+        The ledger is append-only (idempotent batch writes never delete), so
+        it grows with TIME — every failed attempt of every message is a row
+        forever — while ``due_retries`` re-derives the frontier from the
+        full history on every re-ingestion scan.  On a long-running
+        deployment the scan cost is O(all failures ever) for a frontier
+        bounded by the messages CURRENTLY awaiting redelivery.  Compaction
+        keeps exactly the rows ``due_retries`` could ever return again —
+        the latest attempt per message, minus messages already terminal in
+        the DLQ — and drops superseded history, so scan cost tracks the
+        live frontier.  ``due_retries`` is invariant across a compaction
+        (pinned by test).
+
+        Call it between micro-batches (e.g. periodically from the driver
+        loop that also calls ``due_retries``); it is not safe against a
+        concurrent ``route_batch`` — the swap is two directory renames.
+        History is DROPPED by design: archive the directory first if the
+        audit trail matters.  Surviving rows keep their ``_batch_id``
+        partition, so a replayed micro-batch still overwrites its own
+        partition after compaction (the idempotence contract is
+        preserved)."""
+        import shutil
+
+        from pyspark.sql.window import Window
+
+        if not os.path.exists(self.retry_path):
+            return {"kept": 0, "dropped": 0}
+        df = spark.read.parquet(self.retry_path)
+        total = df.count()
+        w = Window.partitionBy("message_id").orderBy(F.col("attempt").desc())
+        frontier = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        if os.path.exists(self.dlq_path):
+            dead = spark.read.parquet(self.dlq_path).select("message_id")
+            frontier = frontier.join(dead, ["message_id"], "left_anti")
+        frontier = frontier.persist()
+        try:
+            kept = frontier.count()
+            old = self.retry_path + ".pre-compact"
+            shutil.rmtree(old, ignore_errors=True)
+            if kept == 0:
+                # an empty parquet dir has no footers and cannot be read
+                # back; a MISSING ledger is the valid empty state
+                os.rename(self.retry_path, old)
+            else:
+                tmp = self.retry_path + ".compacting"
+                shutil.rmtree(tmp, ignore_errors=True)
+                writer = frontier.write.mode("overwrite")
+                if "_batch_id" in frontier.columns:  # idempotent ledgers only
+                    writer = writer.partitionBy("_batch_id")
+                writer.parquet(tmp)
+                os.rename(self.retry_path, old)
+                os.rename(tmp, self.retry_path)
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            frontier.unpersist()
+        return {"kept": kept, "dropped": total - kept}
+
     def attach(self, stream_df: DataFrame, checkpoint: str):
         """Wire the router into a streaming query via foreachBatch."""
         return (

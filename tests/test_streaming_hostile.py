@@ -1076,3 +1076,87 @@ def test_ordered_per_key_idle_timeout_expires_cursor(spark, tmpdir):
     assert not lapsed.is_redelivery and lapsed.in_order  # fresh cursor
     exact = run(with_ttl=False)
     assert exact.is_redelivery  # default: flagged across any idle gap
+
+
+def test_retry_ledger_compaction_preserves_frontier(spark, tmpdir):
+    """compact() drops superseded attempts and DLQ-terminal messages from
+    the append-only retry ledger without changing what due_retries returns
+    — the re-ingestion scan cost tracks the LIVE frontier instead of every
+    failure ever recorded.  Post-compaction, routing and idempotent batch
+    replay keep working (surviving rows keep their _batch_id partitions)."""
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+        redelivery_delay_s=0,
+        max_attempts=4,
+    )
+
+    def fail_batch(rows, batch_id):
+        router.route_batch(
+            spark.createDataFrame(rows, "message_id string, attempt long, ok boolean"),
+            batch_id=batch_id,
+        )
+
+    # three failure generations for m-loop (attempts 1..3 in the ledger as
+    # attempts 2..4 after aging), m-dead exhausts into the DLQ, m-once fails once
+    fail_batch([("m-loop", 1, False), ("m-once", 1, False)], 1)
+    fail_batch([("m-loop", 2, False), ("m-dead", 4, False)], 2)
+    fail_batch([("m-loop", 3, False)], 3)
+
+    AS_OF = "2100-01-01 00:00:00"
+    before = {
+        (r.message_id, r.attempt) for r in router.due_retries(spark, as_of=AS_OF).collect()
+    }
+    total_before = spark.read.parquet(router.retry_path).count()
+    stats = router.compact(spark)
+    after = {
+        (r.message_id, r.attempt) for r in router.due_retries(spark, as_of=AS_OF).collect()
+    }
+    assert after == before == {("m-loop", 4), ("m-once", 2)}
+    assert stats["kept"] == 2 and stats["dropped"] == total_before - 2
+    assert spark.read.parquet(router.retry_path).count() == 2
+
+    # the ledger still routes and replays idempotently after the swap
+    fail_batch([("m-new", 1, False)], 4)
+    fail_batch([("m-new", 1, False)], 4)  # replayed micro-batch overwrites itself
+    final = {
+        (r.message_id, r.attempt) for r in router.due_retries(spark, as_of=AS_OF).collect()
+    }
+    assert final == {("m-loop", 4), ("m-once", 2), ("m-new", 2)}
+
+
+def test_retry_ledger_compaction_to_empty_frontier(spark, tmpdir):
+    """Compacting a ledger whose every message is DLQ-terminal leaves the
+    valid EMPTY state (no unreadable footer-less directory): due_retries
+    returns nothing and later batches rebuild the ledger from scratch."""
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+        redelivery_delay_s=0,
+        max_attempts=3,
+    )
+    router.route_batch(
+        spark.createDataFrame(
+            [("m1", 1, False)], "message_id string, attempt long, ok boolean"
+        ),
+        batch_id=1,
+    )
+    router.route_batch(
+        spark.createDataFrame(
+            [("m1", 3, False)], "message_id string, attempt long, ok boolean"
+        ),
+        batch_id=2,
+    )  # exhausts into the DLQ
+    stats = router.compact(spark)
+    assert stats == {"kept": 0, "dropped": 1}
+    assert router.due_retries(spark, as_of="2100-01-01 00:00:00").count() == 0
+    router.route_batch(
+        spark.createDataFrame(
+            [("m2", 1, False)], "message_id string, attempt long, ok boolean"
+        ),
+        batch_id=3,
+    )
+    due = router.due_retries(spark, as_of="2100-01-01 00:00:00").collect()
+    assert [(r.message_id, r.attempt) for r in due] == [("m2", 2)]
