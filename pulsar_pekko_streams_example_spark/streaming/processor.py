@@ -20,6 +20,7 @@ from __future__ import annotations
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
 
+import numpy as _np
 import pandas as pd
 
 from pyspark.sql import DataFrame
@@ -84,6 +85,24 @@ def apply_processor(
                 # reference turns every non-answer into ProcessFailure
                 # (round-8 streaming sweep finding).
                 ok = pd.Series(result, index=pdf.index)
+                # Verdicts must be BOOLEAN-valued: astype(bool) maps any
+                # non-empty string to True, so a processor leaking a string
+                # column ("false", an error message) would silently ACK —
+                # truthiness of prose is not a delivery verdict.  Booleans
+                # and 0/1 numerics pass; anything else fails the batch.
+                if ok.dtype == object:
+                    nonbool = ok.dropna().map(
+                        lambda v: not isinstance(v, (bool, _np.bool_))
+                    )
+                    if nonbool.any():
+                        raise TypeError(
+                            "verdicts must be boolean, got "
+                            f"{type(ok.dropna()[nonbool].iloc[0]).__name__}"
+                        )
+                elif not (
+                    pd.api.types.is_bool_dtype(ok) or pd.api.types.is_numeric_dtype(ok)
+                ):
+                    raise TypeError(f"verdicts must be boolean, got dtype {ok.dtype}")
                 missing = ok.isna()
                 pdf = pdf.assign(
                     ok=ok.fillna(False).astype(bool), error=None

@@ -408,6 +408,27 @@ def test_apply_processor_scalar_return_fails_closed(spark):
     assert all(not r.ok and "one verdict per row" in r.error for r in rows)
 
 
+def test_apply_processor_string_verdicts_fail_closed(spark):
+    """A per-row verdict SERIES of strings must fail the batch, never ack:
+    astype(bool) maps every non-empty string — including "false" and error
+    prose — to True, so a processor leaking a string column would silently
+    ACK the lot.  Booleans and 0/1 numerics are the accepted verdict
+    dtypes; bool-with-gaps (object) keeps routing gaps to NullVerdict."""
+    df = spark.range(4).coalesce(1).select(
+        F.concat(F.lit("m-"), F.col("id")).alias("message_id"),
+        F.col("id").alias("event_id"),
+        F.lit("false").alias("status"),
+    )
+
+    rows = apply_processor(df, lambda pdf: pdf["status"]).collect()
+    assert all(not r.ok and "must be boolean" in r.error for r in rows)
+
+    # numeric 0/1 convention still passes
+    rows = {r.message_id: r for r in
+            apply_processor(df, lambda pdf: (pdf["event_id"] % 2)).collect()}
+    assert rows["m-1"].ok and not rows["m-0"].ok
+
+
 def test_engine_metrics_balance_with_null_verdicts(spark, tmpdir):
     """G4 accounting under poison: successes + failures must equal processed
     even when verdicts are NULL — pre-fix, NULL-ok rows counted in processed
