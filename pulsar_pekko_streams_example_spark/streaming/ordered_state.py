@@ -240,7 +240,10 @@ try:  # Spark 4.x only: the StatefulProcessor API.  The class and its
 
     def ordered_per_key_tws(stream_df: DataFrame) -> DataFrame:
         """ordered_per_key on the Spark 4 transformWithState API (RocksDB
-        state store).  Same output contract as ordered_per_key."""
+        state store).  Same output contract as ordered_per_key.  No idle-TTL
+        variant yet: the TWS analog is a registered timer + ttlConfig on the
+        ValueState, unimplementable here until the state-server protobuf
+        runtime exists in the environment (HAVE_TWS gate below)."""
         return (
             stream_df.groupBy("key")
             .transformWithStateInPandas(

@@ -178,8 +178,6 @@ class RetryRouter:
         partition, so a replayed micro-batch still overwrites its own
         partition after compaction (the idempotence contract is
         preserved)."""
-        import shutil
-
         from pyspark.sql.window import Window
 
         if not os.path.exists(self.retry_path):
@@ -198,25 +196,92 @@ class RetryRouter:
         frontier = frontier.persist()
         try:
             kept = frontier.count()
-            old = self.retry_path + ".pre-compact"
-            shutil.rmtree(old, ignore_errors=True)
-            if kept == 0:
-                # an empty parquet dir has no footers and cannot be read
-                # back; a MISSING ledger is the valid empty state
-                os.rename(self.retry_path, old)
-            else:
-                tmp = self.retry_path + ".compacting"
-                shutil.rmtree(tmp, ignore_errors=True)
-                writer = frontier.write.mode("overwrite")
-                if "_batch_id" in frontier.columns:  # idempotent ledgers only
-                    writer = writer.partitionBy("_batch_id")
-                writer.parquet(tmp)
-                os.rename(self.retry_path, old)
-                os.rename(tmp, self.retry_path)
-            shutil.rmtree(old, ignore_errors=True)
+            self._swap_ledger(self.retry_path, frontier, ".compact")
         finally:
             frontier.unpersist()
         return {"kept": kept, "dropped": total - kept}
+
+    def requeue_dlq(self, spark: SparkSession, batch_id: int, where=None) -> int:
+        """Move DLQ-terminal messages back into the retry frontier — the
+        operational "the bug is fixed, redeliver" path.
+
+        The broker analog is re-subscribing a consumer to the dead-letter
+        topic; with delivery-state-as-data it is a ledger move: selected DLQ
+        rows re-enter the retry table with a RESET attempt counter (they get
+        a full fresh budget — the exhausted count described the old bug) and
+        an immediate ``available_at``, and are REMOVED from the DLQ (a
+        message is never in two terminal/pending states at once; leaving
+        them would also re-exclude their surrogates from ``due_retries``
+        forever).
+
+        The revived ids are purged from BOTH ledgers in the move: their
+        STALE retry-ledger rows carry higher attempt numbers than the fresh
+        attempt-1 row, so leaving them would make ``due_retries``'
+        latest-attempt frontier pick the exhausted attempt and re-DLQ the
+        message on its first redelivery.  ``where`` is an optional
+        Column/SQL-string filter selecting which dead messages to revive
+        (default: all); ``batch_id`` labels the requeued rows' partition
+        (use one no micro-batch will replay, e.g. a negative maintenance
+        counter).  Returns the number requeued.  Same concurrency contract
+        as ``compact``: call between micro-batches."""
+        if not os.path.exists(self.dlq_path):
+            return 0
+        dlq = spark.read.parquet(self.dlq_path)
+        revive = dlq.filter(where) if where is not None else dlq
+        revive = revive.persist()
+        try:
+            n = revive.count()
+            if n == 0:
+                return 0
+            requeued = (
+                revive.drop("_batch_id", "available_at")
+                .withColumn("attempt", F.lit(1).cast("long"))
+                .withColumn("ok", F.lit(False).cast("boolean"))
+                .withColumn("available_at", F.current_timestamp())
+                .withColumn("_batch_id", F.lit(batch_id))
+            )
+            ids = revive.select("message_id")
+            if os.path.exists(self.retry_path):
+                old_retry = spark.read.parquet(self.retry_path)
+                new_retry = old_retry.join(
+                    ids, ["message_id"], "left_anti"
+                ).unionByName(requeued.select(*old_retry.columns))
+            else:
+                new_retry = requeued
+            self._swap_ledger(self.retry_path, new_retry, ".requeue")
+            remaining = dlq.join(ids, ["message_id"], "left_anti")
+            self._swap_ledger(self.dlq_path, remaining, ".requeue")
+        finally:
+            revive.unpersist()
+        return n
+
+    def _swap_ledger(self, path: str, df: DataFrame, tag: str) -> None:
+        """Atomically replace the ledger at ``path`` with ``df`` (two local
+        renames).  An empty ``df`` leaves the valid MISSING state — an
+        empty parquet directory has no footers and cannot be read back."""
+        import shutil
+
+        df = df.persist()
+        try:
+            kept = df.count()
+            old = path + tag + ".old"
+            shutil.rmtree(old, ignore_errors=True)
+            if kept == 0:
+                if os.path.exists(path):
+                    os.rename(path, old)
+            else:
+                tmp = path + tag + ".new"
+                shutil.rmtree(tmp, ignore_errors=True)
+                writer = df.write.mode("overwrite")
+                if "_batch_id" in df.columns:  # idempotent ledgers only
+                    writer = writer.partitionBy("_batch_id")
+                writer.parquet(tmp)
+                if os.path.exists(path):
+                    os.rename(path, old)
+                os.rename(tmp, path)
+            shutil.rmtree(old, ignore_errors=True)
+        finally:
+            df.unpersist()
 
     def attach(self, stream_df: DataFrame, checkpoint: str):
         """Wire the router into a streaming query via foreachBatch."""

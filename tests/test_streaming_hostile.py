@@ -1181,3 +1181,57 @@ def test_retry_ledger_compaction_to_empty_frontier(spark, tmpdir):
     )
     due = router.due_retries(spark, as_of="2100-01-01 00:00:00").collect()
     assert [(r.message_id, r.attempt) for r in due] == [("m2", 2)]
+
+
+def test_requeue_dlq_revives_with_fresh_budget(spark, tmpdir):
+    """requeue_dlq moves selected dead messages back into the retry
+    frontier with a full fresh attempt budget and purges their STALE
+    retry-ledger rows in the same move — pre-purge, the latest-attempt
+    frontier would pick the old exhausted attempt and re-DLQ the message on
+    its first redelivery.  Unselected dead messages stay terminal."""
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+        redelivery_delay_s=0,
+        max_attempts=3,
+    )
+
+    def fail_batch(rows, batch_id):
+        router.route_batch(
+            spark.createDataFrame(rows, "message_id string, attempt long, ok boolean"),
+            batch_id=batch_id,
+        )
+
+    AS_OF = "2100-01-01 00:00:00"
+    # walk m-bug and m-other through the full retry loop into the DLQ, so
+    # the retry ledger holds their superseded attempts 2..3
+    fail_batch([("m-bug", 1, False), ("m-other", 1, False)], 1)
+    fail_batch([("m-bug", 2, False), ("m-other", 2, False)], 2)
+    fail_batch([("m-bug", 3, False), ("m-other", 3, False)], 3)
+    dlq = spark.read.parquet(router.dlq_path)
+    assert {r.message_id for r in dlq.collect()} == {"m-bug", "m-other"}
+    assert router.due_retries(spark, as_of=AS_OF).count() == 0  # all terminal
+
+    n = router.requeue_dlq(spark, batch_id=-1, where=F.col("message_id") == "m-bug")
+    assert n == 1
+    # m-bug is live again at attempt 1 — the stale attempt-3 rows are gone
+    due = router.due_retries(spark, as_of=AS_OF).collect()
+    assert [(r.message_id, r.attempt) for r in due] == [("m-bug", 1)]
+    # m-other stays dead and keeps excluding its retries
+    assert {r.message_id for r in spark.read.parquet(router.dlq_path).collect()} == {
+        "m-other"
+    }
+
+    # the revived message can now run a full fresh lifecycle
+    fail_batch([("m-bug", 1, False)], 4)
+    due = router.due_retries(spark, as_of=AS_OF).collect()
+    assert [(r.message_id, r.attempt) for r in due] == [("m-bug", 2)]
+
+    # requeue-all empties the DLQ into the frontier; empty DLQ is the
+    # valid missing state and a no-op on the next requeue
+    assert router.requeue_dlq(spark, batch_id=-2) == 1
+    assert not os.path.exists(router.dlq_path)
+    assert router.requeue_dlq(spark, batch_id=-3) == 0
+    due = {(r.message_id, r.attempt) for r in router.due_retries(spark, as_of=AS_OF).collect()}
+    assert due == {("m-bug", 2), ("m-other", 1)}
