@@ -7,6 +7,7 @@ from pulsar_pekko_streams_example_spark.streaming.metrics import (
     MetricsListener,
     with_engine_metrics,
 )
+from pulsar_pekko_streams_example_spark.streaming.ordered_state import ordered_per_key
 from pulsar_pekko_streams_example_spark.streaming.retry import RetryRouter
 from pulsar_pekko_streams_example_spark.streaming.workload import (
     Workload,
@@ -21,6 +22,7 @@ __all__ = [
     "apply_processor",
     "simulated_processor",
     "RetryRouter",
+    "ordered_per_key",
     "Workload",
     "WorkloadManager",
     "WorkloadReport",

@@ -106,7 +106,9 @@ def _process_key(
 
 
 def ordered_per_key(
-    stream_df: DataFrame, idle_timeout_ms: int | None = None
+    stream_df: DataFrame,
+    idle_timeout_ms: int | None = None,
+    ts_col: str = "publish_time",
 ) -> DataFrame:
     """Apply the per-key ordered stateful processor.
 
@@ -146,6 +148,13 @@ def ordered_per_key(
     if idle_timeout_ms is None:
         fn, conf = _process_key, GroupStateTimeout.NoTimeout
     else:
+        if ts_col not in stream_df.columns:
+            # fail at PLAN time: a missing event-time column inside the
+            # state function would kill the whole streaming query at runtime
+            raise ValueError(
+                f"idle_timeout_ms requires event-time column {ts_col!r} "
+                f"(watermarked upstream); stream has {stream_df.columns}"
+            )
 
         def fn(key, pdfs, state):
             if state.hasTimedOut:
@@ -156,7 +165,7 @@ def ordered_per_key(
             # expire when the watermark passes this key's newest event time
             # + TTL; the engine requires the timestamp to sit strictly past
             # the current watermark (fallback when event times are NULL)
-            ts = pd.concat([b["publish_time"] for b in batches]).max()
+            ts = pd.concat([b[ts_col] for b in batches]).max()
             wm = state.getCurrentWatermarkMs()
             newest = wm if pd.isna(ts) else int(pd.Timestamp(ts).value // 1_000_000)
             state.setTimeoutTimestamp(max(newest + idle_timeout_ms, wm + 1))

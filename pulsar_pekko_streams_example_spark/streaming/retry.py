@@ -223,7 +223,10 @@ class RetryRouter:
         (default: all); ``batch_id`` labels the requeued rows' partition
         (use one no micro-batch will replay, e.g. a negative maintenance
         counter).  Returns the number requeued.  Same concurrency contract
-        as ``compact``: call between micro-batches."""
+        as ``compact``: call between micro-batches.  Crash-safe ordering:
+        the retry ledger is swapped FIRST, so a crash between the two swaps
+        leaves revived rows present but still DLQ-excluded (dormant, no
+        duplication) — re-running the requeue converges."""
         if not os.path.exists(self.dlq_path):
             return 0
         dlq = spark.read.parquet(self.dlq_path)
