@@ -1,0 +1,113 @@
+"""Extension — the full delivery-lifecycle runbook: retry loop to
+convergence, ledger compaction, DLQ requeue.
+
+The reference's delivery loop is broker-managed (nack → redelivery after
+10 s, ``part2/PekkoStreamGenerator.scala:77-87`` +
+``util/PulsarClientWrapper.scala:171``); its operational lifecycle —
+reprocessing dead letters after a bug fix, bounding ledger growth — lives in
+broker tooling.  With delivery-state-as-data both become DataFrame moves,
+and this example walks the whole arc a production operator runs:
+
+1. a backlog streams through a flaky processor; failures land in the retry
+   table with a redelivery delay, successes in the sink;
+2. a driver loop re-ingests due retries until the frontier drains —
+   messages that keep failing exhaust their budget into the DLQ;
+3. ``compact()`` shrinks the append-only ledger to its live frontier
+   (scan cost tracks messages awaiting redelivery, not every failure ever);
+4. the "bug" is fixed; ``requeue_dlq()`` revives the dead messages with a
+   fresh attempt budget and one more cycle delivers them;
+5. conservation holds end to end: every seeded message is in the sink
+   exactly once, both ledgers are empty.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from examples._common import main, seed_messages
+from pulsar_pekko_streams_example_spark.sources.streams import envelope_file_stream
+from pulsar_pekko_streams_example_spark.streaming import RetryRouter, apply_processor
+
+N_MESSAGES = 200
+AS_OF = "2100-01-01 00:00:00"  # evaluate redelivery delays as already elapsed
+
+
+def run(spark: SparkSession, base: str) -> dict:
+    src = os.path.join(base, "backlog")
+    seed_messages(spark, N_MESSAGES).coalesce(2).write.parquet(src)
+    router = RetryRouter(
+        sink_path=os.path.join(base, "sink"),
+        retry_path=os.path.join(base, "retry"),
+        dlq_path=os.path.join(base, "dlq"),
+        redelivery_delay_s=10,
+        max_attempts=3,
+    )
+
+    # the "bug": event_id % 20 == 0 fails EVERY attempt until fixed below;
+    # event_id % 10 == 0 (and not % 20) fails only its first attempt
+    broken = {"bug": True}
+
+    def flaky(pdf):
+        always = (pdf["event_id"] % 20 == 0) & broken["bug"]
+        first_only = (pdf["event_id"] % 10 == 0) & (pdf["attempt"] == 1)
+        return ~(always | first_only)
+
+    # 1. stream the backlog through processor + router
+    q = (
+        router.attach(
+            apply_processor(envelope_file_stream(spark, src), flaky),
+            os.path.join(base, "ckpt"),
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    # 2. drive the redelivery loop until the frontier drains
+    cycle = {"n": 1_000_000}
+
+    def drain_frontier():
+        while True:
+            due = router.due_retries(spark, as_of=AS_OF)
+            batch = due.drop("available_at", "_batch_id", "ok", "error")
+            if not batch.limit(1).count():
+                return
+            cycle["n"] += 1
+            router.route_batch(apply_processor(batch, flaky), cycle["n"])
+
+    drain_frontier()
+
+    n_dlq = spark.read.parquet(router.dlq_path).count()
+    assert n_dlq == N_MESSAGES // 20  # the always-failing ids exhausted
+
+    # 3. bound the ledger: only the live frontier survives (here: nothing —
+    # every non-dead message already delivered)
+    stats = router.compact(spark)
+    assert stats["kept"] == 0 and stats["dropped"] > 0
+
+    # 4. fix the bug, revive the dead letters, drain the redelivery loop
+    # again (revived messages restart at attempt 1, so they walk the full
+    # fresh lifecycle — including the benign first-attempt failure)
+    broken["bug"] = False
+    revived = router.requeue_dlq(spark, batch_id=-1)
+    assert revived == n_dlq
+    drain_frontier()
+
+    # 5. conservation: every message delivered exactly once, ledgers empty
+    sink = spark.read.parquet(router.sink_path)
+    assert sink.count() == N_MESSAGES
+    assert sink.select("message_id").distinct().count() == N_MESSAGES
+    assert router.due_retries(spark, as_of=AS_OF).count() == 0
+    assert not os.path.exists(router.dlq_path)
+    return {
+        "delivered": sink.count(),
+        "dead_lettered_then_revived": revived,
+        "ledger_rows_compacted": stats["dropped"],
+    }
+
+
+if __name__ == "__main__":
+    main(run)

@@ -37,6 +37,18 @@ class RetryRouter:
     redelivery_delay_s: int = 10  # PulsarClientWrapper.scala:171
     max_attempts: int = 5
     idempotent: bool = True
+    #: terminal-SUCCESS index for the retry frontier (defaults to
+    #: ``<retry_path>-resolved``).  An acked REDELIVERY (attempt > 1) must
+    #: stop the redelivery loop the way the broker's ack does — but the
+    #: retry ledger is append-only and the sink is the full traffic, far
+    #: too big to anti-join on every frontier scan.  Only messages that
+    #: previously FAILED can ever be in the frontier, so recording just the
+    #: attempt>1 acks keeps the exclusion index bounded by the failure
+    #: rate, like the DLQ.
+    resolved_path: str = ""
+
+    def _resolved(self) -> str:
+        return self.resolved_path or self.retry_path + "-resolved"
 
     def _write(self, df: DataFrame, path: str, batch_id: int) -> None:
         """Idempotent micro-batch write: partition by batch id with dynamic
@@ -73,6 +85,17 @@ class RetryRouter:
             att = F.coalesce(F.col("attempt"), F.lit(1))
             acks, nacks = batch.filter(ok), batch.filter(~ok)
             self._write(acks, self.sink_path, batch_id)
+
+            # an acked REDELIVERY terminates its retry lifecycle: record it
+            # in the resolved index so the frontier stops returning the
+            # (append-only) superseded retry rows — pre-fix, a delivered
+            # message re-entered due_retries forever and every maintenance
+            # pass re-delivered it (at-least-once became unbounded, with a
+            # duplicate sink row per pass).  Bounded: only ids that failed
+            # at least once can appear here.
+            resolved = acks.filter(att > 1).select("message_id")
+            if resolved.limit(1).count():
+                self._write(resolved, self._resolved(), batch_id)
 
             retry = nacks.filter(att < self.max_attempts).withColumn(
                 "attempt", att + F.lit(1)
@@ -137,10 +160,15 @@ class RetryRouter:
 
         The retry table is an append-only ledger (idempotent batch writes
         never delete), so a naive scan would re-deliver superseded attempts
-        forever.  Two filters make the scan a delivery FRONTIER instead:
+        forever.  Three filters make the scan a delivery FRONTIER instead:
         only the LATEST attempt per message (earlier attempts are history,
-        not work), and never a message that already reached the DLQ
-        (terminal state wins over any stale retry row).
+        not work), never a message that already reached the DLQ (terminal
+        failure), and never a message whose redelivery was ACKED (terminal
+        success, the resolved index — the broker-ack analog; round-9 fix:
+        without it, every delivered redelivery re-entered the frontier
+        forever).  A duplicate failure of an already-resolved id stays
+        excluded — its content is in the sink, which is all at-least-once
+        promises.
         """
         from pyspark.sql.window import Window
 
@@ -149,9 +177,12 @@ class RetryRouter:
         df = spark.read.parquet(self.retry_path)
         w = Window.partitionBy("message_id").orderBy(F.col("attempt").desc())
         df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
-        if os.path.exists(self.dlq_path):
-            dead = spark.read.parquet(self.dlq_path).select("message_id")
-            df = df.join(dead, ["message_id"], "left_anti")
+        # terminal states win over any stale retry row: DLQ (failure) and
+        # the resolved index (an acked redelivery — the broker-ack analog)
+        for terminal in (self.dlq_path, self._resolved()):
+            if os.path.exists(terminal):
+                done = spark.read.parquet(terminal).select("message_id")
+                df = df.join(done, ["message_id"], "left_anti")
         cutoff = F.lit(as_of).cast("timestamp") if as_of is not None else F.current_timestamp()
         return df.filter(F.col("available_at") <= cutoff)
 
@@ -190,12 +221,24 @@ class RetryRouter:
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
-        if os.path.exists(self.dlq_path):
-            dead = spark.read.parquet(self.dlq_path).select("message_id")
-            frontier = frontier.join(dead, ["message_id"], "left_anti")
+        for terminal in (self.dlq_path, self._resolved()):
+            if os.path.exists(terminal):
+                done = spark.read.parquet(terminal).select("message_id")
+                frontier = frontier.join(done, ["message_id"], "left_anti")
         frontier = frontier.persist()
         try:
             kept = frontier.count()
+            # prune the resolved index to ids still in the ledger: once a
+            # message's retry rows are compacted away it can never re-enter
+            # the frontier, so its resolved entry is dead weight (the index
+            # must not inherit the unbounded-growth problem it solves)
+            if os.path.exists(self._resolved()):
+                still_relevant = (
+                    spark.read.parquet(self._resolved())
+                    .join(frontier.select("message_id"), ["message_id"], "left_semi")
+                    .distinct()
+                )
+                self._swap_ledger(self._resolved(), still_relevant, ".compact")
             self._swap_ledger(self.retry_path, frontier, ".compact")
         finally:
             frontier.unpersist()
@@ -254,6 +297,17 @@ class RetryRouter:
             self._swap_ledger(self.retry_path, new_retry, ".requeue")
             remaining = dlq.join(ids, ["message_id"], "left_anti")
             self._swap_ledger(self.dlq_path, remaining, ".requeue")
+            # a stale resolved entry (the id was once acked as a duplicate
+            # redelivery) would mask the revived rows from the frontier
+            # forever — clear it so the fresh lifecycle is reachable
+            if os.path.exists(self._resolved()):
+                self._swap_ledger(
+                    self._resolved(),
+                    spark.read.parquet(self._resolved()).join(
+                        ids, ["message_id"], "left_anti"
+                    ),
+                    ".requeue",
+                )
         finally:
             revive.unpersist()
         return n

@@ -17,6 +17,7 @@ from examples import (  # noqa: F401  (docs the mapping)
     part3_multiple_workloads,
     part4_workload_discovery,
     part5_ordered_workloads,
+    retry_maintenance,
 )
 
 EXAMPLES = [
@@ -26,6 +27,8 @@ EXAMPLES = [
     part4_workload_discovery,
     part5_ordered_workloads,
     curation_pipeline,  # extension: training-data funnel end-to-end
+    retry_maintenance,  # extension: delivery-lifecycle runbook (retry loop,
+    # ledger compaction, DLQ requeue — conservation end to end)
 ]
 
 

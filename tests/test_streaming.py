@@ -112,6 +112,9 @@ def test_retry_dlq_loop_streaming(spark, tmpdir):
         replay.withColumn("ok", F.lit(True)).drop("available_at"), batch_id=1_000_001
     )
     assert spark.read.parquet(router.sink_path).count() == total
+    # the acked redeliveries TERMINATE their lifecycle: the frontier drains
+    # (round-9 resolved-index fix — pre-fix they re-entered forever)
+    assert router.due_retries(spark, as_of="2100-01-01 00:00:00").count() == 0
 
 
 def test_ordered_per_key_across_microbatches(spark, tmpdir):

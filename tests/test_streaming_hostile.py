@@ -1235,3 +1235,49 @@ def test_requeue_dlq_revives_with_fresh_budget(spark, tmpdir):
     assert router.requeue_dlq(spark, batch_id=-3) == 0
     due = {(r.message_id, r.attempt) for r in router.due_retries(spark, as_of=AS_OF).collect()}
     assert due == {("m-bug", 2), ("m-other", 1)}
+
+
+def test_acked_redelivery_terminates_retry_lifecycle(spark, tmpdir):
+    """An acked REDELIVERY must terminate its message's retry lifecycle the
+    way the broker's ack does: pre-fix, the append-only ledger still held
+    the superseded retry row and due_retries returned the delivered message
+    FOREVER — every maintenance pass redelivered it and appended one more
+    duplicate sink row (round-9 finding, surfaced by the retry_maintenance
+    example).  A later duplicate failure of the resolved id also stays out
+    of the frontier: its content is already in the sink, which is all
+    at-least-once promises."""
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+        redelivery_delay_s=0,
+        max_attempts=5,
+    )
+    AS_OF = "2100-01-01 00:00:00"
+
+    def route(rows, batch_id):
+        router.route_batch(
+            spark.createDataFrame(rows, "message_id string, attempt long, ok boolean"),
+            batch_id=batch_id,
+        )
+
+    route([("m1", 1, False)], 1)  # first delivery fails
+    due = router.due_retries(spark, as_of=AS_OF)
+    assert [(r.message_id, r.attempt) for r in due.collect()] == [("m1", 2)]
+
+    # redelivery succeeds → the lifecycle is OVER
+    route([(r.message_id, r.attempt, True) for r in due.collect()], 2)
+    assert router.due_retries(spark, as_of=AS_OF).count() == 0, (
+        "acked redelivery must leave the frontier"
+    )
+    assert spark.read.parquet(router.sink_path).count() == 1
+
+    # a broker duplicate of the delivered message fails — still terminal
+    route([("m1", 1, False)], 3)
+    assert router.due_retries(spark, as_of=AS_OF).count() == 0
+
+    # compaction drops both the superseded rows and the dead resolved entry
+    stats = router.compact(spark)
+    assert stats["kept"] == 0
+    assert not os.path.exists(router.retry_path)
+    assert not os.path.exists(router._resolved())
