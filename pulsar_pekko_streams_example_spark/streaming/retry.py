@@ -244,6 +244,55 @@ class RetryRouter:
             frontier.unpersist()
         return {"kept": kept, "dropped": total - kept}
 
+    def compact_sink(
+        self, spark: SparkSession, up_to_batch_id: int, archive_batch_id: int = -1
+    ) -> dict:
+        """Merge old per-micro-batch sink partitions into one archive
+        partition — the small-files bound for long-running deployments.
+
+        The idempotent sink layout writes one ``_batch_id=k`` directory per
+        micro-batch; after a million micro-batches the directory listing
+        alone dominates read planning.  Batches ``<= up_to_batch_id`` fold
+        into the single ``_batch_id=archive_batch_id`` partition (merging
+        with any previous archive); newer partitions keep their layout so
+        replay idempotence still holds for them.
+
+        SAFETY: ``up_to_batch_id`` must be strictly below any batch the
+        stream could still replay (i.e. below the last checkpoint-committed
+        batch) — an archived batch that replays would write its partition
+        afresh next to the archived copy and duplicate rows.  The swap
+        itself is the same atomic two-rename as ``compact``.  At true
+        100 TB sink scale prefer a transactional table format's OPTIMIZE;
+        this is the dependency-free equivalent for parquet-directory sinks,
+        and it rewrites the whole sink (run it rarely, from a maintenance
+        window)."""
+        if not os.path.exists(self.sink_path):
+            return {"archived": 0, "partitions_before": 0, "partitions_after": 0}
+        sink = spark.read.parquet(self.sink_path)
+        if "_batch_id" not in sink.columns:
+            return {"archived": 0}  # non-idempotent layout: nothing to fold
+        parts_before = sink.select("_batch_id").distinct().count()
+        bid = F.col("_batch_id")
+        old = bid <= F.lit(up_to_batch_id)
+        n_archived = sink.filter(old & (bid != archive_batch_id)).count()
+        folded = sink.withColumn(
+            "_batch_id", F.when(old, F.lit(archive_batch_id)).otherwise(bid)
+        # repartition on the partition column: each _batch_id's rows land in
+        # one task → one consolidated file per directory, which is the whole
+        # point (without it the archive partition inherits every input split)
+        ).repartition("_batch_id")
+        self._swap_ledger(self.sink_path, folded, ".sink-compact")
+        parts_after = (
+            spark.read.parquet(self.sink_path).select("_batch_id").distinct().count()
+            if os.path.exists(self.sink_path)
+            else 0
+        )
+        return {
+            "archived": n_archived,
+            "partitions_before": parts_before,
+            "partitions_after": parts_after,
+        }
+
     def requeue_dlq(self, spark: SparkSession, batch_id: int, where=None) -> int:
         """Move DLQ-terminal messages back into the retry frontier — the
         operational "the bug is fixed, redeliver" path.

@@ -1281,3 +1281,57 @@ def test_acked_redelivery_terminates_retry_lifecycle(spark, tmpdir):
     assert stats["kept"] == 0
     assert not os.path.exists(router.retry_path)
     assert not os.path.exists(router._resolved())
+
+
+def test_compact_sink_folds_old_batch_partitions(spark, tmpdir):
+    """compact_sink merges per-micro-batch sink partitions at or below the
+    cutoff into one archive partition (small-files bound) without changing
+    a single row, while NEWER batches keep their own partitions so replay
+    idempotence still holds for them."""
+    import glob
+
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+        redelivery_delay_s=0,
+        max_attempts=3,
+    )
+
+    def ack_batch(ids, batch_id):
+        router.route_batch(
+            spark.createDataFrame(
+                [(m, 1, True) for m in ids], "message_id string, attempt long, ok boolean"
+            ),
+            batch_id=batch_id,
+        )
+
+    for b in range(1, 6):
+        ack_batch([f"m-{b}-{i}" for i in range(4)], b)
+    before = sorted(r.message_id for r in spark.read.parquet(router.sink_path).collect())
+    assert len(glob.glob(os.path.join(router.sink_path, "_batch_id=*"))) == 5
+
+    stats = router.compact_sink(spark, up_to_batch_id=3)
+    assert stats["archived"] == 12  # batches 1..3 folded
+    assert stats["partitions_before"] == 5 and stats["partitions_after"] == 3
+    sink = spark.read.parquet(router.sink_path)
+    assert sorted(r.message_id for r in sink.collect()) == before  # row-exact
+    dirs = sorted(glob.glob(os.path.join(router.sink_path, "_batch_id=*")))
+    assert [os.path.basename(d) for d in dirs] == [
+        "_batch_id=-1", "_batch_id=4", "_batch_id=5",
+    ]
+    # the archive partition is consolidated, not a pile of input splits
+    assert len(glob.glob(os.path.join(router.sink_path, "_batch_id=-1", "*.parquet"))) == 1
+
+    # a NEWER batch replay still overwrites its own partition (idempotence)
+    ack_batch([f"m-5-{i}" for i in range(4)], 5)
+    assert sorted(
+        r.message_id for r in spark.read.parquet(router.sink_path).collect()
+    ) == before
+
+    # second compaction merges with the existing archive
+    stats = router.compact_sink(spark, up_to_batch_id=5)
+    assert stats["partitions_after"] == 1
+    assert sorted(
+        r.message_id for r in spark.read.parquet(router.sink_path).collect()
+    ) == before
