@@ -1335,3 +1335,35 @@ def test_compact_sink_folds_old_batch_partitions(spark, tmpdir):
     assert sorted(
         r.message_id for r in spark.read.parquet(router.sink_path).collect()
     ) == before
+
+
+def test_watermarked_custom_bounds(spark, tmpdir):
+    """Custom validity windows narrow the guard: rows outside the caller's
+    bounds are excluded before the watermark even when they would pass the
+    defaults."""
+    src = os.path.join(tmpdir, "in")
+    os.makedirs(src)
+    spark.createDataFrame(
+        [("in-window", "2024-06-01 00:00:00"), ("too-old", "2023-01-01 00:00:00"),
+         ("too-new", "2025-01-01 00:00:00")],
+        "message_id string, ts_raw string",
+    ).select(
+        "message_id", F.col("ts_raw").cast("timestamp").alias("publish_time")
+    ).coalesce(1).write.parquet(src, mode="append")
+
+    stream = spark.readStream.schema(
+        "message_id string, publish_time timestamp"
+    ).parquet(src)
+    q = (
+        watermarked(stream, "1 minute", bounds=("2024-01-01", "2024-12-31"))
+        .writeStream.format("memory")
+        .queryName("custom_bounds_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    assert [r.message_id for r in spark.table("custom_bounds_out").collect()] == [
+        "in-window"
+    ]
