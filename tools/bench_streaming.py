@@ -93,7 +93,9 @@ def run(spark, n_messages: int, seed_files: int = SEED_FILES) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
-def run_ordered(spark, n_messages: int, n_keys: int = 1024) -> dict:
+def run_ordered(
+    spark, n_messages: int, n_keys: int = 1024, idle_timeout_ms: int | None = None
+) -> dict:
     """K2 throughput: the per-key ORDERED serial path (applyInPandasWithState
     over groupBy(key)) — the operator that bounds the reference's part 5 at
     <= 4 msg/s per workload pair.  Sink-verified: every message lands exactly
@@ -128,9 +130,16 @@ def run_ordered(spark, n_messages: int, n_keys: int = 1024) -> dict:
         sink = os.path.join(base, "ordered")
 
         stream = envelope_file_stream(spark, src)
+        if idle_timeout_ms is not None:
+            # the bounded-state variant: watermarked input + event-time TTL
+            # (measures the guarded path's overhead, not expiry — every
+            # key stays live for the whole backlog)
+            from pulsar_pekko_streams_example_spark.sources.streams import watermarked
+
+            stream = watermarked(stream, "10 minutes")
         t0 = time.perf_counter()
         q = (
-            ordered_per_key(stream)
+            ordered_per_key(stream, idle_timeout_ms=idle_timeout_ms)
             .writeStream.format("parquet")
             .option("path", sink)
             .option("checkpointLocation", os.path.join(base, "ckpt"))
@@ -147,12 +156,17 @@ def run_ordered(spark, n_messages: int, n_keys: int = 1024) -> dict:
         n_disorder = out.filter(~F.col("in_order")).count()
         assert n_disorder == 0, f"{n_disorder} out-of-order rows"
         return {
-            "metric": "streaming_ordered_per_key_msgs_per_sec",
+            "metric": (
+                "streaming_ordered_per_key_msgs_per_sec"
+                if idle_timeout_ms is None
+                else "streaming_ordered_ttl_msgs_per_sec"
+            ),
             "value": round(n_messages / wall, 1),
             "unit": "msg/s",
             "messages": n_messages,
             "keys": n_keys,
             "wall_sec": round(wall, 2),
+            "idle_timeout_ms": idle_timeout_ms,
             "reference_derived_msgs_per_sec": 4,
         }
     finally:
@@ -254,6 +268,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     print(json.dumps(run(spark, N_MESSAGES)))
     print(json.dumps(run_ordered(spark, N_MESSAGES)))
+    print(json.dumps(run_ordered(spark, N_MESSAGES, idle_timeout_ms=3_600_000)))
     print(json.dumps(run_windowed(spark, N_MESSAGES)))
 
 
