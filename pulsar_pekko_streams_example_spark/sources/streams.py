@@ -47,6 +47,7 @@ def bounded_event_time(
     ts_col: str = "publish_time",
     lo: str = "2000-01-01",
     hi: str = "2100-01-01",
+    metrics_name: str | None = None,
 ) -> DataFrame:
     """Guard an event-time column before ``withWatermark``.
 
@@ -61,15 +62,28 @@ def bounded_event_time(
     timestamp belongs to no window) rather than an engine-version-dependent
     behavior.  Route the rejects via ``filter(NOT ...)`` upstream if they
     must be audited instead of dropped.
+
+    ``metrics_name`` meters the guard so the drops are RECONCILABLE rather
+    than silent: an ``observe`` with ``scanned`` / ``in_bounds`` counters
+    rides the existing job (zero extra passes; per micro-batch via
+    StreamingQueryListener, or ``pyspark.sql.Observation`` in batch) —
+    ``scanned - in_bounds`` is the guard's drop count.
     """
     from pyspark.sql import functions as F
 
     c = F.col(ts_col)
-    return df.filter(
+    valid = (
         c.isNotNull()
         & (c >= F.lit(lo).cast("timestamp"))
         & (c < F.lit(hi).cast("timestamp"))
     )
+    if metrics_name:
+        df = df.observe(
+            metrics_name,
+            F.count(F.lit(1)).alias("scanned"),
+            F.count(F.when(valid, 1)).alias("in_bounds"),
+        )
+    return df.filter(valid)
 
 
 #: Default event-time validity window for ``watermarked``.  Wide enough that
@@ -84,6 +98,7 @@ def watermarked(
     delay: str,
     ts_col: str = "publish_time",
     bounds: tuple[str, str] | None = DEFAULT_EVENT_TIME_BOUNDS,
+    guard_metrics: str | None = None,
 ) -> DataFrame:
     """The library's watermark entry point: bounded event time BY DEFAULT.
 
@@ -99,6 +114,9 @@ def watermarked(
 
     Opt-out: pass ``bounds=None`` for a bare ``withWatermark`` (only when the
     producer is trusted AND rejects must be audited upstream instead).
+    ``guard_metrics`` names an ``observe`` that meters the guard
+    (scanned / in_bounds per micro-batch) so drops reconcile instead of
+    vanishing.
 
     Reference semantics at stake: arrival-time fidelity of the envelope
     stream (``part1/PulsarPekkoSource.scala:44-131`` delivers every received
@@ -106,7 +124,9 @@ def watermarked(
     """
     if bounds is not None:
         lo, hi = bounds
-        df = bounded_event_time(df, ts_col=ts_col, lo=lo, hi=hi)
+        df = bounded_event_time(
+            df, ts_col=ts_col, lo=lo, hi=hi, metrics_name=guard_metrics
+        )
     return df.withWatermark(ts_col, delay)
 
 

@@ -1367,3 +1367,72 @@ def test_watermarked_custom_bounds(spark, tmpdir):
     assert [r.message_id for r in spark.table("custom_bounds_out").collect()] == [
         "in-window"
     ]
+
+
+def test_event_time_guard_metrics_reconcile_drops(spark, tmpdir):
+    """The guard's drops must be METERABLE, not just documented: with
+    guard_metrics set, an observe rides the same micro-batch (zero extra
+    passes) and scanned - in_bounds is exactly the drop count, surfaced
+    per batch through the StreamingQueryListener."""
+    import time as _time
+
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    src_dir = os.path.join(tmpdir, "in")
+    os.makedirs(src_dir)
+    spark.createDataFrame(
+        [
+            ("ok1", "2024-06-01 00:00:00"),
+            ("ok2", "2024-06-01 00:01:00"),
+            ("poison", "9999-01-01 00:00:00"),
+            ("timeless", None),
+            ("ancient", "1969-12-31 00:00:00"),
+        ],
+        "message_id string, ts_raw string",
+    ).select(
+        "message_id", F.col("ts_raw").cast("timestamp").alias("publish_time")
+    ).coalesce(1).write.parquet(src_dir, mode="append")
+
+    seen = []
+
+    class GuardListener(StreamingQueryListener):
+        def onQueryStarted(self, event):  # noqa: N802
+            pass
+
+        def onQueryProgress(self, event):  # noqa: N802
+            m = (event.progress.observedMetrics or {}).get("event_time_guard")
+            if m is not None:
+                seen.append((m["scanned"], m["in_bounds"]))
+
+        def onQueryIdle(self, event):  # noqa: N802
+            pass
+
+        def onQueryTerminated(self, event):  # noqa: N802
+            pass
+
+    listener = GuardListener()
+    spark.streams.addListener(listener)
+    try:
+        stream = spark.readStream.schema(
+            "message_id string, publish_time timestamp"
+        ).parquet(src_dir)
+        q = (
+            watermarked(stream, "1 minute", guard_metrics="event_time_guard")
+            .writeStream.format("memory")
+            .queryName("guard_metrics_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmpdir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        deadline = _time.time() + 30
+        while _time.time() < deadline and not seen:
+            _time.sleep(0.2)  # listener events are async
+    finally:
+        spark.streams.removeListener(listener)
+
+    scanned = sum(s for s, _ in seen)
+    in_bounds = sum(b for _, b in seen)
+    assert (scanned, in_bounds) == (5, 2)  # 3 drops, reconciled exactly
+    assert spark.table("guard_metrics_out").count() == 2
