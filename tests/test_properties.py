@@ -1059,3 +1059,81 @@ def test_retry_router_conserves_every_verdict_batch(spark, rows):
             assert (att or 1) < max_attempts
             assert r.attempt == (att or 1) + 1  # aged exactly one attempt
             assert r.message_id is not None  # surrogate or real — never NULL
+
+
+# ---------------------------------------------------------------------------
+# Delivery accounting under maintenance (round-9): for ANY interleaving of
+# routing cycles with compact() and requeue_dlq(), every seeded message is
+# always accounted for — in the sink, in the live retry frontier, or in the
+# DLQ.  Maintenance ops rewrite ledgers; none may lose a message.
+# ---------------------------------------------------------------------------
+
+maintenance_ops = st.lists(
+    st.sampled_from(["fail_cycle", "ack_cycle", "compact", "requeue"]),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(ops=maintenance_ops, n_msgs=st.integers(min_value=1, max_value=6))
+def test_retry_maintenance_never_loses_a_message(spark, ops, n_msgs):
+    import os as _os
+    import tempfile as _tempfile
+
+    from pyspark.sql import functions as F
+
+    from pulsar_pekko_streams_example_spark.streaming.retry import RetryRouter
+
+    AS_OF = "2100-01-01 00:00:00"
+    with _tempfile.TemporaryDirectory() as d:
+        router = RetryRouter(
+            sink_path=_os.path.join(d, "sink"),
+            retry_path=_os.path.join(d, "retry"),
+            dlq_path=_os.path.join(d, "dlq"),
+            redelivery_delay_s=0,
+            max_attempts=3,
+        )
+        ids = [f"m-{i}" for i in range(n_msgs)]
+        router.route_batch(
+            spark.createDataFrame(
+                [(m, 1, False) for m in ids],
+                "message_id string, attempt long, ok boolean",
+            ),
+            batch_id=1,
+        )
+        batch_no = 1
+
+        def read_ids(p):
+            from pyspark.errors import AnalysisException
+
+            if not _os.path.exists(p):
+                return set()
+            try:
+                return {r.message_id for r in spark.read.parquet(p).collect()}
+            except AnalysisException:  # dir exists but holds no footers
+                return set()
+
+        for op in ops:
+            batch_no += 1
+            if op in ("fail_cycle", "ack_cycle"):
+                due = router.due_retries(spark, as_of=AS_OF)
+                batch = due.drop("available_at", "_batch_id").withColumn(
+                    "ok", F.lit(op == "ack_cycle")
+                )
+                if batch.limit(1).count():
+                    router.route_batch(batch, batch_id=batch_no)
+            elif op == "compact":
+                router.compact(spark)
+            else:
+                router.requeue_dlq(spark, batch_id=-batch_no)
+
+            accounted = (
+                read_ids(router.sink_path)
+                | {
+                    r.message_id
+                    for r in router.due_retries(spark, as_of=AS_OF).collect()
+                }
+                | read_ids(router.dlq_path)
+            )
+            assert set(ids) <= accounted, (op, sorted(set(ids) - accounted))
