@@ -1436,3 +1436,56 @@ def test_event_time_guard_metrics_reconcile_drops(spark, tmpdir):
     in_bounds = sum(b for _, b in seen)
     assert (scanned, in_bounds) == (5, 2)  # 3 drops, reconciled exactly
     assert spark.table("guard_metrics_out").count() == 2
+
+
+def test_idle_timeout_evicts_cursors_from_state_store(spark, tmpdir):
+    """The TTL must shrink the STATE STORE, not just refresh semantics: the
+    stateOperators numRowsTotal progress metric drops to the live-key count
+    once the watermark passes the idle cursors' expiry — the store-level
+    proof that per-key state tracks live keys, not every key ever seen."""
+    import json as _json
+
+    src = os.path.join(tmpdir, "in")
+    out_dir = os.path.join(tmpdir, "out")
+    ckpt = os.path.join(tmpdir, "ckpt")
+    os.makedirs(src)
+
+    def envelopes_at(rows, ts):
+        return _envelopes(spark, rows).withColumn(
+            "publish_time", F.lit(ts).cast("timestamp")
+        )
+
+    def drain():
+        q = (
+            ordered_per_key(
+                watermarked(envelope_file_stream(spark, src), "10 minutes"),
+                idle_timeout_ms=3_600_000,
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        rows_total = []
+        for x in q.recentProgress:
+            p = _json.loads(x) if isinstance(x, str) else x
+            if p.get("stateOperators"):
+                rows_total.append(p["stateOperators"][0]["numRowsTotal"])
+        return rows_total
+
+    envelopes_at(
+        [("a", "k1", 1, 1), ("b", "k2", 1, 1), ("c", "k3", 1, 1)],
+        "2024-01-01 00:00:00",
+    ).coalesce(1).write.parquet(src, mode="append")
+    assert drain()[-1] == 3  # one cursor per live key
+
+    # 5 h later (past every cursor's 1 h TTL): the heartbeat batch advances
+    # the watermark, the three idle cursors are EVICTED, only the new key's
+    # cursor remains in the store
+    envelopes_at([("hb", "k-new", 1, 1)], "2024-01-01 05:00:00").coalesce(
+        1
+    ).write.parquet(src, mode="append")
+    assert drain()[-1] == 1
