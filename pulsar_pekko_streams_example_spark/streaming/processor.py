@@ -99,9 +99,22 @@ def apply_processor(
                             "verdicts must be boolean, got "
                             f"{type(ok.dropna()[nonbool].iloc[0]).__name__}"
                         )
-                elif not (
-                    pd.api.types.is_bool_dtype(ok) or pd.api.types.is_numeric_dtype(ok)
-                ):
+                elif pd.api.types.is_bool_dtype(ok):
+                    pass
+                elif pd.api.types.is_numeric_dtype(ok):
+                    # Numerics pass ONLY as exact 0/1 (the honest integer
+                    # encodings of a verdict): a processor leaking a score
+                    # or probability column (0.7, 2, -1) under a bare
+                    # astype(bool) would silently ACK every nonzero value —
+                    # the same truthiness hole the string guard closes.
+                    vals = ok.dropna()
+                    offenders = ~vals.isin([0, 1])
+                    if offenders.any():
+                        raise TypeError(
+                            "numeric verdicts must be exactly 0/1, got "
+                            f"{vals[offenders].iloc[0]!r}"
+                        )
+                else:
                     raise TypeError(f"verdicts must be boolean, got dtype {ok.dtype}")
                 missing = ok.isna()
                 pdf = pdf.assign(

@@ -21,10 +21,22 @@ table is tiny relative to the main stream (≤ failure rate × traffic).
 from __future__ import annotations
 
 import os
+import time
+from contextlib import contextmanager
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+#: Columns every retry-ledger row carries regardless of envelope payload —
+#: the schema ``due_retries`` returns when the ledger has never been written
+#: (payload columns ride along WHEN present; the lifecycle columns are the
+#: declared contract, so an empty frontier supports ``select("attempt")`` /
+#: ``select("available_at")`` exactly like a populated one).
+FRONTIER_SCHEMA = (
+    "message_id string, attempt long, ok boolean, "
+    "available_at timestamp, _batch_id int, _redelivered boolean"
+)
 
 
 @dataclass
@@ -46,9 +58,64 @@ class RetryRouter:
     #: attempt>1 acks keeps the exclusion index bounded by the failure
     #: rate, like the DLQ.
     resolved_path: str = ""
+    #: how long ``route_batch`` and the maintenance ops wait for the ledger
+    #: lease before failing cleanly (see ``_lease``)
+    lease_timeout_s: float = 60.0
 
     def _resolved(self) -> str:
         return self.resolved_path or self.retry_path + "-resolved"
+
+    def _lease_path(self) -> str:
+        return self.retry_path + ".lease"
+
+    @contextmanager
+    def _lease(self, op: str):
+        """Advisory exclusive lease serializing every ledger mutator.
+
+        The maintenance ops (``compact``, ``requeue_dlq``, ``compact_sink``)
+        swap whole directories with two renames; a ``route_batch`` racing a
+        swap could write into a directory that is renamed away mid-batch.
+        The docstring-only "call between micro-batches" contract is now
+        MECHANICAL: every mutator takes this lease, so concurrent callers
+        serialize, and a caller that cannot acquire it within
+        ``lease_timeout_s`` fails with a clean error naming the holder —
+        both ledgers untouched.  ``O_CREAT|O_EXCL`` is atomic on one
+        filesystem, matching ``_swap_ledger``'s local-rename assumption (a
+        multi-driver deployment needs a real lock service, same as it needs
+        an atomic object-store rename).  A holder that CRASHES leaves a
+        stale lease: the timeout error names the file; removing it is the
+        documented operator recovery (the content says who held it)."""
+        path = self._lease_path()
+        parent = os.path.dirname(path)
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        deadline = time.monotonic() + self.lease_timeout_s
+        while True:
+            try:
+                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                break
+            except FileExistsError:
+                if time.monotonic() >= deadline:
+                    try:
+                        with open(path) as f:
+                            holder = f.read()
+                    except OSError:
+                        continue  # holder released between the check and read
+                    raise TimeoutError(
+                        f"ledger lease {path} still held by [{holder}] after "
+                        f"{self.lease_timeout_s}s while acquiring for {op!r}; "
+                        "if the holder crashed, remove the lease file to recover"
+                    )
+                time.sleep(0.05)
+        try:
+            os.write(fd, f"pid={os.getpid()} op={op} t={time.time():.3f}".encode())
+            os.close(fd)
+            yield
+        finally:
+            try:
+                os.unlink(path)
+            except FileNotFoundError:
+                pass
 
     def _write(self, df: DataFrame, path: str, batch_id: int) -> None:
         """Idempotent micro-batch write: partition by batch id with dynamic
@@ -79,12 +146,24 @@ class RetryRouter:
         message still gets its full retry budget instead of skipping both
         the retry and DLQ filters.  Invariant: every input row lands in
         exactly one of sink / retry / DLQ."""
+        with self._lease("route_batch"):
+            self._route_batch_locked(batch, batch_id)
+
+    def _route_batch_locked(self, batch: DataFrame, batch_id: int) -> None:
         batch = self._with_surrogate_ids(batch).persist()
         try:
             ok = F.coalesce(F.col("ok"), F.lit(False))
             att = F.coalesce(F.col("attempt"), F.lit(1))
+            # rows re-ingested from the retry ledger carry _redelivered=true
+            # (stamped by due_retries); requeue_dlq resets attempt to 1, so
+            # the counter alone cannot tell a revived redelivery from a
+            # first delivery
+            redelivered = (
+                F.coalesce(F.col("_redelivered"), F.lit(False))
+                if "_redelivered" in batch.columns
+                else F.lit(False)
+            )
             acks, nacks = batch.filter(ok), batch.filter(~ok)
-            self._write(acks, self.sink_path, batch_id)
 
             # an acked REDELIVERY terminates its retry lifecycle: record it
             # in the resolved index so the frontier stops returning the
@@ -92,8 +171,15 @@ class RetryRouter:
             # message re-entered due_retries forever and every maintenance
             # pass re-delivered it (at-least-once became unbounded, with a
             # duplicate sink row per pass).  Bounded: only ids that failed
-            # at least once can appear here.
-            resolved = acks.filter(att > 1).select("message_id")
+            # at least once can appear here.  ``attempt > 1`` alone misses
+            # requeued messages acked on their FIRST redelivery (requeue
+            # resets the counter), hence the OR with the transport flag.
+            resolved = acks.filter((att > 1) | redelivered).select("message_id")
+            # the flag is transport metadata, not message state: drop it
+            # before every ledger write so sink/retry/DLQ schemas stay
+            # batch-independent (parquet directory reads do not schema-merge)
+            acks, nacks = acks.drop("_redelivered"), nacks.drop("_redelivered")
+            self._write(acks, self.sink_path, batch_id)
             if resolved.limit(1).count():
                 self._write(resolved, self._resolved(), batch_id)
 
@@ -114,7 +200,10 @@ class RetryRouter:
 
     # columns whose values change across delivery attempts of the SAME
     # message — excluded from the anonymous-message surrogate id below
-    _MUTABLE = ("message_id", "attempt", "available_at", "ok", "error", "_batch_id")
+    _MUTABLE = (
+        "message_id", "attempt", "available_at", "ok", "error", "_batch_id",
+        "_redelivered",
+    )
 
     def _with_surrogate_ids(self, batch: DataFrame) -> DataFrame:
         """Give NULL-``message_id`` rows a deterministic content-derived id.
@@ -169,11 +258,21 @@ class RetryRouter:
         forever).  A duplicate failure of an already-resolved id stays
         excluded — its content is in the sink, which is all at-least-once
         promises.
+
+        Every returned row is stamped ``_redelivered = true``: anything read
+        from the retry ledger IS a redelivery, and ``route_batch`` needs the
+        flag to terminate requeued messages acked on their first (attempt-1)
+        redelivery — the counter alone cannot carry that fact after
+        ``requeue_dlq`` resets it.  Feed the rows back through the processor
+        with the flag intact.  A missing ledger returns an EMPTY frontier
+        with the same lifecycle schema as a populated one
+        (``FRONTIER_SCHEMA``), so downstream projections never break on the
+        empty path alone.
         """
         from pyspark.sql.window import Window
 
         if not os.path.exists(self.retry_path):
-            return spark.createDataFrame([], "message_id string")
+            return spark.createDataFrame([], FRONTIER_SCHEMA)
         df = spark.read.parquet(self.retry_path)
         w = Window.partitionBy("message_id").orderBy(F.col("attempt").desc())
         df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
@@ -184,7 +283,9 @@ class RetryRouter:
                 done = spark.read.parquet(terminal).select("message_id")
                 df = df.join(done, ["message_id"], "left_anti")
         cutoff = F.lit(as_of).cast("timestamp") if as_of is not None else F.current_timestamp()
-        return df.filter(F.col("available_at") <= cutoff)
+        return df.filter(F.col("available_at") <= cutoff).withColumn(
+            "_redelivered", F.lit(True)
+        )
 
     def compact(self, spark: SparkSession) -> dict:
         """Rewrite the retry ledger down to its delivery frontier.
@@ -201,51 +302,75 @@ class RetryRouter:
         live frontier.  ``due_retries`` is invariant across a compaction
         (pinned by test).
 
-        Call it between micro-batches (e.g. periodically from the driver
-        loop that also calls ``due_retries``); it is not safe against a
-        concurrent ``route_batch`` — the swap is two directory renames.
-        History is DROPPED by design: archive the directory first if the
-        audit trail matters.  Surviving rows keep their ``_batch_id``
-        partition, so a replayed micro-batch still overwrites its own
-        partition after compaction (the idempotence contract is
-        preserved)."""
+        Concurrency with ``route_batch`` is MECHANICAL: both take the ledger
+        lease, so a racing batch serializes (or fails cleanly at the lease
+        timeout) instead of interleaving with the directory swap.  History
+        is DROPPED by design: archive the directory first if the audit trail
+        matters.  Surviving rows keep their ``_batch_id`` partition, so a
+        replayed micro-batch still overwrites its own partition after
+        compaction (the idempotence contract is preserved).
+
+        Crash-safe swap ORDER (round-9 advice): the retry ledger swaps
+        FIRST, the resolved index is deleted after.  The compacted ledger
+        equals the frontier, which anti-joined the resolved index — so once
+        the ledger swap lands, no resolved id has ledger rows left and the
+        whole index is dead weight (deleting it outright also keeps it from
+        inheriting the unbounded growth it exists to solve).  A crash
+        between the two steps leaves the index present but irrelevant
+        (anti-joining ids with no ledger rows is a no-op) and re-running
+        converges.  The PRE-fix order — index first — was the dangerous one:
+        a crash then deleted the terminal-success evidence while the
+        uncompacted ledger still held the superseded rows, so delivered
+        messages re-entered the frontier and duplicated sink rows."""
         from pyspark.sql.window import Window
 
-        if not os.path.exists(self.retry_path):
-            return {"kept": 0, "dropped": 0}
-        df = spark.read.parquet(self.retry_path)
-        total = df.count()
-        w = Window.partitionBy("message_id").orderBy(F.col("attempt").desc())
-        frontier = (
-            df.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
-        )
-        for terminal in (self.dlq_path, self._resolved()):
-            if os.path.exists(terminal):
-                done = spark.read.parquet(terminal).select("message_id")
-                frontier = frontier.join(done, ["message_id"], "left_anti")
-        frontier = frontier.persist()
-        try:
-            kept = frontier.count()
-            # prune the resolved index to ids still in the ledger: once a
-            # message's retry rows are compacted away it can never re-enter
-            # the frontier, so its resolved entry is dead weight (the index
-            # must not inherit the unbounded-growth problem it solves)
-            if os.path.exists(self._resolved()):
-                still_relevant = (
-                    spark.read.parquet(self._resolved())
-                    .join(frontier.select("message_id"), ["message_id"], "left_semi")
-                    .distinct()
-                )
-                self._swap_ledger(self._resolved(), still_relevant, ".compact")
-            self._swap_ledger(self.retry_path, frontier, ".compact")
-        finally:
-            frontier.unpersist()
-        return {"kept": kept, "dropped": total - kept}
+        import shutil
+
+        with self._lease("compact"):
+            if not os.path.exists(self.retry_path):
+                # ledger empty ⇒ frontier empty ⇒ the resolved index keeps
+                # nothing out; clear it so it cannot grow unboundedly
+                shutil.rmtree(self._resolved(), ignore_errors=True)
+                return {"kept": 0, "dropped": 0}
+            df = spark.read.parquet(self.retry_path)
+            total = df.count()
+            w = Window.partitionBy("message_id").orderBy(F.col("attempt").desc())
+            frontier = (
+                df.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") == 1)
+                .drop("_rn")
+            )
+            for terminal in (self.dlq_path, self._resolved()):
+                if os.path.exists(terminal):
+                    done = spark.read.parquet(terminal).select("message_id")
+                    frontier = frontier.join(done, ["message_id"], "left_anti")
+            frontier = frontier.persist()
+            try:
+                kept = frontier.count()
+                self._swap_ledger(self.retry_path, frontier, ".compact")
+                shutil.rmtree(self._resolved(), ignore_errors=True)
+            finally:
+                frontier.unpersist()
+            return {"kept": kept, "dropped": total - kept}
+
+    @staticmethod
+    def committed_batch_ids(checkpoint: str) -> list[int]:
+        """Batch ids the streaming checkpoint has COMMITTED (sink write +
+        offset commit both durable): the file names under
+        ``<checkpoint>/commits/``.  Everything at or below the newest id is
+        replay-safe history; the engine can only replay the next batch."""
+        commits = os.path.join(checkpoint, "commits")
+        if not os.path.isdir(commits):
+            return []
+        return sorted(int(f) for f in os.listdir(commits) if f.isdigit())
 
     def compact_sink(
-        self, spark: SparkSession, up_to_batch_id: int, archive_batch_id: int = -1
+        self,
+        spark: SparkSession,
+        up_to_batch_id: int,
+        archive_batch_id: int = -1,
+        checkpoint: str | None = None,
+        force: bool = False,
     ) -> dict:
         """Merge old per-micro-batch sink partitions into one archive
         partition — the small-files bound for long-running deployments.
@@ -257,15 +382,48 @@ class RetryRouter:
         with any previous archive); newer partitions keep their layout so
         replay idempotence still holds for them.
 
-        SAFETY: ``up_to_batch_id`` must be strictly below any batch the
-        stream could still replay (i.e. below the last checkpoint-committed
-        batch) — an archived batch that replays would write its partition
-        afresh next to the archived copy and duplicate rows.  The swap
-        itself is the same atomic two-rename as ``compact``.  At true
-        100 TB sink scale prefer a transactional table format's OPTIMIZE;
-        this is the dependency-free equivalent for parquet-directory sinks,
-        and it rewrites the whole sink (run it rarely, from a maintenance
-        window)."""
+        SAFETY — derived, not trusted: ``up_to_batch_id`` must be strictly
+        below any batch the stream could still replay — an archived batch
+        that replays would write its partition afresh next to the archived
+        copy and DUPLICATE rows.  Pass ``checkpoint`` (the streaming query's
+        checkpointLocation) and the bound is read from its ``commits/``
+        directory: cutoffs at or above the newest committed batch id are
+        REFUSED.  ``force=True`` is the explicit override for callers who
+        can assert the bound themselves (e.g. the stream is permanently
+        stopped); calling with neither is an error — the silent-duplication
+        footgun the old trust-the-caller contract left open.
+
+        The swap itself is the same atomic two-rename as ``compact``, and
+        the ledger lease serializes it against a concurrent ``route_batch``.
+        At true 100 TB sink scale prefer a transactional table format's
+        OPTIMIZE; this is the dependency-free equivalent for
+        parquet-directory sinks, and it rewrites the whole sink (run it
+        rarely, from a maintenance window)."""
+        if checkpoint is None:
+            if not force:
+                raise ValueError(
+                    "compact_sink refuses to trust a bare cutoff: pass "
+                    "checkpoint= (the streaming checkpointLocation) so the "
+                    "replay-safety bound is derived from its commits/ "
+                    "directory, or force=True to assert the bound yourself"
+                )
+        else:
+            committed = self.committed_batch_ids(checkpoint)
+            newest = committed[-1] if committed else None
+            if (newest is None or up_to_batch_id >= newest) and not force:
+                raise ValueError(
+                    f"up_to_batch_id={up_to_batch_id} is not strictly below "
+                    f"the newest committed batch ({newest}) in "
+                    f"{checkpoint}/commits — an archived batch that replays "
+                    "duplicates its rows; lower the cutoff, or force=True "
+                    "only if the stream is stopped for good"
+                )
+        with self._lease("compact_sink"):
+            return self._compact_sink_locked(spark, up_to_batch_id, archive_batch_id)
+
+    def _compact_sink_locked(
+        self, spark: SparkSession, up_to_batch_id: int, archive_batch_id: int
+    ) -> dict:
         if not os.path.exists(self.sink_path):
             return {"archived": 0, "partitions_before": 0, "partitions_after": 0}
         sink = spark.read.parquet(self.sink_path)
@@ -314,11 +472,22 @@ class RetryRouter:
         Column/SQL-string filter selecting which dead messages to revive
         (default: all); ``batch_id`` labels the requeued rows' partition
         (use one no micro-batch will replay, e.g. a negative maintenance
-        counter).  Returns the number requeued.  Same concurrency contract
-        as ``compact``: call between micro-batches.  Crash-safe ordering:
-        the retry ledger is swapped FIRST, so a crash between the two swaps
-        leaves revived rows present but still DLQ-excluded (dormant, no
-        duplication) — re-running the requeue converges."""
+        counter).  Returns the number requeued.  Concurrency with
+        ``route_batch`` is mechanical via the ledger lease (see ``_lease``).
+
+        Crash-safe ordering (round-9 advice): resolved-index purge FIRST,
+        then the retry-ledger swap, then the DLQ swap.  Any prefix of that
+        sequence leaves the revived ids still DLQ-masked (the frontier
+        anti-joins the DLQ), so a crash at any point is dormant — no
+        duplicate delivery — and RE-RUNNING the requeue finds the ids still
+        in the DLQ and converges.  The pre-fix order purged the resolved
+        index LAST: a crash after the DLQ swap left the id gone from the
+        DLQ but still resolved-masked, a re-run found no DLQ rows to
+        revive, and the message was excluded from the frontier forever."""
+        with self._lease("requeue_dlq"):
+            return self._requeue_dlq_locked(spark, batch_id, where)
+
+    def _requeue_dlq_locked(self, spark: SparkSession, batch_id: int, where) -> int:
         if not os.path.exists(self.dlq_path):
             return 0
         dlq = spark.read.parquet(self.dlq_path)
@@ -336,19 +505,11 @@ class RetryRouter:
                 .withColumn("_batch_id", F.lit(batch_id))
             )
             ids = revive.select("message_id")
-            if os.path.exists(self.retry_path):
-                old_retry = spark.read.parquet(self.retry_path)
-                new_retry = old_retry.join(
-                    ids, ["message_id"], "left_anti"
-                ).unionByName(requeued.select(*old_retry.columns))
-            else:
-                new_retry = requeued
-            self._swap_ledger(self.retry_path, new_retry, ".requeue")
-            remaining = dlq.join(ids, ["message_id"], "left_anti")
-            self._swap_ledger(self.dlq_path, remaining, ".requeue")
-            # a stale resolved entry (the id was once acked as a duplicate
-            # redelivery) would mask the revived rows from the frontier
-            # forever — clear it so the fresh lifecycle is reachable
+            # 1. unmask: a stale resolved entry (the id was once acked as a
+            # duplicate redelivery) would hide the revived rows from the
+            # frontier forever — clear it before anything else so a crash
+            # mid-sequence can only leave the ids DLQ-masked (recoverable
+            # by re-running), never resolved-masked (permanent)
             if os.path.exists(self._resolved()):
                 self._swap_ledger(
                     self._resolved(),
@@ -357,6 +518,21 @@ class RetryRouter:
                     ),
                     ".requeue",
                 )
+            # 2. revive: fresh attempt-1 rows replace the ids' stale
+            # exhausted-attempt history in the retry ledger
+            if os.path.exists(self.retry_path):
+                old_retry = spark.read.parquet(self.retry_path)
+                new_retry = old_retry.join(
+                    ids, ["message_id"], "left_anti"
+                ).unionByName(requeued.select(*old_retry.columns))
+            else:
+                new_retry = requeued
+            self._swap_ledger(self.retry_path, new_retry, ".requeue")
+            # 3. release: dropping the DLQ rows makes the revived ids
+            # frontier-visible — the last step, so every earlier crash
+            # point is dormant rather than duplicating
+            remaining = dlq.join(ids, ["message_id"], "left_anti")
+            self._swap_ledger(self.dlq_path, remaining, ".requeue")
         finally:
             revive.unpersist()
         return n
