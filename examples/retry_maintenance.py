@@ -17,7 +17,11 @@ and this example walks the whole arc a production operator runs:
 4. the "bug" is fixed; ``requeue_dlq()`` revives the dead messages with a
    fresh attempt budget and one more cycle delivers them;
 5. conservation holds end to end: every seeded message is in the sink
-   exactly once, both ledgers are empty.
+   exactly once, both ledgers are empty;
+6. sink small-files maintenance with the replay-safety cutoff derived from
+   the streaming checkpoint's ``commits/`` dir — refused while a replay
+   could duplicate, folded row-exact under the explicit decommission
+   override.
 """
 
 from __future__ import annotations
@@ -98,14 +102,35 @@ def run(spark: SparkSession, base: str) -> dict:
 
     # 5. conservation: every message delivered exactly once, ledgers empty
     sink = spark.read.parquet(router.sink_path)
-    assert sink.count() == N_MESSAGES
+    delivered = sink.count()
+    assert delivered == N_MESSAGES
     assert sink.select("message_id").distinct().count() == N_MESSAGES
     assert router.due_retries(spark, as_of=AS_OF).count() == 0
     assert not os.path.exists(router.dlq_path)
+
+    # 6. sink small-files maintenance, with the replay-safety bound DERIVED
+    # rather than trusted: while the stream is still resumable, the
+    # checkpoint's commits/ dir caps the cutoff — archiving the newest
+    # committed batch is refused, because a replay would write that
+    # partition afresh next to the archived copy and duplicate rows.  Only
+    # when the deployment is retired for good does force=True fold every
+    # micro-batch partition into the single archive partition — row-exact.
+    ckpt = os.path.join(base, "ckpt")
+    newest = RetryRouter.committed_batch_ids(ckpt)[-1]
+    try:
+        router.compact_sink(spark, up_to_batch_id=newest, checkpoint=ckpt)
+        raise AssertionError("cutoff at the newest committed batch must be refused")
+    except ValueError:
+        pass
+    sink_stats = router.compact_sink(spark, up_to_batch_id=cycle["n"], force=True)
+    assert spark.read.parquet(router.sink_path).count() == N_MESSAGES
+    assert sink_stats["partitions_after"] == 1
+
     return {
-        "delivered": sink.count(),
+        "delivered": delivered,
         "dead_lettered_then_revived": revived,
         "ledger_rows_compacted": stats["dropped"],
+        "sink_partitions_folded": sink_stats["partitions_before"],
     }
 
 

@@ -21,6 +21,10 @@ from pyspark.sql import functions as F
 from pyspark.sql.streaming import StreamingQueryListener
 
 OBSERVATION_NAME = "engine_metrics"
+#: the event-time guard's observation (``watermarked(guard_metrics=...)``
+#: / ``bounded_event_time(metrics_name=...)``): scanned / in_bounds per
+#: micro-batch, so the guard's drops RECONCILE instead of vanishing
+GUARD_OBSERVATION_NAME = "event_time_guard"
 
 
 def with_engine_metrics(df: DataFrame, name: str = OBSERVATION_NAME) -> DataFrame:
@@ -48,6 +52,7 @@ class MetricsListener(StreamingQueryListener):
     analog; swap the list for a metrics backend in production)."""
 
     rows: list = field(default_factory=list)
+    guard_rows: list = field(default_factory=list)
     malformed: list = field(default_factory=list)
     _lock: threading.Lock = field(default_factory=threading.Lock)
 
@@ -79,6 +84,25 @@ class MetricsListener(StreamingQueryListener):
                 return
             with self._lock:
                 self.rows.append(row)
+        g = observed.get(GUARD_OBSERVATION_NAME)
+        if g is not None:
+            # same defensive-read contract as above: a foreign observation
+            # reusing the guard's name must surface as malformed, not
+            # silently unbalance the drop accounting
+            try:
+                grow = {
+                    "batch_id": event.progress.batchId,
+                    "scanned": g["scanned"],
+                    "in_bounds": g["in_bounds"],
+                }
+            except Exception:
+                with self._lock:
+                    self.malformed.append(
+                        {"batch_id": event.progress.batchId, "observed": repr(g)}
+                    )
+                return
+            with self._lock:
+                self.guard_rows.append(grow)
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass
@@ -94,6 +118,21 @@ class MetricsListener(StreamingQueryListener):
                 "failures": sum(r["failures"] for r in self.rows),
                 "batches": len(self.rows),
                 "malformed_batches": len(self.malformed),
+            }
+
+    def guard_totals(self) -> dict:
+        """Close the books on the event-time guard: ``dropped`` is exactly
+        ``scanned - in_bounds`` summed over every micro-batch — reconcile
+        it against the seeded/known poison count to prove no legitimate
+        message was silently dropped as late."""
+        with self._lock:
+            scanned = sum(r["scanned"] for r in self.guard_rows)
+            in_bounds = sum(r["in_bounds"] for r in self.guard_rows)
+            return {
+                "scanned": scanned,
+                "in_bounds": in_bounds,
+                "dropped": scanned - in_bounds,
+                "batches": len(self.guard_rows),
             }
 
 
