@@ -1792,3 +1792,132 @@ def test_apply_processor_non_binary_numeric_verdicts_fail_closed(spark):
     # out-of-range ints (2, -1)
     rows = apply_processor(df, lambda pdf: pdf["event_id"] - 1).collect()
     assert all(not r.ok and "exactly 0/1" in r.error for r in rows)
+
+
+class _CrashAfterSwaps:
+    """Inject a crash AFTER the n-th completed ledger swap — the swap
+    itself lands, then the process 'dies'.  Shadowing the bound method via
+    an instance attribute keeps the real swap semantics byte-identical."""
+
+    def __init__(self, router, crash_after):
+        self._real = router._swap_ledger
+        self._crash_after = crash_after
+        self.count = 0
+
+    def __call__(self, path, df, tag):
+        self._real(path, df, tag)
+        self.count += 1
+        if self.count == self._crash_after:
+            raise RuntimeError("injected crash between ledger swaps")
+
+
+def _walk_to_dlq_with_resolved_entry(spark, router, mid):
+    """Drive ``mid`` into the state requeue must untangle: a retry history,
+    a RESOLVED entry (an acked redelivery), and a DLQ row (a later
+    duplicate failure that exhausted)."""
+
+    def route(rows, batch_id):
+        router.route_batch(
+            spark.createDataFrame(rows, "message_id string, attempt long, ok boolean"),
+            batch_id=batch_id,
+        )
+
+    route([(mid, 1, False)], 1)   # fails → retry row (attempt 2)
+    route([(mid, 2, True)], 2)    # redelivery acked → resolved entry + sink
+    route([(mid, 3, False)], 3)   # broker duplicate exhausts → DLQ row
+    assert os.path.exists(router._resolved())
+    assert {r.message_id for r in spark.read.parquet(router.dlq_path).collect()} == {mid}
+    return route
+
+
+@pytest.mark.parametrize("crash_after", [1, 2])
+def test_requeue_crash_between_swaps_is_dormant_and_rerun_converges(
+    spark, tmpdir, crash_after
+):
+    """The requeue swap order (resolved purge → retry swap → DLQ swap) is
+    crash-safe at EVERY intermediate point: any prefix leaves the revived
+    ids still DLQ-masked — the frontier stays empty (dormant, no duplicate
+    delivery) — and re-running the requeue converges to exactly the
+    no-crash state, with exactly ONE revived ledger row (no duplication
+    from the half-finished first run).  Under the pre-fix order (resolved
+    purge LAST) a crash after the DLQ swap left the id resolved-masked
+    with no DLQ row to revive: the re-run returned 0 and the message was
+    unreachable forever."""
+    router = _mk_router(tmpdir)
+    _walk_to_dlq_with_resolved_entry(spark, router, "m1")
+    assert router.due_retries(spark, as_of=AS_OF_FUTURE).count() == 0
+
+    crash = _CrashAfterSwaps(router, crash_after)
+    router._swap_ledger = crash
+    with pytest.raises(RuntimeError, match="injected crash"):
+        router.requeue_dlq(spark, batch_id=-1)
+    assert crash.count == crash_after
+    del router._swap_ledger  # restore the real method
+
+    # dormant: the half-finished move delivered NOTHING into the frontier
+    assert router.due_retries(spark, as_of=AS_OF_FUTURE).count() == 0
+    # the id is still in the DLQ, so the documented recovery (re-run) works
+    assert router.requeue_dlq(spark, batch_id=-2) == 1
+    due = router.due_retries(spark, as_of=AS_OF_FUTURE).collect()
+    assert [(r.message_id, r.attempt) for r in due] == [("m1", 1)]
+    # exactly one revived row survives — the crashed run's partial state
+    # was superseded, not duplicated
+    retry_rows = spark.read.parquet(router.retry_path).filter(
+        F.col("message_id") == "m1"
+    )
+    assert retry_rows.count() == 1
+    assert not os.path.exists(router.dlq_path)
+
+
+def test_compact_crash_before_resolved_drop_converges(spark, tmpdir):
+    """compact's order (retry-ledger swap FIRST, resolved-index drop after)
+    makes the crash window benign: a crash between the two steps leaves
+    the index present but irrelevant — the compacted ledger already
+    excludes resolved ids, so due_retries is unchanged — and the re-run
+    finishes the drop.  The pre-fix order (index swap first) deleted the
+    terminal-success evidence while the uncompacted ledger still held the
+    superseded rows: delivered messages re-entered the frontier and
+    duplicated sink rows."""
+    router = _mk_router(tmpdir)
+    # m-live keeps a live frontier row; m-done is resolved
+    router.route_batch(
+        spark.createDataFrame(
+            [("m-live", 1, False), ("m-done", 1, False)],
+            "message_id string, attempt long, ok boolean",
+        ),
+        batch_id=1,
+    )
+    router.route_batch(
+        spark.createDataFrame(
+            [("m-done", 2, True)], "message_id string, attempt long, ok boolean"
+        ),
+        batch_id=2,
+    )
+    before = {
+        (r.message_id, r.attempt)
+        for r in router.due_retries(spark, as_of=AS_OF_FUTURE).collect()
+    }
+    assert before == {("m-live", 2)}
+
+    crash = _CrashAfterSwaps(router, crash_after=1)  # after the ledger swap
+    router._swap_ledger = crash
+    with pytest.raises(RuntimeError, match="injected crash"):
+        router.compact(spark)
+    del router._swap_ledger
+
+    # the index survived the crash but keeps nothing out: the frontier is
+    # byte-identical, and no delivered message re-entered it
+    assert os.path.exists(router._resolved())
+    after_crash = {
+        (r.message_id, r.attempt)
+        for r in router.due_retries(spark, as_of=AS_OF_FUTURE).collect()
+    }
+    assert after_crash == before
+    # re-run completes the drop; frontier still invariant
+    stats = router.compact(spark)
+    assert stats["kept"] == 1
+    assert not os.path.exists(router._resolved())
+    assert {
+        (r.message_id, r.attempt)
+        for r in router.due_retries(spark, as_of=AS_OF_FUTURE).collect()
+    } == before
