@@ -102,7 +102,17 @@ def _advance(
     rows = rows.sort_values(["seq", "attempt"], kind="mergesort").reset_index(drop=True)
     n = len(rows)
     if n == 0:
-        empty = pd.DataFrame({c: pd.Series(dtype=object) for c in _OUT_COLUMNS})
+        empty = pd.DataFrame(
+            {
+                "key": pd.Series(dtype=object),
+                "message_id": pd.Series(dtype=object),
+                "seq": pd.Series(dtype="Int64"),
+                "processing_index": pd.Series(dtype="int64"),
+                "is_redelivery": pd.Series(dtype=bool),
+                "in_order": pd.Series(dtype=bool),
+                "fresh_cursor": pd.Series(dtype=bool),
+            }
+        )
         return empty, last_seq, processed
 
     seq = rows["seq"].astype("float64").to_numpy()

@@ -268,6 +268,16 @@ class RetryRouter:
         with the same lifecycle schema as a populated one
         (``FRONTIER_SCHEMA``), so downstream projections never break on the
         empty path alone.
+
+        Reader caveat: the returned DataFrame is LAZY over the ledger
+        directory, and the maintenance lease serializes WRITERS only — a
+        maintenance swap between this call and the caller's action
+        invalidates the captured file listing (Spark raises
+        FAILED_READ_FILE rather than reading stale data).  Consume or
+        route the frontier before running a maintenance op, or re-call
+        after one; the driver loop that interleaves ``due_retries`` /
+        ``route_batch`` / ``compact`` sequentially (the
+        ``examples/retry_maintenance.py`` shape) never hits the window.
         """
         from pyspark.sql.window import Window
 

@@ -1128,12 +1128,17 @@ def test_retry_maintenance_never_loses_a_message(spark, ops, n_msgs):
             else:
                 router.requeue_dlq(spark, batch_id=-batch_no)
 
-            accounted = (
-                read_ids(router.sink_path)
-                | {
-                    r.message_id
-                    for r in router.due_retries(spark, as_of=AS_OF).collect()
-                }
-                | read_ids(router.dlq_path)
-            )
+            delivered = read_ids(router.sink_path)
+            frontier = {
+                r.message_id
+                for r in router.due_retries(spark, as_of=AS_OF).collect()
+            }
+            accounted = delivered | frontier | read_ids(router.dlq_path)
             assert set(ids) <= accounted, (op, sorted(set(ids) - accounted))
+            # TERMINATION (round-10, ADVICE r9): a delivered message never
+            # re-enters the redelivery frontier — in particular a requeued
+            # message acked on its attempt-1 redelivery, where the
+            # attempt>1 resolved trigger alone never fires.  Pre-fix, the
+            # sequence fail,fail,fail → requeue → ack_cycle left the
+            # delivered id in the frontier forever.
+            assert not (delivered & frontier), (op, sorted(delivered & frontier))

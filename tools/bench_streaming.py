@@ -261,6 +261,80 @@ def run_windowed(spark, n_messages: int) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def run_retry_lifecycle(spark, n_messages: int) -> dict:
+    """S6/S7 throughput: the FULL delivery lifecycle to convergence — route
+    to sink/retry (streaming, foreachBatch under the ledger lease),
+    re-ingest due retries, repeat until the frontier drains.  10% of
+    messages fail their first attempt and deliver on redelivery, so the
+    run exercises routing, the frontier scan, the ``_redelivered``
+    termination flag, and idempotent ledger writes end to end.
+    Sink-verified: every seeded message delivered exactly once."""
+    from examples._common import seed_messages
+    from pulsar_pekko_streams_example_spark.sources.streams import (
+        envelope_file_stream,
+    )
+    from pulsar_pekko_streams_example_spark.streaming import (
+        RetryRouter,
+        apply_processor,
+    )
+
+    base = tempfile.mkdtemp(prefix="spark-graft-stream-bench-retry-")
+    try:
+        src = os.path.join(base, "backlog")
+        seed_messages(spark, n_messages).repartition(SEED_FILES).write.mode(
+            "overwrite"
+        ).parquet(src)
+        router = RetryRouter(
+            sink_path=os.path.join(base, "sink"),
+            retry_path=os.path.join(base, "retry"),
+            dlq_path=os.path.join(base, "dlq"),
+            redelivery_delay_s=0,
+            max_attempts=3,
+        )
+
+        def flaky(pdf):
+            return ~((pdf["event_id"] % 10 == 0) & (pdf["attempt"] == 1))
+
+        t0 = time.perf_counter()
+        q = (
+            router.attach(
+                apply_processor(envelope_file_stream(spark, src), flaky),
+                os.path.join(base, "ckpt"),
+            )
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        cycles, bid = 0, 1_000_000
+        while True:
+            due = router.due_retries(spark, as_of="2100-01-01 00:00:00")
+            batch = due.drop("available_at", "_batch_id", "ok", "error")
+            if not batch.limit(1).count():
+                break
+            bid += 1
+            cycles += 1
+            router.route_batch(apply_processor(batch, flaky), bid)
+        wall = time.perf_counter() - t0
+
+        sink = spark.read.parquet(router.sink_path)
+        n_sink = sink.count()
+        assert n_sink == n_messages, (n_sink, n_messages)
+        n_distinct = sink.select("message_id").distinct().count()
+        assert n_distinct == n_messages, (n_distinct, n_messages)
+        return {
+            "metric": "streaming_retry_lifecycle_msgs_per_sec",
+            "value": round(n_messages / wall, 1),
+            "unit": "msg/s",
+            "messages": n_messages,
+            "redelivered": n_messages // 10,
+            "redelivery_cycles": cycles,
+            "wall_sec": round(wall, 2),
+            "reference_derived_msgs_per_sec": 5,
+        }
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def main() -> None:
     from pulsar_pekko_streams_example_spark.session import get_spark
 
@@ -270,6 +344,7 @@ def main() -> None:
     print(json.dumps(run_ordered(spark, N_MESSAGES)))
     print(json.dumps(run_ordered(spark, N_MESSAGES, idle_timeout_ms=3_600_000)))
     print(json.dumps(run_windowed(spark, N_MESSAGES)))
+    print(json.dumps(run_retry_lifecycle(spark, N_MESSAGES)))
 
 
 if __name__ == "__main__":
