@@ -12,6 +12,7 @@ import pytest
 
 from examples import (  # noqa: F401  (docs the mapping)
     curation_pipeline,
+    ordered_redelivery_loop,
     part1_backpressured_source,
     part2_single_workload,
     part3_multiple_workloads,
@@ -29,6 +30,8 @@ EXAMPLES = [
     curation_pipeline,  # extension: training-data funnel end-to-end
     retry_maintenance,  # extension: delivery-lifecycle runbook (retry loop,
     # ledger compaction, DLQ requeue — conservation end to end)
+    ordered_redelivery_loop,  # extension: K2 × S6/S7 composed — failures
+    # re-enter the SAME key queues as flagged redeliveries, loop converges
 ]
 
 
