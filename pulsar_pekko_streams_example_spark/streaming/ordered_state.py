@@ -157,6 +157,53 @@ def _process_key(
     yield out
 
 
+def _ttl_expiry_ms(max_event_ms: int | None, idle_timeout_ms: int, wm: int) -> int:
+    """The idle cursor's expiry point: running max event time + TTL, with
+    the engine's floor (a timeout/timer must sit strictly past the current
+    watermark; also the fallback when the key has never carried an event
+    time).  Shared by the applyInPandasWithState and transformWithState
+    variants so their lapse points are definitionally identical."""
+    base = wm if max_event_ms is None else max_event_ms
+    return max(base + idle_timeout_ms, wm + 1)
+
+
+def _make_ttl_fn(idle_timeout_ms: int, ts_col: str):
+    """Build the EventTimeTimeout state function for ``ordered_per_key``.
+
+    Module-level (not a closure buried in the front door) so the TTL
+    semantics are unit-drivable with a fake GroupState — the same pattern
+    that keeps the transformWithState twin honest without the protobuf
+    runtime (see ``tests/test_streaming.py``)."""
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()  # idle cursor lapses; emit nothing
+            return
+        if state.exists:
+            (last_seq, processed, max_event_ms), fresh = state.get, False
+        else:
+            last_seq, processed, max_event_ms, fresh = -1, 0, None, True
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        out, last_seq, processed = _advance(
+            key[0], rows, last_seq, processed, fresh
+        )
+        # expire when the watermark passes this key's newest event time
+        # ever seen + TTL — the RUNNING max, so an in-watermark batch
+        # carrying older timestamps never moves the timeout backwards
+        ts = rows[ts_col].max()
+        if not pd.isna(ts):
+            batch_ms = int(pd.Timestamp(ts).value // 1_000_000)
+            max_event_ms = (
+                batch_ms if max_event_ms is None else max(max_event_ms, batch_ms)
+            )
+        state.update((last_seq, processed, max_event_ms))
+        wm = state.getCurrentWatermarkMs()
+        state.setTimeoutTimestamp(_ttl_expiry_ms(max_event_ms, idle_timeout_ms, wm))
+        yield out
+
+    return fn
+
+
 def ordered_per_key(
     stream_df: DataFrame,
     idle_timeout_ms: int | None = None,
@@ -215,36 +262,7 @@ def ordered_per_key(
                 f"idle_timeout_ms requires event-time column {ts_col!r} "
                 f"(watermarked upstream); stream has {stream_df.columns}"
             )
-
-        def fn(key, pdfs, state):
-            if state.hasTimedOut:
-                state.remove()  # idle cursor lapses; emit nothing
-                return
-            if state.exists:
-                (last_seq, processed, max_event_ms), fresh = state.get, False
-            else:
-                last_seq, processed, max_event_ms, fresh = -1, 0, None, True
-            rows = pd.concat(list(pdfs), ignore_index=True)
-            out, last_seq, processed = _advance(
-                key[0], rows, last_seq, processed, fresh
-            )
-            # expire when the watermark passes this key's newest event time
-            # ever seen + TTL — the RUNNING max, so an in-watermark batch
-            # carrying older timestamps never moves the timeout backwards;
-            # the engine requires the timestamp strictly past the current
-            # watermark (also the fallback when every event time is NULL)
-            ts = rows[ts_col].max()
-            if not pd.isna(ts):
-                batch_ms = int(pd.Timestamp(ts).value // 1_000_000)
-                max_event_ms = (
-                    batch_ms if max_event_ms is None else max(max_event_ms, batch_ms)
-                )
-            state.update((last_seq, processed, max_event_ms))
-            wm = state.getCurrentWatermarkMs()
-            base = wm if max_event_ms is None else max_event_ms
-            state.setTimeoutTimestamp(max(base + idle_timeout_ms, wm + 1))
-            yield out
-
+        fn = _make_ttl_fn(idle_timeout_ms, ts_col)
         conf, state_schema = GroupStateTimeout.EventTimeTimeout, STATE_SCHEMA_TTL
     return (
         stream_df.groupBy("key")
@@ -296,19 +314,93 @@ try:  # Spark 4.x only: the StatefulProcessor API.  The class and its
         def close(self) -> None:
             pass
 
-    def ordered_per_key_tws(stream_df: DataFrame) -> DataFrame:
+    class OrderedKeyProcessorTTL(StatefulProcessor):
+        """K2 + event-time idle TTL on the transformWithState API — the
+        timer-based analog of ``_make_ttl_fn``'s EventTimeTimeout path.
+
+        The cursor ValueState carries (last_seq, processed, max_event_ms);
+        every input batch supersedes the key's single registered timer with
+        ``running max event time + TTL`` (never backwards — same running-max
+        clamp as the applyInPandasWithState variant), and
+        ``handleExpiredTimer`` clears the cursor when the watermark passes
+        it.  A post-lapse arrival starts a fresh cursor and announces it
+        via ``fresh_cursor`` — identical observable semantics, pinned by
+        the fake-handle parity test in ``tests/test_streaming.py``
+        (``_ttl_expiry_ms`` is shared, so the lapse points are
+        definitionally the same).  The LIVE query still needs the
+        state-server protobuf runtime (HAVE_TWS gate)."""
+
+        def __init__(self, idle_timeout_ms: int, ts_col: str = "publish_time"):
+            self._ttl = idle_timeout_ms
+            self._ts_col = ts_col
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._handle = handle
+            self._cursor = handle.getValueState("cursor", STATE_SCHEMA_TTL)
+
+        def handleInputRows(self, key, rows, timerValues):  # noqa: N802
+            if self._cursor.exists():
+                (last_seq, processed, max_event_ms) = self._cursor.get()
+                fresh = False
+            else:
+                last_seq, processed, max_event_ms, fresh = -1, 0, None, True
+            pdf = pd.concat(list(rows), ignore_index=True)
+            out, last_seq, processed = _advance(
+                key[0], pdf, last_seq, processed, fresh
+            )
+            ts = pdf[self._ts_col].max()
+            if not pd.isna(ts):
+                batch_ms = int(pd.Timestamp(ts).value // 1_000_000)
+                max_event_ms = (
+                    batch_ms if max_event_ms is None else max(max_event_ms, batch_ms)
+                )
+            self._cursor.update((last_seq, processed, max_event_ms))
+            # single-timer policy: this key's previous expiry is superseded,
+            # not accumulated — delete-then-register keeps exactly one live
+            # timer per key (the GroupState timeout-slot analog)
+            wm = timerValues.getCurrentWatermarkInMs()
+            for t in list(self._handle.listTimers()):
+                self._handle.deleteTimer(t)
+            self._handle.registerTimer(_ttl_expiry_ms(max_event_ms, self._ttl, wm))
+            yield out
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N802
+            self._cursor.clear()  # idle cursor lapses; emit nothing
+            return
+            yield  # pragma: no cover - makes this a generator (empty)
+
+        def close(self) -> None:
+            pass
+
+    def ordered_per_key_tws(
+        stream_df: DataFrame,
+        idle_timeout_ms: int | None = None,
+        ts_col: str = "publish_time",
+    ) -> DataFrame:
         """ordered_per_key on the Spark 4 transformWithState API (RocksDB
-        state store).  Same output contract as ordered_per_key.  No idle-TTL
-        variant yet: the TWS analog is a registered timer + ttlConfig on the
-        ValueState, unimplementable here until the state-server protobuf
-        runtime exists in the environment (HAVE_TWS gate below)."""
+        state store).  Same output contract as ordered_per_key, including
+        the idle-TTL variant: pass ``idle_timeout_ms`` for timer-based
+        event-time cursor expiry (requires a watermarked input, e.g.
+        ``ordered_per_key_tws(watermarked(stream, delay), ...)``).  The
+        live query needs the state-server protobuf runtime (HAVE_TWS gate
+        below); the processor semantics themselves are parity-tested
+        without it."""
+        if idle_timeout_ms is None:
+            proc, mode = OrderedKeyProcessor(), "none"
+        else:
+            if ts_col not in stream_df.columns:
+                raise ValueError(
+                    f"idle_timeout_ms requires event-time column {ts_col!r} "
+                    f"(watermarked upstream); stream has {stream_df.columns}"
+                )
+            proc, mode = OrderedKeyProcessorTTL(idle_timeout_ms, ts_col), "eventTime"
         return (
             stream_df.groupBy("key")
             .transformWithStateInPandas(
-                statefulProcessor=OrderedKeyProcessor(),
+                statefulProcessor=proc,
                 outputStructType=OUTPUT_SCHEMA,
                 outputMode="append",
-                timeMode="none",
+                timeMode=mode,
             )
         )
 

@@ -866,3 +866,206 @@ def test_streaming_windowed_bench_pipeline(spark):
     assert result["messages"] == 2000
     assert result["poisoned_rows_excluded"] == 1
     assert result["value"] > 0
+
+
+def test_tws_ttl_processor_matches_event_time_timeout_path():
+    """The timer-based TWS idle-TTL processor (OrderedKeyProcessorTTL) must
+    lapse, clamp, and re-cursor EXACTLY like the applyInPandasWithState
+    EventTimeTimeout path: same emitted frames, same expiry point at every
+    step (the two share _ttl_expiry_ms, so a divergence is a state/timer
+    plumbing bug).  Scripted timeline: normal progress, an older
+    in-watermark batch (the running-max clamp — expiry must NOT move
+    backwards), a watermark-driven lapse, and a post-lapse redelivery that
+    both variants must announce as a fresh cursor.  Fake handles — the
+    LIVE TWS query needs the protobuf state-server runtime (HAVE_TWS)."""
+    from pyspark.sql.streaming.stateful_processor import (
+        ExpiredTimerInfo,
+        TimerValues,
+    )
+
+    from pulsar_pekko_streams_example_spark.streaming import ordered_state as OS
+
+    if not OS.HAVE_TWS_API:
+        pytest.skip("StatefulProcessor API unavailable (Spark < 4)")
+
+    TTL = 3_600_000  # 1 h
+
+    def ms(h, m=0):
+        return int(pd.Timestamp(2024, 1, 1, h, m).value // 1_000_000)
+
+    class _FakeTTLGroupState:
+        def __init__(self):
+            self._v, self.timeout, self.wm, self.hasTimedOut = None, None, 0, False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v, self.timeout = None, None
+
+        def getCurrentWatermarkMs(self):  # noqa: N802
+            return self.wm
+
+        def setTimeoutTimestamp(self, t):  # noqa: N802
+            self.timeout = t
+
+    class _FakeValueState:
+        def __init__(self):
+            self._v = None
+
+        def exists(self):
+            return self._v is not None
+
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def clear(self):
+            self._v = None
+
+    class _FakeTimerHandle:
+        def __init__(self):
+            self.state, self.timers = _FakeValueState(), set()
+
+        def getValueState(self, name, schema):  # noqa: N802
+            return self.state
+
+        def registerTimer(self, t):  # noqa: N802
+            self.timers.add(t)
+
+        def deleteTimer(self, t):  # noqa: N802
+            self.timers.discard(t)
+
+        def listTimers(self):  # noqa: N802
+            return iter(sorted(self.timers))
+
+    # (rows, watermark_ms): progress @4:00 → OLDER in-watermark batch @3:00
+    # (clamp) → lapse past 5:00 + post-lapse redelivery of seq 2 @6:00
+    script = [
+        ([("a1", 1, 1, pd.Timestamp(2024, 1, 1, 4)),
+          ("a2", 2, 1, pd.Timestamp(2024, 1, 1, 4))], 0),
+        ([("a3", 3, 1, pd.Timestamp(2024, 1, 1, 3))], ms(2)),
+        ([("a2-redux", 2, 2, pd.Timestamp(2024, 1, 1, 6))], ms(5, 1)),
+    ]
+
+    aip_fn = OS._make_ttl_fn(TTL, "publish_time")
+    aip_state = _FakeTTLGroupState()
+    proc = OS.OrderedKeyProcessorTTL(TTL)
+    handle = _FakeTimerHandle()
+    proc.init(handle)
+
+    aip_out, tws_out, expiries = [], [], []
+    for rows, wm in script:
+        # engine simulation: before a batch at watermark `wm`, keys whose
+        # timeout/timer the watermark has passed get the lapse callback
+        if aip_state.exists and aip_state.timeout is not None and wm > aip_state.timeout:
+            aip_state.hasTimedOut = True
+            assert list(aip_fn(("k1",), iter([]), aip_state)) == []
+            aip_state.hasTimedOut = False
+        for t in [t for t in set(handle.timers) if wm > t]:
+            handle.deleteTimer(t)
+            assert list(proc.handleExpiredTimer(("k1",), TimerValues(-1, wm), ExpiredTimerInfo(t))) == []
+        assert aip_state.exists == handle.state.exists()  # lapse in lockstep
+
+        aip_state.wm = wm
+        pdf = pd.DataFrame(rows, columns=["message_id", "seq", "attempt", "publish_time"])
+        aip_out.extend(aip_fn(("k1",), iter([pdf.copy()]), aip_state))
+        tws_out.extend(proc.handleInputRows(("k1",), iter([pdf.copy()]), TimerValues(-1, wm)))
+        # expiry points identical at every step
+        assert handle.timers == {aip_state.timeout}
+        expiries.append(aip_state.timeout)
+
+    aip = pd.concat(aip_out, ignore_index=True)
+    tws = pd.concat(tws_out, ignore_index=True)[list(aip.columns)]
+    pd.testing.assert_frame_equal(tws.astype(aip.dtypes.to_dict()), aip, check_dtype=True)
+
+    # the running-max clamp held: the older batch did NOT pull expiry back
+    assert expiries[0] == ms(5) and expiries[1] == ms(5)
+    # the lapse actually happened and the redelivery re-cursored fresh
+    redux = aip[aip["message_id"] == "a2-redux"]
+    assert bool(redux["fresh_cursor"].iloc[0])
+    assert not bool(redux["is_redelivery"].iloc[0])
+    assert bool(redux["in_order"].iloc[0])
+    # pre-lapse rows rode one continuous cursor: only the first batch fresh
+    assert list(aip["fresh_cursor"]) == [True, True, False, True]
+
+
+def test_tws_ttl_end_to_end_matches_apply_in_pandas(spark, tmpdir):
+    """END-TO-END twin of the fake-handle TTL parity test: identical
+    output from ordered_per_key(idle_timeout_ms=...) and
+    ordered_per_key_tws(idle_timeout_ms=...) on a watermarked source,
+    including a lapse + post-lapse redelivery.  Env-gated like the
+    no-timeout variant: the TWS state server needs google.protobuf."""
+    from pulsar_pekko_streams_example_spark.sources.streams import watermarked
+    from pulsar_pekko_streams_example_spark.streaming import ordered_state as OS
+
+    if not OS.HAVE_TWS:
+        pytest.skip("transformWithState unavailable")
+
+    src = os.path.join(tmpdir, "src")
+    os.makedirs(src)
+
+    def envelopes_at(rows, ts):
+        return spark.createDataFrame(
+            [(mid, 0, "t", key, seq, att, "ok", None) for mid, key, seq, att in rows],
+            "message_id string, event_id long, topic string, key string, "
+            "seq long, attempt long, status string, publish_time timestamp",
+        ).withColumn("publish_time", F.lit(ts).cast("timestamp"))
+
+    batches = [
+        ([("a1", "k1", 1, 1), ("a2", "k1", 2, 1)], "2024-01-01 00:00:00"),
+        ([("hb", "k2", 1, 1)], "2024-01-01 05:00:00"),   # lapse k1 (1 h TTL)
+        ([("a2r", "k1", 2, 2)], "2024-01-01 06:00:00"),  # post-lapse redelivery
+    ]
+
+    def run(variant, op):
+        d = os.path.join(tmpdir, variant)
+        vsrc, out_dir, ckpt = (os.path.join(d, p) for p in ("in", "out", "ckpt"))
+        os.makedirs(vsrc)
+        for i, (rows, ts) in enumerate(batches):
+            envelopes_at(rows, ts).coalesce(1).write.parquet(
+                os.path.join(vsrc, f"b{i}")
+            )
+            stream = watermarked(
+                spark.readStream.schema(
+                    "message_id string, event_id long, topic string, key string, "
+                    "seq long, attempt long, status string, publish_time timestamp"
+                ).parquet(vsrc + "/*"),
+                "10 minutes",
+            )
+            q = (
+                op(stream)
+                .writeStream.format("parquet")
+                .option("path", out_dir)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination(180)
+        return sorted(map(tuple, spark.read.parquet(out_dir).collect()))
+
+    prev = spark.conf.get("spark.sql.streaming.stateStore.providerClass", None)
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        tws = run("tws", lambda s: OS.ordered_per_key_tws(s, idle_timeout_ms=3_600_000))
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    aip = run("aip", lambda s: OS.ordered_per_key(s, idle_timeout_ms=3_600_000))
+    assert tws == aip and len(tws) == 4
