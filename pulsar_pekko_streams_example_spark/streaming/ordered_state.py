@@ -115,30 +115,32 @@ def _advance(
         )
         return empty, last_seq, processed
 
-    seq = rows["seq"].astype("float64").to_numpy()
-    positioned = ~np.isnan(seq)
-    s0 = float(last_seq)
-    prev = np.empty(n, dtype="float64")
-    prev[0] = np.nan
-    prev[1:] = seq[:-1]
-    cursor_before = np.maximum(s0, np.where(np.isnan(prev), s0, prev))
-    redelivery = positioned & (seq <= cursor_before)
-    in_order = positioned & (
-        redelivery | (seq == cursor_before + 1.0) | (cursor_before == -1.0)
-    )
+    # Nullable Int64 keeps seq arithmetic EXACT over the full long range: a
+    # float64 detour would collapse distinct seqs above 2^53 (the Arrow
+    # transfer itself only degrades to float64 when the batch carries
+    # NULLs, so the common all-positioned batch must stay integer-exact,
+    # matching the per-row loop this replaces).
+    seq = rows["seq"].astype("Int64")
+    positioned = seq.notna()
+    cursor_before = seq.shift(1).fillna(last_seq).clip(lower=last_seq)
+    redelivery = ((seq <= cursor_before) & positioned).fillna(False)
+    in_order = (
+        (redelivery | (seq == cursor_before + 1) | (cursor_before == -1))
+        & positioned
+    ).fillna(False)
     out = pd.DataFrame(
         {
             "key": np.full(n, key_val, dtype=object),
             "message_id": rows["message_id"].to_numpy(),
-            "seq": pd.array(seq, dtype="Float64").astype("Int64"),
+            "seq": seq,
             "processing_index": np.arange(processed, processed + n, dtype="int64"),
-            "is_redelivery": redelivery,
-            "in_order": in_order,
+            "is_redelivery": redelivery.to_numpy(dtype=bool),
+            "in_order": in_order.to_numpy(dtype=bool),
             "fresh_cursor": np.full(n, bool(fresh)),
         }
     )
     if positioned.any():
-        last_seq = int(max(s0, np.nanmax(seq)))
+        last_seq = int(max(last_seq, seq.max()))
     return out, last_seq, processed + n
 
 

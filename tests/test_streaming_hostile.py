@@ -1921,3 +1921,53 @@ def test_compact_crash_before_resolved_drop_converges(spark, tmpdir):
         (r.message_id, r.attempt)
         for r in router.due_retries(spark, as_of=AS_OF_FUTURE).collect()
     } == before
+
+
+def test_ordered_cursor_exact_at_int64_scale():
+    """Seq arithmetic must stay EXACT over the full long range: above 2^53
+    a float64 detour collapses adjacent seqs (base+1 == base), misreading
+    forward progress as redelivery and corrupting the cursor.  Driven at
+    2^62 through the same _process_key path the streaming query uses."""
+    import numpy as np
+
+    from pulsar_pekko_streams_example_spark.streaming import ordered_state as OS
+
+    base = 2**62
+
+    class _St:
+        _v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+    st = _St()
+    pdf = pd.DataFrame(
+        {
+            "message_id": ["g1", "g2", "g3"],
+            "seq": np.array([base, base + 1, base + 2], dtype="int64"),
+            "attempt": [1, 1, 1],
+        }
+    )
+    (out,) = OS._process_key(("k",), iter([pdf]), st)
+    assert list(out["in_order"]) == [True, True, True]
+    assert list(out["is_redelivery"]) == [False, False, False]
+    assert st.get == (base + 2, 3)  # cursor exact, not float-rounded
+
+    # a genuine redelivery one past the cursor is still distinguished
+    pdf2 = pd.DataFrame(
+        {
+            "message_id": ["g2-again", "g4"],
+            "seq": np.array([base + 1, base + 3], dtype="int64"),
+            "attempt": [2, 1],
+        }
+    )
+    (out2,) = OS._process_key(("k",), iter([pdf2]), st)
+    assert list(out2["is_redelivery"]) == [True, False]
