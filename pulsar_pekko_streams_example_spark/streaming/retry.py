@@ -409,6 +409,18 @@ class RetryRouter:
         OPTIMIZE; this is the dependency-free equivalent for
         parquet-directory sinks, and it rewrites the whole sink (run it
         rarely, from a maintenance window)."""
+        if archive_batch_id > up_to_batch_id:
+            # the archive partition must itself sit inside the archived
+            # range (conventionally negative): if it named a LIVE batch id,
+            # that batch's replay would overwrite the partition — archived
+            # rows included — and silently DELETE them.  Not forceable:
+            # there is no deployment where this layout is safe.
+            raise ValueError(
+                f"archive_batch_id={archive_batch_id} is above the cutoff "
+                f"{up_to_batch_id}: folding history into a partition a live "
+                "batch could replay-overwrite would lose the archived rows; "
+                "use an id at/below the cutoff (conventionally negative)"
+            )
         if checkpoint is None:
             if not force:
                 raise ValueError(

@@ -1348,6 +1348,51 @@ def test_compact_sink_folds_old_batch_partitions(spark, tmpdir):
     ) == before
 
 
+def test_compact_sink_rejects_live_archive_partition(spark, tmpdir):
+    """The archive partition must sit INSIDE the archived range: folding
+    history into a _batch_id a live batch could still replay would let that
+    replay's dynamic-overwrite silently DELETE the archived rows.  Not
+    forceable — no deployment makes that layout safe.  An id at/below the
+    cutoff is fine (committed batches never replay)."""
+    import glob
+
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+        redelivery_delay_s=0,
+        max_attempts=3,
+    )
+    for b in range(1, 6):
+        router.route_batch(
+            spark.createDataFrame(
+                [(f"m-{b}-{i}", 1, True) for i in range(4)],
+                "message_id string, attempt long, ok boolean",
+            ),
+            batch_id=b,
+        )
+    before = sorted(r.message_id for r in spark.read.parquet(router.sink_path).collect())
+
+    with pytest.raises(ValueError, match="archive_batch_id=4 is above the cutoff"):
+        router.compact_sink(spark, up_to_batch_id=3, archive_batch_id=4, force=True)
+    # nothing moved: the rejection happened before any rewrite
+    assert len(glob.glob(os.path.join(router.sink_path, "_batch_id=*"))) == 5
+
+    # AT the cutoff is allowed: a batch at/below a validated cutoff is
+    # already checkpoint-committed and will never replay
+    stats = router.compact_sink(
+        spark, up_to_batch_id=3, archive_batch_id=3, force=True
+    )
+    assert stats["archived"] == 8  # batches 1..2 folded INTO 3's partition
+    dirs = sorted(glob.glob(os.path.join(router.sink_path, "_batch_id=*")))
+    assert [os.path.basename(d) for d in dirs] == [
+        "_batch_id=3", "_batch_id=4", "_batch_id=5",
+    ]
+    assert sorted(
+        r.message_id for r in spark.read.parquet(router.sink_path).collect()
+    ) == before
+
+
 def test_watermarked_custom_bounds(spark, tmpdir):
     """Custom validity windows narrow the guard: rows outside the caller's
     bounds are excluded before the watermark even when they would pass the
