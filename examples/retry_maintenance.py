@@ -10,6 +10,9 @@ and this example walks the whole arc a production operator runs:
 
 1. a backlog streams through a flaky processor; failures land in the retry
    table with a redelivery delay, successes in the sink;
+   — and a maintenance crash mid-ledger-swap is healed mechanically
+   (``recover_swaps()``: the directory layout alone says whether to
+   complete or discard the interrupted rename pair);
 2. a driver loop re-ingests due retries until the frontier drains —
    messages that keep failing exhaust their budget into the DLQ;
 3. ``compact()`` shrinks the append-only ledger to its live frontier
@@ -69,6 +72,28 @@ def run(spark: SparkSession, base: str) -> dict:
         .start()
     )
     q.awaitTermination(120)
+
+    # 1b. a maintenance op dies mid-swap — the worst window: between the
+    # swap's two renames the retry ledger directory is GONE, and a naive
+    # frontier read says "no work" (silent no-delivery, not an error).
+    # Manufacture exactly that layout (a completed ``.new`` next to the
+    # ``.old``-renamed root — the state the crash-injection tests produce
+    # through the real swap) and run the runbook step: recovery completes
+    # the swap from the layout alone.  Every mutator also heals at lease
+    # acquisition, so the drain loop below would have recovered on its own;
+    # ``recover_swaps()`` is the explicit form that returns the report.
+    frontier_before = {
+        r.message_id for r in router.due_retries(spark, as_of=AS_OF).collect()
+    }
+    ledger = spark.read.parquet(router.retry_path)
+    half_new = router.retry_path + ".compact.new"
+    ledger.write.mode("overwrite").partitionBy("_batch_id").parquet(half_new)
+    os.rename(router.retry_path, router.retry_path + ".compact.old")
+    assert not os.path.exists(router.retry_path)  # the silent-loss window
+    report = router.recover_swaps()
+    assert report["completed"] == [router.retry_path]
+    healed = {r.message_id for r in router.due_retries(spark, as_of=AS_OF).collect()}
+    assert healed == frontier_before
 
     # 2. drive the redelivery loop until the frontier drains
     cycle = {"n": 1_000_000}

@@ -110,6 +110,12 @@ class RetryRouter:
         try:
             os.write(fd, f"pid={os.getpid()} op={op} t={time.time():.3f}".encode())
             os.close(fd)
+            if op != "recover_swaps":
+                # debris under the lease means the PREVIOUS holder died
+                # mid-swap (a finished op always cleans up): every mutator
+                # self-heals before touching the ledgers, so a crashed
+                # maintenance window never needs hand-run directory surgery
+                self._recover_swaps_locked()
             yield
         finally:
             try:
@@ -281,6 +287,11 @@ class RetryRouter:
         """
         from pyspark.sql.window import Window
 
+        # a crash INSIDE a ledger swap leaves the directory missing between
+        # the two renames — without recovery that reads as an EMPTY frontier
+        # (silent no-delivery) rather than an error, so heal first
+        if self._swap_debris():
+            self.recover_swaps()
         if not os.path.exists(self.retry_path):
             return spark.createDataFrame([], FRONTIER_SCHEMA)
         df = spark.read.parquet(self.retry_path)
@@ -558,6 +569,84 @@ class RetryRouter:
         finally:
             revive.unpersist()
         return n
+
+    def _ledger_roots(self) -> tuple[str, ...]:
+        return tuple(
+            dict.fromkeys(
+                (self.retry_path, self.dlq_path, self._resolved(), self.sink_path)
+            )
+        )
+
+    def _swap_debris(self) -> list[tuple[str, str]]:
+        """(root, tag) pairs whose ``_swap_ledger`` left ``.old``/``.new``
+        directories behind — the signature of a crash INSIDE a swap (a
+        finished swap always removes both)."""
+        import glob as globlib
+
+        found = []
+        for root in self._ledger_roots():
+            esc = globlib.escape(root)
+            tags = set()
+            for suffix in (".old", ".new"):
+                for d in globlib.glob(esc + ".*" + suffix):
+                    tags.add(d[len(root) : -len(suffix)])
+            found.extend((root, tag) for tag in sorted(tags))
+        return found
+
+    def recover_swaps(self) -> dict:
+        """Deterministically finish (or discard) a ``_swap_ledger`` that a
+        crash interrupted — the mechanical replacement for "rename the
+        ``.old`` directory back by hand".
+
+        The swap protocol is: write the replacement to ``<root>.<tag>.new``
+        (complete before anything moves), rename ``<root>`` →
+        ``<root>.<tag>.old``, rename ``.new`` → ``<root>``, remove
+        ``.old``.  Each crash window therefore leaves a state that is
+        UNAMBIGUOUS from the directory layout alone:
+
+        - ``<root>`` present: the swap either never landed (a partial
+          ``.new`` from a crash mid-write) or fully landed (a leftover
+          ``.old`` from a crash mid-cleanup).  The live directory is
+          authoritative either way — debris is discarded.
+        - ``<root>`` missing, ``.new`` present: crashed between the two
+          renames.  ``.new`` is complete by protocol order, so the swap is
+          COMPLETED (``.new`` → ``<root>``).  The worst pre-recovery
+          window: a vanished retry ledger reads as an EMPTY frontier, i.e.
+          silent no-delivery, not an error.
+        - ``<root>`` missing, only ``.old``: the swap's intended result was
+          the empty (missing-directory) state — the ``.old`` is removed.
+
+        Completion lands exactly the state the crashed op would have left
+        after that swap, and every between-swap prefix is already pinned
+        dormant-and-convergent (requeue/compact crash tests), so recovery
+        composes with a re-run of the interrupted op.  Runs automatically
+        whenever a mutator acquires the ledger lease, and from
+        ``due_retries`` when it sees debris; call it directly after
+        restoring a crashed deployment if you want the report."""
+        with self._lease("recover_swaps"):
+            return self._recover_swaps_locked()
+
+    def _recover_swaps_locked(self) -> dict:
+        import shutil
+
+        completed, discarded = [], []
+        for root, tag in self._swap_debris():
+            old, new = root + tag + ".old", root + tag + ".new"
+            if os.path.exists(root):
+                for d in (old, new):
+                    if os.path.exists(d):
+                        shutil.rmtree(d)
+                        discarded.append(d)
+            elif os.path.exists(new):
+                os.rename(new, root)
+                completed.append(root)
+                if os.path.exists(old):
+                    shutil.rmtree(old)
+                    discarded.append(old)
+            elif os.path.exists(old):
+                shutil.rmtree(old)
+                discarded.append(old)
+        return {"completed": completed, "discarded": discarded}
 
     def _swap_ledger(self, path: str, df: DataFrame, tag: str) -> None:
         """Atomically replace the ledger at ``path`` with ``df`` (two local

@@ -1066,13 +1066,53 @@ def test_retry_router_conserves_every_verdict_batch(spark, rows):
 # routing cycles with compact() and requeue_dlq(), every seeded message is
 # always accounted for — in the sink, in the live retry frontier, or in the
 # DLQ.  Maintenance ops rewrite ledgers; none may lose a message.
+#
+# Round-10 extension: a maintenance op may CRASH at an arbitrary os.rename —
+# inside a ledger swap, between swaps, or inside a previous crash's recovery
+# (recovery renames count too, so its own windows are exercised).  The next
+# ledger read heals mechanically (recover_swaps via due_retries / the lease),
+# and the same accounting must hold — in particular the worst window, a
+# mid-swap-missing retry ledger, must never read as a silently empty frontier
+# that drops the in-flight messages from the accounting.
 # ---------------------------------------------------------------------------
 
 maintenance_ops = st.lists(
-    st.sampled_from(["fail_cycle", "ack_cycle", "compact", "requeue"]),
+    st.one_of(
+        st.sampled_from(["fail_cycle", "ack_cycle", "compact", "requeue"]),
+        st.tuples(st.sampled_from(["compact", "requeue"]), st.integers(1, 6)),
+    ),
     min_size=1,
     max_size=5,
 )
+
+
+class _InjectedCrash(RuntimeError):
+    pass
+
+
+def _run_crashing_at_rename(fn, nth):
+    """Run ``fn`` with the ``nth`` os.rename replaced by a crash; if fewer
+    renames happen the op simply completes.  The injected error is
+    swallowed — the property's accounting then plays the restarted driver."""
+    from contextlib import suppress
+
+    import pulsar_pekko_streams_example_spark.streaming.retry as rmod
+
+    real = rmod.os.rename
+    count = {"n": 0}
+
+    def boom(src, dst):
+        count["n"] += 1
+        if count["n"] == nth:
+            raise _InjectedCrash(f"injected crash at rename #{nth}")
+        return real(src, dst)
+
+    rmod.os.rename = boom
+    try:
+        with suppress(_InjectedCrash):
+            fn()
+    finally:
+        rmod.os.rename = real
 
 
 @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
@@ -1116,6 +1156,9 @@ def test_retry_maintenance_never_loses_a_message(spark, ops, n_msgs):
 
         for op in ops:
             batch_no += 1
+            crash_at = None
+            if isinstance(op, tuple):
+                op, crash_at = op
             if op in ("fail_cycle", "ack_cycle"):
                 due = router.due_retries(spark, as_of=AS_OF)
                 batch = due.drop("available_at", "_batch_id").withColumn(
@@ -1124,9 +1167,18 @@ def test_retry_maintenance_never_loses_a_message(spark, ops, n_msgs):
                 if batch.limit(1).count():
                     router.route_batch(batch, batch_id=batch_no)
             elif op == "compact":
-                router.compact(spark)
+                run = lambda: router.compact(spark)  # noqa: E731
+                if crash_at is None:
+                    run()
+                else:
+                    _run_crashing_at_rename(run, crash_at)
             else:
-                router.requeue_dlq(spark, batch_id=-batch_no)
+                bno = batch_no
+                run = lambda: router.requeue_dlq(spark, batch_id=-bno)  # noqa: E731
+                if crash_at is None:
+                    run()
+                else:
+                    _run_crashing_at_rename(run, crash_at)
 
             delivered = read_ids(router.sink_path)
             frontier = {

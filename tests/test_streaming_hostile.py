@@ -31,6 +31,7 @@ from pulsar_pekko_streams_example_spark.sources.streams import (
     watermarked,
 )
 from pulsar_pekko_streams_example_spark.streaming import RetryRouter, apply_processor
+from pulsar_pekko_streams_example_spark.streaming import retry as retry_mod
 from pulsar_pekko_streams_example_spark.streaming.ordered_state import ordered_per_key
 
 
@@ -1966,6 +1967,162 @@ def test_compact_crash_before_resolved_drop_converges(spark, tmpdir):
         (r.message_id, r.attempt)
         for r in router.due_retries(spark, as_of=AS_OF_FUTURE).collect()
     } == before
+
+
+def _crash_nth_rename(monkeypatch, nth, after=False):
+    """Inject a crash at the n-th ``os.rename`` — INSIDE ``_swap_ledger``,
+    between its protocol steps (the ``_CrashAfterSwaps`` injector above
+    only covers crashes BETWEEN completed swaps).  ``after=False`` dies
+    instead of performing the rename; ``after=True`` dies just after it.
+    Later calls (recovery's own completion rename) pass through."""
+    real = os.rename
+    state = {"n": 0}
+
+    def boom(src, dst):
+        state["n"] += 1
+        if state["n"] == nth:
+            if after:
+                real(src, dst)
+            raise RuntimeError("injected crash inside swap")
+        return real(src, dst)
+
+    monkeypatch.setattr(retry_mod.os, "rename", boom)
+    return state
+
+
+def _seed_live_and_resolved(spark, router):
+    """Ledger with frontier {(m-live, 2)} plus a resolved id (m-done)."""
+    for rows, bid in (
+        ([("m-live", 1, False), ("m-done", 1, False)], 1),
+        ([("m-done", 2, True)], 2),
+    ):
+        router.route_batch(
+            spark.createDataFrame(rows, "message_id string, attempt long, ok boolean"),
+            batch_id=bid,
+        )
+    return {("m-live", 2)}
+
+
+def _frontier(spark, router):
+    return {
+        (r.message_id, r.attempt)
+        for r in router.due_retries(spark, as_of=AS_OF_FUTURE).collect()
+    }
+
+
+def test_recover_swaps_completes_crash_between_renames(spark, tmpdir, monkeypatch):
+    """The WORST swap-crash window — between ``rename(path → .old)`` and
+    ``rename(.new → path)`` — leaves the retry ledger MISSING, which a
+    plain read treats as an empty frontier (silent no-delivery, not an
+    error).  ``recover_swaps`` completes the swap from the layout alone:
+    ``.new`` is whole by protocol order, so it becomes the ledger, and the
+    result is exactly the crashed compact's post-swap state (already
+    pinned dormant + re-run-convergent by the between-swaps tests)."""
+    router = _mk_router(tmpdir)
+    before = _seed_live_and_resolved(spark, router)
+
+    _crash_nth_rename(monkeypatch, nth=2)  # first rename lands, second dies
+    with pytest.raises(RuntimeError, match="injected crash inside swap"):
+        router.compact(spark)
+    assert not os.path.exists(router.retry_path)  # the silent-loss window
+    assert os.path.exists(router.retry_path + ".compact.new")
+
+    report = router.recover_swaps()
+    assert report["completed"] == [router.retry_path]
+    assert report["discarded"] == [router.retry_path + ".compact.old"]
+    assert router._swap_debris() == []
+    assert _frontier(spark, router) == before
+    # re-running the interrupted op finishes the resolved-index drop
+    assert router.compact(spark)["kept"] == 1
+    assert not os.path.exists(router._resolved())
+    assert _frontier(spark, router) == before
+
+
+def test_due_retries_heals_missing_ledger_after_swap_crash(spark, tmpdir, monkeypatch):
+    """A reader that follows a mid-swap crash self-heals: ``due_retries``
+    sees the debris, runs recovery under the lease, and returns the true
+    frontier — never the silent empty one the missing directory implies."""
+    router = _mk_router(tmpdir)
+    before = _seed_live_and_resolved(spark, router)
+    _crash_nth_rename(monkeypatch, nth=2)
+    with pytest.raises(RuntimeError, match="injected crash inside swap"):
+        router.compact(spark)
+    assert not os.path.exists(router.retry_path)
+
+    assert _frontier(spark, router) == before  # healed inline
+    assert router._swap_debris() == []
+
+
+def test_recover_swaps_discards_unlanded_new(spark, tmpdir, monkeypatch):
+    """A crash BEFORE the first rename leaves the live ledger untouched
+    next to a ``.new`` that never landed: the live directory is
+    authoritative, the debris is discarded, and the frontier is unchanged
+    (compaction is frontier-invariant, so discarding the prepared
+    replacement loses nothing)."""
+    router = _mk_router(tmpdir)
+    before = _seed_live_and_resolved(spark, router)
+    _crash_nth_rename(monkeypatch, nth=1)  # dies instead of rename(path→old)
+    with pytest.raises(RuntimeError, match="injected crash inside swap"):
+        router.compact(spark)
+    assert os.path.exists(router.retry_path)
+    assert os.path.exists(router.retry_path + ".compact.new")
+
+    report = router.recover_swaps()
+    assert report["completed"] == []
+    assert report["discarded"] == [router.retry_path + ".compact.new"]
+    assert _frontier(spark, router) == before
+    assert router.compact(spark)["kept"] == 1
+
+
+def test_recover_swaps_completes_empty_result_swap(spark, tmpdir, monkeypatch):
+    """An empty-result swap's only step is ``rename(path → .old)`` — the
+    missing directory IS the intended outcome.  A crash right after the
+    rename leaves only ``.old``; recovery removes it and the empty
+    frontier stands (with the full lifecycle schema, not a read error)."""
+    router = _mk_router(tmpdir)
+    # one message, failed then acked on redelivery: ledger non-empty but
+    # the frontier is empty, so compact takes the kept == 0 branch
+    for rows, bid in (([("m-done", 1, False)], 1), ([("m-done", 2, True)], 2)):
+        router.route_batch(
+            spark.createDataFrame(rows, "message_id string, attempt long, ok boolean"),
+            batch_id=bid,
+        )
+    assert _frontier(spark, router) == set()
+    _crash_nth_rename(monkeypatch, nth=1, after=True)
+    with pytest.raises(RuntimeError, match="injected crash inside swap"):
+        router.compact(spark)
+    assert not os.path.exists(router.retry_path)
+    assert os.path.exists(router.retry_path + ".compact.old")
+
+    due = router.due_retries(spark, as_of=AS_OF_FUTURE)  # heals inline
+    assert due.count() == 0
+    assert set(due.columns) >= {"message_id", "attempt", "ok", "available_at"}
+    assert router._swap_debris() == []
+    assert router.compact(spark) == {"kept": 0, "dropped": 0}
+
+
+def test_mutator_lease_auto_recovers_before_touching_ledgers(
+    spark, tmpdir, monkeypatch
+):
+    """Every mutator heals at lease acquisition: a ``route_batch`` that
+    follows a mid-swap crash first completes the interrupted swap, then
+    routes — the new batch composes with the recovered frontier instead of
+    writing next to (or into) half-renamed directories."""
+    router = _mk_router(tmpdir)
+    before = _seed_live_and_resolved(spark, router)
+    _crash_nth_rename(monkeypatch, nth=2)
+    with pytest.raises(RuntimeError, match="injected crash inside swap"):
+        router.compact(spark)
+    assert not os.path.exists(router.retry_path)
+
+    router.route_batch(
+        spark.createDataFrame(
+            [("m-new", 1, False)], "message_id string, attempt long, ok boolean"
+        ),
+        batch_id=3,
+    )
+    assert router._swap_debris() == []
+    assert _frontier(spark, router) == before | {("m-new", 2)}
 
 
 def test_ordered_cursor_exact_at_int64_scale():
