@@ -75,53 +75,61 @@ class RetryRouter:
         The maintenance ops (``compact``, ``requeue_dlq``, ``compact_sink``)
         swap whole directories with two renames; a ``route_batch`` racing a
         swap could write into a directory that is renamed away mid-batch.
-        The docstring-only "call between micro-batches" contract is now
+        The docstring-only "call between micro-batches" contract is
         MECHANICAL: every mutator takes this lease, so concurrent callers
         serialize, and a caller that cannot acquire it within
         ``lease_timeout_s`` fails with a clean error naming the holder —
-        both ledgers untouched.  ``O_CREAT|O_EXCL`` is atomic on one
-        filesystem, matching ``_swap_ledger``'s local-rename assumption (a
-        multi-driver deployment needs a real lock service, same as it needs
-        an atomic object-store rename).  A holder that CRASHES leaves a
-        stale lease: the timeout error names the file; removing it is the
-        documented operator recovery (the content says who held it)."""
+        both ledgers untouched.
+
+        The mutex is ``flock`` on a persistent lock file, not the file's
+        existence: a holder that CRASHES has its lock released by the
+        KERNEL, so the next acquirer proceeds immediately — no stale-lease
+        file to remove by hand (the old ``O_CREAT|O_EXCL`` protocol's one
+        manual recovery step).  The file's content is a diagnostic record
+        of the latest holder.  NEVER delete the lock file: recreation
+        gives a second inode, and two processes flocking different inodes
+        do not exclude each other.  Same-filesystem assumption as
+        ``_swap_ledger``'s local renames (a multi-driver deployment needs
+        a real lock service, same as it needs atomic object-store
+        renames)."""
+        import fcntl
+
         path = self._lease_path()
         parent = os.path.dirname(path)
         if parent:
             os.makedirs(parent, exist_ok=True)
         deadline = time.monotonic() + self.lease_timeout_s
-        while True:
-            try:
-                fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                break
-            except FileExistsError:
-                if time.monotonic() >= deadline:
-                    try:
-                        with open(path) as f:
-                            holder = f.read()
-                    except OSError:
-                        continue  # holder released between the check and read
-                    raise TimeoutError(
-                        f"ledger lease {path} still held by [{holder}] after "
-                        f"{self.lease_timeout_s}s while acquiring for {op!r}; "
-                        "if the holder crashed, remove the lease file to recover"
-                    )
-                time.sleep(0.05)
+        fd = os.open(path, os.O_CREAT | os.O_RDWR)
         try:
+            while True:
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    break
+                except OSError:
+                    if time.monotonic() >= deadline:
+                        try:
+                            with open(path) as f:
+                                holder = f.read()
+                        except OSError:
+                            holder = "<unreadable>"
+                        raise TimeoutError(
+                            f"ledger lease {path} still held by [{holder}] "
+                            f"after {self.lease_timeout_s}s while acquiring "
+                            f"for {op!r}; the holder is ALIVE (a crashed "
+                            "holder's lock is released by the kernel)"
+                        )
+                    time.sleep(0.05)
+            os.ftruncate(fd, 0)
             os.write(fd, f"pid={os.getpid()} op={op} t={time.time():.3f}".encode())
-            os.close(fd)
             if op != "recover_swaps":
-                # debris under the lease means the PREVIOUS holder died
+                # debris under the lease means a PREVIOUS holder died
                 # mid-swap (a finished op always cleans up): every mutator
                 # self-heals before touching the ledgers, so a crashed
                 # maintenance window never needs hand-run directory surgery
                 self._recover_swaps_locked()
             yield
         finally:
-            try:
-                os.unlink(path)
-            except FileNotFoundError:
-                pass
+            os.close(fd)  # releases the flock; the file stays as a record
 
     def _write(self, df: DataFrame, path: str, batch_id: int) -> None:
         """Idempotent micro-batch write: partition by batch id with dynamic
@@ -171,6 +179,18 @@ class RetryRouter:
             )
             acks, nacks = batch.filter(ok), batch.filter(~ok)
 
+            # ONE aggregate job decides which ledger writes run, instead of
+            # a limit(1).count() guard job per branch — per-micro-batch job
+            # overhead is the floor of the redelivery drain loop's wall, so
+            # the guards ride a single pass over the persisted batch
+            is_retry = ~ok & (att < F.lit(self.max_attempts))
+            n = batch.select(
+                F.count(F.when(ok, 1)).alias("acks"),
+                F.count(F.when(ok & ((att > 1) | redelivered), 1)).alias("resolved"),
+                F.count(F.when(is_retry, 1)).alias("retries"),
+                F.count(F.when(~ok & ~is_retry, 1)).alias("dlq"),
+            ).first()
+
             # an acked REDELIVERY terminates its retry lifecycle: record it
             # in the resolved index so the frontier stops returning the
             # (append-only) superseded retry rows — pre-fix, a delivered
@@ -185,8 +205,9 @@ class RetryRouter:
             # before every ledger write so sink/retry/DLQ schemas stay
             # batch-independent (parquet directory reads do not schema-merge)
             acks, nacks = acks.drop("_redelivered"), nacks.drop("_redelivered")
-            self._write(acks, self.sink_path, batch_id)
-            if resolved.limit(1).count():
+            if n.acks:
+                self._write(acks, self.sink_path, batch_id)
+            if n.resolved:
                 self._write(resolved, self._resolved(), batch_id)
 
             retry = nacks.filter(att < self.max_attempts).withColumn(
@@ -195,12 +216,11 @@ class RetryRouter:
                 "available_at",
                 F.current_timestamp() + F.expr(f"INTERVAL {self.redelivery_delay_s} SECONDS"),
             )
-            if retry.limit(1).count():
+            if n.retries:
                 self._write(retry, self.retry_path, batch_id)
 
-            dlq = nacks.filter(att >= self.max_attempts)
-            if dlq.limit(1).count():
-                self._write(dlq, self.dlq_path, batch_id)
+            if n.dlq:
+                self._write(nacks.filter(att >= self.max_attempts), self.dlq_path, batch_id)
         finally:
             batch.unpersist()
 
@@ -250,7 +270,9 @@ class RetryRouter:
             "message_id", F.coalesce(F.col("message_id"), surrogate)
         )
 
-    def due_retries(self, spark: SparkSession, as_of=None) -> DataFrame:
+    def due_retries(
+        self, spark: SparkSession, as_of=None, snapshot: bool = False
+    ) -> DataFrame:
         """Re-ingestion scan: rows whose redelivery delay has elapsed.
 
         The retry table is an append-only ledger (idempotent batch writes
@@ -284,6 +306,11 @@ class RetryRouter:
         after one; the driver loop that interleaves ``due_retries`` /
         ``route_batch`` / ``compact`` sequentially (the
         ``examples/retry_maintenance.py`` shape) never hits the window.
+        For a reader that must OUTLIVE maintenance (an async consumer, a
+        diagnostic held across a compaction window), ``snapshot=True``
+        materializes the frontier at call time (``localCheckpoint``) —
+        swap-proof snapshot isolation, affordable because the frontier is
+        bounded by the failure rate, not the traffic.
         """
         from pyspark.sql.window import Window
 
@@ -304,9 +331,10 @@ class RetryRouter:
                 done = spark.read.parquet(terminal).select("message_id")
                 df = df.join(done, ["message_id"], "left_anti")
         cutoff = F.lit(as_of).cast("timestamp") if as_of is not None else F.current_timestamp()
-        return df.filter(F.col("available_at") <= cutoff).withColumn(
+        out = df.filter(F.col("available_at") <= cutoff).withColumn(
             "_redelivered", F.lit(True)
         )
+        return out.localCheckpoint(eager=True) if snapshot else out
 
     def compact(self, spark: SparkSession) -> dict:
         """Rewrite the retry ledger down to its delivery frontier.

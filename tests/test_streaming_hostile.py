@@ -1634,10 +1634,13 @@ def test_due_retries_empty_path_matches_populated_schema(spark, tmpdir):
 
 
 def test_lease_timeout_fails_cleanly_with_ledgers_intact(spark, tmpdir):
-    """A lease held by another process (or left by a crashed one) makes
-    every ledger mutator fail CLEANLY at the timeout — error names the
-    holder and the lease file, both ledgers untouched — instead of
-    interleaving a write with a half-finished directory swap."""
+    """A lease held by a LIVE holder makes every ledger mutator fail
+    CLEANLY at the timeout — error names the holder, both ledgers
+    untouched — while a CRASHED holder's flock is released by the kernel,
+    so a stale lock file never blocks anyone (the old protocol's
+    remove-the-file-by-hand recovery step is gone)."""
+    import fcntl
+
     router = _mk_router(tmpdir, lease_timeout_s=0.3)
     router.route_batch(
         spark.createDataFrame(
@@ -1647,10 +1650,13 @@ def test_lease_timeout_fails_cleanly_with_ledgers_intact(spark, tmpdir):
     )
     before = {(r.message_id, r.attempt) for r in spark.read.parquet(router.retry_path).collect()}
 
-    with open(router._lease_path(), "w") as f:
-        f.write("pid=99999 op=crashed-maintenance")
+    # a LIVE holder: this fd's flock conflicts with the router's acquire
+    fd = os.open(router._lease_path(), os.O_CREAT | os.O_RDWR)
     try:
-        with pytest.raises(TimeoutError, match="crashed-maintenance"):
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        os.ftruncate(fd, 0)
+        os.write(fd, b"pid=test op=live-maintenance-holder")
+        with pytest.raises(TimeoutError, match="live-maintenance-holder"):
             router.compact(spark)
         with pytest.raises(TimeoutError, match="lease"):
             router.route_batch(
@@ -1660,11 +1666,67 @@ def test_lease_timeout_fails_cleanly_with_ledgers_intact(spark, tmpdir):
                 batch_id=2,
             )
     finally:
-        os.unlink(router._lease_path())
+        os.close(fd)  # the holder releases (or crashes: same kernel path)
 
-    # ledgers intact; the documented recovery (remove the file) restores service
+    # ledgers intact; service restores the moment the lock is released
     assert {(r.message_id, r.attempt) for r in spark.read.parquet(router.retry_path).collect()} == before
+
+    # a CRASHED holder: its content survives as a record but the kernel
+    # dropped the flock with the process — nothing blocks, no manual step
+    with open(router._lease_path(), "w") as f:
+        f.write("pid=99999 op=crashed-maintenance")
     assert router.compact(spark)["kept"] == 1
+
+
+def test_killed_lease_holder_unblocks_without_manual_cleanup(spark, tmpdir):
+    """The kernel-release claim, proven with a REAL process death: a
+    subprocess takes the flock and is SIGKILLed mid-hold — no unlock code
+    runs — and the router acquires immediately after.  Under the old
+    O_CREAT|O_EXCL protocol this exact sequence deadlocked every mutator
+    until an operator deleted the lease file by hand."""
+    import signal
+    import subprocess
+    import sys
+    import time as _time
+
+    router = _mk_router(tmpdir, lease_timeout_s=5)
+    router.route_batch(
+        spark.createDataFrame(
+            [("m1", 1, False)], "message_id string, attempt long, ok boolean"
+        ),
+        batch_id=1,
+    )
+
+    holder = subprocess.Popen(
+        [
+            sys.executable,
+            "-c",
+            "import fcntl, os, sys, time\n"
+            f"fd = os.open({router._lease_path()!r}, os.O_CREAT | os.O_RDWR)\n"
+            "fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)\n"
+            "os.write(fd, b'pid=child op=doomed-holder')\n"
+            "print('HELD', flush=True)\n"
+            "time.sleep(120)\n",
+        ],
+        stdout=subprocess.PIPE,
+        text=True,
+    )
+    try:
+        assert holder.stdout.readline().strip() == "HELD"
+        # while the child lives, the lock genuinely excludes
+        quick = _mk_router(tmpdir, lease_timeout_s=0.2)
+        with pytest.raises(TimeoutError, match="doomed-holder"):
+            quick.compact(spark)
+        holder.send_signal(signal.SIGKILL)
+        holder.wait(timeout=10)
+    finally:
+        if holder.poll() is None:  # pragma: no cover - cleanup on failure
+            holder.kill()
+            holder.wait(timeout=10)
+
+    t0 = _time.monotonic()
+    assert router.compact(spark)["kept"] == 1  # no manual cleanup step
+    assert _time.monotonic() - t0 < router.lease_timeout_s
 
 
 def test_route_batch_serializes_against_concurrent_maintenance(spark, tmpdir):
@@ -2099,6 +2161,62 @@ def test_recover_swaps_completes_empty_result_swap(spark, tmpdir, monkeypatch):
     assert set(due.columns) >= {"message_id", "attempt", "ok", "available_at"}
     assert router._swap_debris() == []
     assert router.compact(spark) == {"kept": 0, "dropped": 0}
+
+
+def test_recover_swaps_heals_crashed_sink_compaction(spark, tmpdir, monkeypatch):
+    """``compact_sink`` swaps the SINK root with the same protocol, so the
+    same mid-swap crash (sink directory missing — every delivered row
+    unreadable) heals by completion: the recovered sink is row-exact AND
+    carries the fold the crashed compaction was applying."""
+    import glob
+
+    router = _mk_router(tmpdir)
+    for b in range(1, 4):
+        router.route_batch(
+            spark.createDataFrame(
+                [(f"m-{b}", 1, True)], "message_id string, attempt long, ok boolean"
+            ),
+            batch_id=b,
+        )
+    before = sorted(r.message_id for r in spark.read.parquet(router.sink_path).collect())
+
+    _crash_nth_rename(monkeypatch, nth=2)
+    with pytest.raises(RuntimeError, match="injected crash inside swap"):
+        router.compact_sink(spark, up_to_batch_id=2, force=True)
+    assert not os.path.exists(router.sink_path)  # all delivered rows dark
+
+    report = router.recover_swaps()
+    assert report["completed"] == [router.sink_path]
+    assert sorted(
+        r.message_id for r in spark.read.parquet(router.sink_path).collect()
+    ) == before
+    dirs = {
+        os.path.basename(d)
+        for d in glob.glob(os.path.join(router.sink_path, "_batch_id=*"))
+    }
+    assert dirs == {"_batch_id=-1", "_batch_id=3"}  # the fold landed
+
+
+def test_due_retries_snapshot_survives_concurrent_compaction(spark, tmpdir):
+    """``snapshot=True`` materializes the frontier at call time, so the
+    frame outlives a maintenance swap that replaces the ledger directory
+    under it — snapshot isolation for readers held across a compaction
+    window (the lease serializes writers only).  The default LAZY frame
+    either fails loud on the invalidated listing or, if the engine
+    re-lists, returns the true frontier — never a silent partial."""
+    router = _mk_router(tmpdir)
+    before = _seed_live_and_resolved(spark, router)
+    snap = router.due_retries(spark, as_of=AS_OF_FUTURE, snapshot=True)
+    lazy = router.due_retries(spark, as_of=AS_OF_FUTURE)
+
+    assert router.compact(spark)["kept"] == 1  # replaces the ledger dir
+    assert {(r.message_id, r.attempt) for r in snap.collect()} == before
+    try:
+        rows = {(r.message_id, r.attempt) for r in lazy.collect()}
+    except Exception:
+        pass  # fail-loud on the swapped-away listing is the contract
+    else:
+        assert rows == before  # a re-list must still be the true frontier
 
 
 def test_mutator_lease_auto_recovers_before_touching_ledgers(
