@@ -126,11 +126,15 @@ def run(spark: SparkSession, base: str) -> dict:
     drain_frontier()
 
     # 5. conservation: every message delivered exactly once, ledgers empty
+    # — read through the runbook's one-call snapshot
     sink = spark.read.parquet(router.sink_path)
     delivered = sink.count()
     assert delivered == N_MESSAGES
     assert sink.select("message_id").distinct().count() == N_MESSAGES
-    assert router.due_retries(spark, as_of=AS_OF).count() == 0
+    stat = router.status(spark, as_of=AS_OF)
+    assert stat["sink_rows"] == N_MESSAGES
+    assert stat["frontier"] == 0 and stat["dlq"] == 0
+    assert stat["swap_debris_found"] == []
     assert not os.path.exists(router.dlq_path)
 
     # 6. sink small-files maintenance, with the replay-safety bound DERIVED

@@ -336,6 +336,49 @@ class RetryRouter:
         )
         return out.localCheckpoint(eager=True) if snapshot else out
 
+    def status(self, spark: SparkSession, as_of=None) -> dict:
+        """One-call operational snapshot of the delivery lifecycle — the
+        numbers a runbook or dashboard wants before/after a maintenance
+        window (the broker analog is topic stats + subscription backlog).
+
+        Returns ledger row counts (``retry_rows`` is the append-only
+        history; ``frontier`` is what ``due_retries`` would actually
+        redeliver as of ``as_of``), terminal depths (``dlq``,
+        ``resolved``), compaction pressure (``retry_rows - frontier`` rows
+        are superseded history a ``compact()`` would drop), plus the two
+        health facts recovery cares about: interrupted-swap debris (should
+        always be empty — mutators heal it on sight) and the latest lease
+        record (diagnostic only: content does not mean HELD, the flock
+        does)."""
+
+        def _count(path: str) -> int:
+            if not os.path.exists(path):
+                return 0
+            return spark.read.parquet(path).count()
+
+        lease = None
+        if os.path.exists(self._lease_path()):
+            try:
+                with open(self._lease_path()) as f:
+                    lease = f.read() or None
+            except OSError:
+                lease = "<unreadable>"
+        # debris BEFORE the frontier read: due_retries heals on sight (as
+        # every reader does), so this field reports what the status call
+        # FOUND — a non-empty value means the previous op crashed mid-swap
+        # and this very call repaired it
+        debris = [root + tag for root, tag in self._swap_debris()]
+        frontier = self.due_retries(spark, as_of=as_of).count()
+        return {
+            "retry_rows": _count(self.retry_path),
+            "frontier": frontier,
+            "dlq": _count(self.dlq_path),
+            "resolved": _count(self._resolved()),
+            "sink_rows": _count(self.sink_path),
+            "swap_debris_found": debris,
+            "last_lease": lease,
+        }
+
     def compact(self, spark: SparkSession) -> dict:
         """Rewrite the retry ledger down to its delivery frontier.
 

@@ -1678,6 +1678,31 @@ def test_lease_timeout_fails_cleanly_with_ledgers_intact(spark, tmpdir):
     assert router.compact(spark)["kept"] == 1
 
 
+def test_status_reports_lifecycle_depths_and_found_debris(spark, tmpdir, monkeypatch):
+    """``status()`` is the runbook's one-call snapshot: ledger depths and
+    frontier as of a cutoff, plus the health facts — debris FOUND (the
+    call itself heals it, like every reader) and the latest lease record
+    (diagnostic content, not held-ness)."""
+    router = _mk_router(tmpdir)
+    _seed_live_and_resolved(spark, router)
+
+    s = router.status(spark, as_of=AS_OF_FUTURE)
+    assert (s["retry_rows"], s["frontier"], s["dlq"], s["resolved"]) == (2, 1, 0, 1)
+    assert s["sink_rows"] == 1 and s["swap_debris_found"] == []
+    assert "op=route_batch" in s["last_lease"]
+
+    _crash_nth_rename(monkeypatch, nth=2)
+    with pytest.raises(RuntimeError, match="injected crash inside swap"):
+        router.compact(spark)
+
+    s2 = router.status(spark, as_of=AS_OF_FUTURE)
+    assert s2["swap_debris_found"] == [router.retry_path + ".compact"]
+    assert "op=compact" in s2["last_lease"]  # the crashed holder's record
+    assert s2["frontier"] == 1  # healed by the status call's own read
+    assert s2["retry_rows"] == 1  # completion landed the compacted ledger
+    assert router.status(spark, as_of=AS_OF_FUTURE)["swap_debris_found"] == []
+
+
 def test_killed_lease_holder_unblocks_without_manual_cleanup(spark, tmpdir):
     """The kernel-release claim, proven with a REAL process death: a
     subprocess takes the flock and is SIGKILLed mid-hold — no unlock code
