@@ -21,9 +21,10 @@ table is tiny relative to the main stream (≤ failure rate × traffic).
 from __future__ import annotations
 
 import os
+import threading
 import time
 from contextlib import contextmanager
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -61,6 +62,22 @@ class RetryRouter:
     #: how long ``route_batch`` and the maintenance ops wait for the ledger
     #: lease before failing cleanly (see ``_lease``)
     lease_timeout_s: float = 60.0
+    #: live in-process delivery counters (the reference's success/error/
+    #: retry counter gauges, ``util/MetricsCollector.scala``): incremented
+    #: by every ``route_batch`` from the SAME aggregate pass that gates the
+    #: ledger writes, so they cost no extra job.  THIS process's view only —
+    #: a driver restart resets them; the ledgers are the durable truth
+    #: (``status()`` reports both side by side).
+    counters: dict = field(
+        default_factory=lambda: {
+            "batches": 0, "acks": 0, "retries": 0, "dlq": 0, "resolved": 0,
+        },
+        repr=False,
+        compare=False,
+    )
+    _counters_lock: threading.Lock = field(
+        default_factory=threading.Lock, repr=False, compare=False
+    )
 
     def _resolved(self) -> str:
         return self.resolved_path or self.retry_path + "-resolved"
@@ -190,6 +207,10 @@ class RetryRouter:
                 F.count(F.when(is_retry, 1)).alias("retries"),
                 F.count(F.when(~ok & ~is_retry, 1)).alias("dlq"),
             ).first()
+            with self._counters_lock:
+                self.counters["batches"] += 1
+                for k in ("acks", "retries", "dlq", "resolved"):
+                    self.counters[k] += n[k]
 
             # an acked REDELIVERY terminates its retry lifecycle: record it
             # in the resolved index so the frontier stops returning the
@@ -349,7 +370,8 @@ class RetryRouter:
         health facts recovery cares about: interrupted-swap debris (should
         always be empty — mutators heal it on sight) and the latest lease
         record (diagnostic only: content does not mean HELD, the flock
-        does)."""
+        does), and this process's live ``counters`` (see the field doc —
+        in-process speed vs ledger-derived truth, side by side)."""
 
         def _count(path: str) -> int:
             if not os.path.exists(path):
@@ -369,6 +391,8 @@ class RetryRouter:
         # and this very call repaired it
         debris = [root + tag for root, tag in self._swap_debris()]
         frontier = self.due_retries(spark, as_of=as_of).count()
+        with self._counters_lock:
+            counters = dict(self.counters)
         return {
             "retry_rows": _count(self.retry_path),
             "frontier": frontier,
@@ -377,6 +401,7 @@ class RetryRouter:
             "sink_rows": _count(self.sink_path),
             "swap_debris_found": debris,
             "last_lease": lease,
+            "counters": counters,
         }
 
     def compact(self, spark: SparkSession) -> dict:

@@ -1690,6 +1690,11 @@ def test_status_reports_lifecycle_depths_and_found_debris(spark, tmpdir, monkeyp
     assert (s["retry_rows"], s["frontier"], s["dlq"], s["resolved"]) == (2, 1, 0, 1)
     assert s["sink_rows"] == 1 and s["swap_debris_found"] == []
     assert "op=route_batch" in s["last_lease"]
+    # live in-process counters, fed by the same aggregate pass that gates
+    # the writes (no extra job); ledger-derived truth sits next to them
+    assert s["counters"] == {
+        "batches": 2, "acks": 1, "retries": 2, "dlq": 0, "resolved": 1,
+    }
 
     _crash_nth_rename(monkeypatch, nth=2)
     with pytest.raises(RuntimeError, match="injected crash inside swap"):
