@@ -113,9 +113,12 @@ def run(spark: SparkSession, base: str) -> dict:
     assert n_dlq == N_MESSAGES // 20  # the always-failing ids exhausted
 
     # 3. bound the ledger: only the live frontier survives (here: nothing —
-    # every non-dead message already delivered)
-    stats = router.compact(spark)
+    # every non-dead message already delivered); the audit trail is kept
+    # mechanically rather than by a hand-run directory copy
+    audit = os.path.join(base, "retry-audit")
+    stats = router.compact(spark, archive_to=audit)
     assert stats["kept"] == 0 and stats["dropped"] > 0
+    assert spark.read.parquet(audit).count() == stats["dropped"] + stats["kept"]
 
     # 4. fix the bug, revive the dead letters, drain the redelivery loop
     # again (revived messages restart at attempt 1, so they walk the full
@@ -131,7 +134,7 @@ def run(spark: SparkSession, base: str) -> dict:
     delivered = sink.count()
     assert delivered == N_MESSAGES
     assert sink.select("message_id").distinct().count() == N_MESSAGES
-    stat = router.status(spark, as_of=AS_OF)
+    stat = router.status(spark, as_of=AS_OF, count_sink=True)
     assert stat["sink_rows"] == N_MESSAGES
     assert stat["frontier"] == 0 and stat["dlq"] == 0
     assert stat["swap_debris_found"] == []

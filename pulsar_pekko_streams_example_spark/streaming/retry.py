@@ -357,7 +357,9 @@ class RetryRouter:
         )
         return out.localCheckpoint(eager=True) if snapshot else out
 
-    def status(self, spark: SparkSession, as_of=None) -> dict:
+    def status(
+        self, spark: SparkSession, as_of=None, count_sink: bool = False
+    ) -> dict:
         """One-call operational snapshot of the delivery lifecycle — the
         numbers a runbook or dashboard wants before/after a maintenance
         window (the broker analog is topic stats + subscription backlog).
@@ -371,7 +373,13 @@ class RetryRouter:
         always be empty — mutators heal it on sight) and the latest lease
         record (diagnostic only: content does not mean HELD, the flock
         does), and this process's live ``counters`` (see the field doc —
-        in-process speed vs ledger-derived truth, side by side)."""
+        in-process speed vs ledger-derived truth, side by side).
+
+        Every ledger counted by default is FAILURE-RATE-bounded, so the
+        call stays cheap on a long deployment.  The sink is the full
+        traffic — counting it scans every partition's footers — so
+        ``sink_rows`` is None unless ``count_sink=True`` (fine on a test
+        corpus, a deliberate act on 100 TB)."""
 
         def _count(path: str) -> int:
             if not os.path.exists(path):
@@ -398,13 +406,13 @@ class RetryRouter:
             "frontier": frontier,
             "dlq": _count(self.dlq_path),
             "resolved": _count(self._resolved()),
-            "sink_rows": _count(self.sink_path),
+            "sink_rows": _count(self.sink_path) if count_sink else None,
             "swap_debris_found": debris,
             "last_lease": lease,
             "counters": counters,
         }
 
-    def compact(self, spark: SparkSession) -> dict:
+    def compact(self, spark: SparkSession, archive_to: str | None = None) -> dict:
         """Rewrite the retry ledger down to its delivery frontier.
 
         The ledger is append-only (idempotent batch writes never delete), so
@@ -422,10 +430,17 @@ class RetryRouter:
         Concurrency with ``route_batch`` is MECHANICAL: both take the ledger
         lease, so a racing batch serializes (or fails cleanly at the lease
         timeout) instead of interleaving with the directory swap.  History
-        is DROPPED by design: archive the directory first if the audit trail
-        matters.  Surviving rows keep their ``_batch_id`` partition, so a
-        replayed micro-batch still overwrites its own partition after
-        compaction (the idempotence contract is preserved).
+        is DROPPED by design; ``archive_to`` is the mechanical form of
+        "archive first if the audit trail matters": the full pre-compaction
+        ledger is APPENDED there (rows keep their ``_batch_id`` as a plain
+        column) before anything moves, under the same lease.  The archive
+        is an append-only audit pile: a crash between the archive write and
+        the swap means the re-run appends a second snapshot — duplicates in
+        an audit trail are benign, a hole is not, so the write sits on the
+        crash-safe side of the swap.  Surviving rows keep their
+        ``_batch_id`` partition, so a replayed micro-batch still overwrites
+        its own partition after compaction (the idempotence contract is
+        preserved).
 
         Crash-safe swap ORDER (round-9 advice): the retry ledger swaps
         FIRST, the resolved index is deleted after.  The compacted ledger
@@ -448,7 +463,7 @@ class RetryRouter:
                 # ledger empty ⇒ frontier empty ⇒ the resolved index keeps
                 # nothing out; clear it so it cannot grow unboundedly
                 shutil.rmtree(self._resolved(), ignore_errors=True)
-                return {"kept": 0, "dropped": 0}
+                return {"kept": 0, "dropped": 0, "archived": 0}
             df = spark.read.parquet(self.retry_path)
             total = df.count()
             w = Window.partitionBy("message_id").orderBy(F.col("attempt").desc())
@@ -464,11 +479,13 @@ class RetryRouter:
             frontier = frontier.persist()
             try:
                 kept = frontier.count()
+                if archive_to is not None:
+                    df.write.mode("append").parquet(archive_to)
                 self._swap_ledger(self.retry_path, frontier, ".compact")
                 shutil.rmtree(self._resolved(), ignore_errors=True)
             finally:
                 frontier.unpersist()
-            return {"kept": kept, "dropped": total - kept}
+            return {"kept": kept, "dropped": total - kept, "archived": total if archive_to is not None else 0}
 
     @staticmethod
     def committed_batch_ids(checkpoint: str) -> list[int]:

@@ -1181,7 +1181,7 @@ def test_retry_ledger_compaction_to_empty_frontier(spark, tmpdir):
         batch_id=2,
     )  # exhausts into the DLQ
     stats = router.compact(spark)
-    assert stats == {"kept": 0, "dropped": 1}
+    assert stats == {"kept": 0, "dropped": 1, "archived": 0}
     assert router.due_retries(spark, as_of="2100-01-01 00:00:00").count() == 0
     router.route_batch(
         spark.createDataFrame(
@@ -1678,6 +1678,30 @@ def test_lease_timeout_fails_cleanly_with_ledgers_intact(spark, tmpdir):
     assert router.compact(spark)["kept"] == 1
 
 
+def test_compact_archive_to_preserves_full_history(spark, tmpdir):
+    """``compact(archive_to=...)`` mechanizes "archive first if the audit
+    trail matters": the full pre-compaction ledger is APPENDED to the audit
+    pile before anything moves, so dropped superseded attempts stay
+    queryable, and each later compaction appends its own snapshot
+    (duplicates are benign in an audit pile; holes are not)."""
+    router = _mk_router(tmpdir)
+    _seed_live_and_resolved(spark, router)
+    archive = os.path.join(tmpdir, "audit")
+
+    stats = router.compact(spark, archive_to=archive)
+    assert stats == {"kept": 1, "dropped": 1, "archived": 2}
+    audit = spark.read.parquet(archive)
+    assert sorted((r.message_id, r.attempt) for r in audit.collect()) == [
+        ("m-done", 2), ("m-live", 2),
+    ]
+    assert "_batch_id" in audit.columns  # provenance rides along
+    assert _frontier(spark, router) == {("m-live", 2)}  # invariant holds
+
+    stats2 = router.compact(spark, archive_to=archive)
+    assert stats2["archived"] == 1  # snapshot of the now-compacted ledger
+    assert spark.read.parquet(archive).count() == 3
+
+
 def test_status_reports_lifecycle_depths_and_found_debris(spark, tmpdir, monkeypatch):
     """``status()`` is the runbook's one-call snapshot: ledger depths and
     frontier as of a cutoff, plus the health facts — debris FOUND (the
@@ -1686,9 +1710,12 @@ def test_status_reports_lifecycle_depths_and_found_debris(spark, tmpdir, monkeyp
     router = _mk_router(tmpdir)
     _seed_live_and_resolved(spark, router)
 
-    s = router.status(spark, as_of=AS_OF_FUTURE)
+    s = router.status(spark, as_of=AS_OF_FUTURE, count_sink=True)
     assert (s["retry_rows"], s["frontier"], s["dlq"], s["resolved"]) == (2, 1, 0, 1)
     assert s["sink_rows"] == 1 and s["swap_debris_found"] == []
+    # the sink is the full TRAFFIC, not failure-bounded: counting it is
+    # opt-in so a routine status() stays cheap on a long deployment
+    assert router.status(spark, as_of=AS_OF_FUTURE)["sink_rows"] is None
     assert "op=route_batch" in s["last_lease"]
     # live in-process counters, fed by the same aggregate pass that gates
     # the writes (no extra job); ledger-derived truth sits next to them
@@ -2190,7 +2217,7 @@ def test_recover_swaps_completes_empty_result_swap(spark, tmpdir, monkeypatch):
     assert due.count() == 0
     assert set(due.columns) >= {"message_id", "attempt", "ok", "available_at"}
     assert router._swap_debris() == []
-    assert router.compact(spark) == {"kept": 0, "dropped": 0}
+    assert router.compact(spark) == {"kept": 0, "dropped": 0, "archived": 0}
 
 
 def test_recover_swaps_heals_crashed_sink_compaction(spark, tmpdir, monkeypatch):
