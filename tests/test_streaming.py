@@ -117,6 +117,61 @@ def test_retry_dlq_loop_streaming(spark, tmpdir):
     assert router.due_retries(spark, as_of="2100-01-01 00:00:00").count() == 0
 
 
+def test_router_stream_resumes_at_subscription_position(spark, tmpdir):
+    """S6/S8 composition: stopping and re-attaching a router stream on the
+    SAME checkpoint resumes where the commits left off — the broker
+    consumer reconnecting at its subscription cursor
+    (``util/PulsarClientWrapper.scala:203-226``).  Backlog already routed
+    is not reprocessed (no duplicate sink rows, no double-aged attempts);
+    only the files that arrived while detached flow."""
+    src = os.path.join(tmpdir, "src")
+    ledger = attempts_ledger(spark, SF_SMOKE).filter(F.col("attempt") == 1)
+    cols = [
+        "message_id", "event_id", "topic", "key", "seq", "attempt",
+        "status", "publish_time",
+    ]
+    half_a = ledger.filter(F.col("event_id") % 2 == 0).select(*cols)
+    half_b = ledger.filter(F.col("event_id") % 2 != 0).select(*cols)
+    half_a.coalesce(1).write.parquet(src)
+
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+        redelivery_delay_s=10,
+        max_attempts=3,
+    )
+    ckpt = os.path.join(tmpdir, "ckpt")
+
+    def run_once():
+        stream = envelope_file_stream(spark, src)
+        processed = stream.withColumn("ok", F.col("status") == "success")
+        q = router.attach(processed, ckpt).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once()
+    n_ok_a = half_a.filter(F.col("status") == "success").count()
+    assert spark.read.parquet(router.sink_path).count() == n_ok_a
+
+    half_b.coalesce(1).write.parquet(src, mode="append")
+    run_once()
+
+    total_ok = ledger.filter(F.col("status") == "success").count()
+    total_fail = ledger.count() - total_ok
+    sink = spark.read.parquet(router.sink_path)
+    assert sink.count() == total_ok  # half A was NOT reprocessed
+    assert sink.select("message_id").distinct().count() == total_ok
+    # live counters agree: each message acked exactly once ACROSS both runs
+    assert router.counters["acks"] == total_ok
+    # failures aged exactly one attempt each — a reprocessed half would
+    # have written a second, higher-attempt generation for half A
+    retry = spark.read.parquet(router.retry_path)
+    assert retry.count() == total_fail
+    assert retry.filter(F.col("attempt") != 2).count() == 0
+    # and the checkpoint really did commit more than one batch position
+    assert len(RetryRouter.committed_batch_ids(ckpt)) >= 2
+
+
 def test_ordered_per_key_across_microbatches(spark, tmpdir):
     """K2: per-key processing order follows seq across micro-batches; the
     checkpointed cursor survives batch boundaries."""
