@@ -333,8 +333,6 @@ class RetryRouter:
         swap-proof snapshot isolation, affordable because the frontier is
         bounded by the failure rate, not the traffic.
         """
-        from pyspark.sql.window import Window
-
         # a crash INSIDE a ledger swap leaves the directory missing between
         # the two renames — without recovery that reads as an EMPTY frontier
         # (silent no-delivery) rather than an error, so heal first
@@ -342,9 +340,7 @@ class RetryRouter:
             self.recover_swaps()
         if not os.path.exists(self.retry_path):
             return spark.createDataFrame([], FRONTIER_SCHEMA)
-        df = spark.read.parquet(self.retry_path)
-        w = Window.partitionBy("message_id").orderBy(F.col("attempt").desc())
-        df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+        df = self._latest_attempts(spark.read.parquet(self.retry_path))
         # terminal states win over any stale retry row: DLQ (failure) and
         # the resolved index (an acked redelivery — the broker-ack analog)
         for terminal in (self.dlq_path, self._resolved()):
@@ -356,6 +352,25 @@ class RetryRouter:
             "_redelivered", F.lit(True)
         )
         return out.localCheckpoint(eager=True) if snapshot else out
+
+    @staticmethod
+    def _latest_attempts(df: DataFrame) -> DataFrame:
+        """Latest attempt per message — the ledger's frontier projection.
+
+        Deliberately ``groupBy + max_by`` rather than a
+        ``row_number() over (partition by message_id)`` window: windows get
+        NO map-side partial aggregation, so the window form shuffles the
+        ENTIRE attempt history on every scan, while ``max_by`` is a
+        declarative aggregate that partial-combines per input partition —
+        each mapper forwards one candidate row per message it saw, and the
+        shuffle tracks the number of live messages, not the number of
+        failures ever recorded.  Ties on ``attempt`` (idempotent replays of
+        the same delivery) carry identical lifecycle content, so either row
+        is correct — same contract the window form had."""
+        payload = [c for c in df.columns if c != "message_id"]
+        return df.groupBy("message_id").agg(
+            F.max_by(F.struct(*payload), F.col("attempt")).alias("_latest")
+        ).select("message_id", "_latest.*")
 
     def status(
         self, spark: SparkSession, as_of=None, count_sink: bool = False
@@ -454,8 +469,6 @@ class RetryRouter:
         a crash then deleted the terminal-success evidence while the
         uncompacted ledger still held the superseded rows, so delivered
         messages re-entered the frontier and duplicated sink rows."""
-        from pyspark.sql.window import Window
-
         import shutil
 
         with self._lease("compact"):
@@ -466,12 +479,7 @@ class RetryRouter:
                 return {"kept": 0, "dropped": 0, "archived": 0}
             df = spark.read.parquet(self.retry_path)
             total = df.count()
-            w = Window.partitionBy("message_id").orderBy(F.col("attempt").desc())
-            frontier = (
-                df.withColumn("_rn", F.row_number().over(w))
-                .filter(F.col("_rn") == 1)
-                .drop("_rn")
-            )
+            frontier = self._latest_attempts(df)
             for terminal in (self.dlq_path, self._resolved()):
                 if os.path.exists(terminal):
                     done = spark.read.parquet(terminal).select("message_id")
