@@ -339,7 +339,17 @@ class RetryRouter:
         if self._swap_debris():
             self.recover_swaps()
         if not os.path.exists(self.retry_path):
-            return spark.createDataFrame([], FRONTIER_SCHEMA)
+            # root missing is ambiguous: genuinely-empty ledger, or a swap
+            # that started AFTER the debris check above (TOCTOU).  A swap
+            # can only unroot the ledger via rename(root → .old), so a
+            # mid-swap missing root ALWAYS has debris — re-checking here
+            # closes the race: recover_swaps blocks on the lease until an
+            # in-flight op finishes (and heals a dead one), after which a
+            # still-missing root really is the empty ledger.
+            if self._swap_debris():
+                self.recover_swaps()
+            if not os.path.exists(self.retry_path):
+                return spark.createDataFrame([], FRONTIER_SCHEMA)
         df = self._latest_attempts(spark.read.parquet(self.retry_path))
         # terminal states win over any stale retry row: DLQ (failure) and
         # the resolved index (an acked redelivery — the broker-ack analog)

@@ -2254,6 +2254,40 @@ def test_recover_swaps_heals_crashed_sink_compaction(spark, tmpdir, monkeypatch)
     assert dirs == {"_batch_id=-1", "_batch_id=3"}  # the fold landed
 
 
+def test_due_retries_recheck_closes_the_debris_toctou(spark, tmpdir):
+    """A swap that starts AFTER due_retries' entry debris check but before
+    its existence check unroots the ledger mid-call — pre-fix that read as
+    a silently empty frontier.  A mid-swap missing root ALWAYS has debris
+    (rename(root → .old) is the only way it goes missing), so the re-check
+    on the missing-root path heals and reads the true frontier.  Pinned by
+    shadowing the FIRST debris probe to report clean — exactly the TOCTOU
+    interleaving — over a real mid-swap layout."""
+    router = _mk_router(tmpdir)
+    before = _seed_live_and_resolved(spark, router)
+
+    # manufacture the mid-swap layout (complete .new, root renamed away)
+    ledger = spark.read.parquet(router.retry_path)
+    ledger.write.mode("overwrite").partitionBy("_batch_id").parquet(
+        router.retry_path + ".compact.new"
+    )
+    os.rename(router.retry_path, router.retry_path + ".compact.old")
+
+    real = router._swap_debris
+    calls = {"n": 0}
+
+    def first_probe_clean():
+        calls["n"] += 1
+        return [] if calls["n"] == 1 else real()
+
+    router._swap_debris = first_probe_clean  # instance-attr shadow
+    try:
+        assert _frontier(spark, router) == before  # NOT silently empty
+    finally:
+        del router._swap_debris
+    assert calls["n"] >= 2  # the missing-root re-check actually probed
+    assert router._swap_debris() == []
+
+
 def test_due_retries_snapshot_survives_concurrent_compaction(spark, tmpdir):
     """``snapshot=True`` materializes the frontier at call time, so the
     frame outlives a maintenance swap that replaces the ledger directory
