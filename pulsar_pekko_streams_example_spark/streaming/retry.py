@@ -354,6 +354,13 @@ class RetryRouter:
         # terminal states win over any stale retry row: DLQ (failure) and
         # the resolved index (an acked redelivery — the broker-ack analog)
         for terminal in (self.dlq_path, self._resolved()):
+            if not os.path.exists(terminal) and self._swap_debris():
+                # same TOCTOU as the root above: a terminal ledger mid-swap
+                # (a live requeue's DLQ rename) reads as "no terminals" and
+                # the anti-join is silently skipped — exhausted messages
+                # would transiently re-enter the frontier.  Missing + debris
+                # ⇒ wait out / heal the swap, then trust the re-check.
+                self.recover_swaps()
             if os.path.exists(terminal):
                 done = spark.read.parquet(terminal).select("message_id")
                 df = df.join(done, ["message_id"], "left_anti")

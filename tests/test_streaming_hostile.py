@@ -2288,6 +2288,43 @@ def test_due_retries_recheck_closes_the_debris_toctou(spark, tmpdir):
     assert router._swap_debris() == []
 
 
+def test_due_retries_recheck_covers_terminal_ledgers_too(spark, tmpdir):
+    """The terminal anti-joins have the same TOCTOU as the root: a DLQ
+    mid-swap (a live requeue's rename) reads as 'no terminals' and the
+    exclusion silently skips — an exhausted message would transiently
+    re-enter the frontier.  Missing terminal + debris ⇒ heal, then the
+    re-check keeps the exclusion."""
+    router = _mk_router(tmpdir, max_attempts=2)
+    for rows, bid in (([("m-dead", 1, False)], 1), ([("m-dead", 2, False)], 2)):
+        router.route_batch(
+            spark.createDataFrame(rows, "message_id string, attempt long, ok boolean"),
+            batch_id=bid,
+        )
+    assert _frontier(spark, router) == set()  # DLQ-terminal, excluded
+
+    dlq = spark.read.parquet(router.dlq_path)
+    dlq.write.mode("overwrite").partitionBy("_batch_id").parquet(
+        router.dlq_path + ".requeue.new"
+    )
+    os.rename(router.dlq_path, router.dlq_path + ".requeue.old")
+
+    real = router._swap_debris
+    calls = {"n": 0}
+
+    def first_probe_clean():
+        calls["n"] += 1
+        return [] if calls["n"] == 1 else real()
+
+    router._swap_debris = first_probe_clean
+    try:
+        assert _frontier(spark, router) == set()  # no transient re-entry
+    finally:
+        del router._swap_debris
+    assert calls["n"] >= 2
+    assert os.path.exists(router.dlq_path)  # the swap was completed
+    assert router._swap_debris() == []
+
+
 def test_due_retries_snapshot_survives_concurrent_compaction(spark, tmpdir):
     """``snapshot=True`` materializes the frontier at call time, so the
     frame outlives a maintenance swap that replaces the ledger directory
