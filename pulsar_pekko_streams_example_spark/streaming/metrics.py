@@ -60,49 +60,44 @@ class MetricsListener(StreamingQueryListener):
         pass
 
     def onQueryProgress(self, event) -> None:  # noqa: N802
+        # Each observation is collected INDEPENDENTLY: a malformed
+        # engine_metrics row must not short-circuit the guard observation
+        # for the same batch (round-10 advice — the shared early return
+        # silently undercounted guard_totals() even when the guard row
+        # itself was valid, the exact unbalanced accounting the guard
+        # metering exists to prevent).
         observed = event.progress.observedMetrics or {}
-        m = observed.get(OBSERVATION_NAME)
-        if m is not None:
-            # Defensive read: a FOREIGN observation that reuses our name but
-            # not our columns must not raise here — listener exceptions are
-            # swallowed by the event bus, so a KeyError would silently drop
-            # the batch's row from the ledger and the books would stop
-            # balancing with no error anywhere.  Malformed rows are recorded
-            # (errors-as-data) so totals() can surface them.
-            try:
-                row = {
-                    "batch_id": event.progress.batchId,
-                    "processed": m["processed"],
-                    "successes": m["successes"],
-                    "failures": m["failures"],
-                }
-            except Exception:
-                with self._lock:
-                    self.malformed.append(
-                        {"batch_id": event.progress.batchId, "observed": repr(m)}
-                    )
-                return
+        batch_id = event.progress.batchId
+        self._collect(
+            batch_id,
+            observed.get(OBSERVATION_NAME),
+            ("processed", "successes", "failures"),
+            self.rows,
+        )
+        self._collect(
+            batch_id,
+            observed.get(GUARD_OBSERVATION_NAME),
+            ("scanned", "in_bounds"),
+            self.guard_rows,
+        )
+
+    def _collect(self, batch_id, m, fields, dest) -> None:
+        """Defensive read of one observation row: a FOREIGN observation that
+        reuses our name but not our columns must not raise here — listener
+        exceptions are swallowed by the event bus, so a KeyError would
+        silently drop the batch's row from the ledger and the books would
+        stop balancing with no error anywhere.  Malformed rows are recorded
+        (errors-as-data) so totals() can surface them."""
+        if m is None:
+            return
+        try:
+            row = {"batch_id": batch_id, **{f: m[f] for f in fields}}
+        except Exception:
             with self._lock:
-                self.rows.append(row)
-        g = observed.get(GUARD_OBSERVATION_NAME)
-        if g is not None:
-            # same defensive-read contract as above: a foreign observation
-            # reusing the guard's name must surface as malformed, not
-            # silently unbalance the drop accounting
-            try:
-                grow = {
-                    "batch_id": event.progress.batchId,
-                    "scanned": g["scanned"],
-                    "in_bounds": g["in_bounds"],
-                }
-            except Exception:
-                with self._lock:
-                    self.malformed.append(
-                        {"batch_id": event.progress.batchId, "observed": repr(g)}
-                    )
-                return
-            with self._lock:
-                self.guard_rows.append(grow)
+                self.malformed.append({"batch_id": batch_id, "observed": repr(m)})
+            return
+        with self._lock:
+            dest.append(row)
 
     def onQueryIdle(self, event) -> None:  # noqa: N802
         pass

@@ -179,7 +179,11 @@ def _make_ttl_fn(idle_timeout_ms: int, ts_col: str):
 
     def fn(key, pdfs, state):
         if state.hasTimedOut:
-            state.remove()  # idle cursor lapses; emit nothing
+            # idle cursor lapses; emit nothing.  This drops the key's
+            # processing_index too — a post-lapse arrival restarts at 0
+            # with fresh_cursor=true (see ordered_per_key's docstring for
+            # the uniqueness contract; pinned by test)
+            state.remove()
             return
         if state.exists:
             (last_seq, processed, max_event_ms), fresh = state.get, False
@@ -253,6 +257,15 @@ def ordered_per_key(
     redelivery from a first delivery on a long-lived cursor.  Keep the
     default for bounded key spaces where exact redelivery flagging matters
     more than state size.
+
+    ``processing_index`` RESTARTS AT 0 after a lapse (pinned by test): the
+    counter lives in the very state the TTL exists to drop, so carrying it
+    across an expiry would defeat the state bound.  (key,
+    processing_index) is therefore unique only WITHIN a cursor epoch —
+    a downstream needing a globally unique per-key position must delimit
+    epochs with ``fresh_cursor`` (e.g. count fresh_cursor rows seen per
+    key as an epoch number); under the default NoTimeout the index never
+    resets and (key, processing_index) is globally unique.
     """
     if idle_timeout_ms is None:
         fn, conf, state_schema = _process_key, GroupStateTimeout.NoTimeout, STATE_SCHEMA
@@ -367,7 +380,10 @@ try:  # Spark 4.x only: the StatefulProcessor API.  The class and its
             yield out
 
         def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: N802
-            self._cursor.clear()  # idle cursor lapses; emit nothing
+            # idle cursor lapses; emit nothing — drops processing_index
+            # with it (post-lapse rows restart at 0, fresh_cursor=true;
+            # same pinned contract as the applyInPandasWithState variant)
+            self._cursor.clear()
             return
             yield  # pragma: no cover - makes this a generator (empty)
 

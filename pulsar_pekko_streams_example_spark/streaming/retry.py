@@ -33,7 +33,10 @@ from pyspark.sql import functions as F
 #: the schema ``due_retries`` returns when the ledger has never been written
 #: (payload columns ride along WHEN present; the lifecycle columns are the
 #: declared contract, so an empty frontier supports ``select("attempt")`` /
-#: ``select("available_at")`` exactly like a populated one).
+#: ``select("available_at")`` exactly like a populated one).  ``_batch_id``
+#: is stamped in BOTH layouts — a partition column under the default
+#: idempotent writes, a plain data column on the non-idempotent append path
+#: — so the guarantee is layout-independent (round-10 advice).
 FRONTIER_SCHEMA = (
     "message_id string, attempt long, ok boolean, "
     "available_at timestamp, _batch_id int, _redelivered boolean"
@@ -152,7 +155,13 @@ class RetryRouter:
         """Idempotent micro-batch write: partition by batch id with dynamic
         overwrite, so a REPLAYED batch (crash between sink write and offset
         commit) overwrites its own partition instead of duplicating —
-        foreachBatch's at-least-once becomes effectively-once."""
+        foreachBatch's at-least-once becomes effectively-once.
+
+        The non-idempotent path stamps ``_batch_id`` too (as a plain data
+        column): ``FRONTIER_SCHEMA`` declares the column, so the populated
+        frontier must carry it in BOTH layouts or a downstream
+        ``select("_batch_id")`` would work only on the empty path
+        (round-10 advice)."""
         if self.idempotent:
             (
                 df.withColumn("_batch_id", F.lit(batch_id))
@@ -162,7 +171,9 @@ class RetryRouter:
                 .parquet(path)
             )
         else:
-            df.write.mode("append").parquet(path)
+            df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+                "append"
+            ).parquet(path)
 
     def route_batch(self, batch: DataFrame, batch_id: int = 0) -> None:
         """foreachBatch body: one call per micro-batch.
@@ -411,38 +422,81 @@ class RetryRouter:
         call stays cheap on a long deployment.  The sink is the full
         traffic — counting it scans every partition's footers — so
         ``sink_rows`` is None unless ``count_sink=True`` (fine on a test
-        corpus, a deliberate act on 100 TB)."""
+        corpus, a deliberate act on 100 TB).
+
+        NON-BLOCKING (round-11): the call TRY-acquires the ledger lease.
+        Held, it heals any debris and reads a mutator-consistent snapshot
+        (``maintenance_in_progress`` is None).  Contended — a live
+        ``compact``/``requeue_dlq``/``route_batch`` holds the lease — it
+        returns PROMPTLY with ``maintenance_in_progress`` set to the
+        holder's lease record and the ledger counts None, instead of the
+        old behavior of stalling a dashboard poll up to ``lease_timeout_s``
+        behind the maintenance window (it never waits, and it never reads
+        ledgers a concurrent swap could be renaming mid-call).  The
+        in-process ``counters`` are returned either way."""
+        import fcntl
 
         def _count(path: str) -> int:
             if not os.path.exists(path):
                 return 0
             return spark.read.parquet(path).count()
 
-        lease = None
-        if os.path.exists(self._lease_path()):
+        def _lease_record() -> str | None:
+            if not os.path.exists(self._lease_path()):
+                return None
             try:
                 with open(self._lease_path()) as f:
-                    lease = f.read() or None
+                    return f.read() or None
             except OSError:
-                lease = "<unreadable>"
-        # debris BEFORE the frontier read: due_retries heals on sight (as
-        # every reader does), so this field reports what the status call
-        # FOUND — a non-empty value means the previous op crashed mid-swap
-        # and this very call repaired it
-        debris = [root + tag for root, tag in self._swap_debris()]
-        frontier = self.due_retries(spark, as_of=as_of).count()
+                return "<unreadable>"
+
         with self._counters_lock:
             counters = dict(self.counters)
-        return {
-            "retry_rows": _count(self.retry_path),
-            "frontier": frontier,
-            "dlq": _count(self.dlq_path),
-            "resolved": _count(self._resolved()),
-            "sink_rows": _count(self.sink_path) if count_sink else None,
-            "swap_debris_found": debris,
-            "last_lease": lease,
-            "counters": counters,
-        }
+        parent = os.path.dirname(self._lease_path())
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        # a reader's try-lock: excludes mutators for the duration of the
+        # reads (consistent snapshot) WITHOUT writing a holder record —
+        # last_lease keeps reporting the latest mutator, as documented
+        fd = os.open(self._lease_path(), os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return {
+                    "retry_rows": None,
+                    "frontier": None,
+                    "dlq": None,
+                    "resolved": None,
+                    "sink_rows": None,
+                    "swap_debris_found": None,
+                    "last_lease": _lease_record(),
+                    "maintenance_in_progress": _lease_record(),
+                    "counters": counters,
+                }
+            # debris BEFORE the frontier read: this field reports what the
+            # status call FOUND — a non-empty value means the previous op
+            # crashed mid-swap and this very call repaired it (under the
+            # lease we now hold, so due_retries below sees a clean layout
+            # and never re-acquires — no self-deadlock)
+            debris = [root + tag for root, tag in self._swap_debris()]
+            debris += self._fold_debris()
+            if debris:
+                self._recover_swaps_locked()
+            frontier = self.due_retries(spark, as_of=as_of).count()
+            return {
+                "retry_rows": _count(self.retry_path),
+                "frontier": frontier,
+                "dlq": _count(self.dlq_path),
+                "resolved": _count(self._resolved()),
+                "sink_rows": _count(self.sink_path) if count_sink else None,
+                "swap_debris_found": debris,
+                "last_lease": _lease_record(),
+                "maintenance_in_progress": None,
+                "counters": counters,
+            }
+        finally:
+            os.close(fd)
 
     def compact(self, spark: SparkSession, archive_to: str | None = None) -> dict:
         """Rewrite the retry ledger down to its delivery frontier.
@@ -469,7 +523,14 @@ class RetryRouter:
         is an append-only audit pile: a crash between the archive write and
         the swap means the re-run appends a second snapshot — duplicates in
         an audit trail are benign, a hole is not, so the write sits on the
-        crash-safe side of the swap.  Surviving rows keep their
+        crash-safe side of the swap.  Every snapshot is stamped with a
+        ``_compacted_at`` timestamp (one value per compaction run), so the
+        pile is queryable per maintenance window and a frontier row that
+        survives N compactions — archived N times by design — is
+        distinguishable from genuine history by its N distinct stamps
+        (group by ``_compacted_at`` to read one snapshot; piles started
+        before the stamp existed need ``mergeSchema`` to see it).
+        Surviving rows keep their
         ``_batch_id`` partition, so a replayed micro-batch still overwrites
         its own partition after compaction (the idempotence contract is
         preserved).
@@ -505,7 +566,12 @@ class RetryRouter:
             try:
                 kept = frontier.count()
                 if archive_to is not None:
-                    df.write.mode("append").parquet(archive_to)
+                    # current_timestamp() is query-constant: every row of
+                    # this snapshot carries the SAME stamp, and a later
+                    # compaction's snapshot carries a different one
+                    df.withColumn(
+                        "_compacted_at", F.current_timestamp()
+                    ).write.mode("append").parquet(archive_to)
                 self._swap_ledger(self.retry_path, frontier, ".compact")
                 shutil.rmtree(self._resolved(), ignore_errors=True)
             finally:
@@ -516,8 +582,12 @@ class RetryRouter:
     def committed_batch_ids(checkpoint: str) -> list[int]:
         """Batch ids the streaming checkpoint has COMMITTED (sink write +
         offset commit both durable): the file names under
-        ``<checkpoint>/commits/``.  Everything at or below the newest id is
-        replay-safe history; the engine can only replay the next batch."""
+        ``<checkpoint>/commits/``.  Everything STRICTLY BELOW the newest id
+        is replay-safe history.  The newest committed batch itself will not
+        replay either, but ``compact_sink`` still refuses a cutoff AT it —
+        a deliberate one-batch safety margin, cheap because the margin is a
+        single partition, robust against a commit file observed while the
+        engine is still finalizing the next batch."""
         commits = os.path.join(checkpoint, "commits")
         if not os.path.isdir(commits):
             return []
@@ -552,12 +622,24 @@ class RetryRouter:
         stopped); calling with neither is an error — the silent-duplication
         footgun the old trust-the-caller contract left open.
 
-        The swap itself is the same atomic two-rename as ``compact``, and
-        the ledger lease serializes it against a concurrent ``route_batch``.
-        At true 100 TB sink scale prefer a transactional table format's
-        OPTIMIZE; this is the dependency-free equivalent for
-        parquet-directory sinks, and it rewrites the whole sink (run it
-        rarely, from a maintenance window)."""
+        COST — O(archived), not O(sink) (round-11): the fold is
+        PARTITION-SCOPED.  Only the ``_batch_id <= up_to_batch_id``
+        directories are read (partition-pruned scan — live partitions'
+        files are never opened), their rows are written to a staging
+        directory inside the sink root (dot-prefixed, invisible to Spark
+        readers), and the old directories are then removed and the staging
+        renamed in as the archive partition.  Live partitions are
+        byte-untouched — same files, same mtimes — so maintenance cost
+        tracks the archived history, never the sink.  Crash safety comes
+        from a manifest commit point instead of ``compact``'s whole-root
+        two-rename: the manifest is written (atomic rename) only after the
+        staging directory is complete, recovery rolls FORWARD from a
+        manifest and DISCARDS an orphan staging directory, and every crash
+        window is idempotent under re-run (``_complete_fold_locked``).
+        The ledger lease still serializes the fold against a concurrent
+        ``route_batch``.  At true 100 TB sink scale prefer a transactional
+        table format's OPTIMIZE; this is the dependency-free equivalent
+        for parquet-directory sinks."""
         if archive_batch_id > up_to_batch_id:
             # the archive partition must itself sit inside the archived
             # range (conventionally negative): if it named a LIVE batch id,
@@ -592,35 +674,150 @@ class RetryRouter:
         with self._lease("compact_sink"):
             return self._compact_sink_locked(spark, up_to_batch_id, archive_batch_id)
 
+    #: in-root staging / commit-point names for the partition-scoped sink
+    #: fold — dot-prefixed, so Spark's file listing never sees them and a
+    #: reader of the live sink is undisturbed by an in-flight fold
+    _FOLD_NEW = ".sink-compact.new"
+    _FOLD_MANIFEST = ".sink-compact.manifest"
+
+    def _sink_partitions(self) -> dict[int, str]:
+        """``{batch_id: dirname}`` for the sink's hive-layout partitions,
+        from the directory listing alone — no Spark job, no file opened."""
+        if not os.path.isdir(self.sink_path):
+            return {}
+        out: dict[int, str] = {}
+        for name in os.listdir(self.sink_path):
+            if name.startswith("_batch_id="):
+                try:
+                    out[int(name.split("=", 1)[1])] = name
+                except ValueError:
+                    pass
+        return out
+
     def _compact_sink_locked(
         self, spark: SparkSession, up_to_batch_id: int, archive_batch_id: int
     ) -> dict:
-        if not os.path.exists(self.sink_path):
+        import json
+        import shutil
+
+        root = self.sink_path
+        if not os.path.exists(root):
             return {"archived": 0, "partitions_before": 0, "partitions_after": 0}
-        sink = spark.read.parquet(self.sink_path)
-        if "_batch_id" not in sink.columns:
-            return {"archived": 0}  # non-idempotent layout: nothing to fold
-        parts_before = sink.select("_batch_id").distinct().count()
+        parts = self._sink_partitions()
+        if not parts:
+            return {"archived": 0}  # non-partitioned layout: nothing to fold
+        parts_before = len(parts)
+        old_ids = sorted(k for k in parts if k <= up_to_batch_id)
+        if not old_ids or old_ids == [archive_batch_id]:
+            # nothing below the cutoff beyond the archive itself — a no-op,
+            # with not a single directory touched
+            return {
+                "archived": 0,
+                "partitions_before": parts_before,
+                "partitions_after": parts_before,
+            }
         bid = F.col("_batch_id")
-        old = bid <= F.lit(up_to_batch_id)
-        n_archived = sink.filter(old & (bid != archive_batch_id)).count()
-        folded = sink.withColumn(
-            "_batch_id", F.when(old, F.lit(archive_batch_id)).otherwise(bid)
-        # repartition on the partition column: each _batch_id's rows land in
-        # one task → one consolidated file per directory, which is the whole
-        # point (without it the archive partition inherits every input split)
-        ).repartition("_batch_id")
-        self._swap_ledger(self.sink_path, folded, ".sink-compact")
-        parts_after = (
-            spark.read.parquet(self.sink_path).select("_batch_id").distinct().count()
-            if os.path.exists(self.sink_path)
-            else 0
+        # partition-pruned scan: Spark prunes the > cutoff directories from
+        # the plan, so only the old partitions' files are ever opened — the
+        # fold reads O(archived rows) regardless of sink size
+        pruned = spark.read.parquet(root).filter(bid <= F.lit(up_to_batch_id))
+        n_archived = pruned.filter(bid != F.lit(archive_batch_id)).count()
+        staging = os.path.join(root, self._FOLD_NEW)
+        manifest = os.path.join(root, self._FOLD_MANIFEST)
+        shutil.rmtree(staging, ignore_errors=True)
+        # drop the partition column (hive layout derives it from the dir
+        # name, matching the live partitions' files); coalesce(1) — not
+        # repartition — streams the old partitions into ONE consolidated
+        # file with no shuffle, which is the whole small-files point
+        (
+            pruned.drop("_batch_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(staging)
         )
+        # the manifest is the fold's COMMIT POINT: written atomically only
+        # after the staging directory is complete, it instructs recovery to
+        # roll forward; a crash before this line leaves live data untouched
+        # and an orphan staging dir that recovery discards
+        plan = {
+            "archive": f"_batch_id={archive_batch_id}",
+            "remove": [parts[k] for k in old_ids],
+        }
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(plan, f)
+        os.replace(tmp, manifest)
+        self._complete_fold_locked(root)
         return {
             "archived": n_archived,
             "partitions_before": parts_before,
-            "partitions_after": parts_after,
+            "partitions_after": len(self._sink_partitions()),
         }
+
+    def _complete_fold_locked(self, root: str) -> dict:
+        """Finish (or discard) a partition-scoped sink fold from the layout
+        alone — the fold's analog of ``_recover_swaps_locked``.
+
+        The manifest is the commit point, so every crash window is
+        unambiguous:
+
+        - no manifest: any staging directory may be a partial write — it is
+          DISCARDED and the live layout stands untouched;
+        - manifest + staging: the staging was complete when the manifest
+          landed — roll FORWARD (remove the listed old partitions, rename
+          the staging in as the archive partition, drop the manifest);
+        - manifest, no staging: the rename already landed — the archive
+          directory IS the folded data (it is skipped in the remove list),
+          so only leftover listed directories and the manifest are removed.
+
+        Idempotent: re-running after a crash at any step converges on the
+        folded layout, and live partitions are never touched."""
+        import json
+        import shutil
+
+        staging = os.path.join(root, self._FOLD_NEW)
+        manifest = os.path.join(root, self._FOLD_MANIFEST)
+        try:
+            # a half-written manifest never commits (json + atomic replace),
+            # so a .tmp is always debris
+            os.remove(manifest + ".tmp")
+        except OSError:
+            pass
+        if not os.path.exists(manifest):
+            if os.path.exists(staging):
+                shutil.rmtree(staging, ignore_errors=True)
+                return {"completed": [], "discarded": [staging]}
+            return {"completed": [], "discarded": []}
+        with open(manifest) as f:
+            plan = json.load(f)
+        staged = os.path.exists(staging)
+        target = os.path.join(root, plan["archive"])
+        for name in plan["remove"]:
+            if name == plan["archive"] and not staged:
+                # the staging already renamed in: this directory holds the
+                # folded rows — removing it would lose them
+                continue
+            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+        if staged:
+            os.rename(staging, target)
+        os.remove(manifest)
+        return {"completed": [target], "discarded": []}
+
+    def _fold_debris(self) -> list[str]:
+        """In-root fold debris (staging dir / manifest) left by a crashed
+        ``compact_sink`` — the partition-scoped counterpart of
+        ``_swap_debris``'s sibling-directory scan."""
+        found = []
+        for root in self._ledger_roots():
+            for name in (
+                self._FOLD_MANIFEST,
+                self._FOLD_MANIFEST + ".tmp",
+                self._FOLD_NEW,
+            ):
+                p = os.path.join(root, name)
+                if os.path.exists(p):
+                    found.append(p)
+        return found
 
     def requeue_dlq(self, spark: SparkSession, batch_id: int, where=None) -> int:
         """Move DLQ-terminal messages back into the retry frontier — the
@@ -784,6 +981,15 @@ class RetryRouter:
             elif os.path.exists(old):
                 shutil.rmtree(old)
                 discarded.append(old)
+        # partition-scoped sink folds leave IN-ROOT debris (staging dir /
+        # manifest) rather than sibling .old/.new directories; finish or
+        # discard those from their own commit-point protocol
+        if self._fold_debris():
+            for root in self._ledger_roots():
+                if os.path.isdir(root):
+                    report = self._complete_fold_locked(root)
+                    completed.extend(report["completed"])
+                    discarded.extend(report["discarded"])
         return {"completed": completed, "discarded": discarded}
 
     def _swap_ledger(self, path: str, df: DataFrame, tag: str) -> None:
@@ -804,7 +1010,11 @@ class RetryRouter:
                 tmp = path + tag + ".new"
                 shutil.rmtree(tmp, ignore_errors=True)
                 writer = df.write.mode("overwrite")
-                if "_batch_id" in df.columns:  # idempotent ledgers only
+                # partition the rewrite ONLY for the idempotent layout: a
+                # non-idempotent ledger appends plain files at the root, and
+                # a partitioned rewrite would leave later appends next to
+                # partition dirs — a mixed layout partition discovery rejects
+                if self.idempotent and "_batch_id" in df.columns:
                     writer = writer.partitionBy("_batch_id")
                 writer.parquet(tmp)
                 if os.path.exists(path):

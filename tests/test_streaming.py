@@ -1055,6 +1055,81 @@ def test_tws_ttl_processor_matches_event_time_timeout_path():
     assert list(aip["fresh_cursor"]) == [True, True, False, True]
 
 
+def test_processing_index_restarts_at_zero_after_ttl_lapse():
+    """The documented (key, processing_index) contract across a TTL lapse
+    (round-11 pin): the counter lives in the very state the TTL drops, so
+    a post-expiry arrival restarts at 0 — NOT a continuation — and the
+    collision with pre-lapse indexes is observable via fresh_cursor, the
+    epoch delimiter downstream must use.  Driven expire→redeliver through
+    the same EventTimeTimeout function the streaming query runs."""
+    from pulsar_pekko_streams_example_spark.streaming import ordered_state as OS
+
+    TTL = 3_600_000  # 1 h
+
+    def ms(h):
+        return int(pd.Timestamp(2024, 1, 1, h).value // 1_000_000)
+
+    class _FakeTTLGroupState:
+        def __init__(self):
+            self._v, self.timeout, self.wm, self.hasTimedOut = None, None, 0, False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+
+        def remove(self):
+            self._v, self.timeout = None, None
+
+        def getCurrentWatermarkMs(self):  # noqa: N802
+            return self.wm
+
+        def setTimeoutTimestamp(self, t):  # noqa: N802
+            self.timeout = t
+
+    fn = OS._make_ttl_fn(TTL, "publish_time")
+    state = _FakeTTLGroupState()
+
+    def feed(rows, wm):
+        state.wm = wm
+        pdf = pd.DataFrame(
+            rows, columns=["message_id", "seq", "attempt", "publish_time"]
+        )
+        return pd.concat(fn(("k1",), iter([pdf]), state), ignore_index=True)
+
+    # three messages on one cursor: indexes 0,1,2
+    first = feed(
+        [(f"a{i}", i, 1, pd.Timestamp(2024, 1, 1, 4)) for i in range(3)], 0
+    )
+    assert list(first["processing_index"]) == [0, 1, 2]
+    assert list(first["fresh_cursor"]) == [True] * 3
+
+    # the watermark passes expiry (4:00 + 1h): the engine fires the lapse
+    assert state.timeout == ms(5)
+    state.hasTimedOut = True
+    assert list(fn(("k1",), iter([]), state)) == []  # emits nothing
+    state.hasTimedOut = False
+    assert not state.exists  # cursor AND index dropped together
+
+    # post-lapse redelivery of seq 1: index RESTARTS at 0 — a collision
+    # with the pre-lapse rows — flagged by fresh_cursor, and the stale seq
+    # reads as a first delivery (the documented lapse trade-off)
+    redux = feed([("a1-redux", 1, 2, pd.Timestamp(2024, 1, 1, 6))], ms(5) + 1)
+    assert list(redux["processing_index"]) == [0]
+    assert list(redux["fresh_cursor"]) == [True]
+    assert list(redux["is_redelivery"]) == [False]
+    # and the fresh epoch keeps counting serially from there
+    more = feed([("a2-redux", 2, 2, pd.Timestamp(2024, 1, 1, 6))], ms(5) + 1)
+    assert list(more["processing_index"]) == [1]
+    assert list(more["fresh_cursor"]) == [False]
+
+
 def test_tws_ttl_end_to_end_matches_apply_in_pandas(spark, tmpdir):
     """END-TO-END twin of the fake-handle TTL parity test: identical
     output from ordered_per_key(idle_timeout_ms=...) and

@@ -832,6 +832,48 @@ def test_metrics_listener_survives_foreign_observation():
     assert listener.malformed[0]["batch_id"] == 0
 
 
+def test_malformed_engine_row_does_not_skip_guard_observation():
+    """Observations are collected independently: a malformed engine_metrics
+    row in a batch must NOT short-circuit that batch's VALID guard row
+    (round-10 advice — pre-fix the shared early return silently
+    undercounted guard_totals(), the exact unbalanced accounting the guard
+    metering exists to prevent)."""
+    from types import SimpleNamespace
+
+    from pulsar_pekko_streams_example_spark.streaming.metrics import MetricsListener
+
+    listener = MetricsListener()
+    listener.onQueryProgress(
+        SimpleNamespace(
+            progress=SimpleNamespace(
+                batchId=0,
+                observedMetrics={
+                    "engine_metrics": {"rows_seen": 9},  # foreign shape
+                    "event_time_guard": {"scanned": 10, "in_bounds": 7},
+                },
+            )
+        )
+    )
+    g = listener.guard_totals()
+    assert (g["scanned"], g["in_bounds"], g["dropped"], g["batches"]) == (10, 7, 3, 1)
+    assert listener.totals()["malformed_batches"] == 1
+    # and symmetrically: a malformed guard row never blocks the engine row
+    listener.onQueryProgress(
+        SimpleNamespace(
+            progress=SimpleNamespace(
+                batchId=1,
+                observedMetrics={
+                    "engine_metrics": {"processed": 5, "successes": 3, "failures": 2},
+                    "event_time_guard": {"late": 1},  # foreign shape
+                },
+            )
+        )
+    )
+    assert listener.totals()["processed"] == 5
+    assert listener.totals()["malformed_batches"] == 2
+    assert listener.guard_totals()["batches"] == 1
+
+
 # ---------------------------------------------------------------------------
 # L1–L5 control plane under poison (round-9 sweep)
 # ---------------------------------------------------------------------------
@@ -1735,6 +1777,114 @@ def test_status_reports_lifecycle_depths_and_found_debris(spark, tmpdir, monkeyp
     assert router.status(spark, as_of=AS_OF_FUTURE)["swap_debris_found"] == []
 
 
+def test_status_is_nonblocking_under_a_held_lease(spark, tmpdir):
+    """``status()`` is a dashboard call: while a maintenance op holds the
+    ledger lease it must return PROMPTLY with the holder surfaced as
+    ``maintenance_in_progress`` — not stall up to ``lease_timeout_s``
+    behind the window (round-11; pre-fix a debris-healing status blocked
+    on the lease like a mutator)."""
+    import fcntl
+    import time as _time
+
+    router = _mk_router(tmpdir, lease_timeout_s=30)
+    _seed_live_and_resolved(spark, router)
+
+    # hold the lease the way a live maintenance op does (flock conflicts
+    # across open file descriptions, including within one process)
+    fd = os.open(router._lease_path(), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        os.ftruncate(fd, 0)
+        os.write(fd, b"pid=9999 op=compact t=0")
+        t0 = _time.monotonic()
+        s = router.status(spark, as_of=AS_OF_FUTURE)
+        assert _time.monotonic() - t0 < 5  # prompt, not lease_timeout_s
+        assert "op=compact" in s["maintenance_in_progress"]
+        # no ledger read happened: a concurrent swap could be renaming the
+        # directories this instant, so the counts are honestly absent
+        assert s["retry_rows"] is None and s["frontier"] is None
+        assert s["counters"]["batches"] == 2  # in-process counters still flow
+    finally:
+        os.close(fd)
+
+    # lease released: the same call reads the full snapshot again
+    s = router.status(spark, as_of=AS_OF_FUTURE)
+    assert s["maintenance_in_progress"] is None
+    assert (s["retry_rows"], s["frontier"], s["resolved"]) == (2, 1, 1)
+
+
+def test_compact_archive_snapshots_are_stamped_per_window(spark, tmpdir):
+    """Each ``compact(archive_to=...)`` snapshot carries ONE
+    ``_compacted_at`` value, distinct across runs — so the audit pile is
+    queryable per maintenance window and a frontier row re-archived by N
+    compactions is N stamped copies, not indistinguishable duplicates
+    (round-11 ask)."""
+    import time as _time
+
+    router = _mk_router(tmpdir)
+    _seed_live_and_resolved(spark, router)
+    archive = os.path.join(tmpdir, "audit")
+
+    router.compact(spark, archive_to=archive)
+    _time.sleep(0.05)  # current_timestamp() ticks between runs
+    router.compact(spark, archive_to=archive)
+
+    audit = spark.read.parquet(archive)
+    assert "_compacted_at" in audit.columns
+    stamps = [
+        r.ts for r in audit.select(F.col("_compacted_at").alias("ts")).distinct().collect()
+    ]
+    assert len(stamps) == 2  # one stamp per maintenance window
+    per_window = {
+        (r.ts, r.message_id, r.attempt) for r in audit.select(
+            F.col("_compacted_at").alias("ts"), "message_id", "attempt"
+        ).collect()
+    }
+    # window 1: the full pre-compaction ledger; window 2: the survivor,
+    # re-archived under its OWN stamp — distinguishable, not duplicate
+    w1, w2 = sorted(stamps)
+    assert {(m, a) for t, m, a in per_window if t == w1} == {
+        ("m-done", 2), ("m-live", 2),
+    }
+    assert {(m, a) for t, m, a in per_window if t == w2} == {("m-live", 2)}
+
+
+def test_nonidempotent_append_stamps_batch_id_too(spark, tmpdir):
+    """FRONTIER_SCHEMA declares ``_batch_id``; the non-idempotent append
+    path must stamp it as a data column so a downstream
+    ``select("_batch_id")`` works on the POPULATED frontier, not only the
+    empty one (round-10 advice)."""
+    router = _mk_router(tmpdir, idempotent=False)
+    router.route_batch(
+        spark.createDataFrame(
+            [("m1", 1, False), ("m2", 1, True)],
+            "message_id string, attempt long, ok boolean",
+        ),
+        batch_id=7,
+    )
+    ledger = spark.read.parquet(router.retry_path)
+    assert [r["_batch_id"] for r in ledger.select("_batch_id").collect()] == [7]
+    due = router.due_retries(spark, as_of=AS_OF_FUTURE)
+    assert [
+        (r.message_id, r["_batch_id"]) for r in due.select("message_id", "_batch_id").collect()
+    ] == [("m1", 7)]
+    # ledger maintenance keeps the append layout readable (unpartitioned
+    # rewrite + later appends at the root must coexist)
+    assert router.compact(spark)["kept"] == 1
+    router.route_batch(
+        spark.createDataFrame(
+            [("m3", 1, False)], "message_id string, attempt long, ok boolean"
+        ),
+        batch_id=8,
+    )
+    assert {
+        (r.message_id, r["_batch_id"])
+        for r in spark.read.parquet(router.retry_path).select(
+            "message_id", "_batch_id"
+        ).collect()
+    } == {("m1", 7), ("m3", 8)}
+
+
 def test_killed_lease_holder_unblocks_without_manual_cleanup(spark, tmpdir):
     """The kernel-release claim, proven with a REAL process death: a
     subprocess takes the flock and is SIGKILLed mid-hold — no unlock code
@@ -2220,38 +2370,194 @@ def test_recover_swaps_completes_empty_result_swap(spark, tmpdir, monkeypatch):
     assert router.compact(spark) == {"kept": 0, "dropped": 0, "archived": 0}
 
 
-def test_recover_swaps_heals_crashed_sink_compaction(spark, tmpdir, monkeypatch):
-    """``compact_sink`` swaps the SINK root with the same protocol, so the
-    same mid-swap crash (sink directory missing — every delivered row
-    unreadable) heals by completion: the recovered sink is row-exact AND
-    carries the fold the crashed compaction was applying."""
-    import glob
+def _sink_rows(spark, router):
+    return sorted(r.message_id for r in spark.read.parquet(router.sink_path).collect())
 
-    router = _mk_router(tmpdir)
-    for b in range(1, 4):
+
+def _seed_sink_batches(spark, router, n=3):
+    for b in range(1, n + 1):
         router.route_batch(
             spark.createDataFrame(
                 [(f"m-{b}", 1, True)], "message_id string, attempt long, ok boolean"
             ),
             batch_id=b,
         )
-    before = sorted(r.message_id for r in spark.read.parquet(router.sink_path).collect())
+    return _sink_rows(spark, router)
 
-    _crash_nth_rename(monkeypatch, nth=2)
+
+def _live_fingerprint(router, batch_ids):
+    """(name, size, mtime_ns) of every file under the given partitions —
+    byte-untouched means this is IDENTICAL across a fold."""
+    out = {}
+    for b in batch_ids:
+        d = os.path.join(router.sink_path, f"_batch_id={b}")
+        for name in sorted(os.listdir(d)):
+            st = os.stat(os.path.join(d, name))
+            out[(b, name)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_recover_swaps_heals_crashed_sink_compaction(spark, tmpdir, monkeypatch):
+    """The fold's worst crash window — manifest committed, old partitions
+    removed, the staging rename never landed — leaves the archived rows
+    dark (staging is dot-prefixed, invisible to readers).  ``recover_swaps``
+    rolls the manifest forward: the recovered sink is row-exact AND carries
+    the fold the crashed compaction was applying, and the LIVE partition is
+    byte-untouched throughout."""
+    import glob
+
+    router = _mk_router(tmpdir)
+    before = _seed_sink_batches(spark, router)
+    live_before = _live_fingerprint(router, [3])
+
+    # the fold's ONLY os.rename is staging → archive partition (the
+    # manifest commit is os.replace); crashing it leaves manifest+staging
+    _crash_nth_rename(monkeypatch, nth=1)
     with pytest.raises(RuntimeError, match="injected crash inside swap"):
         router.compact_sink(spark, up_to_batch_id=2, force=True)
-    assert not os.path.exists(router.sink_path)  # all delivered rows dark
+    assert os.path.exists(router.sink_path)  # the root never moves
+    assert os.path.exists(os.path.join(router.sink_path, ".sink-compact.manifest"))
+    assert _sink_rows(spark, router) == ["m-3"]  # archived rows dark, not lost
 
     report = router.recover_swaps()
-    assert report["completed"] == [router.sink_path]
-    assert sorted(
-        r.message_id for r in spark.read.parquet(router.sink_path).collect()
-    ) == before
+    archive = os.path.join(router.sink_path, "_batch_id=-1")
+    assert report["completed"] == [archive]
+    assert _sink_rows(spark, router) == before
     dirs = {
         os.path.basename(d)
         for d in glob.glob(os.path.join(router.sink_path, "_batch_id=*"))
     }
     assert dirs == {"_batch_id=-1", "_batch_id=3"}  # the fold landed
+    assert _live_fingerprint(router, [3]) == live_before
+    assert router._fold_debris() == []
+
+
+def test_compact_sink_crash_before_manifest_discards_staging(
+    spark, tmpdir, monkeypatch
+):
+    """A crash BEFORE the manifest commit point (here: the atomic
+    os.replace itself) must leave the live layout authoritative: recovery
+    DISCARDS the orphan staging directory — it may be a partial write —
+    and a re-run converges on the fold."""
+    router = _mk_router(tmpdir)
+    before = _seed_sink_batches(spark, router)
+    fp_before = _live_fingerprint(router, [1, 2, 3])
+
+    real = os.replace
+
+    def boom(src, dst):
+        if dst.endswith(".sink-compact.manifest"):
+            raise RuntimeError("injected crash before manifest commit")
+        return real(src, dst)
+
+    monkeypatch.setattr(retry_mod.os, "replace", boom)
+    with pytest.raises(RuntimeError, match="before manifest commit"):
+        router.compact_sink(spark, up_to_batch_id=2, force=True)
+    monkeypatch.setattr(retry_mod.os, "replace", real)
+
+    # every partition still live and byte-untouched; only staging is debris
+    assert _sink_rows(spark, router) == before
+    assert _live_fingerprint(router, [1, 2, 3]) == fp_before
+    staging = os.path.join(router.sink_path, ".sink-compact.new")
+    assert os.path.exists(staging)
+    report = router.recover_swaps()
+    assert staging in report["discarded"]
+    assert _sink_rows(spark, router) == before
+
+    stats = router.compact_sink(spark, up_to_batch_id=2, force=True)
+    assert stats["archived"] == 2 and stats["partitions_after"] == 2
+    assert _sink_rows(spark, router) == before
+
+
+def test_compact_sink_crash_after_rename_keeps_archive_once(
+    spark, tmpdir, monkeypatch
+):
+    """A crash between the staging rename and the manifest removal leaves
+    manifest-but-no-staging: recovery must NOT re-remove the archive
+    directory named in the manifest's remove list — it now holds the folded
+    rows — only drop the manifest.  Rows appear exactly once."""
+    router = _mk_router(tmpdir)
+    before = _seed_sink_batches(spark, router)
+
+    real = os.remove
+    manifest = os.path.join(router.sink_path, ".sink-compact.manifest")
+
+    def boom(path):
+        if path == manifest:
+            raise RuntimeError("injected crash before manifest removal")
+        return real(path)
+
+    monkeypatch.setattr(retry_mod.os, "remove", boom)
+    with pytest.raises(RuntimeError, match="before manifest removal"):
+        # archive INTO a listed partition: the remove-list-skip is what
+        # protects the folded rows on the recovery pass
+        router.compact_sink(
+            spark, up_to_batch_id=2, archive_batch_id=1, force=True
+        )
+    monkeypatch.setattr(retry_mod.os, "remove", real)
+
+    assert os.path.exists(manifest)
+    report = router.recover_swaps()
+    assert report["completed"] == [
+        os.path.join(router.sink_path, "_batch_id=1")
+    ]
+    assert not os.path.exists(manifest)
+    assert _sink_rows(spark, router) == before  # exactly once, no loss
+    assert router._fold_debris() == []
+
+
+def test_route_batch_self_heals_fold_debris(spark, tmpdir, monkeypatch):
+    """Every mutator heals fold debris at lease acquisition, same as swap
+    debris: a ``route_batch`` that follows a crashed fold first completes
+    the manifest, then routes."""
+    router = _mk_router(tmpdir)
+    before = _seed_sink_batches(spark, router)
+    _crash_nth_rename(monkeypatch, nth=1)
+    with pytest.raises(RuntimeError, match="injected crash inside swap"):
+        router.compact_sink(spark, up_to_batch_id=2, force=True)
+    assert router._fold_debris() != []
+
+    router.route_batch(
+        spark.createDataFrame(
+            [("m-4", 1, True)], "message_id string, attempt long, ok boolean"
+        ),
+        batch_id=4,
+    )
+    assert router._fold_debris() == []
+    assert _sink_rows(spark, router) == sorted(before + ["m-4"])
+
+
+def test_compact_sink_leaves_live_partitions_byte_untouched(spark, tmpdir):
+    """The round-11 contract: the fold is partition-scoped — live
+    ``_batch_id`` directories keep the same file list, sizes, AND mtimes
+    across a fold (they are never read for the rewrite either, but
+    byte-identity is the observable half), and a below-everything cutoff
+    is a zero-touch no-op for the whole sink."""
+    router = _mk_router(tmpdir)
+    before = _seed_sink_batches(spark, router, n=5)
+    live = [4, 5]
+    fp_before = _live_fingerprint(router, live)
+
+    stats = router.compact_sink(spark, up_to_batch_id=3, force=True)
+    assert stats["archived"] == 3
+    assert stats["partitions_before"] == 5 and stats["partitions_after"] == 3
+    assert _live_fingerprint(router, live) == fp_before
+    assert _sink_rows(spark, router) == before
+
+    # no-op cutoff: nothing below it — not a single directory touched
+    fp_all = _live_fingerprint(router, [-1] + live)
+    stats = router.compact_sink(spark, up_to_batch_id=-1, force=True)
+    assert stats == {
+        "archived": 0, "partitions_before": 3, "partitions_after": 3,
+    }
+    assert _live_fingerprint(router, [-1] + live) == fp_all
+
+    # growing the archive only touches the folded partitions, never live
+    fp_live5 = _live_fingerprint(router, [5])
+    stats = router.compact_sink(spark, up_to_batch_id=4, force=True)
+    assert stats["archived"] == 1 and stats["partitions_after"] == 2
+    assert _live_fingerprint(router, [5]) == fp_live5
+    assert _sink_rows(spark, router) == before
 
 
 def test_due_retries_recheck_closes_the_debris_toctou(spark, tmpdir):
