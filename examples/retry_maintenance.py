@@ -20,11 +20,14 @@ and this example walks the whole arc a production operator runs:
 4. the "bug" is fixed; ``requeue_dlq()`` revives the dead messages with a
    fresh attempt budget and one more cycle delivers them;
 5. conservation holds end to end: every seeded message is in the sink
-   exactly once, both ledgers are empty;
+   exactly once, both ledgers are empty — read through ``status()``, which
+   is also polled NON-BLOCKING while a maintenance window holds the ledger
+   lease (the holder is surfaced instead of stalling the dashboard);
 6. sink small-files maintenance with the replay-safety cutoff derived from
    the streaming checkpoint's ``commits/`` dir — refused while a replay
-   could duplicate, folded row-exact under the explicit decommission
-   override.
+   could duplicate; the LIVE fold is partition-scoped (partitions above
+   the cutoff byte-untouched, cost O(archived)); only decommission uses
+   the explicit force override to fold everything, row-exact.
 """
 
 from __future__ import annotations
@@ -140,6 +143,23 @@ def run(spark: SparkSession, base: str) -> dict:
     assert stat["swap_debris_found"] == []
     assert not os.path.exists(router.dlq_path)
 
+    # 5b. the snapshot is NON-BLOCKING: polled while a maintenance op holds
+    # the ledger lease (simulated by taking the flock the way a mutator
+    # does), status() returns promptly with the holder surfaced instead of
+    # stalling the dashboard behind the window
+    import fcntl
+
+    fd = os.open(router._lease_path(), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+        os.ftruncate(fd, 0)
+        os.write(fd, b"pid=0 op=compact_sink t=0  # simulated live window")
+        busy = router.status(spark, as_of=AS_OF)
+        assert "op=compact_sink" in busy["maintenance_in_progress"]
+        assert busy["retry_rows"] is None  # honestly absent mid-window
+    finally:
+        os.close(fd)
+
     # 6. sink small-files maintenance, with the replay-safety bound DERIVED
     # rather than trusted: while the stream is still resumable, the
     # checkpoint's commits/ dir caps the cutoff — archiving the newest
@@ -154,6 +174,30 @@ def run(spark: SparkSession, base: str) -> dict:
         raise AssertionError("cutoff at the newest committed batch must be refused")
     except ValueError:
         pass
+
+    # 6a. LIVE maintenance is partition-scoped: fold the replay-safe prefix
+    # while the deployment keeps running — partitions above the cutoff are
+    # byte-untouched (same files, sizes, mtimes), so the op costs
+    # O(archived), never a full-sink rewrite
+    def live_fingerprint():
+        out = {}
+        for name in os.listdir(router.sink_path):
+            if not name.startswith("_batch_id="):
+                continue
+            if int(name.split("=", 1)[1]) > newest - 1:
+                d = os.path.join(router.sink_path, name)
+                for f in sorted(os.listdir(d)):
+                    st_ = os.stat(os.path.join(d, f))
+                    out[(name, f)] = (st_.st_size, st_.st_mtime_ns)
+        return out
+
+    untouched_before = live_fingerprint()
+    router.compact_sink(spark, up_to_batch_id=newest - 1, checkpoint=ckpt)
+    assert live_fingerprint() == untouched_before
+    assert spark.read.parquet(router.sink_path).count() == N_MESSAGES
+
+    # 6b. only at decommission does force=True fold EVERYTHING (including
+    # the drain-cycle partitions above the checkpoint bound) — row-exact
     sink_stats = router.compact_sink(spark, up_to_batch_id=cycle["n"], force=True)
     assert spark.read.parquet(router.sink_path).count() == N_MESSAGES
     assert sink_stats["partitions_after"] == 1

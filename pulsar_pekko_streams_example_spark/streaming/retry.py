@@ -43,6 +43,18 @@ FRONTIER_SCHEMA = (
 )
 
 
+#: target size of one consolidated archive file written by the sink fold
+_ARCHIVE_TARGET_BYTES = 1 << 30  # ~1 GiB
+
+
+def _archive_file_count(archived_bytes: int) -> int:
+    """Consolidated-file count for a sink fold: one file per ~1 GiB of
+    archived bytes, floor 1 — small folds stay a single file (the
+    small-files bound), a year of folded history splits into readable
+    ~1 GiB units instead of one monster file."""
+    return max(1, (archived_bytes + _ARCHIVE_TARGET_BYTES - 1) // _ARCHIVE_TARGET_BYTES)
+
+
 @dataclass
 class RetryRouter:
     """Routes processed rows (with ok/error columns) to sink / retry / DLQ."""
@@ -609,7 +621,10 @@ class RetryRouter:
         alone dominates read planning.  Batches ``<= up_to_batch_id`` fold
         into the single ``_batch_id=archive_batch_id`` partition (merging
         with any previous archive); newer partitions keep their layout so
-        replay idempotence still holds for them.
+        replay idempotence still holds for them.  Only this partitioned
+        layout folds: a non-idempotent (append) sink carries ``_batch_id``
+        as a data column but has no per-batch directories — the call is a
+        no-op (``archived: 0``) there, by construction not by accident.
 
         SAFETY — derived, not trusted: ``up_to_batch_id`` must be strictly
         below any batch the stream could still replay — an archived batch
@@ -726,12 +741,22 @@ class RetryRouter:
         manifest = os.path.join(root, self._FOLD_MANIFEST)
         shutil.rmtree(staging, ignore_errors=True)
         # drop the partition column (hive layout derives it from the dir
-        # name, matching the live partitions' files); coalesce(1) — not
-        # repartition — streams the old partitions into ONE consolidated
-        # file with no shuffle, which is the whole small-files point
+        # name, matching the live partitions' files); coalesce — not
+        # repartition — streams the old partitions into a FEW consolidated
+        # files with no shuffle, which is the whole small-files point.  The
+        # file count is sized from the archived bytes on disk (listing only
+        # the old directories — still O(archived)): one file per ~1 GiB so
+        # a year of folded history never becomes a single monster file
+        archived_bytes = 0
+        for k in old_ids:
+            d = os.path.join(root, parts[k])
+            for name in os.listdir(d):
+                p = os.path.join(d, name)
+                if os.path.isfile(p):
+                    archived_bytes += os.path.getsize(p)
         (
             pruned.drop("_batch_id")
-            .coalesce(1)
+            .coalesce(_archive_file_count(archived_bytes))
             .write.mode("overwrite")
             .parquet(staging)
         )

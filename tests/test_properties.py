@@ -1194,3 +1194,120 @@ def test_retry_maintenance_never_loses_a_message(spark, ops, n_msgs):
             # sequence fail,fail,fail → requeue → ack_cycle left the
             # delivered id in the frontier forever.
             assert not (delivered & frontier), (op, sorted(delivered & frontier))
+
+
+# ---------------------------------------------------------------------------
+# Partition-scoped sink fold under arbitrary crashes (round-11): compact_sink
+# may crash at ANY of its filesystem mutation primitives — the manifest
+# commit (os.replace), the staging rename (os.rename), the manifest removal
+# (os.remove) — and recovery (recover_swaps / the next mutator's lease) must
+# converge on a layout where every delivered row exists EXACTLY once (no
+# loss, no duplication), live partitions are byte-untouched, and a re-run of
+# the fold completes.  The multiset check matters: the two dangerous windows
+# are re-removing the landed archive (loss) and replaying the fold over an
+# already-folded layout (duplication).
+# ---------------------------------------------------------------------------
+
+
+def _run_crashing_at_os(fn, attr, nth):
+    """Run ``fn`` with the ``nth`` call of ``os.<attr>`` (as seen by the
+    retry module) replaced by a crash; fewer calls → the op completes."""
+    from contextlib import suppress
+
+    import pulsar_pekko_streams_example_spark.streaming.retry as rmod
+
+    real = getattr(rmod.os, attr)
+    count = {"n": 0}
+
+    def boom(*a, **k):
+        count["n"] += 1
+        if count["n"] == nth:
+            raise _InjectedCrash(f"injected crash at {attr} #{nth}")
+        return real(*a, **k)
+
+    setattr(rmod.os, attr, boom)
+    try:
+        with suppress(_InjectedCrash):
+            fn()
+    finally:
+        setattr(rmod.os, attr, real)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    crash=st.one_of(
+        st.none(),
+        st.tuples(st.sampled_from(["rename", "replace", "remove"]), st.integers(1, 2)),
+    ),
+    cutoff=st.integers(min_value=0, max_value=5),
+)
+def test_sink_fold_crash_windows_never_lose_or_duplicate(spark, crash, cutoff):
+    import os as _os
+    import tempfile as _tempfile
+
+    from pulsar_pekko_streams_example_spark.streaming.retry import RetryRouter
+
+    with _tempfile.TemporaryDirectory() as d:
+        router = RetryRouter(
+            sink_path=_os.path.join(d, "sink"),
+            retry_path=_os.path.join(d, "retry"),
+            dlq_path=_os.path.join(d, "dlq"),
+        )
+        seeded = []
+        for b in range(1, 6):
+            ids = [f"m-{b}-{i}" for i in range(2)]
+            seeded.extend(ids)
+            router.route_batch(
+                spark.createDataFrame(
+                    [(m, 1, True) for m in ids],
+                    "message_id string, attempt long, ok boolean",
+                ),
+                batch_id=b,
+            )
+
+        def fingerprint(batch_ids):
+            out = {}
+            for b in batch_ids:
+                p = _os.path.join(router.sink_path, f"_batch_id={b}")
+                for name in sorted(_os.listdir(p)):
+                    st_ = _os.stat(_os.path.join(p, name))
+                    out[(b, name)] = (st_.st_size, st_.st_mtime_ns)
+            return out
+
+        live = [b for b in range(1, 6) if b > cutoff]
+        live_before = fingerprint(live)
+
+        run = lambda: router.compact_sink(  # noqa: E731
+            spark, up_to_batch_id=cutoff, force=True
+        )
+        if crash is None:
+            run()
+        else:
+            attr, nth = crash
+            _run_crashing_at_os(run, attr, nth)
+            router.recover_swaps()
+
+        # every seeded row exactly once — loss AND duplication both fail
+        rows = sorted(
+            r.message_id for r in spark.read.parquet(router.sink_path).collect()
+        )
+        assert rows == sorted(seeded), (crash, cutoff)
+        # live partitions byte-untouched through crash + recovery
+        assert fingerprint(live) == live_before, (crash, cutoff)
+        assert router._fold_debris() == [], (crash, cutoff)
+
+        # a re-run (the restarted maintenance window) converges on the fold
+        stats = run()
+        dirs = {
+            name
+            for name in _os.listdir(router.sink_path)
+            if name.startswith("_batch_id=")
+        }
+        expected = {f"_batch_id={b}" for b in live}
+        if cutoff >= 1:
+            expected.add("_batch_id=-1")
+        assert dirs == expected, (crash, cutoff, stats)
+        rows = sorted(
+            r.message_id for r in spark.read.parquet(router.sink_path).collect()
+        )
+        assert rows == sorted(seeded), (crash, cutoff)

@@ -1883,6 +1883,11 @@ def test_nonidempotent_append_stamps_batch_id_too(spark, tmpdir):
             "message_id", "_batch_id"
         ).collect()
     } == {("m1", 7), ("m3", 8)}
+    # the append sink has _batch_id as a DATA column but no per-batch
+    # directories: the partition-scoped fold is a documented no-op there
+    assert router.compact_sink(spark, up_to_batch_id=7, force=True) == {
+        "archived": 0
+    }
 
 
 def test_killed_lease_holder_unblocks_without_manual_cleanup(spark, tmpdir):
@@ -2504,6 +2509,22 @@ def test_compact_sink_crash_after_rename_keeps_archive_once(
     assert not os.path.exists(manifest)
     assert _sink_rows(spark, router) == before  # exactly once, no loss
     assert router._fold_debris() == []
+
+
+def test_archive_file_count_tracks_archived_bytes():
+    """The fold's consolidated-file count is sized from the archived bytes
+    (one file per ~1 GiB, floor 1): small folds stay a single file, huge
+    folds never become one monster file."""
+    from pulsar_pekko_streams_example_spark.streaming.retry import (
+        _archive_file_count,
+    )
+
+    gib = 1 << 30
+    assert _archive_file_count(0) == 1
+    assert _archive_file_count(10_000) == 1
+    assert _archive_file_count(gib) == 1
+    assert _archive_file_count(gib + 1) == 2
+    assert _archive_file_count(40 * gib) == 40
 
 
 def test_route_batch_self_heals_fold_debris(spark, tmpdir, monkeypatch):
