@@ -2548,6 +2548,35 @@ def test_route_batch_self_heals_fold_debris(spark, tmpdir, monkeypatch):
     assert _sink_rows(spark, router) == sorted(before + ["m-4"])
 
 
+def test_live_partition_reader_survives_a_concurrent_fold(spark, tmpdir):
+    """The operational payoff of the partition-scoped fold: a reader whose
+    plan prunes to LIVE partitions (the overwhelmingly common shape — fresh
+    data) is completely unaffected by a maintenance fold running under it,
+    because the fold never touches those directories.  Only a reader whose
+    captured listing spans the FOLDED directories sees the swap — and then
+    fails loud or re-lists to the true rows, never a silent partial (same
+    contract as due_retries' lazy frontier)."""
+    router = _mk_router(tmpdir)
+    before = _seed_sink_batches(spark, router, n=5)
+
+    bid = F.col("_batch_id")
+    # lazy frames captured BEFORE the fold
+    live_reader = spark.read.parquet(router.sink_path).filter(bid >= 4)
+    full_reader = spark.read.parquet(router.sink_path)
+
+    assert router.compact_sink(spark, up_to_batch_id=3, force=True)["archived"] == 3
+
+    # pruned-to-live plan: unaffected mid-maintenance, by construction
+    assert sorted(r.message_id for r in live_reader.collect()) == ["m-4", "m-5"]
+    # full-scan plan captured pre-fold: loud or true, never silent-partial
+    try:
+        rows = sorted(r.message_id for r in full_reader.collect())
+    except Exception:
+        pass  # fail-loud on the swapped-away listing is acceptable
+    else:
+        assert rows == before
+
+
 def test_compact_sink_leaves_live_partitions_byte_untouched(spark, tmpdir):
     """The round-11 contract: the fold is partition-scoped — live
     ``_batch_id`` directories keep the same file list, sizes, AND mtimes
