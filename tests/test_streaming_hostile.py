@@ -1777,6 +1777,59 @@ def test_status_reports_lifecycle_depths_and_found_debris(spark, tmpdir, monkeyp
     assert router.status(spark, as_of=AS_OF_FUTURE)["swap_debris_found"] == []
 
 
+def test_compact_archive_crash_rerun_yields_distinguishable_snapshots(
+    spark, tmpdir, monkeypatch
+):
+    """A crash between the audit-archive append and the ledger swap makes
+    the re-run append a SECOND snapshot — benign duplicates by design, and
+    with the round-11 ``_compacted_at`` stamp the two snapshots are now
+    queryable apart instead of being indistinguishable row duplicates."""
+    import time as _time
+
+    router = _mk_router(tmpdir)
+    _seed_live_and_resolved(spark, router)
+    archive = os.path.join(tmpdir, "audit")
+
+    _crash_nth_rename(monkeypatch, nth=1)  # dies before the ledger swap
+    with pytest.raises(RuntimeError, match="injected crash inside swap"):
+        router.compact(spark, archive_to=archive)
+    assert spark.read.parquet(archive).count() == 2  # snapshot 1 landed
+
+    _time.sleep(0.05)
+    stats = router.compact(spark, archive_to=archive)  # the re-run
+    assert stats["kept"] == 1
+
+    audit = spark.read.parquet(archive)
+    stamps = sorted(r.ts for r in audit.select(
+        F.col("_compacted_at").alias("ts")
+    ).distinct().collect())
+    assert len(stamps) == 2  # crashed attempt + re-run, told apart
+    # each snapshot is internally complete: the full pre-compaction ledger
+    per_stamp = audit.groupBy("_compacted_at").count().collect()
+    assert sorted(r["count"] for r in per_stamp) == [2, 2]
+    assert _frontier(spark, router) == {("m-live", 2)}  # lifecycle intact
+
+
+def test_status_finds_and_heals_fold_debris(spark, tmpdir, monkeypatch):
+    """``status()``'s debris report covers the partition-scoped fold's
+    in-root debris too: a crashed fold shows up in ``swap_debris_found``
+    (the call itself heals it, like every reader) and a follow-up call
+    reports clean with the folded layout in place."""
+    router = _mk_router(tmpdir)
+    before = _seed_sink_batches(spark, router)
+    _crash_nth_rename(monkeypatch, nth=1)
+    with pytest.raises(RuntimeError, match="injected crash inside swap"):
+        router.compact_sink(spark, up_to_batch_id=2, force=True)
+    assert router._fold_debris() != []
+
+    s = router.status(spark, as_of=AS_OF_FUTURE)
+    found = s["swap_debris_found"]
+    assert any(p.endswith(".sink-compact.manifest") for p in found)
+    assert router._fold_debris() == []  # healed by the call
+    assert _sink_rows(spark, router) == before
+    assert router.status(spark, as_of=AS_OF_FUTURE)["swap_debris_found"] == []
+
+
 def test_status_is_nonblocking_under_a_held_lease(spark, tmpdir):
     """``status()`` is a dashboard call: while a maintenance op holds the
     ledger lease it must return PROMPTLY with the holder surfaced as
