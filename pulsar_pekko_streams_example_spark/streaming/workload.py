@@ -98,13 +98,29 @@ class WorkloadManager:
     registry: dict[str, StreamingQuery] = field(default_factory=dict)
     discovery_errors: list[str] = field(default_factory=list)
     _lock: threading.Lock = field(default_factory=threading.Lock)
+    #: the live discovery loop, if any — run_discovery_loop is start-once
+    #: while it is alive (the reference's ``started`` AtomicBoolean)
+    _discovery_thread: threading.Thread | None = field(
+        default=None, repr=False, compare=False
+    )
 
     def running(self) -> set[str]:
         with self._lock:
             return set(self.registry)
 
     def start(self, workload: Workload) -> bool:
-        """L1 with T6 duplicate filter: no-op if the name is registered."""
+        """L1 with T6 duplicate filter: no-op if the name is registered.
+
+        Starts are SERIAL (the registry lock is held across the factory
+        call) — deliberate parity, not coarseness: the reference's start
+        queue is one materialized stream that creates workloads one at a
+        time (``part4/WorkloadManagementService.scala:118-132``, a
+        ``Source.queue`` through a single ``createAStreamForAWorkload``
+        flow), and its dup-filter reads the registry on the same serial
+        path.  Serializing start against the filter also CLOSES the
+        check-then-create race the reference shrugs off ("isn't sufficient
+        but is good enough for a demo", ``:121-124``): here a duplicate
+        start is impossible, not merely unlikely."""
         with self._lock:
             if workload.workload_name in self.registry:
                 return False
@@ -127,7 +143,18 @@ class WorkloadManager:
         leave an ACTIVE stream no tick can ever target again (a zombie
         consuming the topic forever, round-9 control-plane sweep).  Kept
         registered, the next reconcile tick simply retries the delete —
-        desired-state convergence instead of a leak."""
+        desired-state convergence instead of a leak.
+
+        Pop-then-drain window, same as the reference: the name leaves the
+        registry BEFORE the drain completes (the reference's deletion is
+        ``runningWorkload.remove`` then ``drainAndShutdown``,
+        ``part4/WorkloadManagementService.scala:138-147``), so a start of
+        the same name issued DURING the drain would create a successor
+        while the predecessor flushes.  Under the single discovery tick —
+        the intended sole mutator — stop and start of one name never
+        overlap; out-of-band manual calls share the reference's window
+        (and a successor reusing the same checkpoint fails loud on the
+        checkpoint lock rather than double-consuming)."""
         with self._lock:
             query = self.registry.pop(workload_name, None)
         if query is None:
@@ -192,22 +219,37 @@ class WorkloadManager:
         forever — the worst failure mode a reconciler can have.  Reference:
         the discovery tick runs under a resume supervision strategy
         (part4/WorkloadManagementService.scala:161-202 + L10).  Failures are
-        recorded on ``self.discovery_errors`` (newest last, bounded)."""
-        stop_event = stop_event or threading.Event()
+        recorded on ``self.discovery_errors`` (newest last, bounded).
 
-        def loop() -> None:
-            while not stop_event.is_set():
-                try:
-                    self.reconcile(get_requested())
-                except Exception as e:
-                    self.discovery_errors.append(f"{type(e).__name__}: {e}")
-                    del self.discovery_errors[: -self.MAX_DISCOVERY_ERRORS]
-                stop_event.wait(interval_s)
+        START-ONCE (the reference's ``started`` AtomicBoolean,
+        ``part4/WorkloadManagementService.scala:109-110``): a second call
+        while a loop is LIVE returns the existing thread instead of
+        spawning a competitor — two ticks racing reconcile would double
+        every start/stop error and fight over the registry for no
+        convergence gain.  A call after the previous loop stopped (its
+        stop_event set, thread dead) starts a fresh loop — restartable,
+        like re-running the service."""
+        with self._lock:
+            prior = self._discovery_thread
+            if prior is not None and prior.is_alive():
+                if not prior.stop_event.is_set():
+                    return prior
+            stop_event = stop_event or threading.Event()
 
-        t = threading.Thread(target=loop, daemon=True, name="workload-discovery")
-        t.stop_event = stop_event  # type: ignore[attr-defined]
-        t.start()
-        return t
+            def loop() -> None:
+                while not stop_event.is_set():
+                    try:
+                        self.reconcile(get_requested())
+                    except Exception as e:
+                        self.discovery_errors.append(f"{type(e).__name__}: {e}")
+                        del self.discovery_errors[: -self.MAX_DISCOVERY_ERRORS]
+                    stop_event.wait(interval_s)
+
+            t = threading.Thread(target=loop, daemon=True, name="workload-discovery")
+            t.stop_event = stop_event  # type: ignore[attr-defined]
+            self._discovery_thread = t
+            t.start()
+            return t
 
     def shutdown_all(self) -> dict[str, str]:
         """L9 coordinated shutdown: drain + stop every registered query.

@@ -1022,6 +1022,36 @@ def test_discovery_loop_survives_transient_tick_failures(spark):
     assert len(mgr.discovery_errors) <= mgr.MAX_DISCOVERY_ERRORS
 
 
+def test_discovery_loop_is_start_once_while_alive(spark):
+    """The reference guards the management service with a start-once
+    AtomicBoolean (part4/WorkloadManagementService.scala:109-110): a second
+    run_discovery_loop while a loop is LIVE must return the existing thread
+    — two ticks would race reconcile over the same registry — while a call
+    AFTER the loop stopped starts a fresh one (restartable service)."""
+    import threading
+    import time as _time
+
+    from pulsar_pekko_streams_example_spark.streaming.workload import WorkloadManager
+
+    mgr = WorkloadManager(spark=spark, stream_factory=lambda w: _FakeQuery())
+    ev = threading.Event()
+    t1 = mgr.run_discovery_loop(lambda: set(), interval_s=0.01, stop_event=ev)
+    t2 = mgr.run_discovery_loop(lambda: set(), interval_s=0.01)
+    assert t2 is t1  # no competitor spawned; caller's event still governs
+
+    ev.set()
+    t1.join(5)
+    assert not t1.is_alive()
+    ev2 = threading.Event()
+    t3 = mgr.run_discovery_loop(lambda: set(), interval_s=0.01, stop_event=ev2)
+    assert t3 is not t1 and t3.is_alive()  # restart after a clean stop
+    ev2.set()
+    t3.join(5)
+    assert not t3.is_alive()
+    _time.sleep(0)  # yield — no stray thread should still be ticking
+    assert threading.active_count() < 200
+
+
 def test_discovery_error_ring_is_bounded(spark):
     """A permanently failing tick must not grow driver memory without bound:
     the error ring keeps only the newest MAX_DISCOVERY_ERRORS entries."""
