@@ -29,7 +29,8 @@ class ConnectorUnavailable(RuntimeError):
 
 @dataclass(frozen=True)
 class PulsarSourceConfig:
-    """Consumer-side config — defaults mirror PulsarClientWrapper.scala:164-173."""
+    """Consumer-side config — the FULL ConsumerConfig surface of
+    ``util/PulsarClientWrapper.scala:163-173``, defaults identical."""
 
     service_url: str = "pulsar://localhost:6650"
     admin_url: str = "http://localhost:8080"
@@ -38,17 +39,41 @@ class PulsarSourceConfig:
     key_shared: bool = False  # Key_Shared ⇒ per-key ordered (part5)
     starting_offsets: str = "earliest"  # SubscriptionInitialPosition.Earliest
     max_entries_per_trigger: int | None = 1000  # receiver-queue-size analog
+    #: consumer-client knobs (ConsumerConfigurationData field names ride
+    #: the connector's ``pulsar.consumer.*`` passthrough)
+    receiver_queue_size: int = 1000  # receiverQueueSize, :168
+    ack_group_time_ms: int = 100  # acknowledgementsGroupTime, :169
+    negative_ack_redelivery_delay_ms: int = 10_000  # :170 (the 10 s nack)
+    consumer_name: str | None = None  # :171
 
 
 @dataclass(frozen=True)
 class PulsarSinkConfig:
-    """Producer-side config — defaults mirror PulsarClientWrapper.scala:151-162."""
+    """Producer-side config — the FULL ProducerConfig surface of
+    ``util/PulsarClientWrapper.scala:150-161``, defaults identical."""
 
     service_url: str = "pulsar://localhost:6650"
     admin_url: str = "http://localhost:8080"
     topic: str = ""
-    send_timeout_ms: int = 30_000
+    send_timeout_ms: int = 30_000  # sendTimeout, :153
+    producer_name: str | None = None  # :152
+    max_pending_messages: int = 1000  # :154
+    block_if_queue_full: bool = False  # :155
+    message_routing_mode: str = "RoundRobinPartition"  # :156
+    compression_type: str = "NONE"  # :157
+    hashing_scheme: str = "JavaStringHash"  # :158 (S4 key-hash routing)
+    batching_enabled: bool = True  # :159
+    batching_max_messages: int = 1000  # :160
     extra: dict = field(default_factory=dict)
+
+
+def _pulsar_conf_value(v) -> str:
+    """Connector passthrough values are parsed as JSON into the Pulsar
+    config data classes — booleans must be ``true``/``false``, not
+    Python's ``True``/``False``."""
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
 
 
 def source_options(cfg: PulsarSourceConfig) -> dict[str, str]:
@@ -66,20 +91,49 @@ def source_options(cfg: PulsarSourceConfig) -> dict[str, str]:
         "predefinedSubscription": cfg.subscription_name,
         "subscriptionType": "Key_Shared" if cfg.key_shared else "Shared",
         "startingOffsets": cfg.starting_offsets,
+        # ConsumerConfigurationData passthrough (times are MICROS there;
+        # the reference speaks ms, so the mapping converts)
+        "pulsar.consumer.receiverQueueSize": str(cfg.receiver_queue_size),
+        "pulsar.consumer.acknowledgementsGroupTimeMicros": str(
+            cfg.ack_group_time_ms * 1000
+        ),
+        "pulsar.consumer.negativeAckRedeliveryDelayMicros": str(
+            cfg.negative_ack_redelivery_delay_ms * 1000
+        ),
     }
+    if cfg.consumer_name:
+        opts["pulsar.consumer.consumerName"] = cfg.consumer_name
     if cfg.max_entries_per_trigger is not None:
         opts["maxEntriesPerTrigger"] = str(cfg.max_entries_per_trigger)
     return opts
 
 
 def sink_options(cfg: PulsarSinkConfig) -> dict[str, str]:
+    """The option map for ``writeStream.format('pulsar')`` — every knob the
+    reference's ProducerConfig sets (``PulsarClientWrapper.scala:176-198``
+    applies them builder-call by builder-call; here each becomes a
+    ``pulsar.producer.*`` passthrough with the ProducerConfigurationData
+    field name)."""
     opts = {
         "service.url": cfg.service_url,
         "admin.url": cfg.admin_url,
         "topic": cfg.topic,
         "pulsar.producer.sendTimeoutMs": str(cfg.send_timeout_ms),
+        "pulsar.producer.maxPendingMessages": str(cfg.max_pending_messages),
+        "pulsar.producer.blockIfQueueFull": _pulsar_conf_value(
+            cfg.block_if_queue_full
+        ),
+        "pulsar.producer.messageRoutingMode": cfg.message_routing_mode,
+        "pulsar.producer.compressionType": cfg.compression_type,
+        "pulsar.producer.hashingScheme": cfg.hashing_scheme,
+        "pulsar.producer.batchingEnabled": _pulsar_conf_value(
+            cfg.batching_enabled
+        ),
+        "pulsar.producer.batchingMaxMessages": str(cfg.batching_max_messages),
     }
-    opts.update({k: str(v) for k, v in cfg.extra.items()})
+    if cfg.producer_name:
+        opts["pulsar.producer.producerName"] = cfg.producer_name
+    opts.update({k: _pulsar_conf_value(v) for k, v in cfg.extra.items()})
     return opts
 
 

@@ -25,6 +25,14 @@ def test_source_options_mirror_reference_defaults():
     assert opts["subscriptionType"] == "Shared"
     assert opts["startingOffsets"] == "earliest"  # Earliest initial position
     assert opts["maxEntriesPerTrigger"] == "1000"  # receiver queue analog
+    # full ConsumerConfig surface (PulsarClientWrapper.scala:163-173),
+    # reference defaults, ms → the passthrough's micros
+    assert opts["pulsar.consumer.receiverQueueSize"] == "1000"
+    assert opts["pulsar.consumer.acknowledgementsGroupTimeMicros"] == "100000"
+    assert opts["pulsar.consumer.negativeAckRedeliveryDelayMicros"] == "10000000"
+    assert "pulsar.consumer.consumerName" not in opts  # None omitted, like the builder
+    named = source_options(PulsarSourceConfig(consumer_name="c-1"))
+    assert named["pulsar.consumer.consumerName"] == "c-1"
 
 
 def test_key_shared_subscription_selected_for_ordered_mode():
@@ -36,6 +44,35 @@ def test_sink_options_carry_send_timeout():
     opts = sink_options(PulsarSinkConfig(topic="persistent://t/ns/out"))
     assert opts["topic"] == "persistent://t/ns/out"
     assert opts["pulsar.producer.sendTimeoutMs"] == "30000"
+
+
+def test_sink_options_mirror_full_producer_config():
+    """Every knob the reference's ProducerConfig sets
+    (PulsarClientWrapper.scala:150-161) maps through, defaults identical —
+    including S4's JavaStringHash key routing — and booleans are emitted in
+    JSON case (the passthrough parses them into ProducerConfigurationData;
+    Python's 'True' would fail the parse)."""
+    opts = sink_options(PulsarSinkConfig(topic="persistent://t/ns/out"))
+    assert opts["pulsar.producer.maxPendingMessages"] == "1000"
+    assert opts["pulsar.producer.blockIfQueueFull"] == "false"
+    assert opts["pulsar.producer.messageRoutingMode"] == "RoundRobinPartition"
+    assert opts["pulsar.producer.compressionType"] == "NONE"
+    assert opts["pulsar.producer.hashingScheme"] == "JavaStringHash"
+    assert opts["pulsar.producer.batchingEnabled"] == "true"
+    assert opts["pulsar.producer.batchingMaxMessages"] == "1000"
+    assert "pulsar.producer.producerName" not in opts  # None omitted
+    custom = sink_options(
+        PulsarSinkConfig(
+            topic="t",
+            producer_name="p-1",
+            block_if_queue_full=True,
+            extra={"pulsar.producer.batcherBuilder": "KEY_BASED", "flag": False},
+        )
+    )
+    assert custom["pulsar.producer.producerName"] == "p-1"
+    assert custom["pulsar.producer.blockIfQueueFull"] == "true"
+    assert custom["pulsar.producer.batcherBuilder"] == "KEY_BASED"
+    assert custom["flag"] == "false"  # extra booleans JSON-cased too
 
 
 def test_to_envelope_maps_connector_columns(spark):
