@@ -112,7 +112,10 @@ class MetricsListener(StreamingQueryListener):
                 "successes": sum(r["successes"] for r in self.rows),
                 "failures": sum(r["failures"] for r in self.rows),
                 "batches": len(self.rows),
-                "malformed_batches": len(self.malformed),
+                # distinct BATCHES (the field's name is the contract): one
+                # batch whose engine AND guard observations are both foreign
+                # records two malformed entries but is one affected batch
+                "malformed_batches": len({m["batch_id"] for m in self.malformed}),
             }
 
     def guard_totals(self) -> dict:

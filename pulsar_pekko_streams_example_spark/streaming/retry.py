@@ -36,7 +36,12 @@ from pyspark.sql import functions as F
 #: ``select("available_at")`` exactly like a populated one).  ``_batch_id``
 #: is stamped in BOTH layouts — a partition column under the default
 #: idempotent writes, a plain data column on the non-idempotent append path
-#: — so the guarantee is layout-independent (round-10 advice).
+#: — so the guarantee is layout-independent (round-10 advice) for ledgers
+#: written entirely by this version.  An append-mode pile that PREDATES the
+#: stamp mixes unstamped and stamped files in one directory; parquet
+#: directory reads do not schema-merge, so read such a pile with
+#: ``option("mergeSchema", "true")`` once (or compact it) to see the column
+#: on every row.
 FRONTIER_SCHEMA = (
     "message_id string, attempt long, ok boolean, "
     "available_at timestamp, _batch_id int, _redelivered boolean"
@@ -436,16 +441,25 @@ class RetryRouter:
         ``sink_rows`` is None unless ``count_sink=True`` (fine on a test
         corpus, a deliberate act on 100 TB).
 
-        NON-BLOCKING (round-11): the call TRY-acquires the ledger lease.
-        Held, it heals any debris and reads a mutator-consistent snapshot
-        (``maintenance_in_progress`` is None).  Contended — a live
-        ``compact``/``requeue_dlq``/``route_batch`` holds the lease — it
-        returns PROMPTLY with ``maintenance_in_progress`` set to the
-        holder's lease record and the ledger counts None, instead of the
-        old behavior of stalling a dashboard poll up to ``lease_timeout_s``
-        behind the maintenance window (it never waits, and it never reads
-        ledgers a concurrent swap could be renaming mid-call).  The
-        in-process ``counters`` are returned either way."""
+        NON-BLOCKING (round-11): the call TRY-acquires the ledger lease —
+        contended (a live ``compact``/``requeue_dlq``/``route_batch`` holds
+        it), it returns PROMPTLY with ``maintenance_in_progress`` set to
+        the holder's lease record and the ledger counts None, instead of
+        the old behavior of stalling a dashboard poll up to
+        ``lease_timeout_s`` behind the maintenance window.  Acquired, it
+        heals any debris and RELEASES the lease before counting: the flock
+        is held only for the (filesystem-cheap) debris scan + heal, never
+        across the Spark count jobs — a slow ``count_sink=True`` footer
+        scan must not starve ``route_batch`` past its lease timeout and
+        fail the live stream.  The counts therefore run lock-free, same as
+        every other reader: a mutator that wins the race mid-call makes a
+        count fail LOUD on the invalidated listing (re-poll), never return
+        silently partial numbers.  Two more honest caveats:
+        ``maintenance_in_progress`` is the holder's lease RECORD, written
+        just after acquisition — a status call racing that microsecond gap
+        can surface the previous op's record (content is diagnostic, the
+        flock is the truth); and the in-process ``counters`` are returned
+        either way."""
         import fcntl
 
         def _count(path: str) -> int:
@@ -467,9 +481,9 @@ class RetryRouter:
         parent = os.path.dirname(self._lease_path())
         if parent:
             os.makedirs(parent, exist_ok=True)
-        # a reader's try-lock: excludes mutators for the duration of the
-        # reads (consistent snapshot) WITHOUT writing a holder record —
-        # last_lease keeps reporting the latest mutator, as documented
+        # a reader's try-lock: held ONLY for the debris scan/heal below,
+        # and WITHOUT writing a holder record — last_lease keeps reporting
+        # the latest mutator, as documented
         fd = os.open(self._lease_path(), os.O_CREAT | os.O_RDWR)
         try:
             try:
@@ -486,29 +500,27 @@ class RetryRouter:
                     "maintenance_in_progress": _lease_record(),
                     "counters": counters,
                 }
-            # debris BEFORE the frontier read: this field reports what the
+            # debris under the held lease: this field reports what the
             # status call FOUND — a non-empty value means the previous op
-            # crashed mid-swap and this very call repaired it (under the
-            # lease we now hold, so due_retries below sees a clean layout
-            # and never re-acquires — no self-deadlock)
+            # crashed mid-swap and this very call repaired it
             debris = [root + tag for root, tag in self._swap_debris()]
             debris += self._fold_debris()
             if debris:
                 self._recover_swaps_locked()
-            frontier = self.due_retries(spark, as_of=as_of).count()
-            return {
-                "retry_rows": _count(self.retry_path),
-                "frontier": frontier,
-                "dlq": _count(self.dlq_path),
-                "resolved": _count(self._resolved()),
-                "sink_rows": _count(self.sink_path) if count_sink else None,
-                "swap_debris_found": debris,
-                "last_lease": _lease_record(),
-                "maintenance_in_progress": None,
-                "counters": counters,
-            }
         finally:
-            os.close(fd)
+            os.close(fd)  # release BEFORE the Spark jobs (see docstring)
+        frontier = self.due_retries(spark, as_of=as_of).count()
+        return {
+            "retry_rows": _count(self.retry_path),
+            "frontier": frontier,
+            "dlq": _count(self.dlq_path),
+            "resolved": _count(self._resolved()),
+            "sink_rows": _count(self.sink_path) if count_sink else None,
+            "swap_debris_found": debris,
+            "last_lease": _lease_record(),
+            "maintenance_in_progress": None,
+            "counters": counters,
+        }
 
     def compact(self, spark: SparkSession, archive_to: str | None = None) -> dict:
         """Rewrite the retry ledger down to its delivery frontier.
@@ -736,7 +748,15 @@ class RetryRouter:
         # the plan, so only the old partitions' files are ever opened — the
         # fold reads O(archived rows) regardless of sink size
         pruned = spark.read.parquet(root).filter(bid <= F.lit(up_to_batch_id))
-        n_archived = pruned.filter(bid != F.lit(archive_batch_id)).count()
+        # rows already in the archive partition are re-folds, not newly
+        # archived: count them from that one directory's footers BEFORE the
+        # fold (metadata-only), so n_archived = staged - prior needs no
+        # second full pass over the old data
+        prior_archive = 0
+        if archive_batch_id in parts:
+            prior_archive = spark.read.parquet(
+                os.path.join(root, parts[archive_batch_id])
+            ).count()
         staging = os.path.join(root, self._FOLD_NEW)
         manifest = os.path.join(root, self._FOLD_MANIFEST)
         shutil.rmtree(staging, ignore_errors=True)
@@ -760,6 +780,15 @@ class RetryRouter:
             .write.mode("overwrite")
             .parquet(staging)
         )
+        # the ONE data pass is the write above; the archived count comes
+        # from the staging footers (metadata-only read).  Zero-row old
+        # partitions (never produced by route_batch, but cheap to tolerate)
+        # leave a footerless staging dir that reads as empty, not an error.
+        try:
+            staged_total = spark.read.parquet(staging).count()
+        except Exception:
+            staged_total = 0
+        n_archived = staged_total - prior_archive
         # the manifest is the fold's COMMIT POINT: written atomically only
         # after the staging directory is complete, it instructs recovery to
         # roll forward; a crash before this line leaves live data untouched

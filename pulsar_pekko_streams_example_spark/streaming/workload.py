@@ -226,30 +226,56 @@ class WorkloadManager:
         while a loop is LIVE returns the existing thread instead of
         spawning a competitor — two ticks racing reconcile would double
         every start/stop error and fight over the registry for no
-        convergence gain.  A call after the previous loop stopped (its
-        stop_event set, thread dead) starts a fresh loop — restartable,
-        like re-running the service."""
-        with self._lock:
-            prior = self._discovery_thread
-            if prior is not None and prior.is_alive():
+        convergence gain.  The returned thread may therefore be the
+        EXISTING loop, running its own ``get_requested``/``interval_s``
+        (check identity with ``is`` if it matters); passing an explicit
+        ``stop_event`` in that case is an ERROR rather than a silent no-op
+        — an Event that controls nothing is the footgun, not the reuse.
+        A call after the previous loop was told to stop WAITS for its
+        final tick to finish (join happens outside the registry lock — the
+        dying tick's reconcile needs it) and then starts a fresh loop, so
+        two reconciles never run concurrently even across a
+        set-event-then-restart with no join in between — restartable, like
+        re-running the service."""
+        while True:
+            with self._lock:
+                prior = self._discovery_thread
+                if prior is None or not prior.is_alive():
+                    stop_event = stop_event or threading.Event()
+
+                    def loop(ev: threading.Event = stop_event) -> None:
+                        while not ev.is_set():
+                            try:
+                                self.reconcile(get_requested())
+                            except Exception as e:
+                                self.discovery_errors.append(
+                                    f"{type(e).__name__}: {e}"
+                                )
+                                del self.discovery_errors[
+                                    : -self.MAX_DISCOVERY_ERRORS
+                                ]
+                            ev.wait(interval_s)
+
+                    t = threading.Thread(
+                        target=loop, daemon=True, name="workload-discovery"
+                    )
+                    t.stop_event = stop_event  # type: ignore[attr-defined]
+                    self._discovery_thread = t
+                    t.start()
+                    return t
                 if not prior.stop_event.is_set():
+                    if stop_event is not None and stop_event is not prior.stop_event:
+                        raise RuntimeError(
+                            "a discovery loop is already live; the passed "
+                            "stop_event would control nothing — stop the "
+                            "existing loop via its thread's .stop_event first, "
+                            "or call without stop_event to reuse it"
+                        )
                     return prior
-            stop_event = stop_event or threading.Event()
-
-            def loop() -> None:
-                while not stop_event.is_set():
-                    try:
-                        self.reconcile(get_requested())
-                    except Exception as e:
-                        self.discovery_errors.append(f"{type(e).__name__}: {e}")
-                        del self.discovery_errors[: -self.MAX_DISCOVERY_ERRORS]
-                    stop_event.wait(interval_s)
-
-            t = threading.Thread(target=loop, daemon=True, name="workload-discovery")
-            t.stop_event = stop_event  # type: ignore[attr-defined]
-            self._discovery_thread = t
-            t.start()
-            return t
+            # prior was told to stop but is still finishing its final tick:
+            # wait OUTSIDE the lock (that tick's reconcile acquires it),
+            # then re-check — a successor never overlaps its predecessor
+            prior.join()
 
     def shutdown_all(self) -> dict[str, str]:
         """L9 coordinated shutdown: drain + stop every registered query.

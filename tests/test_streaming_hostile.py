@@ -872,6 +872,21 @@ def test_malformed_engine_row_does_not_skip_guard_observation():
     assert listener.totals()["processed"] == 5
     assert listener.totals()["malformed_batches"] == 2
     assert listener.guard_totals()["batches"] == 1
+    # BOTH observations foreign in ONE batch: two malformed records, ONE
+    # affected batch — malformed_batches counts batches, not records
+    listener.onQueryProgress(
+        SimpleNamespace(
+            progress=SimpleNamespace(
+                batchId=2,
+                observedMetrics={
+                    "engine_metrics": {"x": 1},
+                    "event_time_guard": {"y": 2},
+                },
+            )
+        )
+    )
+    assert len(listener.malformed) == 4  # per-record detail preserved
+    assert listener.totals()["malformed_batches"] == 3  # batches 0, 1, 2
 
 
 # ---------------------------------------------------------------------------
@@ -1037,14 +1052,22 @@ def test_discovery_loop_is_start_once_while_alive(spark):
     ev = threading.Event()
     t1 = mgr.run_discovery_loop(lambda: set(), interval_s=0.01, stop_event=ev)
     t2 = mgr.run_discovery_loop(lambda: set(), interval_s=0.01)
-    assert t2 is t1  # no competitor spawned; caller's event still governs
+    assert t2 is t1  # no competitor spawned; t1.stop_event still governs
 
+    # an explicit stop_event against a live loop is an ERROR, not a silent
+    # no-op: an Event that controls nothing is the footgun
+    with pytest.raises(RuntimeError, match="already live"):
+        mgr.run_discovery_loop(
+            lambda: set(), interval_s=0.01, stop_event=threading.Event()
+        )
+
+    # set-then-restart WITHOUT a join: the successor must wait out the
+    # predecessor's final tick (never two concurrent reconciles) and then
+    # start fresh
     ev.set()
-    t1.join(5)
-    assert not t1.is_alive()
     ev2 = threading.Event()
     t3 = mgr.run_discovery_loop(lambda: set(), interval_s=0.01, stop_event=ev2)
-    assert t3 is not t1 and t3.is_alive()  # restart after a clean stop
+    assert t3 is not t1 and not t1.is_alive() and t3.is_alive()
     ev2.set()
     t3.join(5)
     assert not t3.is_alive()
@@ -1894,6 +1917,42 @@ def test_status_is_nonblocking_under_a_held_lease(spark, tmpdir):
     s = router.status(spark, as_of=AS_OF_FUTURE)
     assert s["maintenance_in_progress"] is None
     assert (s["retry_rows"], s["frontier"], s["resolved"]) == (2, 1, 1)
+
+
+def test_status_releases_lease_before_its_count_jobs(spark, tmpdir):
+    """The inverse starvation: status() must NOT hold the mutator lease
+    across its Spark count jobs — a slow count_sink=True footer scan
+    holding the flock would stall route_batch past lease_timeout_s and
+    fail the live stream.  Pinned by probing the flock from inside the
+    frontier read: it must be acquirable, i.e. already released."""
+    import fcntl
+
+    router = _mk_router(tmpdir)
+    _seed_live_and_resolved(spark, router)
+
+    real = router.due_retries
+    probed = {"free": None}
+
+    def probe(*a, **k):
+        fd = os.open(router._lease_path(), os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                probed["free"] = True
+                fcntl.flock(fd, fcntl.LOCK_UN)
+            except OSError:
+                probed["free"] = False
+        finally:
+            os.close(fd)
+        return real(*a, **k)
+
+    router.due_retries = probe  # instance-attr shadow
+    try:
+        s = router.status(spark, as_of=AS_OF_FUTURE, count_sink=True)
+    finally:
+        del router.due_retries
+    assert probed["free"] is True  # counts run lock-free
+    assert (s["retry_rows"], s["frontier"], s["sink_rows"]) == (2, 1, 1)
 
 
 def test_compact_archive_snapshots_are_stamped_per_window(spark, tmpdir):
