@@ -651,13 +651,16 @@ class RetryRouter:
 
         COST — O(archived), not O(sink) (round-11): the fold is
         PARTITION-SCOPED.  Only the ``_batch_id <= up_to_batch_id``
-        directories are read (partition-pruned scan — live partitions'
-        files are never opened), their rows are written to a staging
-        directory inside the sink root (dot-prefixed, invisible to Spark
-        readers), and the old directories are then removed and the staging
-        renamed in as the archive partition.  Live partitions are
-        byte-untouched — same files, same mtimes — so maintenance cost
-        tracks the archived history, never the sink.  Crash safety comes
+        directories are read — a DIRECT multi-path read of exactly those
+        directories, not a filtered root scan, so live partitions are
+        neither opened NOR LISTED (a pruned root scan would still list
+        every partition for discovery: O(#partitions) planning on the
+        million-micro-batch sink this op exists for).  Their rows are
+        written to a staging directory inside the sink root (dot-prefixed,
+        invisible to Spark readers), and the old directories are then
+        removed and the staging renamed in as the archive partition.  Live
+        partitions are byte-untouched — same files, same mtimes — so
+        maintenance cost tracks the archived history, never the sink.  Crash safety comes
         from a manifest commit point instead of ``compact``'s whole-root
         two-rename: the manifest is written (atomic rename) only after the
         staging directory is complete, recovery rolls FORWARD from a
@@ -743,11 +746,16 @@ class RetryRouter:
                 "partitions_before": parts_before,
                 "partitions_after": parts_before,
             }
-        bid = F.col("_batch_id")
-        # partition-pruned scan: Spark prunes the > cutoff directories from
-        # the plan, so only the old partitions' files are ever opened — the
-        # fold reads O(archived rows) regardless of sink size
-        pruned = spark.read.parquet(root).filter(bid <= F.lit(up_to_batch_id))
+        # read the OLD directories directly — not a filter over the root:
+        # a pruned root scan still LISTS every live partition for discovery
+        # (O(#partitions) planning on a million-micro-batch sink, the very
+        # regime this op serves), while a direct multi-path read lists and
+        # opens only the folded directories.  The partition column is
+        # dir-derived, so these files carry no _batch_id — exactly the
+        # shape the staging write needs
+        pruned = spark.read.parquet(
+            *(os.path.join(root, parts[k]) for k in old_ids)
+        )
         # rows already in the archive partition are re-folds, not newly
         # archived: count them from that one directory's footers BEFORE the
         # fold (metadata-only), so n_archived = staged - prior needs no
@@ -775,6 +783,10 @@ class RetryRouter:
                 if os.path.isfile(p):
                     archived_bytes += os.path.getsize(p)
         (
+            # defensive drop: the direct-path read yields no _batch_id (it
+            # is dir-derived), and Spark's drop of a missing column is a
+            # no-op — kept so a data column of that name can never leak
+            # into the archive files
             pruned.drop("_batch_id")
             .coalesce(_archive_file_count(archived_bytes))
             .write.mode("overwrite")
