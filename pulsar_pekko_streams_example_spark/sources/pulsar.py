@@ -37,6 +37,10 @@ class PulsarSourceConfig:
     topics: tuple[str, ...] = ()
     subscription_name: str = "engine-subscription"
     key_shared: bool = False  # Key_Shared ⇒ per-key ordered (part5)
+    #: subscriptionMode, :168 — Durable (broker persists the cursor) or
+    #: NonDurable (reader-style, cursor dropped on disconnect); rides the
+    #: ``pulsar.consumer.*`` passthrough like the other client knobs
+    subscription_mode: str = "Durable"
     starting_offsets: str = "earliest"  # SubscriptionInitialPosition.Earliest
     max_entries_per_trigger: int | None = 1000  # receiver-queue-size analog
     #: consumer-client knobs (ConsumerConfigurationData field names ride
@@ -90,6 +94,7 @@ def source_options(cfg: PulsarSourceConfig) -> dict[str, str]:
         "topics": ",".join(cfg.topics),
         "predefinedSubscription": cfg.subscription_name,
         "subscriptionType": "Key_Shared" if cfg.key_shared else "Shared",
+        "pulsar.consumer.subscriptionMode": cfg.subscription_mode,
         "startingOffsets": cfg.starting_offsets,
         # ConsumerConfigurationData passthrough (times are MICROS there;
         # the reference speaks ms, so the mapping converts)

@@ -459,7 +459,19 @@ class RetryRouter:
         just after acquisition — a status call racing that microsecond gap
         can surface the previous op's record (content is diagnostic, the
         flock is the truth); and the in-process ``counters`` are returned
-        either way."""
+        either way.  Reader-vs-reader contention (round-12): two concurrent
+        ``status()`` polls contend on this same flock, and status never
+        writes a holder record — so the loser would report the PREVIOUS
+        MUTATOR's record as ``maintenance_in_progress``, a false
+        "maintenance live" on a dashboard.  A status holder keeps the lock
+        only for the filesystem-cheap debris scan, so the try-lock is
+        RETRIED briefly (a few ~50 ms attempts) before returning the
+        contended shape: reader-vs-reader contention resolves inside the
+        retries, while a real mutator outlives them and the contended
+        report stays honest.  A record whose op name is a mutator op
+        (``compact``/``compact_sink``/``requeue_dlq``/``route_batch``) that
+        still surfaces here should be read with that stale-content caveat
+        in mind."""
         import fcntl
 
         def _count(path: str) -> int:
@@ -486,9 +498,20 @@ class RetryRouter:
         # the latest mutator, as documented
         fd = os.open(self._lease_path(), os.O_CREAT | os.O_RDWR)
         try:
-            try:
-                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-            except OSError:
+            # try-lock with a brief retry (see docstring): a concurrent
+            # status() holds the flock for milliseconds, so the retries
+            # absorb reader-vs-reader contention; a real mutator holds it
+            # for its whole window and the contended shape is honest
+            acquired = False
+            for attempt in range(4):
+                try:
+                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                    acquired = True
+                    break
+                except OSError:
+                    if attempt < 3:
+                        time.sleep(0.05)
+            if not acquired:
                 return {
                     "retry_rows": None,
                     "frontier": None,
@@ -667,9 +690,16 @@ class RetryRouter:
         manifest and DISCARDS an orphan staging directory, and every crash
         window is idempotent under re-run (``_complete_fold_locked``).
         The ledger lease still serializes the fold against a concurrent
-        ``route_batch``.  At true 100 TB sink scale prefer a transactional
-        table format's OPTIMIZE; this is the dependency-free equivalent
-        for parquet-directory sinks."""
+        ``route_batch``.  READER WINDOW: a reader scanning the FULL sink
+        concurrently with the fold can transiently see the archived slice
+        absent — between the old-directory removals and the staging rename
+        neither copy is listed (live partitions stay byte-untouched
+        throughout, so live-partition readers are unaffected — pinned by
+        test); readers take no lease, so this is inherent to directory
+        renames — schedule folds off a full-scan reader's window.  At true
+        100 TB sink scale prefer a transactional table format's OPTIMIZE
+        (which also closes that reader window); this is the
+        dependency-free equivalent for parquet-directory sinks."""
         if archive_batch_id > up_to_batch_id:
             # the archive partition must itself sit inside the archived
             # range (conventionally negative): if it named a LIVE batch id,
@@ -795,10 +825,16 @@ class RetryRouter:
         # the ONE data pass is the write above; the archived count comes
         # from the staging footers (metadata-only read).  Zero-row old
         # partitions (never produced by route_batch, but cheap to tolerate)
-        # leave a footerless staging dir that reads as empty, not an error.
-        try:
+        # leave a staging dir with no part files, which is detected from
+        # the LISTING — not a broad except around the read, which would
+        # also swallow a transient read failure and commit the fold while
+        # reporting a bogus (even negative) archived count.  A real read
+        # failure now propagates BEFORE the manifest commit point: the
+        # fold aborts with the live layout authoritative and an orphan
+        # staging dir that recovery discards.
+        if any(name.endswith(".parquet") for name in os.listdir(staging)):
             staged_total = spark.read.parquet(staging).count()
-        except Exception:
+        else:
             staged_total = 0
         n_archived = staged_total - prior_archive
         # the manifest is the fold's COMMIT POINT: written atomically only
@@ -837,7 +873,19 @@ class RetryRouter:
           so only leftover listed directories and the manifest are removed.
 
         Idempotent: re-running after a crash at any step converges on the
-        folded layout, and live partitions are never touched."""
+        folded layout, and live partitions are never touched.
+
+        Removals are LOUD (round-12): each listed directory is verified
+        GONE after its rmtree, and a survivor aborts the fold BEFORE the
+        staging rename and BEFORE the manifest drop.  The failure modes
+        this op is aimed at — an NFS-busy file, an EACCES on a big remote
+        filesystem — used to be swallowed by ``ignore_errors=True``: the
+        surviving live-named old partition AND the renamed-in archive would
+        then both hold its rows, permanently and silently, with the
+        manifest (the retry signal) already deleted.  Failing with the
+        manifest intact means recovery simply re-runs the removals, and the
+        staging is only renamed in once every old copy is verifiably gone —
+        no window ever exposes both copies to a reader."""
         import json
         import shutil
 
@@ -858,12 +906,27 @@ class RetryRouter:
             plan = json.load(f)
         staged = os.path.exists(staging)
         target = os.path.join(root, plan["archive"])
+        survivors = []
         for name in plan["remove"]:
             if name == plan["archive"] and not staged:
                 # the staging already renamed in: this directory holds the
                 # folded rows — removing it would lose them
                 continue
-            shutil.rmtree(os.path.join(root, name), ignore_errors=True)
+            old_dir = os.path.join(root, name)
+            shutil.rmtree(old_dir, ignore_errors=True)
+            if os.path.exists(old_dir):
+                survivors.append(name)
+        if survivors:
+            # fail LOUD with the manifest (and staging) intact: committing
+            # here would leave the surviving old partition and the archive
+            # both holding the same rows with the retry signal gone; kept,
+            # the next recovery pass re-runs the removals and converges
+            raise OSError(
+                "sink fold could not remove old partition(s) "
+                f"{survivors} under {root}; the fold manifest is kept so "
+                "recovery retries the removal — resolve the filesystem "
+                "error and re-run recover_swaps()/compact_sink()"
+            )
         if staged:
             os.rename(staging, target)
         os.remove(manifest)

@@ -210,6 +210,7 @@ class WorkloadManager:
         get_requested: Callable[[], set[Workload]],
         interval_s: float = 5.0,
         stop_event: threading.Event | None = None,
+        restart_join_timeout_s: float = 30.0,
     ) -> threading.Thread:
         """L3 discovery tick (Source.tick 5 s analog) on a daemon thread.
 
@@ -236,7 +237,20 @@ class WorkloadManager:
         dying tick's reconcile needs it) and then starts a fresh loop, so
         two reconciles never run concurrently even across a
         set-event-then-restart with no join in between — restartable, like
-        re-running the service."""
+        re-running the service.  That wait is BOUNDED (round-12):
+        ``restart_join_timeout_s`` caps how long the caller blocks behind
+        a predecessor whose final reconcile is hung inside a query stop;
+        on expiry the call RAISES with the still-draining thread in the
+        message rather than blocking a control plane forever (retry once
+        the stall clears, or investigate the hung stop).  An
+        already-SET ``stop_event`` is rejected up front: a loop built on
+        it would exit before running a single reconcile — a silent no-op
+        masquerading as a started control plane."""
+        if stop_event is not None and stop_event.is_set():
+            raise ValueError(
+                "stop_event is already set: the discovery loop would exit "
+                "before its first reconcile — pass a fresh Event (or none)"
+            )
         while True:
             with self._lock:
                 prior = self._discovery_thread
@@ -274,8 +288,19 @@ class WorkloadManager:
                     return prior
             # prior was told to stop but is still finishing its final tick:
             # wait OUTSIDE the lock (that tick's reconcile acquires it),
-            # then re-check — a successor never overlaps its predecessor
-            prior.join()
+            # then re-check — a successor never overlaps its predecessor.
+            # BOUNDED: a final tick hung inside a query stop must not
+            # block the restart caller indefinitely — raise with the
+            # draining thread named so the operator can see what's stuck
+            prior.join(timeout=restart_join_timeout_s)
+            if prior.is_alive():
+                raise TimeoutError(
+                    f"previous discovery loop {prior.name!r} is still "
+                    f"draining its final reconcile after "
+                    f"{restart_join_timeout_s}s; not starting a successor "
+                    "(two reconciles must never overlap) — retry once the "
+                    "stall clears, or investigate the hung workload stop"
+                )
 
     def shutdown_all(self) -> dict[str, str]:
         """L9 coordinated shutdown: drain + stop every registered query.

@@ -31,8 +31,12 @@ def test_source_options_mirror_reference_defaults():
     assert opts["pulsar.consumer.acknowledgementsGroupTimeMicros"] == "100000"
     assert opts["pulsar.consumer.negativeAckRedeliveryDelayMicros"] == "10000000"
     assert "pulsar.consumer.consumerName" not in opts  # None omitted, like the builder
+    # subscriptionMode (:168): Durable default, NonDurable overridable
+    assert opts["pulsar.consumer.subscriptionMode"] == "Durable"
     named = source_options(PulsarSourceConfig(consumer_name="c-1"))
     assert named["pulsar.consumer.consumerName"] == "c-1"
+    reader_style = source_options(PulsarSourceConfig(subscription_mode="NonDurable"))
+    assert reader_style["pulsar.consumer.subscriptionMode"] == "NonDurable"
 
 
 def test_key_shared_subscription_selected_for_ordered_mode():

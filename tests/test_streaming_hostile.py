@@ -1075,6 +1075,57 @@ def test_discovery_loop_is_start_once_while_alive(spark):
     assert threading.active_count() < 200
 
 
+def test_discovery_restart_rejects_set_event_and_bounds_the_join(spark):
+    """Two round-12 hardenings of the restart path.  (1) An already-SET
+    stop_event is rejected up front: a loop built on it would exit before
+    a single reconcile — a control plane that LOOKS started but converges
+    nothing.  (2) The successor's wait for the predecessor's final tick is
+    BOUNDED: a tick hung inside a query stop must raise at
+    restart_join_timeout_s (naming the draining thread), not block the
+    caller forever; once the stall clears, the restart succeeds."""
+    import threading
+    import time as _time
+
+    from pulsar_pekko_streams_example_spark.streaming.workload import WorkloadManager
+
+    mgr = WorkloadManager(spark=spark, stream_factory=lambda w: _FakeQuery())
+
+    pre_set = threading.Event()
+    pre_set.set()
+    with pytest.raises(ValueError, match="already set"):
+        mgr.run_discovery_loop(lambda: set(), interval_s=0.01, stop_event=pre_set)
+
+    entered, gate = threading.Event(), threading.Event()
+    calls = {"n": 0}
+
+    def hanging_tick():
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            entered.set()
+            gate.wait(20)  # a reconcile stuck inside a hung query stop
+        return set()
+
+    ev = threading.Event()
+    t1 = mgr.run_discovery_loop(hanging_tick, interval_s=0.01, stop_event=ev)
+    assert entered.wait(10)
+    ev.set()  # told to stop, but the final tick is hung
+    with pytest.raises(TimeoutError, match="still draining"):
+        mgr.run_discovery_loop(
+            lambda: set(), interval_s=0.01, restart_join_timeout_s=0.2
+        )
+    assert t1.is_alive()  # the draining predecessor was not abandoned
+
+    gate.set()  # stall clears; the predecessor finishes its final tick
+    t1.join(10)
+    assert not t1.is_alive()
+    ev2 = threading.Event()
+    t2 = mgr.run_discovery_loop(lambda: set(), interval_s=0.01, stop_event=ev2)
+    assert t2 is not t1 and t2.is_alive()
+    ev2.set()
+    t2.join(5)
+    assert not t2.is_alive()
+
+
 def test_discovery_error_ring_is_bounded(spark):
     """A permanently failing tick must not grow driver memory without bound:
     the error ring keeps only the newest MAX_DISCOVERY_ERRORS entries."""
@@ -1919,6 +1970,46 @@ def test_status_is_nonblocking_under_a_held_lease(spark, tmpdir):
     assert (s["retry_rows"], s["frontier"], s["resolved"]) == (2, 1, 1)
 
 
+def test_status_retries_absorb_reader_vs_reader_contention(spark, tmpdir):
+    """Two concurrent status() polls contend on the same flock; the loser
+    used to report the PREVIOUS MUTATOR's lease record as
+    maintenance_in_progress — a false 'compact live' on a dashboard
+    (round-12 advice).  A status holder keeps the lock only for the
+    millisecond-cheap debris scan, so the try-lock's brief retries absorb
+    the contention: with a peer holding the flock for ~80 ms (longer than
+    any debris scan, well inside the retry budget) the call still returns
+    the FULL snapshot, not the contended shape."""
+    import fcntl
+    import threading
+    import time as _time
+
+    router = _mk_router(tmpdir, lease_timeout_s=30)
+    _seed_live_and_resolved(spark, router)
+    # a stale mutator record from the last maintenance window — exactly
+    # what the pre-fix loser would have surfaced as "maintenance live"
+    with open(router._lease_path(), "w") as f:
+        f.write("pid=9999 op=compact t=0")
+
+    held = threading.Event()
+
+    def brief_reader_hold():
+        fd = os.open(router._lease_path(), os.O_CREAT | os.O_RDWR)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            held.set()
+            _time.sleep(0.08)
+        finally:
+            os.close(fd)  # releases the flock
+
+    peer = threading.Thread(target=brief_reader_hold, daemon=True)
+    peer.start()
+    assert held.wait(5)
+    s = router.status(spark, as_of=AS_OF_FUTURE)
+    peer.join(5)
+    assert s["maintenance_in_progress"] is None  # no false mutator signal
+    assert (s["retry_rows"], s["frontier"], s["resolved"]) == (2, 1, 1)
+
+
 def test_status_releases_lease_before_its_count_jobs(spark, tmpdir):
     """The inverse starvation: status() must NOT hold the mutator lease
     across its Spark count jobs — a slow count_sink=True footer scan
@@ -2649,6 +2740,53 @@ def test_compact_sink_crash_after_rename_keeps_archive_once(
         os.path.join(router.sink_path, "_batch_id=1")
     ]
     assert not os.path.exists(manifest)
+    assert _sink_rows(spark, router) == before  # exactly once, no loss
+    assert router._fold_debris() == []
+
+
+def test_fold_remove_failure_keeps_manifest_and_rerun_converges(
+    spark, tmpdir, monkeypatch
+):
+    """A SILENTLY failing removal (the ignore_errors shape of an NFS busy
+    file or EACCES) must not COMMIT the fold: pre-fix, the surviving
+    live-named old partition and the renamed-in archive would both hold
+    its rows — permanently, silently, with the manifest (the retry
+    signal) already deleted.  Now the fold fails LOUD with manifest and
+    staging intact and the rename NOT performed (no window ever exposes
+    both copies), and recovery on a healed filesystem converges with
+    every row exactly once."""
+    import shutil as shutil_mod
+
+    router = _mk_router(tmpdir)
+    before = _seed_sink_batches(spark, router)
+    stuck = os.path.join(router.sink_path, "_batch_id=1")
+    real = shutil_mod.rmtree
+
+    def sticky(path, *a, **kw):
+        if os.path.abspath(str(path)) == os.path.abspath(stuck):
+            return  # ignore_errors=True's silent-failure shape: dir stays
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(shutil_mod, "rmtree", sticky)
+    with pytest.raises(OSError, match="could not remove old partition"):
+        router.compact_sink(spark, up_to_batch_id=2, force=True)
+    monkeypatch.setattr(shutil_mod, "rmtree", real)
+
+    manifest = os.path.join(router.sink_path, ".sink-compact.manifest")
+    staging = os.path.join(router.sink_path, ".sink-compact.new")
+    assert os.path.exists(manifest)  # the retry signal survives the failure
+    assert os.path.exists(staging)  # NOT renamed in next to the survivor
+    assert os.path.exists(stuck)
+    # the survivor's rows appear exactly once (the archive copy is dark in
+    # the dot-prefixed staging, invisible to readers) — never duplicated
+    assert _sink_rows(spark, router).count("m-1") == 1
+
+    # filesystem healed: recovery re-runs the removals and rolls forward
+    report = router.recover_swaps()
+    assert report["completed"] == [
+        os.path.join(router.sink_path, "_batch_id=-1")
+    ]
+    assert not os.path.exists(manifest) and not os.path.exists(staging)
     assert _sink_rows(spark, router) == before  # exactly once, no loss
     assert router._fold_debris() == []
 
