@@ -105,6 +105,25 @@ class RetryRouter:
     def _lease_path(self) -> str:
         return self.retry_path + ".lease"
 
+    @staticmethod
+    def _flock_nb_retry(fd: int, deadline: float) -> bool:
+        """Try-acquire an exclusive ``flock`` on ``fd``, retrying every
+        50 ms until ``deadline`` (``time.monotonic()`` terms).  Returns
+        whether the lock was acquired — the one polling loop shared by the
+        mutator lease (long deadline, raises on expiry at the call site)
+        and ``status()``'s reader try-lock (sub-second budget, returns the
+        contended shape on expiry)."""
+        import fcntl
+
+        while True:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                return True
+            except OSError:
+                if time.monotonic() >= deadline:
+                    return False
+                time.sleep(0.05)
+
     @contextmanager
     def _lease(self, op: str):
         """Advisory exclusive lease serializing every ledger mutator.
@@ -129,33 +148,26 @@ class RetryRouter:
         ``_swap_ledger``'s local renames (a multi-driver deployment needs
         a real lock service, same as it needs atomic object-store
         renames)."""
-        import fcntl
-
         path = self._lease_path()
         parent = os.path.dirname(path)
         if parent:
             os.makedirs(parent, exist_ok=True)
-        deadline = time.monotonic() + self.lease_timeout_s
         fd = os.open(path, os.O_CREAT | os.O_RDWR)
         try:
-            while True:
+            if not self._flock_nb_retry(
+                fd, time.monotonic() + self.lease_timeout_s
+            ):
                 try:
-                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                    break
+                    with open(path) as f:
+                        holder = f.read()
                 except OSError:
-                    if time.monotonic() >= deadline:
-                        try:
-                            with open(path) as f:
-                                holder = f.read()
-                        except OSError:
-                            holder = "<unreadable>"
-                        raise TimeoutError(
-                            f"ledger lease {path} still held by [{holder}] "
-                            f"after {self.lease_timeout_s}s while acquiring "
-                            f"for {op!r}; the holder is ALIVE (a crashed "
-                            "holder's lock is released by the kernel)"
-                        )
-                    time.sleep(0.05)
+                    holder = "<unreadable>"
+                raise TimeoutError(
+                    f"ledger lease {path} still held by [{holder}] "
+                    f"after {self.lease_timeout_s}s while acquiring "
+                    f"for {op!r}; the holder is ALIVE (a crashed "
+                    "holder's lock is released by the kernel)"
+                )
             os.ftruncate(fd, 0)
             os.write(fd, f"pid={os.getpid()} op={op} t={time.time():.3f}".encode())
             if op != "recover_swaps":
@@ -430,7 +442,9 @@ class RetryRouter:
         ``resolved``), compaction pressure (``retry_rows - frontier`` rows
         are superseded history a ``compact()`` would drop), plus the two
         health facts recovery cares about: interrupted-swap debris (should
-        always be empty — mutators heal it on sight) and the latest lease
+        always be empty — mutators heal it on sight; a heal the filesystem
+        refuses is surfaced in ``debris_heal_errors`` rather than failing
+        the poll — the one state that needs an operator) and the latest lease
         record (diagnostic only: content does not mean HELD, the flock
         does), and this process's live ``counters`` (see the field doc —
         in-process speed vs ledger-derived truth, side by side).
@@ -472,7 +486,6 @@ class RetryRouter:
         (``compact``/``compact_sink``/``requeue_dlq``/``route_batch``) that
         still surfaces here should be read with that stale-content caveat
         in mind."""
-        import fcntl
 
         def _count(path: str) -> int:
             if not os.path.exists(path):
@@ -498,20 +511,12 @@ class RetryRouter:
         # the latest mutator, as documented
         fd = os.open(self._lease_path(), os.O_CREAT | os.O_RDWR)
         try:
-            # try-lock with a brief retry (see docstring): a concurrent
-            # status() holds the flock for milliseconds, so the retries
-            # absorb reader-vs-reader contention; a real mutator holds it
-            # for its whole window and the contended shape is honest
-            acquired = False
-            for attempt in range(4):
-                try:
-                    fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
-                    acquired = True
-                    break
-                except OSError:
-                    if attempt < 3:
-                        time.sleep(0.05)
-            if not acquired:
+            # try-lock with a brief (~0.25 s) retry window (see docstring):
+            # a concurrent status() holds the flock for milliseconds, so
+            # the retries absorb reader-vs-reader contention; a real
+            # mutator holds it for its whole maintenance window, outlives
+            # the budget, and the contended shape is honest
+            if not self._flock_nb_retry(fd, time.monotonic() + 0.25):
                 return {
                     "retry_rows": None,
                     "frontier": None,
@@ -519,17 +524,22 @@ class RetryRouter:
                     "resolved": None,
                     "sink_rows": None,
                     "swap_debris_found": None,
+                    "debris_heal_errors": None,
                     "last_lease": _lease_record(),
                     "maintenance_in_progress": _lease_record(),
                     "counters": counters,
                 }
             # debris under the held lease: this field reports what the
             # status call FOUND — a non-empty value means the previous op
-            # crashed mid-swap and this very call repaired it
+            # crashed mid-swap and this very call repaired it (or tried:
+            # a heal the filesystem refuses — a fold's old partition that
+            # will not remove — lands in debris_heal_errors instead of
+            # failing the poll, and the debris stays for the next heal)
             debris = [root + tag for root, tag in self._swap_debris()]
             debris += self._fold_debris()
+            heal_errors: list[str] = []
             if debris:
-                self._recover_swaps_locked()
+                heal_errors = self._recover_swaps_locked()["fold_errors"]
         finally:
             os.close(fd)  # release BEFORE the Spark jobs (see docstring)
         frontier = self.due_retries(spark, as_of=as_of).count()
@@ -540,6 +550,7 @@ class RetryRouter:
             "resolved": _count(self._resolved()),
             "sink_rows": _count(self.sink_path) if count_sink else None,
             "swap_debris_found": debris,
+            "debris_heal_errors": heal_errors,
             "last_lease": _lease_record(),
             "maintenance_in_progress": None,
             "counters": counters,
@@ -689,6 +700,13 @@ class RetryRouter:
         staging directory is complete, recovery rolls FORWARD from a
         manifest and DISCARDS an orphan staging directory, and every crash
         window is idempotent under re-run (``_complete_fold_locked``).
+        A removal the filesystem refuses ABORTS the fold loudly with the
+        manifest kept (never a duplicated layout; already-removed
+        partitions' rows stay dark in the staging until recovery — see
+        ``_complete_fold_locked``), the live stream keeps running (the
+        lease self-heal DEFERS a stuck fold instead of failing
+        ``route_batch``), and a new fold refuses to start over the
+        unhealed debris.
         The ledger lease still serializes the fold against a concurrent
         ``route_batch``.  READER WINDOW: a reader scanning the FULL sink
         concurrently with the fold can transiently see the archived slice
@@ -763,6 +781,19 @@ class RetryRouter:
         root = self.sink_path
         if not os.path.exists(root):
             return {"archived": 0, "partitions_before": 0, "partitions_after": 0}
+        # the lease's self-heal runs before this, so debris here means a
+        # PRIOR fold is stuck on a filesystem error (its heal was deferred
+        # rather than allowed to fail route_batch/status).  Starting a new
+        # fold over it would os.replace the old manifest and rmtree the old
+        # staging — abandoning a committed plan whose staging may be the
+        # ONLY copy of already-removed partitions' rows.  Refuse loudly.
+        debris = self._fold_debris()
+        if debris:
+            raise OSError(
+                f"unhealed sink-fold debris {debris}: a prior fold is stuck "
+                "on a filesystem error; resolve it and run recover_swaps() "
+                "before starting a new fold"
+            )
         parts = self._sink_partitions()
         if not parts:
             return {"archived": 0}  # non-partitioned layout: nothing to fold
@@ -885,7 +916,14 @@ class RetryRouter:
         manifest (the retry signal) already deleted.  Failing with the
         manifest intact means recovery simply re-runs the removals, and the
         staging is only renamed in once every old copy is verifiably gone —
-        no window ever exposes both copies to a reader."""
+        no window ever exposes both copies to a reader.  The cost of that
+        guarantee: partitions whose removal DID land before the abort stay
+        dark (their rows live only in the dot-prefixed staging, invisible
+        to readers) until the filesystem error is resolved and recovery
+        re-run — dark-but-recoverable is the chosen trade over
+        duplicated-forever.  Callers that must not fail on this (the lease
+        self-heal serving ``route_batch``, a ``status()`` poll) catch the
+        raise and DEFER: see ``_recover_swaps_locked``."""
         import json
         import shutil
 
@@ -1112,14 +1150,32 @@ class RetryRouter:
                 discarded.append(old)
         # partition-scoped sink folds leave IN-ROOT debris (staging dir /
         # manifest) rather than sibling .old/.new directories; finish or
-        # discard those from their own commit-point protocol
+        # discard those from their own commit-point protocol.  A fold heal
+        # the filesystem refuses (an old partition that will not remove —
+        # _complete_fold_locked raises rather than commit a duplicated
+        # layout) is DEFERRED, not propagated: the debris stays for the
+        # next heal and the error is reported in ``fold_errors``, so a
+        # stuck sink-maintenance removal degrades that fold — it does not
+        # take down route_batch (whose new-partition writes never depend
+        # on fold completion) or a status() poll.  The ops that DO depend
+        # on a healed fold check for themselves: _compact_sink_locked
+        # refuses to start over unhealed fold debris.
+        fold_errors: list[str] = []
         if self._fold_debris():
             for root in self._ledger_roots():
                 if os.path.isdir(root):
-                    report = self._complete_fold_locked(root)
+                    try:
+                        report = self._complete_fold_locked(root)
+                    except OSError as e:
+                        fold_errors.append(str(e))
+                        continue
                     completed.extend(report["completed"])
                     discarded.extend(report["discarded"])
-        return {"completed": completed, "discarded": discarded}
+        return {
+            "completed": completed,
+            "discarded": discarded,
+            "fold_errors": fold_errors,
+        }
 
     def _swap_ledger(self, path: str, df: DataFrame, tag: str) -> None:
         """Atomically replace the ledger at ``path`` with ``df`` (two local

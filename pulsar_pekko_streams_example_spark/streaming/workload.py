@@ -210,7 +210,7 @@ class WorkloadManager:
         get_requested: Callable[[], set[Workload]],
         interval_s: float = 5.0,
         stop_event: threading.Event | None = None,
-        restart_join_timeout_s: float = 30.0,
+        restart_join_timeout_s: float = 120.0,
     ) -> threading.Thread:
         """L3 discovery tick (Source.tick 5 s analog) on a daemon thread.
 
@@ -241,8 +241,12 @@ class WorkloadManager:
         ``restart_join_timeout_s`` caps how long the caller blocks behind
         a predecessor whose final reconcile is hung inside a query stop;
         on expiry the call RAISES with the still-draining thread in the
-        message rather than blocking a control plane forever (retry once
-        the stall clears, or investigate the hung stop).  An
+        message rather than blocking a control plane forever.  The raise
+        changes NO state (the predecessor keeps draining, nothing was
+        started), so a caller facing a merely-SLOW stop — a busy cluster
+        draining a large in-flight micro-batch — simply retries once the
+        drain completes; the default is sized generously above any healthy
+        query-stop time for exactly that caller.  An
         already-SET ``stop_event`` is rejected up front: a loop built on
         it would exit before running a single reconcile — a silent no-op
         masquerading as a started control plane."""

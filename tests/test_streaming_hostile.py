@@ -1084,7 +1084,6 @@ def test_discovery_restart_rejects_set_event_and_bounds_the_join(spark):
     restart_join_timeout_s (naming the draining thread), not block the
     caller forever; once the stall clears, the restart succeeds."""
     import threading
-    import time as _time
 
     from pulsar_pekko_streams_example_spark.streaming.workload import WorkloadManager
 
@@ -2778,8 +2777,13 @@ def test_fold_remove_failure_keeps_manifest_and_rerun_converges(
     assert os.path.exists(staging)  # NOT renamed in next to the survivor
     assert os.path.exists(stuck)
     # the survivor's rows appear exactly once (the archive copy is dark in
-    # the dot-prefixed staging, invisible to readers) — never duplicated
-    assert _sink_rows(spark, router).count("m-1") == 1
+    # the dot-prefixed staging, invisible to readers) — never duplicated.
+    # batch 2, whose removal DID land before the abort, is dark too: its
+    # rows live only in the staging until recovery — the documented
+    # dark-but-recoverable trade (duplicated-forever is the alternative)
+    visible = _sink_rows(spark, router)
+    assert visible.count("m-1") == 1
+    assert "m-2" not in visible
 
     # filesystem healed: recovery re-runs the removals and rolls forward
     report = router.recover_swaps()
@@ -2788,6 +2792,67 @@ def test_fold_remove_failure_keeps_manifest_and_rerun_converges(
     ]
     assert not os.path.exists(manifest) and not os.path.exists(staging)
     assert _sink_rows(spark, router) == before  # exactly once, no loss
+    assert router._fold_debris() == []
+
+
+def test_stuck_fold_degrades_maintenance_not_the_live_stream(
+    spark, tmpdir, monkeypatch
+):
+    """Blast-radius pin for the loud fold: a fold stuck on a filesystem
+    error (manifest kept, one old partition that will not remove) must
+    degrade ONLY sink maintenance.  route_batch — whose new-partition
+    writes never depend on fold completion — keeps delivering through the
+    lease's self-heal (which DEFERS the stuck fold instead of raising);
+    status() keeps answering, surfacing the heal failure in
+    debris_heal_errors instead of throwing at the operator who most needs
+    the snapshot; and a NEW fold refuses to start over the unhealed debris
+    (it would abandon the committed plan and rmtree the only copy of the
+    already-removed partitions' rows).  Healed, recovery converges."""
+    import shutil as shutil_mod
+
+    router = _mk_router(tmpdir)
+    before = _seed_sink_batches(spark, router)
+    stuck = os.path.join(router.sink_path, "_batch_id=1")
+    real = shutil_mod.rmtree
+
+    def sticky(path, *a, **kw):
+        if os.path.abspath(str(path)) == os.path.abspath(stuck):
+            return
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(shutil_mod, "rmtree", sticky)
+    with pytest.raises(OSError, match="could not remove old partition"):
+        router.compact_sink(spark, up_to_batch_id=2, force=True)
+
+    # STILL STUCK: the live stream keeps routing — the lease self-heal
+    # defers the fold failure rather than failing the micro-batch
+    router.route_batch(
+        spark.createDataFrame(
+            [("m-4", 1, True)], "message_id string, attempt long, ok boolean"
+        ),
+        batch_id=4,
+    )
+    visible = _sink_rows(spark, router)
+    assert "m-4" in visible and visible.count("m-1") == 1
+    manifest = os.path.join(router.sink_path, ".sink-compact.manifest")
+    assert os.path.exists(manifest)  # the deferred heal kept the plan
+
+    # the dashboard poll answers, with the failure surfaced as data
+    s = router.status(spark, as_of=AS_OF_FUTURE)
+    assert s["retry_rows"] is not None  # a real snapshot, not an exception
+    assert any("could not remove" in e for e in s["debris_heal_errors"])
+    assert any(".sink-compact" in d for d in s["swap_debris_found"])
+
+    # a NEW fold over the unhealed debris is refused loudly
+    with pytest.raises(OSError, match="unhealed sink-fold debris"):
+        router.compact_sink(spark, up_to_batch_id=4, force=True)
+
+    # filesystem healed: recovery converges, every row exactly once
+    monkeypatch.setattr(shutil_mod, "rmtree", real)
+    report = router.recover_swaps()
+    assert report["fold_errors"] == []
+    assert not os.path.exists(manifest)
+    assert _sink_rows(spark, router) == sorted(before + ["m-4"])
     assert router._fold_debris() == []
 
 
