@@ -539,7 +539,7 @@ class RetryRouter:
             debris += self._fold_debris()
             heal_errors: list[str] = []
             if debris:
-                heal_errors = self._recover_swaps_locked()["fold_errors"]
+                heal_errors = self._recover_swaps_locked()["heal_errors"]
         finally:
             os.close(fd)  # release BEFORE the Spark jobs (see docstring)
         frontier = self.due_retries(spark, as_of=as_of).count()
@@ -1124,7 +1124,15 @@ class RetryRouter:
         composes with a re-run of the interrupted op.  Runs automatically
         whenever a mutator acquires the ledger lease, and from
         ``due_retries`` when it sees debris; call it directly after
-        restoring a crashed deployment if you want the report."""
+        restoring a crashed deployment if you want the report.
+
+        The report's ``heal_errors`` lists what the filesystem REFUSED:
+        sibling-debris discards are benign-deferred (readers never see a
+        sibling directory; the debris stays and the next heal retries) and
+        a fold stuck on an un-removable old partition keeps its manifest
+        for retry — both degrade maintenance without failing the mutator
+        that tripped the heal.  Only a completion RENAME failure raises:
+        a swapped-but-dark ledger must never be silent."""
         with self._lease("recover_swaps"):
             return self._recover_swaps_locked()
 
@@ -1132,49 +1140,61 @@ class RetryRouter:
         import shutil
 
         completed, discarded = [], []
+        heal_errors: list[str] = []
+
+        def _discard(d: str) -> None:
+            # sibling debris is INVISIBLE to readers (never under a ledger
+            # root), so a discard the filesystem refuses is benign-deferred
+            # — reported in heal_errors and retried at the next heal —
+            # rather than allowed to fail the mutator that tripped the heal
+            # (route_batch must not die for un-removable garbage).  The
+            # COMPLETION rename below stays loud: without it the swapped
+            # ledger is dark.
+            try:
+                shutil.rmtree(d)
+                discarded.append(d)
+            except OSError as e:
+                heal_errors.append(f"{d}: {e}")
+
         for root, tag in self._swap_debris():
             old, new = root + tag + ".old", root + tag + ".new"
             if os.path.exists(root):
                 for d in (old, new):
                     if os.path.exists(d):
-                        shutil.rmtree(d)
-                        discarded.append(d)
+                        _discard(d)
             elif os.path.exists(new):
                 os.rename(new, root)
                 completed.append(root)
                 if os.path.exists(old):
-                    shutil.rmtree(old)
-                    discarded.append(old)
+                    _discard(old)
             elif os.path.exists(old):
-                shutil.rmtree(old)
-                discarded.append(old)
+                _discard(old)
         # partition-scoped sink folds leave IN-ROOT debris (staging dir /
         # manifest) rather than sibling .old/.new directories; finish or
         # discard those from their own commit-point protocol.  A fold heal
         # the filesystem refuses (an old partition that will not remove —
         # _complete_fold_locked raises rather than commit a duplicated
         # layout) is DEFERRED, not propagated: the debris stays for the
-        # next heal and the error is reported in ``fold_errors``, so a
+        # next heal and the error is reported in ``heal_errors``, so a
         # stuck sink-maintenance removal degrades that fold — it does not
         # take down route_batch (whose new-partition writes never depend
         # on fold completion) or a status() poll.  The ops that DO depend
         # on a healed fold check for themselves: _compact_sink_locked
         # refuses to start over unhealed fold debris.
-        fold_errors: list[str] = []
         if self._fold_debris():
             for root in self._ledger_roots():
                 if os.path.isdir(root):
                     try:
                         report = self._complete_fold_locked(root)
                     except OSError as e:
-                        fold_errors.append(str(e))
+                        heal_errors.append(str(e))
                         continue
                     completed.extend(report["completed"])
                     discarded.extend(report["discarded"])
         return {
             "completed": completed,
             "discarded": discarded,
-            "fold_errors": fold_errors,
+            "heal_errors": heal_errors,
         }
 
     def _swap_ledger(self, path: str, df: DataFrame, tag: str) -> None:

@@ -2850,10 +2850,53 @@ def test_stuck_fold_degrades_maintenance_not_the_live_stream(
     # filesystem healed: recovery converges, every row exactly once
     monkeypatch.setattr(shutil_mod, "rmtree", real)
     report = router.recover_swaps()
-    assert report["fold_errors"] == []
+    assert report["heal_errors"] == []
     assert not os.path.exists(manifest)
     assert _sink_rows(spark, router) == sorted(before + ["m-4"])
     assert router._fold_debris() == []
+
+
+def test_sibling_debris_discard_failure_is_deferred(spark, tmpdir, monkeypatch):
+    """Sibling ``.old``/``.new`` swap debris is INVISIBLE to readers, so a
+    discard the filesystem refuses (EACCES, NFS busy file) must be
+    benign-deferred — reported in heal_errors and retried at the next heal
+    — not allowed to propagate through the lease self-heal and fail the
+    route_batch that tripped it (the same blast-radius class as the stuck
+    fold, for garbage that cannot even affect correctness)."""
+    import shutil as shutil_mod
+
+    router = _mk_router(tmpdir)
+    _seed_sink_batches(spark, router, n=1)
+    # manufacture benign debris: a leftover .old sibling next to a live root
+    old_dir = router.sink_path + ".compact.old"
+    os.makedirs(old_dir)
+    with open(os.path.join(old_dir, "leftover"), "w") as f:
+        f.write("x")
+    real = shutil_mod.rmtree
+
+    def eacces(path, *a, **kw):
+        if os.path.abspath(str(path)) == os.path.abspath(old_dir):
+            raise OSError(13, "injected EACCES")
+        return real(path, *a, **kw)
+
+    monkeypatch.setattr(shutil_mod, "rmtree", eacces)
+    # the mutator that trips the heal keeps working
+    router.route_batch(
+        spark.createDataFrame(
+            [("m-next", 1, True)], "message_id string, attempt long, ok boolean"
+        ),
+        batch_id=2,
+    )
+    assert "m-next" in _sink_rows(spark, router)
+    assert os.path.exists(old_dir)  # deferred, not silently dropped
+    s = router.status(spark, as_of=AS_OF_FUTURE)
+    assert any("injected EACCES" in e for e in s["debris_heal_errors"])
+
+    # filesystem healed: the next heal discards it
+    monkeypatch.setattr(shutil_mod, "rmtree", real)
+    report = router.recover_swaps()
+    assert old_dir in report["discarded"] and report["heal_errors"] == []
+    assert not os.path.exists(old_dir)
 
 
 def test_archive_file_count_tracks_archived_bytes():
