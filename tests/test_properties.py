@@ -1311,3 +1311,117 @@ def test_sink_fold_crash_windows_never_lose_or_duplicate(spark, crash, cutoff):
             r.message_id for r in spark.read.parquet(router.sink_path).collect()
         )
         assert rows == sorted(seeded), (crash, cutoff)
+
+
+# ---------------------------------------------------------------------------
+# Partition-scoped sink fold under PARTIAL REMOVAL FAILURES (round-12): any
+# subset of the fold's old-partition removals may be refused by the
+# filesystem (the silent ignore_errors shape of NFS busy files / EACCES).
+# The fold must abort LOUDLY with the manifest kept and the staging NOT
+# renamed in — at no point may a reader see a row twice (the duplicated-
+# forever layout the loud check exists to prevent); rows whose removal DID
+# land are dark-but-recoverable in the staging.  Once the filesystem heals,
+# recovery converges to exactly-once with live partitions byte-untouched,
+# and a re-run of the fold completes.
+# ---------------------------------------------------------------------------
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    stuck_mask=st.lists(st.booleans(), min_size=5, max_size=5),
+    cutoff=st.integers(min_value=1, max_value=5),
+)
+def test_sink_fold_partial_removal_failures_defer_and_converge(
+    spark, stuck_mask, cutoff
+):
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    import pytest as _pytest
+
+    from pulsar_pekko_streams_example_spark.streaming.retry import RetryRouter
+
+    with _tempfile.TemporaryDirectory() as d:
+        router = RetryRouter(
+            sink_path=_os.path.join(d, "sink"),
+            retry_path=_os.path.join(d, "retry"),
+            dlq_path=_os.path.join(d, "dlq"),
+        )
+        seeded = []
+        for b in range(1, 6):
+            ids = [f"m-{b}-{i}" for i in range(2)]
+            seeded.extend(ids)
+            router.route_batch(
+                spark.createDataFrame(
+                    [(m, 1, True) for m in ids],
+                    "message_id string, attempt long, ok boolean",
+                ),
+                batch_id=b,
+            )
+
+        def fingerprint(batch_ids):
+            out = {}
+            for b in batch_ids:
+                p = _os.path.join(router.sink_path, f"_batch_id={b}")
+                for name in sorted(_os.listdir(p)):
+                    st_ = _os.stat(_os.path.join(p, name))
+                    out[(b, name)] = (st_.st_size, st_.st_mtime_ns)
+            return out
+
+        live = [b for b in range(1, 6) if b > cutoff]
+        live_before = fingerprint(live)
+        stuck = {
+            _os.path.abspath(_os.path.join(router.sink_path, f"_batch_id={b}"))
+            for b, flag in zip(range(1, 6), stuck_mask)
+            if flag and b <= cutoff
+        }
+
+        real = _shutil.rmtree
+
+        def sticky(path, *a, **kw):
+            if _os.path.abspath(str(path)) in stuck:
+                return  # the ignore_errors silent-failure shape: dir stays
+            return real(path, *a, **kw)
+
+        _shutil.rmtree = sticky
+        try:
+            if stuck:
+                with _pytest.raises(OSError, match="could not remove"):
+                    router.compact_sink(spark, up_to_batch_id=cutoff, force=True)
+                # NEVER-TWICE: whatever the surviving/removed mix, no row is
+                # visible more than once (the staging is dot-prefixed dark)
+                visible = sorted(
+                    r.message_id
+                    for r in spark.read.parquet(router.sink_path).collect()
+                )
+                assert len(visible) == len(set(visible)), (stuck_mask, cutoff)
+                assert set(visible) <= set(seeded)
+                # the manifest (retry signal) survives the abort
+                assert router._fold_debris() != []
+            else:
+                router.compact_sink(spark, up_to_batch_id=cutoff, force=True)
+        finally:
+            _shutil.rmtree = real
+
+        # filesystem healed: recovery converges to exactly-once
+        router.recover_swaps()
+        rows = sorted(
+            r.message_id for r in spark.read.parquet(router.sink_path).collect()
+        )
+        assert rows == sorted(seeded), (stuck_mask, cutoff)
+        assert fingerprint(live) == live_before, (stuck_mask, cutoff)
+        assert router._fold_debris() == [], (stuck_mask, cutoff)
+
+        # the restarted maintenance window completes on the healed layout
+        router.compact_sink(spark, up_to_batch_id=cutoff, force=True)
+        dirs = {
+            name
+            for name in _os.listdir(router.sink_path)
+            if name.startswith("_batch_id=")
+        }
+        assert dirs == {f"_batch_id={b}" for b in live} | {"_batch_id=-1"}
+        rows = sorted(
+            r.message_id for r in spark.read.parquet(router.sink_path).collect()
+        )
+        assert rows == sorted(seeded), (stuck_mask, cutoff)
