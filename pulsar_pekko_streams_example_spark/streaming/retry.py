@@ -375,18 +375,25 @@ class RetryRouter:
         """
         # a crash INSIDE a ledger swap leaves the directory missing between
         # the two renames — without recovery that reads as an EMPTY frontier
-        # (silent no-delivery) rather than an error, so heal first
+        # (silent no-delivery) rather than an error, so heal first.
+        # BEST-EFFORT here (round-12): a reader must not BLOCK on the
+        # mutator lease for debris that is merely deferred (a sibling .old
+        # the filesystem refuses to discard is a survivable steady state
+        # now, and a live mutator heals on its own) — only the
+        # missing-directory cases below, where correctness depends on
+        # waiting out an in-flight swap, take the blocking path, and they
+        # scope the trigger to debris of the ledger actually missing.
         if self._swap_debris():
-            self.recover_swaps()
+            self._try_recover_swaps()
         if not os.path.exists(self.retry_path):
             # root missing is ambiguous: genuinely-empty ledger, or a swap
             # that started AFTER the debris check above (TOCTOU).  A swap
             # can only unroot the ledger via rename(root → .old), so a
-            # mid-swap missing root ALWAYS has debris — re-checking here
-            # closes the race: recover_swaps blocks on the lease until an
-            # in-flight op finishes (and heals a dead one), after which a
-            # still-missing root really is the empty ledger.
-            if self._swap_debris():
+            # mid-swap missing root ALWAYS has debris ON THIS ROOT —
+            # re-checking here closes the race: recover_swaps blocks on the
+            # lease until an in-flight op finishes (and heals a dead one),
+            # after which a still-missing root really is the empty ledger.
+            if any(r == self.retry_path for r, _ in self._swap_debris()):
                 self.recover_swaps()
             if not os.path.exists(self.retry_path):
                 return spark.createDataFrame([], FRONTIER_SCHEMA)
@@ -394,12 +401,17 @@ class RetryRouter:
         # terminal states win over any stale retry row: DLQ (failure) and
         # the resolved index (an acked redelivery — the broker-ack analog)
         for terminal in (self.dlq_path, self._resolved()):
-            if not os.path.exists(terminal) and self._swap_debris():
+            if not os.path.exists(terminal) and any(
+                r == terminal for r, _ in self._swap_debris()
+            ):
                 # same TOCTOU as the root above: a terminal ledger mid-swap
                 # (a live requeue's DLQ rename) reads as "no terminals" and
                 # the anti-join is silently skipped — exhausted messages
                 # would transiently re-enter the frontier.  Missing + debris
-                # ⇒ wait out / heal the swap, then trust the re-check.
+                # ON THIS TERMINAL ⇒ wait out / heal the swap, then trust
+                # the re-check (debris elsewhere — e.g. a deferred sink
+                # sibling — must not make every frontier read take the
+                # lease: that terminal is just legitimately absent).
                 self.recover_swaps()
             if os.path.exists(terminal):
                 done = spark.read.parquet(terminal).select("message_id")
@@ -776,7 +788,6 @@ class RetryRouter:
         self, spark: SparkSession, up_to_batch_id: int, archive_batch_id: int
     ) -> dict:
         import json
-        import shutil
 
         root = self.sink_path
         if not os.path.exists(root):
@@ -789,7 +800,11 @@ class RetryRouter:
         # ONLY copy of already-removed partitions' rows.  Refuse loudly.
         debris = self._fold_debris()
         if debris:
-            raise OSError(
+            # RuntimeError, not OSError: this is a PRECONDITION failure that
+            # holds until an operator heals the filesystem — a maintenance
+            # driver's backoff-and-retry loop for transient OSErrors must
+            # not spin on it
+            raise RuntimeError(
                 f"unhealed sink-fold debris {debris}: a prior fold is stuck "
                 "on a filesystem error; resolve it and run recover_swaps() "
                 "before starting a new fold"
@@ -828,7 +843,9 @@ class RetryRouter:
             ).count()
         staging = os.path.join(root, self._FOLD_NEW)
         manifest = os.path.join(root, self._FOLD_MANIFEST)
-        shutil.rmtree(staging, ignore_errors=True)
+        # no staging/manifest cleanup here: the debris refusal above
+        # guarantees neither exists when a fold starts (Spark's own
+        # mode("overwrite") below would clobber a directory regardless)
         # drop the partition column (hive layout derives it from the dir
         # name, matching the live partitions' files); coalesce — not
         # repartition — streams the old partitions into a FEW consolidated
@@ -933,11 +950,22 @@ class RetryRouter:
             # a half-written manifest never commits (json + atomic replace),
             # so a .tmp is always debris
             os.remove(manifest + ".tmp")
-        except OSError:
+        except FileNotFoundError:
             pass
+        # any OTHER removal failure above propagates: debris the heal
+        # cannot clear but silently reports cleared would block every
+        # future fold (the debris refusal in _compact_sink_locked) while
+        # recover_swaps/status claim a clean heal — the error must reach
+        # heal_errors, which the raise accomplishes at every catch site
         if not os.path.exists(manifest):
             if os.path.exists(staging):
                 shutil.rmtree(staging, ignore_errors=True)
+                if os.path.exists(staging):
+                    raise OSError(
+                        f"could not discard orphan fold staging {staging}; "
+                        "resolve the filesystem error — folds are refused "
+                        "until this debris clears"
+                    )
                 return {"completed": [], "discarded": [staging]}
             return {"completed": [], "discarded": []}
         with open(manifest) as f:
@@ -1135,6 +1163,31 @@ class RetryRouter:
         a swapped-but-dark ledger must never be silent."""
         with self._lease("recover_swaps"):
             return self._recover_swaps_locked()
+
+    def _try_recover_swaps(self) -> None:
+        """Best-effort, non-blocking heal for READERS (``due_retries``'s
+        opportunistic first pass): try-acquire the lease WITHOUT retries or
+        a holder record and heal if it lands.  Contended means a live
+        mutator holds the ledger — it heals on its own path, and a reader
+        blocking up to ``lease_timeout_s`` behind it (or failing loudly at
+        the timeout) for an opportunistic heal would reintroduce the
+        reader-starvation the non-blocking ``status()`` removed.  The
+        correctness-critical heals (a MISSING ledger directory that may be
+        mid-swap) still use the blocking ``recover_swaps``."""
+        import fcntl
+
+        parent = os.path.dirname(self._lease_path())
+        if parent:
+            os.makedirs(parent, exist_ok=True)
+        fd = os.open(self._lease_path(), os.O_CREAT | os.O_RDWR)
+        try:
+            try:
+                fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+            except OSError:
+                return
+            self._recover_swaps_locked()
+        finally:
+            os.close(fd)
 
     def _recover_swaps_locked(self) -> dict:
         import shutil

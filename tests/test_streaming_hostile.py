@@ -2843,8 +2843,10 @@ def test_stuck_fold_degrades_maintenance_not_the_live_stream(
     assert any("could not remove" in e for e in s["debris_heal_errors"])
     assert any(".sink-compact" in d for d in s["swap_debris_found"])
 
-    # a NEW fold over the unhealed debris is refused loudly
-    with pytest.raises(OSError, match="unhealed sink-fold debris"):
+    # a NEW fold over the unhealed debris is refused loudly — RuntimeError,
+    # not OSError: a precondition that holds until healed, so a transient
+    # backoff-and-retry loop does not spin on it
+    with pytest.raises(RuntimeError, match="unhealed sink-fold debris"):
         router.compact_sink(spark, up_to_batch_id=4, force=True)
 
     # filesystem healed: recovery converges, every row exactly once
@@ -2897,6 +2899,44 @@ def test_sibling_debris_discard_failure_is_deferred(spark, tmpdir, monkeypatch):
     report = router.recover_swaps()
     assert old_dir in report["discarded"] and report["heal_errors"] == []
     assert not os.path.exists(old_dir)
+
+
+def test_frontier_read_does_not_block_on_deferred_debris(spark, tmpdir):
+    """due_retries is a READER: with deferred sibling debris present (a
+    survivable steady state since round-12) and a live mutator holding the
+    ledger lease, the frontier read must return promptly and correct — its
+    opportunistic heal is a TRY-lock that skips on contention, not a
+    blocking lease acquisition that would stall up to lease_timeout_s (or
+    raise TimeoutError) behind every maintenance window for debris the
+    read does not even depend on."""
+    import fcntl
+    import time as _time
+
+    router = _mk_router(tmpdir, lease_timeout_s=30)
+    # a real frontier: one failing message awaiting redelivery
+    router.route_batch(
+        spark.createDataFrame(
+            [("m-fail", 1, False)], "message_id string, attempt long, ok boolean"
+        ),
+        batch_id=1,
+    )
+    # benign sibling debris on the SINK — irrelevant to the frontier read
+    os.makedirs(router.sink_path + ".compact.old", exist_ok=True)
+
+    fd = os.open(router._lease_path(), os.O_CREAT | os.O_RDWR)
+    try:
+        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)  # a live mutator
+        t0 = _time.monotonic()
+        due = router.due_retries(spark, as_of=AS_OF_FUTURE)
+        ids = {r.message_id for r in due.collect()}
+        assert _time.monotonic() - t0 < 10  # prompt, not lease_timeout_s
+        assert ids == {"m-fail"}
+    finally:
+        os.close(fd)
+
+    # lease free again: the opportunistic heal discards the debris
+    router.due_retries(spark, as_of=AS_OF_FUTURE).count()
+    assert not os.path.exists(router.sink_path + ".compact.old")
 
 
 def test_archive_file_count_tracks_archived_bytes():
