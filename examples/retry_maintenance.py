@@ -157,6 +157,7 @@ def run(spark: SparkSession, base: str) -> dict:
         busy = router.status(spark, as_of=AS_OF)
         assert "op=compact_sink" in busy["maintenance_in_progress"]
         assert busy["retry_rows"] is None  # honestly absent mid-window
+        assert busy["debris_heal_errors"] is None  # no heal ran either
     finally:
         os.close(fd)
 
