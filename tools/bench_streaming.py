@@ -33,6 +33,23 @@ sys.path.insert(0, str(REPO))
 
 N_MESSAGES = int(os.environ.get("SPARK_GRAFT_STREAM_MSGS", "1000000"))
 SEED_FILES = 32  # backlog split so admission and micro-batching are exercised
+#: optional admission bound (files per micro-batch) for the NON-WATERMARKED
+#: stages (ordered NoTimeout, retry lifecycle) — unset keeps the historical
+#: one-big-batch readings comparable; set it for large feeds (>= 16M
+#: messages).  This is the same max_files_per_trigger admission knob
+#: (receiverQueueSize analog, L11) a production deployment would run with.
+#: The WATERMARKED stages (ordered TTL, windowed) deliberately ignore it:
+#: the backlog is seeded key-partitioned with every file spanning the FULL
+#: event-time range, so bounded batches would advance the watermark past
+#: later files and the engine would (correctly) drop their rows as late —
+#: replaying an un-time-ordered historical backlog through a watermarked
+#: query needs either one batch, a watermark sized to the backlog span, or
+#: a time-ordered feed.  That is watermark semantics, not a harness bug.
+MAX_FILES_PER_TRIGGER = (
+    int(os.environ["SPARK_GRAFT_STREAM_MFPT"])
+    if os.environ.get("SPARK_GRAFT_STREAM_MFPT")
+    else None
+)
 
 
 def run(spark, n_messages: int, seed_files: int = SEED_FILES) -> dict:
@@ -129,7 +146,17 @@ def run_ordered(
         ).sortWithinPartitions("key", "seq").write.mode("overwrite").parquet(src)
         sink = os.path.join(base, "ordered")
 
-        stream = envelope_file_stream(spark, src)
+        stream = envelope_file_stream(
+            spark,
+            src,
+            # admission bound only for the unwatermarked variant: bounded
+            # batches over full-time-range files would make the TTL
+            # variant's watermark late-drop later files (see the
+            # MAX_FILES_PER_TRIGGER note)
+            max_files_per_trigger=(
+                MAX_FILES_PER_TRIGGER if idle_timeout_ms is None else None
+            ),
+        )
         if idle_timeout_ms is not None:
             # the bounded-state variant: watermarked input + event-time TTL
             # (measures the guarded path's overhead, not expiry — every
@@ -206,6 +233,10 @@ def run_windowed(spark, n_messages: int) -> dict:
         ).write.mode("overwrite").parquet(src)
         sink = os.path.join(base, "windows")
 
+        # deliberately UNBOUNDED admission: this stage is watermarked, and
+        # bounded batches over full-time-range files would late-drop later
+        # files' rows (see the MAX_FILES_PER_TRIGGER note); the cost is a
+        # single-JVM heap ceiling around 16M messages for this stage
         stream = envelope_file_stream(spark, src)
         windowed = (
             watermarked(stream, "10 minutes")
@@ -223,7 +254,12 @@ def run_windowed(spark, n_messages: int) -> dict:
             .start()
         )
         q.awaitTermination()
-        # one in-bounds heartbeat batch closes the tail windows
+        # one in-bounds heartbeat batch closes the tail windows.  Its event
+        # time must sit BEYOND the backlog's max (2024-01-01 + n seconds),
+        # else the final watermark-delay of windows never flushes — found
+        # at 16M messages, where the backlog's ~185-day event-time span
+        # outran the previous fixed stamp and exactly keys × delay-minutes
+        # of tail rows went unemitted (still < the 2100 guard bound)
         seed_messages(spark, 1).select(
             F.lit("heartbeat").alias("message_id"),
             F.lit(-2).cast("long").alias("event_id"),
@@ -232,7 +268,10 @@ def run_windowed(spark, n_messages: int) -> dict:
             "seq",
             "attempt",
             "status",
-            F.lit("2024-06-01 00:00:00").cast("timestamp").alias("publish_time"),
+            (
+                F.lit("2024-01-01 00:00:00").cast("timestamp")
+                + F.make_interval(secs=F.lit(n_messages + 3600))
+            ).alias("publish_time"),
         ).coalesce(1).write.mode("append").parquet(src)
         q2 = (
             windowed.writeStream.format("parquet")
@@ -298,7 +337,12 @@ def run_retry_lifecycle(spark, n_messages: int) -> dict:
         t0 = time.perf_counter()
         q = (
             router.attach(
-                apply_processor(envelope_file_stream(spark, src), flaky),
+                apply_processor(
+                    envelope_file_stream(
+                        spark, src, max_files_per_trigger=MAX_FILES_PER_TRIGGER
+                    ),
+                    flaky,
+                ),
                 os.path.join(base, "ckpt"),
             )
             .trigger(availableNow=True)
@@ -340,11 +384,39 @@ def main() -> None:
 
     spark = get_spark(app_name="bench-streaming")
     spark.sparkContext.setLogLevel("ERROR")
-    print(json.dumps(run(spark, N_MESSAGES)))
-    print(json.dumps(run_ordered(spark, N_MESSAGES)))
-    print(json.dumps(run_ordered(spark, N_MESSAGES, idle_timeout_ms=3_600_000)))
-    print(json.dumps(run_windowed(spark, N_MESSAGES)))
-    print(json.dumps(run_retry_lifecycle(spark, N_MESSAGES)))
+    # one stage hitting a local-JVM limit (e.g. the watermarked windowed
+    # stage's single-batch heap ceiling at very large N) must not cost the
+    # other stages' readings: print an error line for it and exit non-zero
+    failures = 0
+    # windowed runs LAST: at very large N its unbounded (watermark-required)
+    # single batch can exhaust the local JVM hard enough to take the shared
+    # SparkContext down — the other stages' readings must already be printed
+    for label, fn in (
+        ("envelope", lambda: run(spark, N_MESSAGES)),
+        ("ordered", lambda: run_ordered(spark, N_MESSAGES)),
+        (
+            "ordered_ttl",
+            lambda: run_ordered(spark, N_MESSAGES, idle_timeout_ms=3_600_000),
+        ),
+        ("lifecycle", lambda: run_retry_lifecycle(spark, N_MESSAGES)),
+        ("windowed", lambda: run_windowed(spark, N_MESSAGES)),
+    ):
+        try:
+            print(json.dumps(fn()), flush=True)
+        except Exception as e:  # noqa: BLE001 — a bench stage, report + go on
+            failures += 1
+            print(
+                json.dumps(
+                    {
+                        "metric": f"streaming_{label}_msgs_per_sec",
+                        "error": f"{type(e).__name__}: {e}"[:300],
+                        "messages": N_MESSAGES,
+                    }
+                ),
+                flush=True,
+            )
+    if failures:
+        sys.exit(1)
 
 
 if __name__ == "__main__":
