@@ -491,10 +491,10 @@ class RetryRouter:
         MUTATOR's record as ``maintenance_in_progress``, a false
         "maintenance live" on a dashboard.  A status holder keeps the lock
         only for the filesystem-cheap debris scan, so the try-lock is
-        RETRIED briefly (a few ~50 ms attempts) before returning the
-        contended shape: reader-vs-reader contention resolves inside the
-        retries, while a real mutator outlives them and the contended
-        report stays honest.  A record whose op name is a mutator op
+        RETRIED briefly (50 ms attempts inside a ~0.25 s deadline) before
+        returning the contended shape: reader-vs-reader contention
+        resolves inside the retries, while a real mutator outlives them
+        and the contended report stays honest.  A record whose op name is a mutator op
         (``compact``/``compact_sink``/``requeue_dlq``/``route_batch``) that
         still surfaces here should be read with that stale-content caveat
         in mind."""
