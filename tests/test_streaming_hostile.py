@@ -2939,6 +2939,135 @@ def test_frontier_read_does_not_block_on_deferred_debris(spark, tmpdir):
     assert not os.path.exists(router.sink_path + ".compact.old")
 
 
+def test_concurrent_stream_maintenance_and_status_conserve_messages(
+    spark, tmpdir
+):
+    """LIVE concurrency mix — the interleavings the crash-window tests
+    cannot reach: one router simultaneously serving a delivering stream
+    (route_batch), a maintenance loop (compact with an audit archive +
+    partition-scoped compact_sink), and a dashboard poller (status), all
+    from separate threads against one SparkSession.  The lease serializes
+    the mutators; status and due_retries are readers.  Invariants at the
+    end: no thread raised outside its documented loud-retry contract,
+    every status poll returned a report (contended or full — never an
+    exception), and after the bug fix + requeue + drain, CONSERVATION:
+    every seeded message is in the sink exactly once, the DLQ is empty,
+    and the frontier is drained."""
+    import threading
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    router = _mk_router(tmpdir, lease_timeout_s=120)
+    SCHEMA = "message_id string, event_id long, attempt long, ok boolean"
+    N_BATCHES, PER_BATCH = 10, 200
+    bug = {"on": True}
+
+    def verdicts(df):
+        # event_id%20==0 fails EVERY attempt while the bug is on;
+        # event_id%10==0 (not %20) fails only its first attempt
+        always = (F.col("event_id") % 20 == 0) & F.lit(bug["on"])
+        first_only = (F.col("event_id") % 10 == 0) & (F.col("attempt") == 1)
+        return df.withColumn("ok", ~(always | first_only))
+
+    errors: list[tuple[str, str]] = []
+    stop = threading.Event()
+
+    def stream():
+        try:
+            for b in range(1, N_BATCHES + 1):
+                rows = [(f"m-{b}-{i}", b * PER_BATCH + i, 1, None) for i in range(PER_BATCH)]
+                batch = verdicts(
+                    spark.createDataFrame(rows, SCHEMA).drop("ok")
+                )
+                router.route_batch(batch, batch_id=b)
+        except Exception as e:  # noqa: BLE001 — collected for the assert
+            errors.append(("stream", repr(e)))
+
+    def maintenance():
+        audit = os.path.join(tmpdir, "audit")
+        try:
+            while not stop.is_set():
+                router.compact(spark, archive_to=audit)
+                router.compact_sink(
+                    spark, up_to_batch_id=N_BATCHES, force=True
+                )
+                stop.wait(0.2)
+        except Exception as e:  # noqa: BLE001
+            errors.append(("maintenance", repr(e)))
+
+    polls = {"n": 0}
+
+    def poller():
+        try:
+            while not stop.is_set():
+                s = router.status(spark, as_of=AS_OF_FUTURE)
+                assert isinstance(s, dict) and "counters" in s
+                polls["n"] += 1
+                stop.wait(0.05)
+        except Exception as e:  # noqa: BLE001
+            errors.append(("status", repr(e)))
+
+    threads = [
+        threading.Thread(target=stream, daemon=True),
+        threading.Thread(target=maintenance, daemon=True),
+        threading.Thread(target=poller, daemon=True),
+    ]
+    for t in threads:
+        t.start()
+    threads[0].join(300)  # the stream finishes its 10 batches
+
+    # drain the retry frontier WHILE maintenance still runs for a couple of
+    # cycles.  snapshot=True is LOAD-BEARING here: the default lazy frontier
+    # captures its file listing at first action, and a compact swapping the
+    # ledger between that listing and the plan's re-execution inside
+    # route_batch fails the batch on deleted files — exactly the
+    # "swap-proof snapshot isolation" the due_retries docstring prescribes
+    # for drains that overlap maintenance.  The snapshot materialization
+    # itself can still race a swap (it is a lock-free reader): that fails
+    # LOUD and the driver re-polls — mirrored by the bounded retry here.
+    def drain(max_cycles=12):
+        cycle = {"n": 1_000_000}
+        for _ in range(max_cycles):
+            for attempt_no in range(5):
+                try:
+                    due = router.due_retries(
+                        spark, as_of=AS_OF_FUTURE, snapshot=True
+                    )
+                    batch = due.drop("available_at", "_batch_id", "ok", "error")
+                    if not batch.limit(1).count():
+                        return
+                    cycle["n"] += 1
+                    router.route_batch(verdicts(batch), cycle["n"])
+                    break
+                except Exception:  # noqa: BLE001 — loud re-poll contract
+                    if attempt_no == 4:
+                        raise
+                    _time.sleep(0.5)
+
+    drain(max_cycles=2)
+    stop.set()
+    for t in threads[1:]:
+        t.join(120)
+    assert errors == [], errors
+    assert polls["n"] > 0  # the dashboard actually polled under load
+    drain()
+
+    # the always-failing ids exhausted into the DLQ; fix + revive + drain
+    assert spark.read.parquet(router.dlq_path).count() == N_BATCHES * PER_BATCH // 20
+    bug["on"] = False
+    assert router.requeue_dlq(spark, batch_id=-7) == N_BATCHES * PER_BATCH // 20
+    drain()
+
+    # CONSERVATION: every seeded message delivered exactly once
+    sink = spark.read.parquet(router.sink_path)
+    assert sink.count() == N_BATCHES * PER_BATCH
+    assert sink.select("message_id").distinct().count() == N_BATCHES * PER_BATCH
+    assert router.due_retries(spark, as_of=AS_OF_FUTURE).count() == 0
+    assert not os.path.exists(router.dlq_path)
+    assert router._swap_debris() == [] and router._fold_debris() == []
+
+
 def test_archive_file_count_tracks_archived_bytes():
     """The fold's consolidated-file count is sized from the archived bytes
     (one file per ~1 GiB, floor 1): small folds stay a single file, huge
