@@ -41,8 +41,17 @@ def write_partitioned(
     """Write a table partitioned by routing columns (topic/day/...).
 
     ``fmt`` ∈ parquet|orc|json|csv: columnar formats for engine tables, json/csv for
-    interchange — all three share the same partition layout and pruning."""
+    interchange — all three share the same partition layout and pruning.
+
+    ``mode='overwrite'`` is DYNAMIC: only the partitions present in ``df``
+    are replaced (the idempotent republish contract — replaying one
+    topic/day overwrites that slice).  Spark's session default is STATIC
+    overwrite, which would delete EVERY existing partition on each write —
+    for an incremental sink helper that is silent data loss, so the dynamic
+    mode is pinned per-write here rather than left to session config."""
     writer = df.write.format(fmt).mode(mode).partitionBy(*partition_by)
+    if mode == "overwrite":
+        writer = writer.option("partitionOverwriteMode", "dynamic")
     if fmt == "csv":
         writer = writer.option("header", "true")
     writer.save(path)

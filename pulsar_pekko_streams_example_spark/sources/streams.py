@@ -37,7 +37,16 @@ def envelope_file_stream(
     (S2 receiverQueueSize, util/PulsarClientWrapper.scala:169)."""
     prepare_session(spark)
     reader = spark.readStream.schema(schema)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        # `is not None`, not truthiness: a computed bound that bottoms out
+        # at 0 must fail loud here, not silently run the stream UNBOUNDED —
+        # the opposite of the full throttle the caller asked for
+        if max_files_per_trigger <= 0:
+            raise ValueError(
+                f"max_files_per_trigger must be positive, got "
+                f"{max_files_per_trigger}; to run unbounded, pass None "
+                "explicitly"
+            )
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     return reader.parquet(path)
 
@@ -122,6 +131,17 @@ def watermarked(
     stream (``part1/PulsarPekkoSource.scala:44-131`` delivers every received
     message downstream; a watermark that jumps a century violates that).
     """
+    if bounds is None and guard_metrics is not None:
+        # contradictory ask: guard_metrics names the guard's observation,
+        # and bounds=None disables the guard — silently attaching nothing
+        # would make guard_totals() report zero drops while the bare
+        # watermark may be dropping rows, the exact books-don't-balance
+        # outcome the metering exists to prevent
+        raise ValueError(
+            "guard_metrics meters the bounded_event_time guard, but "
+            "bounds=None disables it — pass bounds, or drop guard_metrics "
+            "and audit rejects upstream"
+        )
     if bounds is not None:
         lo, hi = bounds
         df = bounded_event_time(

@@ -96,6 +96,18 @@ class MetricsListener(StreamingQueryListener):
             with self._lock:
                 self.malformed.append({"batch_id": batch_id, "observed": repr(m)})
             return
+        # names matching is not enough: a foreign observation can carry our
+        # field NAMES with NULL or non-numeric VALUES (Row access returns
+        # None without raising), and a None here would make totals() raise
+        # at REPORT time in the caller, far from the offending batch —
+        # value-check too, and record the row as malformed instead
+        if any(
+            not isinstance(row[f], (int, float)) or isinstance(row[f], bool)
+            for f in fields
+        ):
+            with self._lock:
+                self.malformed.append({"batch_id": batch_id, "observed": repr(m)})
+            return
         with self._lock:
             dest.append(row)
 

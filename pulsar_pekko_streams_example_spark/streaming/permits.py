@@ -31,36 +31,56 @@ from dataclasses import dataclass
 
 from pyspark.sql import SparkSession
 
-FAIR_SCHEDULER_XML = """<?xml version="1.0"?>
-<allocations>
-  <pool name="default">
-    <schedulingMode>FAIR</schedulingMode>
-    <weight>1</weight>
-    <minShare>1</minShare>
-  </pool>
-</allocations>
-"""
-
-
 @dataclass(frozen=True)
 class PermitConfig:
-    """BASELINE.md envelope: globalPermitLimit 5/20, queue 20, waiting 10/20."""
+    """BASELINE.md envelope: globalPermitLimit 5/20, queue 20.
+
+    The reference's third knob — ``maxTasksWaiting``, the bound on offers
+    BLOCKED awaiting queue space (``part3/PermittedTaskExecutor.scala``'s
+    bounded concurrent offers) — has no field here BY CONSTRUCTION: a
+    pull-based micro-batch source never offers, so there is nothing to
+    block.  The backlog stays in the broker/files (L11 admission), and the
+    two bounds that exist in this model are the core budget
+    (``global_permit_limit``) and per-trigger admission
+    (``max_tasks_queued``).  A config field that no code reads would be a
+    silently ignored knob, which is worse than an honest absence.
+
+    ``pools`` gives per-workload FAIR pools real weights/minShares
+    (name, weight, minShare): a pool named in ``use_pool`` but not listed
+    here gets Spark's built-ins (weight 1, minShare 0, FIFO internally),
+    which protects nothing — list the workloads that must not starve."""
 
     global_permit_limit: int = 20
     max_tasks_queued: int = 20
-    max_tasks_waiting: int = 20
+    pools: tuple[tuple[str, int, int], ...] = ()
+
+
+def _fair_scheduler_xml(config: PermitConfig) -> str:
+    pool_xml = "".join(
+        f"""
+  <pool name="{name}">
+    <schedulingMode>FAIR</schedulingMode>
+    <weight>{weight}</weight>
+    <minShare>{min_share}</minShare>
+  </pool>"""
+        for name, weight, min_share in (("default", 1, 1), *config.pools)
+    )
+    return f'<?xml version="1.0"?>\n<allocations>{pool_xml}\n</allocations>\n'
 
 
 def fair_scheduler_confs(config: PermitConfig) -> dict[str, str]:
     """Builder-time confs implementing the global cap + fair sharing.
 
     The permit limit maps to the core budget: tasks beyond it queue in the
-    scheduler exactly like the reference's Source.queue backlog.
+    scheduler exactly like the reference's Source.queue backlog.  Each
+    ``config.pools`` entry is rendered into the allocation file, so
+    ``use_pool(spark, name)`` routes to a pool with the declared
+    weight/minShare instead of Spark's protect-nothing defaults.
     """
     xml = tempfile.NamedTemporaryFile(
         "w", suffix=".xml", prefix="fairscheduler", delete=False
     )
-    xml.write(FAIR_SCHEDULER_XML)
+    xml.write(_fair_scheduler_xml(config))
     xml.close()
     # the JVM reads the file once at session build; reclaim it at interpreter
     # exit so repeated session builds don't accrete temp files

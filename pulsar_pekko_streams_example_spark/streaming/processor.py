@@ -51,6 +51,16 @@ def apply_processor(
     """
     if parallelism:
         df = df.repartition(parallelism)
+    # a REPROCESSED frontier (due_retries output) already carries ok/error
+    # from its last attempt; those verdicts are stale by definition — this
+    # call exists to re-decide them.  Drop them before appending: the
+    # output schema must never carry duplicate fields (StructType.add does
+    # not dedupe, and a duplicate field breaks mapInPandas column binding
+    # at runtime), and pre-fix every caller had to remember the drop
+    # itself or fail inside the stream.
+    stale = [c for c in ("ok", "error") if c in df.columns]
+    if stale:
+        df = df.drop(*stale)
     out_schema = StructType.fromJson(df.schema.jsonValue())
     out_schema = out_schema.add("ok", "boolean").add("error", "string")
 
@@ -137,7 +147,12 @@ def simulated_processor(failure_mod: int = 10) -> Callable[[pd.DataFrame], pd.Se
     fails every ``failure_mod``-th message by id, no sleep."""
 
     def fn(pdf: pd.DataFrame) -> pd.Series:
-        return pdf["event_id"] % failure_mod != 0
+        ids = pdf["event_id"]
+        # NULL ids arrive as NaN in the Arrow batch, and NaN % m != 0
+        # evaluates True — a silent fail-open ACK for a message that
+        # cannot even be identified.  A missing id is a FAILURE, the same
+        # NULL-is-failure contract route_batch/route_outcomes enforce.
+        return ids.notna() & (ids % failure_mod != 0)
 
     return fn
 

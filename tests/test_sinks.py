@@ -42,6 +42,29 @@ def test_partitioned_roundtrip_all_formats(spark, tmpdir):
         }
 
 
+def test_overwrite_replaces_only_the_partitions_present(spark, tmpdir):
+    """write_partitioned's overwrite is DYNAMIC — the idempotent republish
+    contract: re-writing one routing slice replaces THAT slice and leaves
+    every other partition intact.  Pre-fix the session-default STATIC
+    overwrite deleted every existing partition on each incremental write —
+    silent loss of all prior days."""
+    path = os.path.join(tmpdir, "sink")
+    day1 = spark.createDataFrame([("a", "d1"), ("b", "d1")], "id string, day string")
+    day2 = spark.createDataFrame([("c", "d2")], "id string, day string")
+    write_partitioned(day1, path, ["day"])
+    write_partitioned(day2, path, ["day"])
+    assert sorted(
+        (r.id, r.day) for r in read_partitioned(spark, path).collect()
+    ) == [("a", "d1"), ("b", "d1"), ("c", "d2")]  # d1 SURVIVES the d2 write
+
+    # replaying a slice overwrites it exactly once (idempotent republish)
+    day2_replay = spark.createDataFrame([("c2", "d2")], "id string, day string")
+    write_partitioned(day2_replay, path, ["day"])
+    assert sorted(
+        (r.id, r.day) for r in read_partitioned(spark, path).collect()
+    ) == [("a", "d1"), ("b", "d1"), ("c2", "d2")]
+
+
 def test_partition_pruning_in_scan(spark, tmpdir):
     ev = load_table(spark, SF_SMOKE, "events")
     path = os.path.join(tmpdir, "by_type")

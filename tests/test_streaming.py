@@ -253,6 +253,30 @@ def test_permit_confs(spark):
     assert admission_options(cfg)["maxFilesPerTrigger"] == "2"
 
 
+def test_permit_pools_render_real_weights(spark):
+    """Per-workload FAIR pools carry the DECLARED weight/minShare into the
+    allocation file: pre-fix the file held only the default pool, so a
+    pool named in use_pool got Spark's built-ins (weight 1, minShare 0,
+    FIFO internally) and the docstring's starvation protection protected
+    nothing."""
+    import xml.etree.ElementTree as ET
+
+    cfg = PermitConfig(pools=(("billing", 4, 3), ("batch", 1, 0)))
+    confs = fair_scheduler_confs(cfg)
+    tree = ET.parse(confs["spark.scheduler.allocation.file"])
+    pools = {
+        p.get("name"): {
+            "weight": p.findtext("weight"),
+            "minShare": p.findtext("minShare"),
+            "mode": p.findtext("schedulingMode"),
+        }
+        for p in tree.getroot().findall("pool")
+    }
+    assert set(pools) == {"default", "billing", "batch"}
+    assert pools["billing"] == {"weight": "4", "minShare": "3", "mode": "FAIR"}
+    assert pools["batch"]["weight"] == "1"
+
+
 def test_watermark_windowed_aggregation(spark, tmpdir):
     """§2.7 addition: event-time tumbling windows + watermark over the
     envelope stream; late data beyond the watermark is dropped by the engine.

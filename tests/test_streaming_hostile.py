@@ -25,6 +25,7 @@ import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
+from examples._common import seed_messages
 from pulsar_pekko_streams_example_spark.sources.streams import (
     bounded_event_time,
     envelope_file_stream,
@@ -355,6 +356,79 @@ def test_apply_processor_null_verdict_is_failure(spark):
             assert r.ok is False and "NullVerdict" in r.error, r
         else:
             assert r.ok is True and r.error is None, r
+
+
+def test_apply_processor_reprocesses_a_frontier_that_carries_verdicts(spark):
+    """Reprocessing the retry frontier directly — apply_processor over a
+    frame that already carries ok/error from its LAST attempt — must drop
+    the stale verdicts and re-decide, not build a duplicate-field output
+    schema (StructType.add does not dedupe; pre-fix the duplicate 'ok'
+    broke mapInPandas column binding at runtime and every caller had to
+    remember drop('ok','error') itself)."""
+    df = spark.range(4).select(
+        F.concat(F.lit("m-"), F.col("id")).alias("message_id"),
+        F.col("id").alias("event_id"),
+        F.lit(False).alias("ok"),  # the stale last-attempt verdict
+        F.lit("old failure").alias("error"),
+    )
+    out = apply_processor(df, lambda pdf: pdf["event_id"] % 2 == 0)
+    assert out.columns.count("ok") == 1 and out.columns.count("error") == 1
+    rows = {r.message_id: r.ok for r in out.collect()}
+    # verdicts are RE-decided, not inherited from the stale column
+    assert rows == {"m-0": True, "m-1": False, "m-2": True, "m-3": False}
+
+
+def test_simulated_processor_fails_null_event_ids(spark):
+    """A NULL event_id arrives in the Arrow batch as NaN, and NaN % m != 0
+    is True — pre-fix the simulated processor silently ACKED a message
+    that cannot even be identified.  A missing id is a failure, the same
+    NULL-is-failure contract the router enforces."""
+    from pulsar_pekko_streams_example_spark.streaming.processor import (
+        simulated_processor,
+    )
+
+    df = spark.createDataFrame(
+        [("m-ok", 7), ("m-null", None), ("m-fail", 10)],
+        "message_id string, event_id long",
+    )
+    rows = {
+        r.message_id: r.ok
+        for r in apply_processor(df, simulated_processor()).collect()
+    }
+    assert rows == {"m-ok": True, "m-null": False, "m-fail": False}
+
+
+def test_watermarked_rejects_metering_without_a_guard(spark, tmpdir):
+    """bounds=None disables the guard, so guard_metrics would attach NO
+    observation: pre-fix the combination was silently accepted and
+    guard_totals() reported zero drops while the bare watermark may have
+    been dropping rows — the exact books-don't-balance outcome the
+    metering exists to prevent."""
+    from pulsar_pekko_streams_example_spark.sources.streams import (
+        envelope_file_stream,
+        watermarked,
+    )
+
+    src = os.path.join(tmpdir, "src")
+    seed_messages(spark, 4).write.parquet(src)
+    stream = envelope_file_stream(spark, src)
+    with pytest.raises(ValueError, match="bounds=None disables it"):
+        watermarked(stream, "10 minutes", bounds=None, guard_metrics="g")
+
+
+def test_file_stream_rejects_a_zero_admission_bound(spark, tmpdir):
+    """max_files_per_trigger=0 (a computed bound that bottomed out) must
+    fail loud: pre-fix the falsy check skipped the option and the stream
+    ran UNBOUNDED — the opposite of the full throttle the caller asked
+    for."""
+    from pulsar_pekko_streams_example_spark.sources.streams import (
+        envelope_file_stream,
+    )
+
+    src = os.path.join(tmpdir, "src")
+    seed_messages(spark, 4).write.parquet(src)
+    with pytest.raises(ValueError, match="must be positive"):
+        envelope_file_stream(spark, src, max_files_per_trigger=0)
 
 
 def test_apply_processor_misaligned_verdicts_fail_safe(spark):
@@ -830,6 +904,44 @@ def test_metrics_listener_survives_foreign_observation():
     assert totals["processed"] == 5 and totals["batches"] == 1
     assert totals["malformed_batches"] == 1
     assert listener.malformed[0]["batch_id"] == 0
+
+
+def test_metrics_listener_rejects_null_valued_observation_fields():
+    """Matching NAMES are not enough: a foreign observation can carry our
+    field names with NULL values (e.g. a max over an empty batch) — Row
+    access returns None without raising, so pre-fix the None landed in the
+    ledger and totals() raised TypeError at REPORT time in the caller, far
+    from the offending batch.  Value-malformed rows are recorded as data,
+    same as shape-malformed ones."""
+    from types import SimpleNamespace
+
+    from pulsar_pekko_streams_example_spark.streaming.metrics import MetricsListener
+
+    listener = MetricsListener()
+
+    def progress_event(batch_id, observed):
+        return SimpleNamespace(
+            progress=SimpleNamespace(batchId=batch_id, observedMetrics=observed)
+        )
+
+    listener.onQueryProgress(
+        progress_event(
+            0, {"engine_metrics": {"processed": None, "successes": 1, "failures": 0}}
+        )
+    )
+    listener.onQueryProgress(
+        progress_event(
+            1, {"engine_metrics": {"processed": "5", "successes": 3, "failures": 2}}
+        )
+    )
+    listener.onQueryProgress(
+        progress_event(
+            2, {"engine_metrics": {"processed": 5, "successes": 3, "failures": 2}}
+        )
+    )
+    totals = listener.totals()  # must not raise
+    assert totals["processed"] == 5 and totals["batches"] == 1
+    assert totals["malformed_batches"] == 2
 
 
 def test_malformed_engine_row_does_not_skip_guard_observation():
@@ -2929,7 +3041,9 @@ def test_frontier_read_does_not_block_on_deferred_debris(spark, tmpdir):
         t0 = _time.monotonic()
         due = router.due_retries(spark, as_of=AS_OF_FUTURE)
         ids = {r.message_id for r in due.collect()}
-        assert _time.monotonic() - t0 < 10  # prompt, not lease_timeout_s
+        # generous bound: the point is "a Spark job, not a 30 s lease
+        # stall" — suite-load spikes must not flake it
+        assert _time.monotonic() - t0 < 15
         assert ids == {"m-fail"}
     finally:
         os.close(fd)
