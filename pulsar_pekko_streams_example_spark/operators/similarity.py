@@ -222,18 +222,26 @@ def ann_lsh_topk(
     )
 
 
-def embedding_near_dup(
-    emb: DataFrame, threshold: float, bands: DataFrame | None = None
+def scored_candidate_pairs(
+    emb: DataFrame, bands: DataFrame | None = None
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
-    signature → 4×4-bit bands → bucket-collision candidates → exact-cosine
-    verify ≥ threshold.
+    """Exact-cosine-scored LSH candidate pairs, UNFILTERED: signature →
+    4×4-bit bands → bucket-collision candidates → one cosine per pair.
 
-    The scale path for embedding dedup: candidate generation is an equi-join
-    on (band, value) over constant-size signatures — the corpus-sized cross
-    join never happens.  LSH recall (<100%) is part of the operator's
-    contract; the oracle replicates the same banding, so results are exact.
-    """
+    The shared candidate pipeline behind ``embedding_near_dup`` (which
+    filters ``cosine >= threshold``) and the dedup-threshold calibration
+    curve (which histograms ALL pairs).  Split out so a consumer that keeps
+    every pair aggregates DIRECTLY on the scored rows: the cosine fold is a
+    higher-order aggregate expression Catalyst evaluates interpreted (no
+    codegen CSE), so a pass-everything ``filter(cosine >= -inf)`` under an
+    aggregation re-evaluates the 64-dim fold PER PAIR in both the Filter and
+    the grouping key — measured 1.4× the whole query at sf0.1.  Consumers:
+    filter only when the filter actually prunes.
+
+    NULL contract (lockstep with the DuckDB twin): fully NULL embeddings are
+    excluded; a NULL *element* makes the dot fold NULL and the pair's cosine
+    NULL — downstream filters (threshold, IS NOT NULL) drop it in both
+    engines."""
     emb = spread(emb)
     # candidate generation shuffles (band, val, vec_id) only — the embedding
     # arrays re-attach AFTER pair dedup, so the wide columns never fan out
@@ -270,8 +278,23 @@ def embedding_near_dup(
         cand.join(ea, ["vec_a"])  # AQE broadcasts when the vector side is small
         .join(eb, ["vec_b"])
         .withColumn("cosine", cos)
-        .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
+    )
+
+
+def embedding_near_dup(
+    emb: DataFrame, threshold: float, bands: DataFrame | None = None
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via random-hyperplane LSH:
+    ``scored_candidate_pairs`` verified at exact cosine ≥ threshold.
+
+    The scale path for embedding dedup: candidate generation is an equi-join
+    on (band, value) over constant-size signatures — the corpus-sized cross
+    join never happens.  LSH recall (<100%) is part of the operator's
+    contract; the oracle replicates the same banding, so results are exact.
+    """
+    return scored_candidate_pairs(emb, bands=bands).filter(
+        F.col("cosine") >= threshold
     )
 
 

@@ -2819,10 +2819,24 @@ CAL_BANDS_PER_UNIT = 20  # 0.05-wide cosine bands
 )
 def semdedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    scored = similarity.embedding_near_dup(emb, threshold=-2.0)
-    hist = scored.groupBy(
-        F.expr(f"CAST(FLOOR(cosine * {CAL_BANDS_PER_UNIT}) AS BIGINT)").alias("band")
-    ).agg(F.count(F.lit(1)).alias("pairs"))
+    # UNFILTERED scored pairs: the old pass-everything filter(cosine >= -2)
+    # made Spark evaluate the interpreted 64-dim cosine fold TWICE per pair
+    # (Filter + the grouping key below — higher-order aggregates get no
+    # codegen CSE); histogramming the scored rows directly evaluates it once.
+    # The oracle's pre-agg `WHERE cosine IS NOT NULL` is applied here as a
+    # post-agg band filter instead: band = FLOOR(cosine*K) is NULL iff cosine
+    # is NULL, so dropping the NULL band from the <= 41-row histogram is
+    # exactly equivalent — and costs 1 row-test, not one fold per pair.
+    scored = similarity.scored_candidate_pairs(emb)
+    hist = (
+        scored.groupBy(
+            F.expr(f"CAST(FLOOR(cosine * {CAL_BANDS_PER_UNIT}) AS BIGINT)").alias(
+                "band"
+            )
+        )
+        .agg(F.count(F.lit(1)).alias("pairs"))
+        .filter(F.col("band").isNotNull())
+    )
     w = Window.orderBy(F.col("band").desc())
     return hist.select(
         "band",
