@@ -487,6 +487,154 @@ def cosine_topk_numpy(
     )
 
 
+# --- PQ (product-quantization) ANN with ADC scoring -------------------------
+
+# Product quantization (Jégou, Douze, Schmid, "Product Quantization for
+# Nearest Neighbor Search", TPAMI 2011): split the d-dim space into M
+# orthogonal subspaces, quantize each subvector against a per-subspace
+# codebook of K centroids, and represent every corpus vector by its M
+# centroid ids — M bytes instead of 4·d.  Queries never touch the corpus
+# embeddings: ADC (asymmetric distance computation) precomputes the M×K
+# table of query-subvector→centroid distances, and a vector's approximate
+# distance is M table lookups summed over its code.
+#
+# Deterministic codebook, same posture as the IVF quantizer above:
+# centroid j of every subspace is the j-th strided corpus vector's
+# subvector (production trains per-subspace k-means on a sample; a pure
+# function of the data keeps the DuckDB oracle bit-identical).
+PQ_M = 8  # subspaces (64-dim embeddings -> 8 dims each)
+PQ_SUBDIM = 8
+PQ_CODEBOOK = 16  # centroids per subspace (4-bit codes)
+PQ_CENT_STRIDE = 8
+PQ_CENT_OFFSET = 1
+# Degenerate-subdistance sentinel: INSIDE the DECIMAL(38,6) envelope
+# (|x| < 1e32) so the portable decimal ADC sum still accumulates it —
+# a NaN/NULL subdistance ranks the pair last instead of vanishing.
+PQ_SENTINEL = "1e30"
+
+
+def sqdist(a: str, b: str, dialect: str) -> str:
+    """Left-fold squared L2 distance between equal-length array columns,
+    identical fold order in both dialects (the (x-y)·(x-y) twin of DOT) so
+    doubles are bit-identical across engines."""
+    if dialect == "spark":
+        return (
+            f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    return (
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, len({a}) + 1), "
+        f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
+        "(acc, x) -> acc + x)"
+    )
+
+
+def pq_distance_table(emb: DataFrame) -> DataFrame:
+    """(vec_id, m, j, d): guarded squared L2 distance of every vector's
+    m-th subvector to centroid j of subspace m.
+
+    ONE table serves both PQ stages: corpus rows argmin into codes
+    (``pq_codes``) and query rows ARE the ADC lookup tables — the distance
+    expression is written once, so both sides are bit-identical by
+    construction.  The centroid set broadcasts (M·K subvectors); the only
+    wide pass is this map-side scoring, O(corpus · M · K · subdim) — at a
+    real deployment the codes are computed once at ingest and materialized
+    (operators/cache.py posture), so query-time cost never touches this.
+
+    Guard: a NULL/NaN subdistance (NULL element, NaN component) becomes the
+    in-envelope sentinel 1e30 — deterministic worst-rank in BOTH engines
+    (evaluated via nanvl/coalesce so the fold itself runs once per row).
+    ±Inf survives: IEEE-consistent ordering either way, and the decimal ADC
+    accumulator excludes it identically in both engines."""
+    emb = spread(emb)
+    base = emb.filter(F.col("embedding").isNotNull()).select("vec_id", "embedding")
+    cent = base.filter(
+        (F.col("vec_id") < PQ_CENT_STRIDE * PQ_CODEBOOK)
+        & (F.col("vec_id") % PQ_CENT_STRIDE == PQ_CENT_OFFSET)
+    ).select(
+        ((F.col("vec_id") - PQ_CENT_OFFSET) / PQ_CENT_STRIDE)
+        .cast("long")
+        .alias("j"),
+        F.col("embedding").alias("ce"),
+    )
+    sub_v = f"slice(embedding, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+    sub_c = f"slice(ce, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+    d = sqdist(sub_v, sub_c, "spark")
+    guarded = (
+        f"coalesce(nanvl({d}, CAST({PQ_SENTINEL} AS DOUBLE)), "
+        f"CAST({PQ_SENTINEL} AS DOUBLE))"
+    )
+    return (
+        base.crossJoin(F.broadcast(cent))
+        .select(
+            "vec_id",
+            "j",
+            "embedding",
+            "ce",
+            F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
+        )
+        .select("vec_id", F.col("m").cast("long").alias("m"), "j", F.expr(guarded).alias("d"))
+    )
+
+
+def pq_codes(dtable: DataFrame) -> DataFrame:
+    """(vec_id, m, code): each vector's nearest centroid per subspace —
+    the M-byte PQ code, as one hash aggregate of min(struct(d, j)) with
+    map-side partials (ties break to the smaller centroid id, the same
+    order the oracle's ROW_NUMBER pins)."""
+    return (
+        dtable.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d"), F.col("j"))).alias("mn"))
+        .select("vec_id", "m", F.col("mn.j").alias("code"))
+    )
+
+
+def ann_pq_adc_topk(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
+    """PQ/ADC ANN: corpus vectors quantize to M-byte codes once; each query
+    precomputes its M×K distance table and scores a neighbor with M lookups
+    — query-time work never touches a corpus embedding.
+
+    THE 100 TB shape for embedding retrieval: a billion 64-dim float32
+    vectors are 256 GB of embeddings but only 8 GB of PQ codes, the scoring
+    join is an equi-join of codes against a BROADCAST query table on
+    (subspace, centroid id), and the ADC sum is one hash aggregate — no
+    pairwise join ever materializes subvectors.  Quantization error (ADC
+    distance ≈ true distance) is the operator's contract — the oracle
+    replicates the deterministic strided codebook, the argmin tie-break,
+    and the decimal-exact ADC sum, so results match bit-for-bit.  Rank by
+    (adc_dist ASC NULLS LAST, neighbor_id): an all-excluded (±Inf) code
+    sums to NULL and ranks last, identically in both engines."""
+    from pulsar_pekko_streams_example_spark.functions.numeric import dsum
+
+    dt = pq_distance_table(emb)
+    codes = pq_codes(dt)
+    qdt = dt.filter(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"),
+        "m",
+        F.col("j").alias("code"),
+        "d",
+    )
+    scored = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(qdt), ["m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(dsum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
 # --- IVF (inverted-file) ANN -----------------------------------------------
 
 # Deterministic strided coarse quantizer: centroid set = every 64th vector.

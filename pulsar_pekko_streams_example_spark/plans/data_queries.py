@@ -887,6 +887,77 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivf_topk(emb, ANN_QUERY_FILTER, ANN_K)
 
 
+def _duck_ann_pq_sql(k: int) -> str:
+    S = similarity
+    sub_v = f"b.embedding[t.m * {S.PQ_SUBDIM} + 1 : t.m * {S.PQ_SUBDIM} + {S.PQ_SUBDIM}]"
+    sub_c = f"c.ce[t.m * {S.PQ_SUBDIM} + 1 : t.m * {S.PQ_SUBDIM} + {S.PQ_SUBDIM}]"
+    dd = S.sqdist(sub_v, sub_c, "duckdb")
+    guarded = (
+        f"coalesce(CASE WHEN isnan({dd}) THEN CAST({S.PQ_SENTINEL} AS DOUBLE) "
+        f"ELSE ({dd}) END, CAST({S.PQ_SENTINEL} AS DOUBLE))"
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        cent AS (
+          SELECT CAST((vec_id - {S.PQ_CENT_OFFSET}) // {S.PQ_CENT_STRIDE} AS BIGINT) AS j,
+                 embedding AS ce
+          FROM base
+          WHERE vec_id < {S.PQ_CENT_STRIDE * S.PQ_CODEBOOK}
+            AND vec_id % {S.PQ_CENT_STRIDE} = {S.PQ_CENT_OFFSET}
+        ),
+        dt AS (
+          SELECT b.vec_id, CAST(t.m AS BIGINT) AS m, c.j, {guarded} AS d
+          FROM base b CROSS JOIN cent c CROSS JOIN range({S.PQ_M}) t(m)
+        ),
+        codes AS (
+          SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+            FROM dt
+          ) x WHERE rn = 1
+        ),
+        qdt AS (
+          SELECT vec_id AS query_id, m, j AS code, d FROM dt
+          WHERE {ANN_QUERY_FILTER}
+        ),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 {sql_dsum('q.d')} AS adc_dist
+          FROM codes c JOIN qdt q ON c.m = q.m AND c.code = q.code
+          WHERE c.vec_id <> q.query_id
+          GROUP BY q.query_id, c.vec_id
+        )
+        SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist NULLS LAST, neighbor_id) AS rnk
+          FROM scored
+        ) t WHERE rnk <= {k}
+        """
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_duck_ann_pq_sql(ANN_K),
+    doc="PQ/ADC ANN (the compressed-domain scale path, Jégou et al. TPAMI "
+    "2011): corpus vectors quantize ONCE to M-byte product-quantization "
+    "codes (8 subspaces × 16 centroids, deterministic strided codebook); a "
+    "query precomputes its M×16 subdistance table and scores a neighbor "
+    "with M lookups — the scoring join is codes ⋈ broadcast query table on "
+    "(subspace, centroid), ADC sum is one decimal-exact hash aggregate, and "
+    "query-time work never touches a corpus embedding (at 1B vectors: 8 GB "
+    "of codes vs 256 GB of float32).  Quantization error is the contract; "
+    "the oracle replicates codebook, argmin tie-break, and the decimal sum "
+    "bit-for-bit.",
+    tags=("similarity", "pq", "scale-default", "added-r12"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_pq_adc_topk(emb, ANN_QUERY_FILTER, ANN_K)
+
+
 def _duck_components_sql() -> str:
     return f"""
         WITH RECURSIVE {DUCK_DOC_CTE}, {DUCK_INTER_CTE},

@@ -283,6 +283,10 @@ PINNED_EMB = [
     ("ann_cosine_topk_vectorized", "numpy twin of the safe_cos guards"),
     ("ann_lsh_topk", "NaN signatures bucket consistently"),
     ("ann_ivf_topk", "degenerate centroid/query in IVF probing"),
+    # round-12: PQ codebook seeds land on the all-NaN (1), NULL-embedding
+    # (9) and +Inf-spike (41) rows; the NaN query (100) exercises the
+    # sentinel guard and the decimal ADC sum's identical Inf exclusion
+    ("ann_pq_adc_topk", "NaN/Inf codebook + NaN query: guarded argmin/ADC"),
     ("embedding_near_dup", "NaN/Inf candidate pairs: safe_cos verify"),
     # round-7 sweep finding
     ("embedding_quantization_error", "float32-max err: saturated micro sum"),
