@@ -57,6 +57,27 @@ def simhash_bit(j: int, inner: str, dialect: str) -> str:
     return f"(({inner} {div} {2**j}) % 2)"
 
 
+def positional_shingles(n: int, dialect: str) -> str:
+    """POSITIONAL n-gram word shingles over a tokens-array column ``w`` —
+    one shingle per token position, duplicates KEPT (the span-coverage twin
+    of ``shingles``, which distincts for set semantics).  Position i's
+    shingle covers tokens i..i+n-1; a doc has max(0, len(w) - n + 1)
+    positions.  Guarded for docs shorter than n tokens (empty list)."""
+    if dialect == "spark":
+        parts = ", '_', ".join(f"element_at(w, i + {k})" for k in range(n))
+        return (
+            f"CASE WHEN size(w) >= {n} THEN "
+            f"transform(sequence(1, size(w) - {n - 1}), i -> concat({parts})) "
+            f"ELSE array() END"
+        )
+    joined = " || '_' || ".join(f"w[i + {k}]" for k in range(n))
+    return (
+        f"CASE WHEN len(w) >= {n} THEN "
+        f"list_transform(range(1, len(w) - {n - 2}), i -> {joined}) "
+        f"ELSE [] END"
+    )
+
+
 def tokens(text: str, dialect: str) -> str:
     """Whitespace tokenization with empty tokens dropped."""
     if dialect == "spark":

@@ -63,6 +63,66 @@ def shingle_sizes(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
+def dup_span_coverage(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """Per-source duplicated-SPAN accounting: how much of the corpus TEXT
+    (token positions, not whole docs) is covered by n-gram spans that also
+    occur in another document — the position-level dedup signal of Lee et
+    al., "Deduplicating Training Data Makes Language Models Better" (ACL
+    2022), where doc-level Jaccard/MinHash sees only whole-document overlap.
+
+    Per document: every token position i carries the shingle of tokens
+    i..i+n-1; a position is DUPLICATED if its shingle occurs in at least one
+    other document.  Rolled up per source: docs, span positions, duplicated
+    span positions, integer permille coverage, and the count of documents
+    with >= 50% duplicated positions (the "mostly boilerplate" pile a
+    curation run routes to exact-substring dedup).
+
+    Scale posture: shuffles carry (doc_id, shingle-hash int64) — never text;
+    the per-doc position counts and the shingle doc-frequency are the SAME
+    aggregate tree (df comes from the doc-distinct rows the position-count
+    aggregate already produced), joined once on the hash — the standard
+    inverted-index shape whose cost is O(positions), map-side combinable at
+    both levels.  Documents shorter than n tokens have zero positions and
+    are counted in ``docs`` but never in ``mostly_dup_docs``.  Hash
+    collisions merge spans identically in both engines (the accepted
+    fingerprinting tradeoff, as for MinHash)."""
+    pos = (
+        tokenized(docs)
+        .select(
+            "doc_id",
+            F.explode(F.expr(H.positional_shingles(n, "spark"))).alias("g"),
+        )
+        .select("doc_id", F.expr(H.word_hash("g", "spark")).alias("h"))
+    )
+    per_shingle = pos.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    dfs = per_shingle.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    perdoc = (
+        per_shingle.join(dfs, ["h"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("spans"),
+            F.sum(F.when(F.col("df") >= 2, F.col("c")).otherwise(0)).alias("dup"),
+        )
+    )
+    return (
+        docs.select("doc_id", "source")
+        .join(perdoc, ["doc_id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.coalesce(F.sum("spans"), F.lit(0)).cast("long").alias("span_positions"),
+            F.coalesce(F.sum("dup"), F.lit(0)).cast("long").alias("dup_span_positions"),
+            F.expr(
+                "CAST((1000 * coalesce(sum(dup), 0L)) "
+                "div greatest(coalesce(sum(spans), 0L), 1L) AS LONG)"
+            ).alias("dup_permille"),
+            F.sum(F.when(2 * F.col("dup") >= F.col("spans"), 1).otherwise(0))
+            .cast("long")
+            .alias("mostly_dup_docs"),
+        )
+    )
+
+
 def hot_shingles(posting: DataFrame, max_df: int) -> DataFrame:
     """(s) — shingles with document frequency > ``max_df``.  Tiny by
     construction: at most total_postings / max_df shingles can exceed the

@@ -2833,6 +2833,74 @@ def boilerplate_suffix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Duplicated-span coverage: position-level dedup accounting per source
+# ---------------------------------------------------------------------------
+# Span length for duplicated-span accounting — LONGER than the dedup
+# shingle (SHINGLE_N = 3) on purpose: 3-gram spans saturate on any shared
+# vocabulary (measured 639-999 permille "duplicated" across the corpora —
+# noise, not copying), while 5-token spans isolate genuine copied passages
+# (measured: 90 permille, with the planted near-dup docs emerging as the
+# mostly_dup pile).  Lee et al. used 50-token spans at web scale; 5 is the
+# same knee for this corpus's short documents.
+DUP_SPAN_N = 5
+
+
+def _duck_dup_span_sql(n: int) -> str:
+    return f"""
+        WITH tok AS (
+          SELECT doc_id, {H.tokens('text', 'duckdb')} AS w FROM documents
+        ),
+        pos AS (
+          SELECT doc_id, {H.word_hash('g', 'duckdb')} AS h
+          FROM (
+            SELECT doc_id, unnest({H.positional_shingles(n, 'duckdb')}) AS g
+            FROM tok
+          )
+        ),
+        per_shingle AS (
+          SELECT doc_id, h, COUNT(*) AS c FROM pos GROUP BY doc_id, h
+        ),
+        dfs AS (SELECT h, COUNT(*) AS df FROM per_shingle GROUP BY h),
+        perdoc AS (
+          SELECT s.doc_id, SUM(c) AS spans,
+                 SUM(CASE WHEN df >= 2 THEN c ELSE 0 END) AS dup
+          FROM per_shingle s JOIN dfs USING (h)
+          GROUP BY s.doc_id
+        )
+        SELECT d.source,
+               COUNT(*) AS docs,
+               CAST(COALESCE(SUM(spans), 0) AS BIGINT) AS span_positions,
+               CAST(COALESCE(SUM(dup), 0) AS BIGINT) AS dup_span_positions,
+               CAST((1000 * COALESCE(SUM(dup), 0))
+                    // GREATEST(COALESCE(SUM(spans), 0), 1) AS BIGINT)
+                 AS dup_permille,
+               CAST(SUM(CASE WHEN 2 * dup >= spans THEN 1 ELSE 0 END) AS BIGINT)
+                 AS mostly_dup_docs
+        FROM documents d LEFT JOIN perdoc p ON d.doc_id = p.doc_id
+        GROUP BY d.source
+        """
+
+
+@register(
+    "dup_span_coverage",
+    oracle=_duck_dup_span_sql(DUP_SPAN_N),
+    doc="Duplicated-span coverage per source: the fraction of token "
+    "POSITIONS whose n-gram span also occurs in another document — the "
+    "position-level dedup accounting of Lee et al. (ACL 2022), which "
+    "doc-level Jaccard/MinHash cannot see — plus the count of documents "
+    "that are >= 50% duplicated spans (the exact-substring-dedup pile).  "
+    "Shuffles carry (doc_id, span-hash int64), never text; the per-doc "
+    "position counts and the span document-frequency share one aggregate "
+    "tree joined once on the hash — inverted-index shape, O(positions), "
+    "map-side combinable at every level.",
+    tags=("text", "dedup", "curation", "added-r12"),
+)
+def dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.dup_span_coverage(docs, n=DUP_SPAN_N)
+
+
+# ---------------------------------------------------------------------------
 # Dedup-threshold calibration curve: what each cosine cutoff would remove
 # ---------------------------------------------------------------------------
 CAL_BANDS_PER_UNIT = 20  # 0.05-wide cosine bands

@@ -179,6 +179,10 @@ PINNED_TEXT = [
     ("pipeline_funnel_counts", "empty-doc quality, inline formula twin"),
     ("chunk_shared_pairs", "huge doc: linear position-based chunker"),
     ("context_chunking_stats", "huge doc: chunk-count window twin"),
+    # round-12: empty/whitespace/punct docs all fall below the span length
+    # (0 positions -> counted in docs, excluded from mostly_dup identically
+    # in both engines); the huge unique doc pins the O(positions) path
+    ("dup_span_coverage", "sub-span-length and huge docs: guarded coverage"),
 ]
 
 

@@ -132,6 +132,34 @@ def test_ivf_pruned_search_properties(spark):
         assert e[pair] == i[pair]  # exact re-scoring, bit-identical
 
 
+def test_dup_span_coverage_hand_corpus(spark):
+    """Position-level semantics pinned on a hand-computable corpus (n=3):
+    doc 0 'a b c d e' has 3 positions, doc 1 'x a b c y' has 3 positions and
+    shares exactly the span 'a b c' with doc 0 (1 duplicated position each),
+    doc 2 'p q r s' is unique (0 of 2), doc 3 'a b' is below span length
+    (0 positions, counted in docs, never mostly-dup), doc 4 repeats doc 0
+    verbatim in another source (ALL 3 positions duplicated -> mostly-dup)."""
+    docs = spark.createDataFrame(
+        [
+            (0, "s1", "a b c d e"),
+            (1, "s1", "x a b c y"),
+            (2, "s1", "p q r s"),
+            (3, "s1", "a b"),
+            (4, "s2", "a b c d e"),
+        ],
+        "doc_id long, source string, text string",
+    )
+    rows = {r.source: r for r in dedup.dup_span_coverage(docs, n=3).collect()}
+    s1, s2 = rows["s1"], rows["s2"]
+    # doc 0: positions {abc,bcd,cde} all shared with doc 4 -> 3 dup; doc 1:
+    # {xab,abc,bcy} -> only abc dup; doc 2: {pqr,qrs} -> 0; doc 3: none
+    assert (s1.docs, s1.span_positions, s1.dup_span_positions) == (4, 8, 4)
+    assert s1.dup_permille == 500
+    assert s1.mostly_dup_docs == 1  # doc 0 (3/3); doc 1 is 1/3, below half
+    assert (s2.docs, s2.span_positions, s2.dup_span_positions) == (1, 3, 3)
+    assert s2.mostly_dup_docs == 1
+
+
 def test_pq_adc_search_properties(spark):
     """PQ/ADC invariants on the synthetic corpus.
 
