@@ -533,7 +533,7 @@ def sqdist(a: str, b: str, dialect: str) -> str:
     )
 
 
-def pq_distance_table(emb: DataFrame) -> DataFrame:
+def pq_distance_table(emb: DataFrame, row_filter: str | None = None) -> DataFrame:
     """(vec_id, m, j, d): guarded squared L2 distance of every vector's
     m-th subvector to centroid j of subspace m.
 
@@ -549,7 +549,14 @@ def pq_distance_table(emb: DataFrame) -> DataFrame:
     in-envelope sentinel 1e30 — deterministic worst-rank in BOTH engines
     (evaluated via nanvl/coalesce so the fold itself runs once per row).
     ±Inf survives: IEEE-consistent ordering either way, and the decimal ADC
-    accumulator excludes it identically in both engines."""
+    accumulator excludes it identically in both engines.
+
+    ``row_filter`` restricts WHICH vectors get distance rows (the codebook
+    always derives from the full corpus): the query-side table needs only
+    the query vectors, and without the pushdown the plan would score the
+    whole corpus against the codebook a second time just to keep 1% of the
+    rows (the two consumers share no materialization — each builds its own
+    subtree)."""
     emb = spread(emb)
     base = emb.filter(F.col("embedding").isNotNull()).select("vec_id", "embedding")
     cent = base.filter(
@@ -561,6 +568,8 @@ def pq_distance_table(emb: DataFrame) -> DataFrame:
         .alias("j"),
         F.col("embedding").alias("ce"),
     )
+    if row_filter is not None:
+        base = base.filter(F.expr(row_filter))
     sub_v = f"slice(embedding, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
     sub_c = f"slice(ce, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
     d = sqdist(sub_v, sub_c, "spark")
@@ -610,9 +619,8 @@ def ann_pq_adc_topk(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
     sums to NULL and ranks last, identically in both engines."""
     from pulsar_pekko_streams_example_spark.functions.numeric import dsum
 
-    dt = pq_distance_table(emb)
-    codes = pq_codes(dt)
-    qdt = dt.filter(F.expr(query_filter)).select(
+    codes = pq_codes(pq_distance_table(emb))
+    qdt = pq_distance_table(emb, row_filter=query_filter).select(
         F.col("vec_id").alias("query_id"),
         "m",
         F.col("j").alias("code"),
