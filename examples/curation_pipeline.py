@@ -3,8 +3,9 @@
 Not a reference scenario (the reference stops at delivery semantics); this is
 the north-star pipeline the engine's training-data operators exist for:
 
-    documents → language-ID → quality gate → exact dedup → deterministic
-    10% sample → sequence packing → partitioned corpus sink
+    documents → language-ID → quality gate → exact dedup → duplicated-span
+    boilerplate gate → deterministic 10% sample → sequence packing →
+    partitioned corpus sink
 
 Every stage is a declarative DataFrame transform off ONE scan lineage; the
 only shuffles are the dedup fingerprint argmin and the packing window.  The
@@ -43,9 +44,19 @@ def _survivors(docs: DataFrame) -> tuple[DataFrame, dict[str, int]]:
     deduped = kept_quality.join(keeper, ["doc_id"], "left_semi")
     counts["deduped"] = deduped.count()
 
+    # span-level boilerplate gate: drop docs that are >= 50% duplicated
+    # 5-token spans RELATIVE TO THE SURVIVORS (exact dedup removed verbatim
+    # copies; this catches the near-copies and template-stuffed docs that
+    # doc-level fingerprints cannot).  Coverage is recomputed on the
+    # survivor set, as a real pipeline stage would.
+    cov = dedup.dup_span_doc_coverage(deduped.select("doc_id", "text"), n=5)
+    boiler = cov.filter(2 * F.col("dup") >= F.col("spans")).select("doc_id")
+    span_kept = deduped.join(boiler, ["doc_id"], "left_anti")
+    counts["span_gate_pass"] = span_kept.count()
+
     # deterministic hash-gate sample — reproducible across reruns/partitionings
     gate = F.expr(H.word_hash("CAST(doc_id AS STRING)", "spark")) % 1000
-    sampled = deduped.filter(gate < SAMPLE_PERMILLE)
+    sampled = span_kept.filter(gate < SAMPLE_PERMILLE)
     counts["sampled"] = sampled.count()
     return sampled, counts
 
@@ -56,7 +67,12 @@ def run(spark: SparkSession, base: str) -> dict:
 
     # funnel is monotone by construction — each stage only drops rows
     assert (
-        counts["ingested"] >= counts["quality_pass"] >= counts["deduped"] >= counts["sampled"] > 0
+        counts["ingested"]
+        >= counts["quality_pass"]
+        >= counts["deduped"]
+        >= counts["span_gate_pass"]
+        >= counts["sampled"]
+        > 0
     ), counts
 
     # dedup is idempotent: a second pass over the survivors drops nothing

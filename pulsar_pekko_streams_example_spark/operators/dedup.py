@@ -63,6 +63,34 @@ def shingle_sizes(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     )
 
 
+def dup_span_doc_coverage(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, spans, dup): per-document positional-span accounting —
+    ``spans`` = token positions carrying an n-gram span, ``dup`` = positions
+    whose span also occurs in at least one OTHER document.  The per-doc
+    intermediate behind ``dup_span_coverage``; pipelines gate on it directly
+    (e.g. drop docs with ``2 * dup >= spans`` — the mostly-boilerplate pile —
+    as ``examples/curation_pipeline.py`` does).  Docs shorter than n tokens
+    emit no row."""
+    pos = (
+        tokenized(docs)
+        .select(
+            "doc_id",
+            F.explode(F.expr(H.positional_shingles(n, "spark"))).alias("g"),
+        )
+        .select("doc_id", F.expr(H.word_hash("g", "spark")).alias("h"))
+    )
+    per_shingle = pos.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
+    dfs = per_shingle.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        per_shingle.join(dfs, ["h"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("spans"),
+            F.sum(F.when(F.col("df") >= 2, F.col("c")).otherwise(0)).alias("dup"),
+        )
+    )
+
+
 def dup_span_coverage(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """Per-source duplicated-SPAN accounting: how much of the corpus TEXT
     (token positions, not whole docs) is covered by n-gram spans that also
@@ -86,27 +114,9 @@ def dup_span_coverage(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     are counted in ``docs`` but never in ``mostly_dup_docs``.  Hash
     collisions merge spans identically in both engines (the accepted
     fingerprinting tradeoff, as for MinHash)."""
-    pos = (
-        tokenized(docs)
-        .select(
-            "doc_id",
-            F.explode(F.expr(H.positional_shingles(n, "spark"))).alias("g"),
-        )
-        .select("doc_id", F.expr(H.word_hash("g", "spark")).alias("h"))
-    )
-    per_shingle = pos.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
-    dfs = per_shingle.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    perdoc = (
-        per_shingle.join(dfs, ["h"])
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("spans"),
-            F.sum(F.when(F.col("df") >= 2, F.col("c")).otherwise(0)).alias("dup"),
-        )
-    )
     return (
         docs.select("doc_id", "source")
-        .join(perdoc, ["doc_id"], "left")
+        .join(dup_span_doc_coverage(docs, n), ["doc_id"], "left")
         .groupBy("source")
         .agg(
             F.count(F.lit(1)).alias("docs"),
