@@ -95,25 +95,27 @@ def range_count_following(
     def bucket(c: str):
         return F.expr(f"unix_micros({c}) div {1_000_000 * window_s}")
 
+    # the KEY must be part of the equi-join, not a post-join filter: joining
+    # on the time bucket alone fans every left row out against ALL keys'
+    # events in that bucket — at corpus scale a bucket holds millions of
+    # keys' events and the join output is bucket-width², while (key, bucket)
+    # bounds fan-out at interval/bucket ≈ 2 rows per event as designed.
+    # (NULL keys drop under SQL equality either way — semantics unchanged.)
     l = left.select(
         F.col("event_id").alias("_lid"),
-        F.col(key).alias("_lkey"),
+        F.col(key).alias("_k"),
         F.col(ts).alias("_lts"),
         F.explode(F.array(bucket(ts), bucket(ts) + F.lit(1))).alias("_bucket"),
     )
     e = events.select(
-        F.col(key).alias("_ekey"),
+        F.col(key).alias("_k"),
         F.col(ts).alias("_ets"),
         bucket(ts).alias("_bucket"),
     )
     diff_us = F.unix_micros(F.col("_ets")) - F.unix_micros(F.col("_lts"))
     matched = (
-        l.join(e, ["_bucket"], "inner")
-        .filter(
-            (F.col("_lkey") == F.col("_ekey"))
-            & (diff_us > 0)
-            & (diff_us <= window_s * 1_000_000)
-        )
+        l.join(e, ["_k", "_bucket"], "inner")
+        .filter((diff_us > 0) & (diff_us <= window_s * 1_000_000))
         .groupBy("_lid")
         .agg(F.count(F.lit(1)).alias("following_events"))
     )

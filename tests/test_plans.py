@@ -80,11 +80,19 @@ def test_asof_join_has_no_join_operator(spark):
 
 
 def test_range_join_is_equi_join(spark):
-    """The bucketed range join must plan as a hash equi-join on the bucket,
-    never a nested-loop over the inequality."""
+    """The bucketed range join must plan as a hash equi-join on (key, bucket),
+    never a nested-loop over the inequality — and the KEY must be in the
+    equi-join keys, not a post-join filter: a bucket-only join fans every
+    left row out against ALL keys' events in that time bucket (round-12 fix).
+    """
     plan = plan_of(REGISTRY["range_following_counts"].build(spark, SF_SMOKE))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    import re
+
+    # formatted explain lists equi-join keys as "Left keys [n]: [...]"
+    join_keys = re.findall(r"Left keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert any("_k#" in k and "_bucket#" in k for k in join_keys), join_keys
 
 
 def test_global_topk_avoids_full_sort(spark):
