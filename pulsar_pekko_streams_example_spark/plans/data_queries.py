@@ -2932,10 +2932,10 @@ CAL_BANDS_PER_UNIT = 20  # 0.05-wide cosine bands
           FROM cand c JOIN n a ON c.vec_a = a.vec_id JOIN n b ON c.vec_b = b.vec_id
         ),
         hist AS (
-          SELECT CAST(FLOOR(cosine * {CAL_BANDS_PER_UNIT}) AS BIGINT) AS band,
+          SELECT CAST(FLOOR(coalesce(cosine, CAST(-1 AS DOUBLE))
+                            * {CAL_BANDS_PER_UNIT}) AS BIGINT) AS band,
                  COUNT(*) AS pairs
           FROM scored
-          WHERE cosine IS NOT NULL
           GROUP BY 1
         )
         SELECT band,
@@ -2958,24 +2958,27 @@ CAL_BANDS_PER_UNIT = 20  # 0.05-wide cosine bands
 )
 def semdedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    # UNFILTERED scored pairs: the old pass-everything filter(cosine >= -2)
-    # made Spark evaluate the interpreted 64-dim cosine fold TWICE per pair
-    # (Filter + the grouping key below — higher-order aggregates get no
-    # codegen CSE); histogramming the scored rows directly evaluates it once.
-    # The oracle's pre-agg `WHERE cosine IS NOT NULL` is applied here as a
-    # post-agg band filter instead: band = FLOOR(cosine*K) is NULL iff cosine
-    # is NULL, so dropping the NULL band from the <= 41-row histogram is
-    # exactly equivalent — and costs 1 row-test, not one fold per pair.
+    # ONE fold per pair, NO filter anywhere near the cosine: the old
+    # pass-everything filter(cosine >= -2) evaluated the interpreted 64-dim
+    # fold TWICE per pair (Filter + grouping key — higher-order expressions
+    # get no codegen CSE), and the first fix's post-agg `band IS NOT NULL`
+    # filter was PUSHED BACK below the aggregate by Catalyst (a
+    # deterministic predicate on a grouping column pushes through) — it
+    # reappeared as a join residual re-evaluating the fold per pair.  So
+    # there is deliberately nothing to push: cosine is made TOTAL with
+    # coalesce(cosine, -1) — the same NULL→-1 rule cosine_topk uses — and a
+    # NULL-cosine pair (NULL embedding element) lands in the floor band
+    # (-CAL_BANDS_PER_UNIT) in BOTH engines instead of being dropped:
+    # honest accounting (it was a candidate that can never pass a positive
+    # threshold) AND the single-eval plan.  Verified from the executed
+    # plan: the fold appears once, in the grouping-key Project.
     scored = similarity.scored_candidate_pairs(emb)
-    hist = (
-        scored.groupBy(
-            F.expr(f"CAST(FLOOR(cosine * {CAL_BANDS_PER_UNIT}) AS BIGINT)").alias(
-                "band"
-            )
-        )
-        .agg(F.count(F.lit(1)).alias("pairs"))
-        .filter(F.col("band").isNotNull())
-    )
+    hist = scored.groupBy(
+        F.expr(
+            f"CAST(FLOOR(coalesce(cosine, CAST(-1 AS DOUBLE)) "
+            f"* {CAL_BANDS_PER_UNIT}) AS BIGINT)"
+        ).alias("band")
+    ).agg(F.count(F.lit(1)).alias("pairs"))
     w = Window.orderBy(F.col("band").desc())
     return hist.select(
         "band",
