@@ -235,8 +235,12 @@ def scored_candidate_pairs(
     higher-order aggregate expression Catalyst evaluates interpreted (no
     codegen CSE), so a pass-everything ``filter(cosine >= -inf)`` under an
     aggregation re-evaluates the 64-dim fold PER PAIR in both the Filter and
-    the grouping key — measured 1.4× the whole query at sf0.1.  Consumers:
-    filter only when the filter actually prunes.
+    the grouping key — measured ~2× the query wall at sf0.1.  Consumers:
+    filter only when the filter actually prunes, and never hand the
+    optimizer a deterministic predicate over the cosine (even "post-agg" —
+    a predicate on a grouping column pushes back below the aggregate into
+    the pair join, re-adding the second fold); when NULLs must be excluded,
+    make the expression TOTAL (coalesce to a sentinel) instead.
 
     NULL contract (lockstep with the DuckDB twin): fully NULL embeddings are
     excluded; a NULL *element* makes the dot fold NULL and the pair's cosine
