@@ -104,6 +104,16 @@ def test_global_topk_avoids_full_sort(spark):
         assert "TakeOrderedAndProject" in plan, name
 
 
+def test_pq_adc_scoring_never_shuffles_the_corpus(spark):
+    """PQ/ADC's scale contract in the plan: the scoring join is codes ⋈ a
+    BROADCAST query distance table (never a sort-merge shuffle of the code
+    table against queries), and the only cross joins are the intended
+    broadcast-nested-loop of vectors × the tiny codebook."""
+    plan = plan_of(REGISTRY["ann_pq_adc_topk"].build(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_argmin_aggregate_has_no_window(spark):
     """Q2's per-group argmin must be a single partial/final aggregate over
     (value, key) structs — no rank window, no join-back.  (Struct buffers are
