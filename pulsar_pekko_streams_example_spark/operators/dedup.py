@@ -71,13 +71,25 @@ def dup_span_doc_coverage(docs: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     (e.g. drop docs with ``2 * dup >= spans`` — the mostly-boilerplate pile —
     as ``examples/curation_pipeline.py`` does).  Docs shorter than n tokens
     emit no row."""
+    # TOTAL hash (coalesce to a sentinel no real hash produces: word_hash
+    # folds to [0, P), so -1 is unreachable): the equi-join on h below is
+    # null-rejecting, and with a nullable h Spark pushes isnotnull(h) onto
+    # BOTH join inputs — each re-evaluating the hash fold per position on
+    # top of the grouping key's eval (the semdedup_threshold_curve lesson:
+    # plan-audit found the fold inside the pushed Filters).  h is never
+    # NULL in practice (g is a concat of non-null tokens), so values are
+    # unchanged — the coalesce exists to let constant-folding DELETE the
+    # pushed filters.  Oracle twin carries the same coalesce for lockstep.
     pos = (
         tokenized(docs)
         .select(
             "doc_id",
             F.explode(F.expr(H.positional_shingles(n, "spark"))).alias("g"),
         )
-        .select("doc_id", F.expr(H.word_hash("g", "spark")).alias("h"))
+        .select(
+            "doc_id",
+            F.expr(f"coalesce({H.word_hash('g', 'spark')}, -1L)").alias("h"),
+        )
     )
     per_shingle = pos.groupBy("doc_id", "h").agg(F.count(F.lit(1)).alias("c"))
     dfs = per_shingle.groupBy("h").agg(F.count(F.lit(1)).alias("df"))

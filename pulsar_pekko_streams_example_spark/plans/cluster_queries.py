@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from pulsar_pekko_streams_example_spark.functions.numeric import DEC, davg, dsum, sql_davg, sql_dsum
+from pulsar_pekko_streams_example_spark.functions.numeric import DEC, davg, dcast, dsum, sql_davg, sql_dsum
 from pulsar_pekko_streams_example_spark.operators import clustering, similarity
 from pulsar_pekko_streams_example_spark.operators.partitioning import salted_join
 from pulsar_pekko_streams_example_spark.plans.data_queries import _duck_dot
@@ -110,23 +110,41 @@ def _duck_assigned_cte(k: int) -> str:
 )
 def kmeans_cluster_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
+    # SINGLE aggregate tree over the assignment — the oracle's prof ⋈ top
+    # self-join restated as a two-level rollup.  The join form planned the
+    # fold-heavy assign subtree TWICE (plan-audited: two
+    # BroadcastNestedLoopJoin scoring passes, zero ReusedExchange — an
+    # Exchange barrier does NOT help, because each branch's pushed
+    # filters/prunes land below it and the subtrees stop being identical).
+    # Level 1 groups by (cluster, label); level 2 rolls up to the cluster:
+    # decimal cosine sums are associative so avg_cosine is davg exactly
+    # (divisor = count of non-NULL cosines, carried up as nc), and the top
+    # label is max(struct(n, -label, label)) — ties to the SMALLER label,
+    # the same (n DESC, label ASC) order the oracle's ROW_NUMBER pins; the
+    # third field just carries the original label out.
     assigned = clustering.assign(emb, clustering.seed_centroids(emb, KM_K))
-    prof = assigned.groupBy("cluster_id").agg(
-        F.count(F.lit(1)).alias("n_members"),
-        davg("cosine").alias("avg_cosine"),
+    lab = assigned.groupBy("cluster_id", "label").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count(F.col("cosine")).alias("nc"),
+        F.sum(dcast(F.col("cosine"))).alias("csum"),
     )
-    lab = assigned.groupBy("cluster_id", "label").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.partitionBy("cluster_id").orderBy(F.desc("n"), F.asc("label"))
-    top = (
-        lab.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "cluster_id",
-            F.col("label").alias("top_label"),
-            F.col("n").alias("top_label_n"),
-        )
+    return lab.groupBy("cluster_id").agg(
+        F.sum("n").alias("n_members"),
+        (F.sum("csum").cast("double") / F.sum("nc")).alias("avg_cosine"),
+        F.max(
+            F.struct(
+                F.col("n").alias("n"),
+                (-F.col("label")).alias("negl"),
+                F.col("label").alias("label"),
+            )
+        ).alias("t"),
+    ).select(
+        "cluster_id",
+        "n_members",
+        "avg_cosine",
+        F.col("t.label").alias("top_label"),
+        F.col("t.n").alias("top_label_n"),
     )
-    return prof.join(top, "cluster_id")
 
 
 @register(
@@ -406,14 +424,18 @@ def semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pulsar_pekko_streams_example_spark.operators.similarity import DOT, _norm
 
     emb = load_table(spark, sf_dir, "embeddings")
-    # The probe and member branches both read the assignment; without a
-    # shuffle boundary Spark would compute the (fold-heavy) assign subtree
-    # twice — the repartition inserts an Exchange that the second branch
-    # picks up as a ReusedExchange, so assignment is scored exactly once.
-    assigned = (
-        clustering.assign(emb, clustering.seed_centroids(emb, KM_K))
-        .select("vec_id", "cluster_id", "embedding")
-        .repartition("vec_id")
+    # The probe and member branches each plan their own assign subtree —
+    # a DELIBERATE recompute (round-12 correction: an Exchange barrier here
+    # never yields a ReusedExchange, because each branch's pushed filter
+    # lands below it and the two exchange subtrees stop being identical —
+    # plan-audited; the old repartition("vec_id") was a full corpus shuffle
+    # buying nothing).  Assignment is a map-side broadcast scoring pass
+    # (measured 0.27 s of this query's ~1.2 s at sf0.1), so scanning twice
+    # beats shuffling or caching the corpus; a pipeline that reuses
+    # assignments across MANY consumers materializes them once instead
+    # (cache.shared_df / a staging table — the operators/cache.py posture).
+    assigned = clustering.assign(emb, clustering.seed_centroids(emb, KM_K)).select(
+        "vec_id", "cluster_id", "embedding"
     )
     # norms precomputed PER SIDE (one fold per vector) — the pair projection
     # then does a single fold (the dot) plus one division; recomputing both

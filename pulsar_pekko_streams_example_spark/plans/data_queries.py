@@ -2851,7 +2851,7 @@ def _duck_dup_span_sql(n: int) -> str:
           SELECT doc_id, {H.tokens('text', 'duckdb')} AS w FROM documents
         ),
         pos AS (
-          SELECT doc_id, {H.word_hash('g', 'duckdb')} AS h
+          SELECT doc_id, coalesce({H.word_hash('g', 'duckdb')}, CAST(-1 AS BIGINT)) AS h
           FROM (
             SELECT doc_id, unnest({H.positional_shingles(n, 'duckdb')}) AS g
             FROM tok
