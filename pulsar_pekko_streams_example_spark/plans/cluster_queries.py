@@ -441,15 +441,24 @@ def semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     # then does a single fold (the dot) plus one division; recomputing both
     # norms inside the pair expression would triple the fold work on the
     # |probes_c| x |members_c| pair volume (measured 6.8s -> ~2s at sf0.1)
+    # TOTAL cluster ids with BRANCH-SPECIFIC sentinels (-1 probes, -2
+    # members): the equi-join on cluster_id is null-rejecting, and with a
+    # nullable id Spark pushed isnotnull(<the whole k-cosine assign
+    # expression>) into each branch's scoring pass as a join residual —
+    # doubling the corpus scoring (plan-audited; tools/audit_plans.py now
+    # pins this).  cluster_id is NULL only when the seed-centroid set is
+    # EMPTY (degenerate corpus); distinct sentinels keep that case producing
+    # ZERO pairs — exactly the NULL-join semantics — where one shared
+    # sentinel would cross-join the whole corpus with itself.
     probes = assigned.filter(F.col("vec_id") % SEMDEDUP_PROBE_MOD == 0).select(
         F.col("vec_id").alias("probe_id"),
-        "cluster_id",
+        F.coalesce(F.col("cluster_id"), F.lit(-1).cast("long")).alias("cluster_id"),
         F.col("embedding").alias("p_emb"),
         F.expr(_norm("embedding")).alias("p_nrm"),
     )
     members = assigned.filter(F.col("vec_id") % SEMDEDUP_PROBE_MOD != 0).select(
         F.col("vec_id").alias("match_id"),
-        "cluster_id",
+        F.coalesce(F.col("cluster_id"), F.lit(-2).cast("long")).alias("cluster_id"),
         F.col("embedding").alias("m_emb"),
         F.expr(_norm("embedding")).alias("m_nrm"),
     )

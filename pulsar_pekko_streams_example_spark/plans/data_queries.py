@@ -1465,7 +1465,7 @@ def cooccurrence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental_batch",
     oracle=f"""
         WITH fp AS (
-          SELECT doc_id, {H.word_hash('text', 'duckdb')} AS fp,
+          SELECT doc_id, coalesce({H.word_hash('text', 'duckdb')}, CAST(-1 AS BIGINT)) AS fp,
                  (doc_id % 10 = 9) AS is_new
           FROM documents
         ),
@@ -1492,9 +1492,18 @@ def cooccurrence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
+    # TOTAL fingerprint (coalesce to the unreachable -1 — word_hash folds to
+    # [0, P)): (a) the left join on fp is null-rejecting on its corpus side,
+    # and a nullable fp pushed isnotnull(hash-fold) into that branch —
+    # re-evaluating the text fold per corpus doc (plan-audited, the
+    # dup_span_coverage lesson); (b) it also makes NULL-text handling
+    # self-consistent — the window below groups NULL fps into one partition
+    # while a NULL join key matches nothing, so NULL-text docs straddled two
+    # behaviors; with the sentinel they are uniformly one fingerprint
+    # bucket.  Oracle carries the same coalesce in lockstep.
     fp = docs.select(
         "doc_id",
-        F.expr(H.word_hash("text", "spark")).alias("fp"),
+        F.expr(f"coalesce({H.word_hash('text', 'spark')}, -1L)").alias("fp"),
         (F.pmod("doc_id", F.lit(10)) == 9).alias("is_new"),
     )
     corpus = fp.filter(~F.col("is_new")).select("fp").distinct().withColumn(

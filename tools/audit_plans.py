@@ -1,0 +1,95 @@
+"""Registry-wide physical-plan audit — the round-12 sweep as a ritual.
+
+Builds every registry query at a small SF and inspects the EXECUTED plan
+string for redundant-evaluation and join-shape smells that the oracle gate
+cannot catch (results stay correct; only the plan is wasteful):
+
+- ``CartesianProduct`` anywhere — always a bug (exit 1).
+- An interpreted higher-order fold (``aggregate(zip_with/sequence/
+  transform``, the engine's cosine/hash expressions) inside a Filter or a
+  join residual — the semdedup_threshold_curve double-eval signature: a
+  pushed null-rejecting or threshold predicate re-evaluates the fold per
+  row on top of the projection/grouping eval.  Round-12 findings fixed this
+  way: semdedup_threshold_curve (total cosine), dup_span_coverage and
+  dedup_incremental_batch (total hash — coalesce to an unreachable
+  sentinel lets constant folding delete the pushed isnotnull).
+  Entries in ALLOWED_FOLD_FILTERS are the audited-and-intended cases where
+  the predicate PRUNES (so the second eval runs on survivors only) — the
+  GOOD pattern.
+- Duplicate scoring subtrees (two+ BroadcastNestedLoopJoin passes):
+  reported as a count for eyeballing — some are inherent (two k-means
+  rounds), some were fixed round-12 (kmeans_cluster_profile's single-pass
+  rollup).  A NEW query whose BNLJ count surprises you deserves the
+  kmeans_cluster_profile treatment.
+
+Usage (repo root, ~2-3 min):  python tools/audit_plans.py [sf_dir]
+Exits non-zero on CartesianProduct or an UNALLOWED fold-in-filter.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.getcwd())
+
+FOLD = r"aggregate\(zip_with|aggregate\(sequence|aggregate\(transform"
+
+# (query, why the fold-in-filter/residual is the GOOD pruning pattern)
+ALLOWED_FOLD_FILTERS = {
+    # threshold residual prunes 467k pairs -> ~500 survivors; the projection
+    # re-eval runs on survivors only
+    "embedding_near_dup": "cosine >= threshold prunes; good pattern",
+    # the quality gate prunes docs before the funnel's survivor projections
+    "pipeline_funnel_counts": "quality/lang gate prunes; good pattern",
+}
+
+
+def main() -> int:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    from pulsar_pekko_streams_example_spark.session import get_spark
+    from pulsar_pekko_streams_example_spark.plans import registry
+    import pulsar_pekko_streams_example_spark.plans  # noqa: F401
+
+    spark = get_spark()
+    spark.sparkContext.setLogLevel("ERROR")
+    failures: list[str] = []
+    for name in sorted(registry.REGISTRY):
+        try:
+            df = registry.REGISTRY[name].build(spark, sf)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+        except Exception as e:  # noqa: BLE001 — report, keep auditing
+            failures.append(f"{name}: BUILD_ERR {type(e).__name__}: {e}")
+            continue
+        if "CartesianProduct" in plan:
+            failures.append(f"{name}: CartesianProduct")
+        fold_filters = []
+        for line in plan.splitlines():
+            # strip the plan-tree prefix (indent + ':- +—' connectors), then
+            # a plain prefix check — no backtracking-prone regex over the
+            # (very long) expression text
+            node = line.lstrip(" :+-*(0123456789)")
+            if (
+                node.startswith("Filter ") or "Join " in node[:40]
+            ) and re.search(FOLD, line):
+                fold_filters.append(node[:100])
+        if fold_filters and name not in ALLOWED_FOLD_FILTERS:
+            failures.append(
+                f"{name}: fold inside Filter/join residual "
+                f"({len(fold_filters)} lines) — e.g. {fold_filters[0]}"
+            )
+        bnlj = plan.count("BroadcastNestedLoopJoin")
+        if bnlj >= 2:
+            print(f"note {name}: {bnlj} BNLJ scoring passes (eyeball if new)")
+    if failures:
+        print("AUDIT FAILURES:")
+        for f in failures:
+            print("  " + f)
+        return 1
+    print(f"plan audit clean: {len(registry.REGISTRY)} queries")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
