@@ -22,8 +22,19 @@ cannot catch (results stay correct; only the plan is wasteful):
   rollup).  A NEW query whose BNLJ count surprises you deserves the
   kmeans_cluster_profile treatment.
 
-Usage (repo root, ~2-3 min):  python tools/audit_plans.py [sf_dir]
+Usage (repo root, ~1-2 min):  python tools/audit_plans.py [sf_dir]
 Exits non-zero on CartesianProduct or an UNALLOWED fold-in-filter.
+
+Round-12 eyeball verdicts for the standing multi-BNLJ notes (all benign —
+re-eyeball only NEW names): customer_spend_deciles_approx /
+priority_price_rank_approx (tiny bin-boundary inequality joins),
+tfidf_cosine_pairs / cooccurrence_pagerank / ngram_novelty_curve (1-row
+totals cross-joined per branch/round), hll_vocab_overlap (source-pair
+inequality join over ~20 sources), ann_ivf_topk (two corpus×centroid
+passes, but the probes branch's pushed filter shrinks it to query rows —
+good pattern), kmeans_round2_movement (two Lloyd's rounds are two scoring
+passes by definition), semantic_dedup_probe / ann_pq_adc_topk (one scoring
+pass per side of a deliberate recompute, see their docstrings).
 """
 
 from __future__ import annotations
