@@ -62,6 +62,13 @@ SHOWCASE = [
         "re-attached after dedup; rank window per query.",
     ),
     (
+        "ann_pq_adc_topk",
+        "PQ/ADC ANN: one broadcast-nested-loop pass scores vectors against "
+        "the tiny codebook (codes via struct-min hash aggregate, no window); "
+        "ADC scoring is codes BroadcastHashJoin-ed against the broadcast "
+        "query distance table — the corpus embeddings never shuffle.",
+    ),
+    (
         "cube_event_stats",
         "CUBE expands all grouping sets into ONE expand + single-shuffle "
         "aggregate (no per-grouping-set rescan).",
