@@ -594,6 +594,39 @@ def pq_distance_table(emb: DataFrame, row_filter: str | None = None) -> DataFram
     )
 
 
+def pq_codebook_census(emb: DataFrame) -> dict:
+    """{'n_centroids': int, 'missing_j': [int, ...]} — the health check for
+    the strided PQ codebook (round-13, ADVICE).
+
+    The codebook derives from vec_ids ``OFFSET, OFFSET+STRIDE, ...`` AFTER
+    the ``embedding IS NOT NULL`` filter, so a NULL-embedding seed silently
+    leaves a hole at its centroid slot: the queries stay deterministic and
+    oracle-matched (both engines share the hole), but a corpus where many
+    low vec_ids are NULL degrades quantization with no signal.  This census
+    makes collapse VISIBLE — a deployment should alarm when
+    ``n_centroids < PQ_CODEBOOK // 2``, the threshold the operator test
+    pins on the test corpus.  One metadata-cheap job over < STRIDE·K rows
+    of the corpus head; never part of a query plan."""
+    cent_js = (
+        spread(emb)
+        .filter(F.col("embedding").isNotNull())
+        .filter(
+            (F.col("vec_id") < PQ_CENT_STRIDE * PQ_CODEBOOK)
+            & (F.col("vec_id") % PQ_CENT_STRIDE == PQ_CENT_OFFSET)
+        )
+        .select(
+            ((F.col("vec_id") - PQ_CENT_OFFSET) / PQ_CENT_STRIDE)
+            .cast("long")
+            .alias("j")
+        )
+    )
+    present = {r["j"] for r in cent_js.collect()}  # <= PQ_CODEBOOK scalars
+    return {
+        "n_centroids": len(present),
+        "missing_j": sorted(set(range(PQ_CODEBOOK)) - present),
+    }
+
+
 def pq_codes(dtable: DataFrame) -> DataFrame:
     """(vec_id, m, code): each vector's nearest centroid per subspace —
     the M-byte PQ code, as one hash aggregate of min(struct(d, j)) with

@@ -478,9 +478,16 @@ class RetryRouter:
         across the Spark count jobs — a slow ``count_sink=True`` footer
         scan must not starve ``route_batch`` past its lease timeout and
         fail the live stream.  The counts therefore run lock-free, same as
-        every other reader: a mutator that wins the race mid-call makes a
-        count fail LOUD on the invalidated listing (re-poll), never return
-        silently partial numbers.  Two more honest caveats:
+        every other reader — but unlike the data-path readers (whose
+        contract IS fail-loud/re-poll), a dashboard poll must never raise
+        under routine maintenance, so a mutator winning the race mid-count
+        is absorbed by a bounded internal retry (3 attempts, ~0.1 s apart —
+        the swap is atomic, so the next listing sees the new layout); a
+        mutator that keeps winning past the budget degrades the call to the
+        same contended shape as a lost try-lock (all counts None,
+        ``maintenance_in_progress`` = the latest lease record), never an
+        exception and never silently partial numbers (the counts are
+        all-or-None as a unit).  Two more honest caveats:
         ``maintenance_in_progress`` is the holder's lease RECORD, written
         just after acquisition — a status call racing that microsecond gap
         can surface the previous op's record (content is diagnostic, the
@@ -554,17 +561,60 @@ class RetryRouter:
                 heal_errors = self._recover_swaps_locked()["heal_errors"]
         finally:
             os.close(fd)  # release BEFORE the Spark jobs (see docstring)
-        frontier = self.due_retries(spark, as_of=as_of).count()
+
+        def _counts_once() -> dict:
+            # one pollable unit: a mutator swapping a ledger directory
+            # mid-call invalidates ALL of these listings together, so they
+            # retry together rather than returning a mixed-epoch snapshot
+            frontier = self.due_retries(spark, as_of=as_of).count()
+            return {
+                "retry_rows": _count(self.retry_path),
+                "frontier": frontier,
+                "dlq": _count(self.dlq_path),
+                "resolved": _count(self._resolved()),
+                "sink_rows": _count(self.sink_path) if count_sink else None,
+            }
+
+        # bounded internal retry (the dashboard's never-raise contract):
+        # a compact/fold swapping the ledger between this reader's file
+        # listing and its count job surfaces as an AnalysisException /
+        # FileNotFound from Spark — transient by construction, the swap is
+        # atomic and the next listing sees the new layout.  Retry the count
+        # block a few times (same ~short-budget philosophy as
+        # _flock_nb_retry); a mutator that keeps winning the race is
+        # indistinguishable from live maintenance, so the fallback is the
+        # same honest contended shape the try-lock path returns (counts
+        # None, maintenance_in_progress = the latest lease record) — never
+        # an exception out of a status poll, and never silently partial
+        # numbers (the counts are all-or-None).
+        from py4j.protocol import Py4JJavaError
+        from pyspark.errors import PySparkException
+
+        counted: dict | None = None
+        for attempt in range(3):
+            try:
+                counted = _counts_once()
+                break
+            except (PySparkException, Py4JJavaError):
+                if attempt == 2:
+                    break
+                time.sleep(0.1)
+        if counted is None:
+            counted = {
+                "retry_rows": None,
+                "frontier": None,
+                "dlq": None,
+                "resolved": None,
+                "sink_rows": None,
+            }
         return {
-            "retry_rows": _count(self.retry_path),
-            "frontier": frontier,
-            "dlq": _count(self.dlq_path),
-            "resolved": _count(self._resolved()),
-            "sink_rows": _count(self.sink_path) if count_sink else None,
+            **counted,
             "swap_debris_found": debris,
             "debris_heal_errors": heal_errors,
             "last_lease": _lease_record(),
-            "maintenance_in_progress": None,
+            "maintenance_in_progress": (
+                None if counted["retry_rows"] is not None else _lease_record()
+            ),
             "counters": counters,
         }
 

@@ -213,6 +213,36 @@ def test_pq_adc_search_properties(spark):
     assert total > 0 and hits / total >= 0.2, f"ADC recall {hits}/{total}"
 
 
+def test_pq_codebook_census_detects_null_seed_collapse(spark):
+    """The codebook census makes NULL-seed holes VISIBLE (round-13 ADVICE):
+    the strided codebook derives from post-isnotnull vec_ids, so a
+    NULL-embedding seed silently yields a smaller codebook — deterministic
+    and oracle-matched, but degraded.  Pin (a) the real test corpus sits at
+    or above the alarm threshold PQ_CODEBOOK // 2, and (b) on a corpus
+    where every seed id is NULLed the census reports the collapse exactly,
+    instead of the operator succeeding with a 0-centroid codebook and no
+    signal."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    census = similarity.pq_codebook_census(emb)
+    assert census["n_centroids"] >= similarity.PQ_CODEBOOK // 2, census
+    assert census["n_centroids"] + len(census["missing_j"]) == similarity.PQ_CODEBOOK
+
+    seed_mod = similarity.PQ_CENT_OFFSET
+    holed = emb.withColumn(
+        "embedding",
+        F.when(
+            (F.col("vec_id") % similarity.PQ_CENT_STRIDE == seed_mod)
+            & (F.col("vec_id") % (2 * similarity.PQ_CENT_STRIDE) == seed_mod),
+            F.lit(None),
+        ).otherwise(F.col("embedding")),
+    )
+    holed_census = similarity.pq_codebook_census(holed)
+    # every EVEN j seed (vec_id = 1, 17, 33, ... = offset + 2*stride*j') is
+    # NULLed, so exactly the even centroid slots go missing
+    assert holed_census["missing_j"] == [j for j in range(similarity.PQ_CODEBOOK) if j % 2 == 0]
+    assert holed_census["n_centroids"] == similarity.PQ_CODEBOOK // 2
+
+
 def test_kmeans_seed_centroids_assign_to_themselves(spark):
     """Each seed vector's nearest centroid is itself (cosine exactly the
     self-dot ratio, i.e. 1 up to fold rounding), and every corpus vector is

@@ -142,6 +142,24 @@ def test_fingerprint_sees_one_hop_library_edits():
     assert obj.__name__.startswith("pulsar_pekko_streams_example_spark")
 
 
+# the census pin (round-13): bump this number in the SAME commit that adds
+# or removes a query.  Together with the now-unguarded family imports in
+# plans/__init__.py this makes a silently vanished family (or a surgically
+# deleted register() call) a test failure instead of a quiet coverage drop.
+EXPECTED_REGISTRY_SIZE = 178
+
+
+def test_registry_census_is_pinned():
+    """A family import that fails, or a register() call that disappears,
+    must fail THIS test — the per-query gates below only iterate whatever
+    made it into REGISTRY, so without the pin a shrink is invisible."""
+    assert len(REGISTRY) == EXPECTED_REGISTRY_SIZE, (
+        f"registry census changed: {len(REGISTRY)} != {EXPECTED_REGISTRY_SIZE}. "
+        "If you added/removed queries on purpose, bump EXPECTED_REGISTRY_SIZE "
+        "in the same commit; otherwise a query family silently vanished."
+    )
+
+
 def test_registry_ledger_covers_every_query_for_the_upcoming_round():
     """QUERY_FINGERPRINTS.json must carry a CURRENT-round entry matching
     today's code for every registry query — otherwise a green row earned

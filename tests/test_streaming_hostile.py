@@ -3159,6 +3159,13 @@ def test_concurrent_stream_maintenance_and_status_conserve_messages(
                         raise
                     _time.sleep(0.5)
 
+    # max_cycles=2 is NOT a convergence budget — the bug is still ON here
+    # (1-in-20 ids fail every attempt), so this drain CANNOT empty the
+    # frontier no matter how many cycles it runs.  Its only job is to
+    # exercise route_batch overlapping live compact/compact_sink cycles;
+    # the convergent drains run below, after maintenance stops (full
+    # budget) and again after bug["on"] is flipped off.  Do not "fix" this
+    # budget upward to chase an empty frontier.
     drain(max_cycles=2)
     stop.set()
     for t in threads[1:]:

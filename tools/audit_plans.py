@@ -47,13 +47,19 @@ sys.path.insert(0, os.getcwd())
 
 FOLD = r"aggregate\(zip_with|aggregate\(sequence|aggregate\(transform"
 
-# (query, why the fold-in-filter/residual is the GOOD pruning pattern)
+# query -> (line_pattern, max_lines): the allowlist matches the SPECIFIC
+# fold-filter line, not just the query name (round-13, ADVICE) — a NEW,
+# different fold inside a Filter/residual in an already-allowlisted query
+# must still fail the audit instead of riding the old exemption.  The
+# pattern is matched against the node text with plan-tree prefix stripped;
+# column ids (#NNN) vary per run so patterns anchor on operator + stable
+# expression shape instead.
 ALLOWED_FOLD_FILTERS = {
     # threshold residual prunes 467k pairs -> ~500 survivors; the projection
     # re-eval runs on survivors only
-    "embedding_near_dup": "cosine >= threshold prunes; good pattern",
+    "embedding_near_dup": (r"^BroadcastHashJoin .*nanvl\(CASE WHEN", 1),
     # the quality gate prunes docs before the funnel's survivor projections
-    "pipeline_funnel_counts": "quality/lang gate prunes; good pattern",
+    "pipeline_funnel_counts": (r"^Filter .*least\(cast\(size\(filter\(split\(text", 1),
 }
 
 
@@ -84,12 +90,25 @@ def main() -> int:
             if (
                 node.startswith("Filter ") or "Join " in node[:40]
             ) and re.search(FOLD, line):
-                fold_filters.append(node[:100])
-        if fold_filters and name not in ALLOWED_FOLD_FILTERS:
-            failures.append(
-                f"{name}: fold inside Filter/join residual "
-                f"({len(fold_filters)} lines) — e.g. {fold_filters[0]}"
+                fold_filters.append(node)
+        if fold_filters:
+            allowed = ALLOWED_FOLD_FILTERS.get(name)
+            unmatched = (
+                fold_filters
+                if allowed is None
+                else [n for n in fold_filters if not re.match(allowed[0], n)]
             )
+            if unmatched:
+                failures.append(
+                    f"{name}: fold inside Filter/join residual not covered by "
+                    f"allowlist ({len(unmatched)} lines) — e.g. {unmatched[0][:100]}"
+                )
+            elif allowed is not None and len(fold_filters) > allowed[1]:
+                failures.append(
+                    f"{name}: {len(fold_filters)} allowlisted-shaped fold "
+                    f"filters, expected <= {allowed[1]} — a duplicated "
+                    f"evaluation crept in behind the exemption"
+                )
         bnlj = plan.count("BroadcastNestedLoopJoin")
         if bnlj >= 2:
             print(f"note {name}: {bnlj} BNLJ scoring passes (eyeball if new)")
