@@ -1487,7 +1487,15 @@ def cooccurrence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fingerprinted and probed against the standing corpus fingerprint set, "
     "never corpus x corpus again.  Shuffles carry (fingerprint) and "
     "(fingerprint, doc_id) — text never moves; the within-batch tie falls "
-    "to the lowest doc_id (first wins).",
+    "to the lowest doc_id (first wins).  INTENDED semantics since round 12 "
+    "(an output change, not just a plan change): NULL-text docs share the "
+    "total fingerprint sentinel -1, so a NULL-text arrival IS a duplicate "
+    "of any NULL-text corpus doc — pre-r12 a NULL join key matched "
+    "nothing, and NULL-text docs straddled two behaviors (matched nothing "
+    "in the corpus probe, yet grouped together in the within-batch "
+    "window).  One consistent rule now: all NULL texts are one "
+    "fingerprint bucket, same as exact dedup treats any other identical "
+    "content.",
     tags=("dedup", "incremental"),
 )
 def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2540,6 +2548,118 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranked retrieval: idf + length-normalized tf over the inverted index
+# ---------------------------------------------------------------------------
+# Okapi BM25 with k1 = 1.2, b = 0.75, folded into INTEGER arithmetic so both
+# engines replay bit-for-bit (the tfidf_top_terms posture — swap in the
+# ln((N-df+0.5)/(df+0.5)+1) float idf at deploy time if calibrated scores
+# matter more than exact replay):
+#   idf_micro    = ((2N - 2df + 1) * 1e6) DIV (2df + 1)      -- idf * 1e6
+#   tfnorm_micro = (22*tf*X * 1e6) DIV (10*X*tf + 3*X + 9*dl*N)
+#                  -- tf*(k1+1)/(tf + k1*(1-b+b*dl/avgdl)) * 1e6, with
+#                  -- avgdl = X/N multiplied through (X = total corpus
+#                  -- tokens, dl = this doc's token count)
+#   score_pico   = SUM over query terms of idf_micro * tfnorm_micro
+# Integer sums are order-independent, so the per-doc SUM needs no decimal
+# detour.  Overflow headroom: tfnorm_micro <= (k1+1)*1e6 = 2.2e6 and
+# idf_micro <= (2N+1)*1e6/3, so score_pico stays under int64 up to N ~ 1e9
+# docs; the intermediate 22*tf*X*1e6 caps at ~6.6e16 for tf <= 1e3 against
+# the sf0.1 corpus (X = 2.7e5) and needs the float idf swap first at
+# corpus sizes where X*tf*2.2e7 approaches 9.2e18.
+BM25_TOPK = 20
+
+
+@register(
+    "bm25_search_topk",
+    oracle=f"""
+        WITH tl AS (
+          SELECT doc_id, {H.tokens('text', 'duckdb')} AS toks FROM documents
+        ),
+        totals AS (
+          SELECT COUNT(*) AS n_docs, SUM(len(toks)) AS x FROM tl
+        ),
+        tok AS (
+          SELECT doc_id, len(toks) AS dl, unnest(toks) AS t FROM tl
+        ),
+        tf AS (
+          SELECT doc_id, dl, t, COUNT(*) AS tf
+          FROM tok WHERE t IN {SEARCH_TERMS!r}
+          GROUP BY 1, 2, 3
+        ),
+        dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
+        scored AS (
+          SELECT f.doc_id,
+                 (((2 * n.n_docs - 2 * d.df + 1) * 1000000) // (2 * d.df + 1))
+                 * ((22 * f.tf * n.x * 1000000)
+                    // (10 * n.x * f.tf + 3 * n.x + 9 * f.dl * n.n_docs))
+                   AS term_score
+          FROM tf f JOIN dfreq d ON f.t = d.t CROSS JOIN totals n
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS matched_terms,
+               CAST(SUM(term_score) AS BIGINT) AS score_pico
+        FROM scored
+        GROUP BY doc_id
+        ORDER BY score_pico DESC, doc_id
+        LIMIT {BM25_TOPK}
+        """,
+    doc="BM25 ranked retrieval (OR semantics) over the same 3-term query as "
+    "keyword_search_topk — the production scoring function behind corpus "
+    "search and retrieval-augmented data curation, vs that query's boolean "
+    "AND + raw tf.  The token explode keeps only query-term postings (the "
+    "array filter prunes before the Generate, so the shuffle carries the "
+    "posting slice); df and the per-doc tf share one posting subtree; the "
+    "df table (<= n_terms rows) and the 1-row corpus totals broadcast back "
+    "onto the postings, so the only wide aggregate is per-doc over <= "
+    "n_terms rows each.  Ranking is ORDER BY + LIMIT -> "
+    "TakeOrderedAndProject, never a global sort.  All-integer BM25 "
+    "arithmetic (see the constants comment) keeps both engines "
+    "bit-identical; 100 TB: identical shape against a standing tokenized "
+    "posting table keyed by term, where the term filter becomes an index "
+    "lookup and totals come from table stats.",
+    tags=("text", "search", "topk", "scale-default", "added-r13"),
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tl = spread(docs).select(
+        "doc_id", F.expr(H.tokens("text", "spark")).alias("toks")
+    )
+    totals = tl.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size("toks")).alias("x"),
+    )
+    terms = ", ".join(f"'{t}'" for t in SEARCH_TERMS)
+    tok = tl.select(
+        "doc_id",
+        F.size("toks").alias("dl"),
+        F.explode(F.expr(f"filter(toks, t -> t IN ({terms}))")).alias("t"),
+    )
+    tf = tok.groupBy("doc_id", "dl", "t").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), ["t"])
+        .crossJoin(F.broadcast(totals))
+        .withColumn(
+            "term_score",
+            F.expr(
+                "(((2L * n_docs - 2L * df + 1L) * 1000000L) DIV (2L * df + 1L))"
+                " * ((22L * tf * x * 1000000L)"
+                " DIV (10L * x * tf + 3L * x + 9L * dl * n_docs))"
+            ),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("matched_terms"),
+            F.sum("term_score").alias("score_pico"),
+        )
+        .orderBy(F.col("score_pico").desc(), "doc_id")
+        .limit(BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII / blocklist scan: regex categories + term blocklist, per-source report
 # ---------------------------------------------------------------------------
 # Patterns are deliberately simple ERE so Java regex (Spark) and RE2 (DuckDB)
@@ -2962,7 +3082,13 @@ CAL_BANDS_PER_UNIT = 20  # 0.05-wide cosine bands
     "exact-cosine verify as embedding_near_dup, minus the threshold; the "
     "cumulative window runs over the <= 41-band histogram, never the "
     "pairs.  At 100 TB the curve costs exactly one run of the candidate "
-    "pipeline you were going to run anyway.",
+    "pipeline you were going to run anyway.  Report readers: a row at "
+    "band = -CAL_BANDS_PER_UNIT (-20, band_lo_centi -100) is the FLOOR "
+    "band — candidate pairs whose cosine is NULL (a NULL embedding "
+    "element on either side) are coalesced to -1 and binned there since "
+    "round 12, instead of being dropped; it counts unscorable pairs, not "
+    "true -1.0 cosines (which are co-binned, as exact -1 floors to the "
+    "same band).",
     tags=("similarity", "dedup", "statistics", "added-r3b"),
 )
 def semdedup_threshold_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
