@@ -1468,3 +1468,127 @@ def hll_rolling_7d_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("used").cast("long").alias("registers_used"),
         F.expr(_HLL_EST).alias("hll_estimate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Logistic-regression Newton step: a linear language-ID probe as ONE aggregate
+# ---------------------------------------------------------------------------
+# One Newton/IRLS step for logistic regression FROM beta = 0 is exp-free:
+# p = sigmoid(0) = 1/2 and w = p(1-p) = 1/4 exactly, so the step is
+#   beta = [X'WX]^-1 X'(y - 1/2) = 2 * (X'X)^-1 X'(2y - 1)
+# — every sufficient statistic is an EXACT int64 sum (features are integer
+# token/vocab counts, labels are 0/1), the shuffle carries nine scalars with
+# map-side partials, and the 3x3 solve is Cramer's rule evaluated in double
+# from the exact sums.  The determinant expressions are written ONCE and
+# fed verbatim to both engines, so every multiply/subtract runs in the same
+# order -> bit-identical doubles.  Further Newton steps need sigmoid (not
+# bit-portable); at deploy time iterate in float and keep THIS query as the
+# deterministic step-0 regression test of the feature plumbing.
+# Overflow: dl, u <= ~1e4 tokens/doc keeps s11 = sum(dl^2) exact in int64 up
+# to ~1e10 docs, and the double Cramer products are exact-input IEEE ops.
+_LGT = {
+    k: f"CAST({k} AS DOUBLE)"
+    for k in ("n", "s1", "s2", "s11", "s12", "s22", "g0", "g1", "g2")
+}
+_LGT_DET = (
+    "({n} * ({s11} * {s22} - {s12} * {s12}) "
+    "- {s1} * ({s1} * {s22} - {s12} * {s2}) "
+    "+ {s2} * ({s1} * {s12} - {s11} * {s2}))"
+).format(**_LGT)
+_LGT_DET0 = (
+    "({g0} * ({s11} * {s22} - {s12} * {s12}) "
+    "- {s1} * ({g1} * {s22} - {s12} * {g2}) "
+    "+ {s2} * ({g1} * {s12} - {s11} * {g2}))"
+).format(**_LGT)
+_LGT_DET1 = (
+    "({n} * ({g1} * {s22} - {s12} * {g2}) "
+    "- {g0} * ({s1} * {s22} - {s12} * {s2}) "
+    "+ {s2} * ({s1} * {g2} - {g1} * {s2}))"
+).format(**_LGT)
+_LGT_DET2 = (
+    "({n} * ({s11} * {g2} - {g1} * {s12}) "
+    "- {s1} * ({s1} * {g2} - {g1} * {s2}) "
+    "+ {g0} * ({s1} * {s12} - {s11} * {s2}))"
+).format(**_LGT)
+# det = 0 (features linearly dependent — e.g. a degenerate corpus where
+# every doc has identical length/vocab) -> betas NULL, never a div-by-zero
+# whose inf/NULL convention could differ between engines
+_LGT_BETAS = tuple(
+    f"CASE WHEN {_LGT_DET} = 0.0 THEN NULL "
+    f"ELSE 2.0 * {d} / {_LGT_DET} END AS {alias}"
+    for d, alias in (
+        (_LGT_DET0, "beta_intercept"),
+        (_LGT_DET1, "beta_len"),
+        (_LGT_DET2, "beta_vocab"),
+    )
+)
+
+
+@register(
+    "logit_newton_langid",
+    oracle=f"""
+        WITH feats AS (
+          SELECT len({H.tokens('text', 'duckdb')}) AS dl,
+                 len(list_distinct({H.tokens('text', 'duckdb')})) AS u,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+          FROM documents
+          WHERE text IS NOT NULL AND lang IS NOT NULL
+        ),
+        sums AS (
+          SELECT COUNT(*) AS n,
+                 SUM(dl) AS s1, SUM(u) AS s2,
+                 SUM(dl * dl) AS s11, SUM(dl * u) AS s12, SUM(u * u) AS s22,
+                 SUM(2 * y - 1) AS g0,
+                 SUM(dl * (2 * y - 1)) AS g1,
+                 SUM(u * (2 * y - 1)) AS g2,
+                 CAST(SUM(y) AS BIGINT) AS n_pos
+          FROM feats
+        )
+        SELECT CAST(n AS BIGINT) AS n_used, n_pos, {", ".join(_LGT_BETAS)}
+        FROM sums
+        """,
+    doc="A TRAINING step as a query: the first Newton/IRLS iteration of a "
+    "logistic language-ID probe (is-English ~ intercept + token count + "
+    "distinct-token count) computed as ONE hash aggregate.  From beta=0 "
+    "the step is exp-free (sigmoid(0)=1/2, w=1/4 exactly), so the nine "
+    "sufficient statistics are exact int64 sums with map-side partials — "
+    "at 100 TB the shuffle carries nine scalars per partition, the "
+    "classic mergeable-statistics shape every distributed GLM trainer "
+    "uses — and the closed-form 3x3 Cramer solve runs once on the driver "
+    "row, written as ONE shared expression string so both engines "
+    "evaluate bit-identically.  det=0 (collinear features) yields NULL "
+    "betas, never an engine-specific div-by-zero.  The calibration story "
+    "for quality classifiers: run this before spending GPU time to check "
+    "the features separate at all.",
+    tags=("mldata", "training", "agg", "added-r13"),
+)
+def logit_newton_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    feats = (
+        spread(docs)
+        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            F.expr(H.tokens("text", "spark")).alias("toks"),
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        )
+        .select(
+            F.size("toks").cast("long").alias("dl"),
+            F.size(F.array_distinct("toks")).cast("long").alias("u"),
+            "y",
+        )
+    )
+    sums = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("s1"),
+        F.sum("u").alias("s2"),
+        F.sum(F.expr("dl * dl")).alias("s11"),
+        F.sum(F.expr("dl * u")).alias("s12"),
+        F.sum(F.expr("u * u")).alias("s22"),
+        F.sum(F.expr("2L * y - 1L")).alias("g0"),
+        F.sum(F.expr("dl * (2L * y - 1L)")).alias("g1"),
+        F.sum(F.expr("u * (2L * y - 1L)")).alias("g2"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    return sums.selectExpr(
+        "CAST(n AS BIGINT) AS n_used", "n_pos", *_LGT_BETAS
+    )
