@@ -2568,10 +2568,10 @@ def keyword_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # corpus sizes where X*tf*2.2e7 approaches 9.2e18.
 BM25_TOPK = 20
 
-
-@register(
-    "bm25_search_topk",
-    oracle=f"""
+# Per-doc BM25 statistics CTE chain, shared by bm25_search_topk and
+# ranking_rbo_report's oracle twins (ends with a `perdoc` relation:
+# doc_id, matched_terms, score_pico, tf_total).
+_BM25_PERDOC_SQL = f"""
         WITH tl AS (
           SELECT doc_id, {H.tokens('text', 'duckdb')} AS toks FROM documents
         ),
@@ -2588,38 +2588,30 @@ BM25_TOPK = 20
         ),
         dfreq AS (SELECT t, COUNT(*) AS df FROM tf GROUP BY 1),
         scored AS (
-          SELECT f.doc_id,
+          SELECT f.doc_id, f.tf,
                  (((2 * n.n_docs - 2 * d.df + 1) * 1000000) // (2 * d.df + 1))
                  * ((22 * f.tf * n.x * 1000000)
                     // (10 * n.x * f.tf + 3 * n.x + 9 * f.dl * n.n_docs))
                    AS term_score
           FROM tf f JOIN dfreq d ON f.t = d.t CROSS JOIN totals n
+        ),
+        perdoc AS (
+          SELECT doc_id,
+                 CAST(COUNT(*) AS BIGINT) AS matched_terms,
+                 CAST(SUM(term_score) AS BIGINT) AS score_pico,
+                 CAST(SUM(tf) AS BIGINT) AS tf_total
+          FROM scored
+          GROUP BY doc_id
         )
-        SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS matched_terms,
-               CAST(SUM(term_score) AS BIGINT) AS score_pico
-        FROM scored
-        GROUP BY doc_id
-        ORDER BY score_pico DESC, doc_id
-        LIMIT {BM25_TOPK}
-        """,
-    doc="BM25 ranked retrieval (OR semantics) over the same 3-term query as "
-    "keyword_search_topk — the production scoring function behind corpus "
-    "search and retrieval-augmented data curation, vs that query's boolean "
-    "AND + raw tf.  The token explode keeps only query-term postings (the "
-    "array filter prunes before the Generate, so the shuffle carries the "
-    "posting slice); df and the per-doc tf share one posting subtree; the "
-    "df table (<= n_terms rows) and the 1-row corpus totals broadcast back "
-    "onto the postings, so the only wide aggregate is per-doc over <= "
-    "n_terms rows each.  Ranking is ORDER BY + LIMIT -> "
-    "TakeOrderedAndProject, never a global sort.  All-integer BM25 "
-    "arithmetic (see the constants comment) keeps both engines "
-    "bit-identical; 100 TB: identical shape against a standing tokenized "
-    "posting table keyed by term, where the term filter becomes an index "
-    "lookup and totals come from table stats.",
-    tags=("text", "search", "topk", "scale-default", "added-r13"),
-)
-def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+"""
+
+
+def _bm25_perdoc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of ``_BM25_PERDOC_SQL``'s ``perdoc`` relation — per-doc
+    (matched_terms, score_pico, tf_total) for docs matching >= 1 query
+    term.  One posting-slice subtree feeds both the BM25 ranker and the
+    raw-tf ranker, so a consumer comparing the two pays for the index scan
+    once."""
     docs = load_table(spark, sf_dir, "documents")
     tl = spread(docs).select(
         "doc_id", F.expr(H.tokens("text", "spark")).alias("toks")
@@ -2648,14 +2640,147 @@ def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("matched_terms"),
+        F.sum("term_score").alias("score_pico"),
+        F.sum("tf").alias("tf_total"),
+    )
+
+
+@register(
+    "bm25_search_topk",
+    oracle=f"""{_BM25_PERDOC_SQL}
+        SELECT doc_id, matched_terms, score_pico
+        FROM perdoc
+        ORDER BY score_pico DESC, doc_id
+        LIMIT {BM25_TOPK}
+        """,
+    doc="BM25 ranked retrieval (OR semantics) over the same 3-term query as "
+    "keyword_search_topk — the production scoring function behind corpus "
+    "search and retrieval-augmented data curation, vs that query's boolean "
+    "AND + raw tf.  The token explode keeps only query-term postings (the "
+    "array filter prunes before the Generate, so the shuffle carries the "
+    "posting slice); df and the per-doc tf share one posting subtree; the "
+    "df table (<= n_terms rows) and the 1-row corpus totals broadcast back "
+    "onto the postings, so the only wide aggregate is per-doc over <= "
+    "n_terms rows each.  Ranking is ORDER BY + LIMIT -> "
+    "TakeOrderedAndProject, never a global sort.  All-integer BM25 "
+    "arithmetic (see the constants comment) keeps both engines "
+    "bit-identical; 100 TB: identical shape against a standing tokenized "
+    "posting table keyed by term, where the term filter becomes an index "
+    "lookup and totals come from table stats.",
+    tags=("text", "search", "topk", "scale-default", "added-r13"),
+)
+def bm25_search_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("matched_terms"),
-            F.sum("term_score").alias("score_pico"),
-        )
+        _bm25_perdoc(spark, sf_dir)
+        .select("doc_id", "matched_terms", "score_pico")
         .orderBy(F.col("score_pico").desc(), "doc_id")
         .limit(BM25_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rank-biased overlap: how much do the BM25 and raw-tf rankers agree?
+# ---------------------------------------------------------------------------
+# RBO (Webber et al., TOIS 2010) at p = 0.9 over the two top-20 rankings both
+# derived from ONE per-doc statistics subtree (_bm25_perdoc).  The per-depth
+# weights (1-p)*p^(d-1) are precomputed in Python and injected as STRING
+# double literals parsed identically by both engines; each depth's
+# contribution is floored to integer micro-units, so the cumulative RBO is
+# an exact int64 window sum — order-independent, no decimal detour.  Error
+# vs float RBO <= depth * 1e-6.
+RBO_P = 0.9
+_RBO_W = ", ".join(
+    f"CAST('{0.1 * RBO_P ** (d - 1)!r}' AS DOUBLE)"
+    for d in range(1, BM25_TOPK + 1)
+)
+
+
+@register(
+    "ranking_rbo_report",
+    oracle=f"""{_BM25_PERDOC_SQL},
+        ranked AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY score_pico DESC, doc_id) AS rnk_a,
+                 ROW_NUMBER() OVER (ORDER BY tf_total DESC, doc_id) AS rnk_b
+          FROM perdoc
+        ),
+        matched AS (
+          SELECT GREATEST(rnk_a, rnk_b) AS m
+          FROM ranked
+          WHERE rnk_a <= {BM25_TOPK} AND rnk_b <= {BM25_TOPK}
+        ),
+        depths AS (SELECT unnest(generate_series(1, {BM25_TOPK})) AS d),
+        ovl AS (
+          SELECT d, CAST(COUNT(m) AS BIGINT) AS overlap
+          FROM depths LEFT JOIN matched ON m <= d
+          GROUP BY d
+        ),
+        terms AS (
+          SELECT d, overlap,
+                 CAST(FLOOR((1000000.0 * ([{_RBO_W}])[d]
+                             * CAST(overlap AS DOUBLE)) / CAST(d AS DOUBLE))
+                      AS BIGINT) AS term_micro
+          FROM ovl
+        )
+        SELECT CAST(d AS BIGINT) AS d, overlap,
+               CAST(SUM(term_micro) OVER (ORDER BY d) AS BIGINT) AS rbo_micro
+        FROM terms
+        """,
+    doc="Ranking-evaluation operator: rank-biased overlap (Webber et al. "
+    "2010, p=0.9) between the BM25 ranking and the raw term-frequency "
+    "ranking of the same 3-term query — the metric a retrieval QA run "
+    "uses to quantify how much a scoring change actually reorders "
+    "results before shipping it.  Both top-20 lists come from ONE "
+    "posting-statistics subtree (_bm25_perdoc), ranked by "
+    "TakeOrderedAndProject-limited prefixes; the depth x matched-pair "
+    "comparison is 20 x <=20 broadcast rows, so everything after the "
+    "posting scan is driver-trivial at any corpus size.  Per-depth RBO "
+    "contributions are floored to micro-units with Python-injected "
+    "weight literals, making the cumulative metric an exact int64 "
+    "window sum — bit-identical across engines (<= 2e-5 absolute error "
+    "vs float RBO at depth 20).",
+    tags=("text", "search", "statistics", "added-r13"),
+)
+def ranking_rbo_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    perdoc = _bm25_perdoc(spark, sf_dir)
+    # rank INSIDE the limited prefixes: each orderBy+limit plans
+    # TakeOrderedAndProject (k rows to the driver-side single partition),
+    # so the global row_number window only ever sees <= BM25_TOPK rows
+    wa = Window.orderBy(F.col("score_pico").desc(), "doc_id")
+    wb = Window.orderBy(F.col("tf_total").desc(), "doc_id")
+    top_a = (
+        perdoc.orderBy(F.col("score_pico").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select("doc_id", F.row_number().over(wa).cast("long").alias("rnk_a"))
+    )
+    top_b = (
+        perdoc.orderBy(F.col("tf_total").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select("doc_id", F.row_number().over(wb).cast("long").alias("rnk_b"))
+    )
+    matched = top_a.join(top_b, "doc_id").select(
+        F.greatest("rnk_a", "rnk_b").alias("m")
+    )
+    depths = spark.range(1, BM25_TOPK + 1).select(F.col("id").alias("d"))
+    overlaps = (
+        depths.join(F.broadcast(matched), F.col("m") <= F.col("d"), "left")
+        .groupBy("d")
+        .agg(F.count("m").alias("overlap"))
+    )
+    term = F.expr(
+        f"CAST(FLOOR((1000000.0 * element_at(array({_RBO_W}), CAST(d AS INT))"
+        f" * CAST(overlap AS DOUBLE)) / CAST(d AS DOUBLE)) AS BIGINT)"
+    )
+    wc = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        overlaps.withColumn("term_micro", term)
+        .select(
+            F.col("d").cast("long").alias("d"),
+            "overlap",
+            F.sum("term_micro").over(wc).cast("long").alias("rbo_micro"),
+        )
     )
 
 
