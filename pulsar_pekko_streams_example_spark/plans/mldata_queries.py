@@ -1592,3 +1592,138 @@ def logit_newton_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.selectExpr(
         "CAST(n AS BIGINT) AS n_used", "n_pos", *_LGT_BETAS
     )
+
+
+# ---------------------------------------------------------------------------
+# Feature correlation matrix: Pearson r over doc-level curation signals
+# ---------------------------------------------------------------------------
+# The question every curation run asks before trusting a filter: do the
+# cheap signals (length, vocabulary, char count) actually co-vary with the
+# expensive one (exact-duplicate membership)?  Pearson r is engine-portable
+# WITHOUT rational tricks here because every sufficient statistic is an
+# EXACT int64 sum (integer features, 0/1 label), the r formula's products
+# run in double in one shared expression order, and IEEE-754 sqrt is
+# correctly rounded in both engines — the only transcendental-adjacent op
+# that IS bit-portable.  n*Sij products would overflow int64 near 1e9 docs,
+# so they are computed in double FROM the exact sums (deterministic, same
+# inputs -> same bits).
+_FCM_FEATS = ("dl", "u", "nc", "bp")
+_FCM_PAIRS = [
+    (a, b)
+    for i, a in enumerate(_FCM_FEATS)
+    for b in _FCM_FEATS[i + 1 :]
+]
+
+
+def _fcm_corr(a: str, b: str) -> str:
+    """Shared Pearson-r expression over the exact sums (identical text for
+    Spark and DuckDB -> identical double bits; constant feature -> NULL)."""
+    num = f"(CAST(n AS DOUBLE) * CAST(s_{a}_{b} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+    va = f"(CAST(n AS DOUBLE) * CAST(s_{a}_{a} AS DOUBLE) - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))"
+    vb = f"(CAST(n AS DOUBLE) * CAST(s_{b}_{b} AS DOUBLE) - CAST(s_{b} AS DOUBLE) * CAST(s_{b} AS DOUBLE))"
+    return (
+        f"CASE WHEN {va} * {vb} <= 0.0 THEN NULL "
+        f"ELSE {num} / SQRT({va} * {vb}) END"
+    )
+
+
+def _fcm_sum_sql() -> str:
+    """The 14 exact sums (4 firsts + 10 second moments), identical algebra
+    in both engines."""
+    cols = [f"SUM({a}) AS s_{a}" for a in _FCM_FEATS]
+    cols += [
+        f"SUM({a} * {b}) AS s_{a}_{b}"
+        for i, a in enumerate(_FCM_FEATS)
+        for b in _FCM_FEATS[i:]
+    ]
+    return ", ".join(["COUNT(*) AS n"] + cols)
+
+
+@register(
+    "feature_correlation_matrix",
+    oracle=f"""
+        WITH tl AS (
+          SELECT {H.tokens('text', 'duckdb')} AS toks, n_chars
+          FROM documents
+          WHERE text IS NOT NULL
+        ),
+        fp AS (
+          SELECT len(toks) AS dl,
+                 len(list_distinct(toks)) AS u,
+                 n_chars AS nc,
+                 {H.word_hash("array_to_string(toks[1:4], ' ')", 'duckdb')} AS f
+          FROM tl
+        ),
+        feats AS (
+          SELECT dl, u, nc,
+                 CASE WHEN COUNT(*) OVER (PARTITION BY f) > 1
+                      THEN 1 ELSE 0 END AS bp
+          FROM fp
+        ),
+        sums AS (SELECT {_fcm_sum_sql()} FROM feats)
+        {" UNION ALL ".join(
+            f"SELECT '{a}' AS feat_a, '{b}' AS feat_b, "
+            f"CAST(n AS BIGINT) AS n_used, {_fcm_corr(a, b)} AS corr FROM sums"
+            for a, b in _FCM_PAIRS
+        )}
+        """,
+    doc="Pearson correlation matrix over doc-level curation signals — token "
+    "count, distinct-token count, char count, and boilerplate membership "
+    "(shares its 4-token prefix hash with another doc, the "
+    "boilerplate_prefix_report signal as a 0/1 label) — the sanity check "
+    "a filtering run consults before trusting cheap proxies for "
+    "expensive labels.  ONE aggregate pass computes all 14 exact int64 "
+    "sufficient statistics with map-side partials (the shuffle carries "
+    "15 scalars per partition at any corpus size); the label costs one "
+    "prefix-hash-partitioned window before it.  The r formula runs in "
+    "double off one shared expression string — IEEE sqrt is correctly "
+    "rounded in both engines, so the matrix is bit-identical without "
+    "rational arithmetic; a constant feature degrades to NULL, never a "
+    "div-by-zero.  Output: 6 feature pairs.",
+    tags=("mldata", "statistics", "added-r13"),
+)
+def feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = (
+        spread(docs)
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.expr(H.tokens("text", "spark")).alias("toks"),
+            F.col("n_chars").alias("nc"),
+        )
+        .select(
+            F.size("toks").cast("long").alias("dl"),
+            F.size(F.array_distinct("toks")).cast("long").alias("u"),
+            "nc",
+            F.expr(
+                H.word_hash("array_join(slice(toks, 1, 4), ' ')", "spark")
+            ).alias("f"),
+        )
+    )
+    feats = fp.select(
+        "dl",
+        "u",
+        "nc",
+        F.when(
+            F.count(F.lit(1)).over(Window.partitionBy("f")) > 1, F.lit(1)
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bp"),
+    )
+    sums = feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(a).alias(f"s_{a}") for a in _FCM_FEATS],
+        *[
+            F.sum(F.expr(f"{a} * {b}")).alias(f"s_{a}_{b}")
+            for i, a in enumerate(_FCM_FEATS)
+            for b in _FCM_FEATS[i:]
+        ],
+    )
+    stacked = sums.selectExpr(
+        "CAST(n AS BIGINT) AS n_used",
+        f"stack({len(_FCM_PAIRS)}, "
+        + ", ".join(f"'{a}', '{b}', {_fcm_corr(a, b)}" for a, b in _FCM_PAIRS)
+        + ") AS (feat_a, feat_b, corr)",
+    )
+    return stacked.select("feat_a", "feat_b", "n_used", "corr")
