@@ -608,3 +608,119 @@ def pq_code_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_assigned"),
         dsum(F.col("best.d")).alias("sse"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss projection distortion: does 16-dim preserve distance?
+# ---------------------------------------------------------------------------
+# Before swapping 64-dim embeddings for a cheaper projection in dedup / ANN
+# candidate generation, measure what the projection does to pairwise
+# distances.  Signed-random-projection JL: p_k = sum_d sign(k,d) * e_d with
+# a DETERMINISTIC +-1 matrix derived from a multiplicative hash of
+# (k*64 + d) — a pure function of the data layout, so the DuckDB oracle
+# replays the projection bit-for-bit (production would use a seeded
+# Gaussian; the +-1 variant is the Achlioptas-style database-friendly
+# form).  Each projected coordinate is a full signed dot product, so
+# E||p_a - p_b||^2 = k * ||a - b||^2 and the unbiased distance estimator
+# is ||p_a - p_b||^2 / k; the query reports the ratio histogram over a systematic
+# O(n) pair sample (vec_id joined to vec_id + RP_PAIR_STRIDE — an
+# equi-join, never an all-pairs product).
+RP_K = 16  # projected dims
+RP_DIM = 64  # source dims
+RP_PAIR_STRIDE = 17  # systematic pair sample: (v, v + stride)
+_RP_SIGN = (
+    "CASE WHEN ((({idx}) * 2654435761) % 1048573) % 2 = 0 "
+    "THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END"
+)
+
+
+def _rp_project(arr: str, dialect: str) -> str:
+    """16-dim signed projection of 64-dim array ``arr`` — nested
+    higher-order fold, dimension order fixed in both engines."""
+    if dialect == "spark":
+        sign = _RP_SIGN.format(idx=f"k * {RP_DIM} + d")
+        return (
+            f"transform(sequence(0, {RP_K - 1}), k -> "
+            f"aggregate(sequence(0, {RP_DIM - 1}), CAST(0.0 AS DOUBLE), "
+            f"(acc, d) -> acc + ({sign}) * CAST(element_at({arr}, d + 1) AS DOUBLE)))"
+        )
+    sign = _RP_SIGN.format(idx=f"(k - 1) * {RP_DIM} + (d - 1)")
+    return (
+        f"list_transform(range(1, {RP_K} + 1), k -> "
+        f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        f"list_transform(range(1, {RP_DIM} + 1), d -> "
+        f"({sign}) * CAST({arr}[d] AS DOUBLE))), (acc, x) -> acc + x))"
+    )
+
+
+@register(
+    "rp_projection_distortion",
+    oracle=f"""
+        WITH proj AS (
+          SELECT vec_id, embedding,
+                 {_rp_project('embedding', 'duckdb')} AS p
+          FROM embeddings
+          WHERE embedding IS NOT NULL AND len(embedding) = {RP_DIM}
+        ),
+        pairs AS (
+          SELECT {similarity.sqdist('a.embedding', 'b.embedding', 'duckdb')} AS d_orig,
+                 {similarity.sqdist('a.p', 'b.p', 'duckdb')} AS d_proj
+          FROM proj a JOIN proj b ON b.vec_id = a.vec_id + {RP_PAIR_STRIDE}
+        )
+        SELECT CAST(FLOOR((d_proj / ({RP_K}.0 * d_orig)) * 10.0) AS BIGINT) AS ratio_band,
+               COUNT(*) AS pairs
+        FROM pairs
+        WHERE d_orig > 0 AND NOT isnan(d_orig) AND NOT isnan(d_proj)
+        GROUP BY 1
+        """,
+    doc="JL random-projection distortion report: a deterministic signed "
+    "(+-1) projection of the 64-dim embeddings to 16 dims, then the "
+    "histogram of (scaled projected distance / true distance) over a "
+    "systematic O(n) pair sample (vec_id equi-joined to vec_id + 17 — "
+    "never an all-pairs product).  The decision query before moving "
+    "dedup/ANN candidate generation onto a cheaper projection: mass near "
+    "ratio 1.0 means 4x cheaper distance math at measured recall risk.  "
+    "The projection is a nested higher-order fold in fixed dimension "
+    "order, and the sign matrix is a multiplicative hash of the (k, d) "
+    "index — both engines replay every double bit-for-bit.  At 100 TB "
+    "the projection is one scan-stage map; the pair sample shuffles "
+    "(vec_id, 16 floats) once for the self-join.",
+    tags=("similarity", "statistics", "added-r13"),
+)
+def rp_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = (
+        similarity.spread(emb)
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") == RP_DIM))
+        .select(
+            "vec_id",
+            "embedding",
+            F.expr(_rp_project("embedding", "spark")).alias("p"),
+        )
+    )
+    a = proj.select(
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("ea"),
+        F.col("p").alias("pa"),
+    )
+    b = proj.select(
+        (F.col("vec_id") - F.lit(RP_PAIR_STRIDE)).alias("aid"),
+        F.col("embedding").alias("eb"),
+        F.col("p").alias("pb"),
+    )
+    pairs = a.join(b, "aid").select(
+        F.expr(similarity.sqdist("ea", "eb", "spark")).alias("d_orig"),
+        F.expr(similarity.sqdist("pa", "pb", "spark")).alias("d_proj"),
+    )
+    return (
+        pairs.filter(
+            (F.col("d_orig") > 0) & ~F.isnan("d_orig") & ~F.isnan("d_proj")
+        )
+        .select(
+            F.expr(
+                f"CAST(FLOOR((d_proj / ({RP_K}.0 * d_orig)) * 10.0) AS BIGINT)"
+            ).alias("ratio_band")
+        )
+        .groupBy("ratio_band")
+        .agg(F.count(F.lit(1)).alias("pairs"))
+    )
