@@ -667,10 +667,11 @@ def _rp_project(arr: str, dialect: str) -> str:
                  {similarity.sqdist('a.p', 'b.p', 'duckdb')} AS d_proj
           FROM proj a JOIN proj b ON b.vec_id = a.vec_id + {RP_PAIR_STRIDE}
         )
-        SELECT CAST(FLOOR((d_proj / ({RP_K}.0 * d_orig)) * 10.0) AS BIGINT) AS ratio_band,
+        SELECT CASE WHEN d_orig > 0 AND NOT isnan(d_orig) AND NOT isnan(d_proj)
+                    THEN CAST(FLOOR((d_proj / ({RP_K}.0 * d_orig)) * 10.0) AS BIGINT)
+               END AS ratio_band,
                COUNT(*) AS pairs
         FROM pairs
-        WHERE d_orig > 0 AND NOT isnan(d_orig) AND NOT isnan(d_proj)
         GROUP BY 1
         """,
     doc="JL random-projection distortion report: a deterministic signed "
@@ -712,15 +713,19 @@ def rp_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(similarity.sqdist("ea", "eb", "spark")).alias("d_orig"),
         F.expr(similarity.sqdist("pa", "pb", "spark")).alias("d_proj"),
     )
+    # TOTAL band expression, NO filter: a deterministic predicate on the
+    # fold-derived columns would push into the join residual and re-evaluate
+    # both 64-dim folds per pair (the semdedup_threshold_curve lesson, and
+    # exactly what tools/audit_plans.py flags).  Unscorable pairs (zero or
+    # NaN true distance, NaN projection) land in a NULL band row instead —
+    # both engines group NULLs together.
+    band = (
+        "CASE WHEN d_orig > 0 AND NOT isnan(d_orig) AND NOT isnan(d_proj) "
+        f"THEN CAST(FLOOR((d_proj / ({RP_K}.0 * d_orig)) * 10.0) AS BIGINT) "
+        "END"
+    )
     return (
-        pairs.filter(
-            (F.col("d_orig") > 0) & ~F.isnan("d_orig") & ~F.isnan("d_proj")
-        )
-        .select(
-            F.expr(
-                f"CAST(FLOOR((d_proj / ({RP_K}.0 * d_orig)) * 10.0) AS BIGINT)"
-            ).alias("ratio_band")
-        )
+        pairs.select(F.expr(band).alias("ratio_band"))
         .groupBy("ratio_band")
         .agg(F.count(F.lit(1)).alias("pairs"))
     )
