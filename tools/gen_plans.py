@@ -204,6 +204,28 @@ SHOWCASE = [
         "no windows — the Σ users(slot)² volume COOC_MAX_SLOT_USERS drops "
         "from the graph family's slot self-join, quantified per bucket.",
     ),
+    (
+        "bm25_search_topk",
+        "BM25 ranked retrieval (round 13): the token Generate explodes only "
+        "the filtered query-term postings (the posting slice — the array "
+        "filter sits inside the Generate, pruning before the shuffle); the "
+        "≤n_terms-row df table is a BroadcastHashJoin build side and the "
+        "1-row corpus totals a broadcast BNLJ; ranking is "
+        "TakeOrderedAndProject, never a global sort.  All-integer BM25 "
+        "arithmetic (idf_micro × tfnorm_micro) keeps the DuckDB oracle "
+        "bit-identical.",
+    ),
+    (
+        "rp_projection_distortion",
+        "JL distortion audit (round 13): the 64→16 signed projection is a "
+        "nested higher-order fold in ONE scan-stage Project; the pair "
+        "sample is a BroadcastHashJoin on vec_id + stride (systematic O(n), "
+        "never all-pairs); the ratio band is a TOTAL CASE expression — no "
+        "deterministic predicate on fold-derived columns exists to be "
+        "pushed into the join residual, so both sqdist folds evaluate "
+        "exactly once per pair (the audit-tool double-eval signature this "
+        "query was fixed against in 7b0e05e).",
+    ),
 ]
 
 
