@@ -1524,9 +1524,10 @@ _LGT_BETAS = tuple(
 )
 
 
-@register(
-    "logit_newton_langid",
-    oracle=f"""
+# feats + sums CTE text shared by logit_newton_langid and
+# logit_reliability_curve (one definition, zero drift between the trainer
+# and the apply pass).
+_LGT_CTES_SQL = f"""
         WITH feats AS (
           SELECT len({H.tokens('text', 'duckdb')}) AS dl,
                  len(list_distinct({H.tokens('text', 'duckdb')})) AS u,
@@ -1544,6 +1545,46 @@ _LGT_BETAS = tuple(
                  CAST(SUM(y) AS BIGINT) AS n_pos
           FROM feats
         )
+"""
+
+
+def _logit_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the feats CTE: (dl, u, y) per usable doc."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        spread(docs)
+        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
+        .select(
+            F.expr(H.tokens("text", "spark")).alias("toks"),
+            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+        )
+        .select(
+            F.size("toks").cast("long").alias("dl"),
+            F.size(F.array_distinct("toks")).cast("long").alias("u"),
+            "y",
+        )
+    )
+
+
+def _logit_sums(feats: DataFrame) -> DataFrame:
+    """Spark twin of the sums CTE: the nine sufficient statistics + n_pos."""
+    return feats.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("dl").alias("s1"),
+        F.sum("u").alias("s2"),
+        F.sum(F.expr("dl * dl")).alias("s11"),
+        F.sum(F.expr("dl * u")).alias("s12"),
+        F.sum(F.expr("u * u")).alias("s22"),
+        F.sum(F.expr("2L * y - 1L")).alias("g0"),
+        F.sum(F.expr("dl * (2L * y - 1L)")).alias("g1"),
+        F.sum(F.expr("u * (2L * y - 1L)")).alias("g2"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+
+
+@register(
+    "logit_newton_langid",
+    oracle=f"""{_LGT_CTES_SQL}
         SELECT CAST(n AS BIGINT) AS n_used, n_pos, {", ".join(_LGT_BETAS)}
         FROM sums
         """,
@@ -1563,32 +1604,7 @@ _LGT_BETAS = tuple(
     tags=("mldata", "training", "agg", "added-r13"),
 )
 def logit_newton_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    feats = (
-        spread(docs)
-        .filter(F.col("text").isNotNull() & F.col("lang").isNotNull())
-        .select(
-            F.expr(H.tokens("text", "spark")).alias("toks"),
-            F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("y"),
-        )
-        .select(
-            F.size("toks").cast("long").alias("dl"),
-            F.size(F.array_distinct("toks")).cast("long").alias("u"),
-            "y",
-        )
-    )
-    sums = feats.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("dl").alias("s1"),
-        F.sum("u").alias("s2"),
-        F.sum(F.expr("dl * dl")).alias("s11"),
-        F.sum(F.expr("dl * u")).alias("s12"),
-        F.sum(F.expr("u * u")).alias("s22"),
-        F.sum(F.expr("2L * y - 1L")).alias("g0"),
-        F.sum(F.expr("dl * (2L * y - 1L)")).alias("g1"),
-        F.sum(F.expr("u * (2L * y - 1L)")).alias("g2"),
-        F.sum("y").cast("long").alias("n_pos"),
-    )
+    sums = _logit_sums(_logit_feats(spark, sf_dir))
     return sums.selectExpr(
         "CAST(n AS BIGINT) AS n_used", "n_pos", *_LGT_BETAS
     )
@@ -1727,3 +1743,67 @@ def feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ") AS (feat_a, feat_b, corr)",
     )
     return stacked.select("feat_a", "feat_b", "n_used", "corr")
+
+
+# ---------------------------------------------------------------------------
+# Logit reliability curve: train THEN apply, in one DAG
+# ---------------------------------------------------------------------------
+# The natural follow-on to logit_newton_langid: score every doc with the
+# step-1 betas and report the reliability diagram (per score bucket, how
+# often is the doc actually English?).  Train-then-apply as a single query:
+# pass 1 aggregates the nine sufficient statistics to one row, the betas
+# derive from it and BROADCAST back over the corpus, pass 2 buckets the
+# linear score and counts — two scans, zero extra shuffles beyond the
+# 9-scalar aggregate.  The linear score stays in double off one shared
+# expression (bit-identical betas in, fixed-order arithmetic); the
+# positive rate per bucket is integer permille (exact DIV).  NULL betas
+# (det=0) put every doc in a NULL bucket — one honest row, not an error.
+_LGT_SCORE = (
+    "(beta_intercept + beta_len * CAST(dl AS DOUBLE) "
+    "+ beta_vocab * CAST(u AS DOUBLE))"
+)
+_LGT_BUCKET = f"CAST(FLOOR({_LGT_SCORE} * 20.0) AS BIGINT)"
+
+
+@register(
+    "logit_reliability_curve",
+    oracle=f"""{_LGT_CTES_SQL},
+        betas AS (
+          SELECT {", ".join(_LGT_BETAS)} FROM sums
+        ),
+        bucketed AS (
+          SELECT {_LGT_BUCKET} AS bucket, y
+          FROM feats CROSS JOIN betas
+        )
+        SELECT bucket,
+               COUNT(*) AS docs,
+               CAST(SUM(y) AS BIGINT) AS en_docs,
+               CAST((1000 * SUM(y)) // COUNT(*) AS BIGINT) AS en_permille
+        FROM bucketed
+        GROUP BY bucket
+        """,
+    doc="Reliability diagram for the step-1 logistic language-ID probe — "
+    "train THEN apply in one DAG: the nine sufficient statistics "
+    "aggregate to one row, the Cramer-solved betas broadcast back over "
+    "the corpus (a 1-row BNLJ, the classic model-broadcast shape), and "
+    "every doc's linear score buckets at 0.05 width into a per-bucket "
+    "empirical positive rate.  The curve answers whether the probe's "
+    "score ORDERING means anything before anyone sigmoid-calibrates it; "
+    "monotone-increasing en_permille = usable probe.  Integer-permille "
+    "rates (exact DIV) and a shared double score expression keep both "
+    "engines bit-identical; det=0 degrades to a single NULL-bucket row.  "
+    "100 TB: two corpus scans, shuffles carry nine scalars plus the "
+    "bucket histogram.",
+    tags=("mldata", "training", "statistics", "added-r13"),
+)
+def logit_reliability_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = _logit_feats(spark, sf_dir)
+    betas = _logit_sums(feats).selectExpr(*_LGT_BETAS)
+    bucketed = feats.crossJoin(F.broadcast(betas)).select(
+        F.expr(_LGT_BUCKET).alias("bucket"), "y"
+    )
+    return bucketed.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum("y").cast("long").alias("en_docs"),
+        F.expr("(1000 * SUM(y)) DIV COUNT(*)").alias("en_permille"),
+    )
