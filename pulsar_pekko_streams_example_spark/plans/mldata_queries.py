@@ -1807,3 +1807,72 @@ def logit_reliability_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("y").cast("long").alias("en_docs"),
         F.expr("(1000 * SUM(y)) DIV COUNT(*)").alias("en_permille"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Context branching histogram: templated-text detection via n-gram contexts
+# ---------------------------------------------------------------------------
+@register(
+    "context_branching_histogram",
+    oracle=f"""
+        WITH docs_w AS (
+          SELECT {H.tokens('text', 'duckdb')} AS w FROM documents
+        ),
+        tri AS (
+          SELECT unnest(w[1:len(w)-2]) AS w1,
+                 unnest(w[2:len(w)-1]) AS w2,
+                 unnest(w[3:len(w)]) AS w3
+          FROM docs_w WHERE len(w) >= 3
+        ),
+        ctx3 AS (
+          SELECT w1, w2, w3, COUNT(*) AS c FROM tri GROUP BY 1, 2, 3
+        ),
+        ctx AS (
+          SELECT w1, w2,
+                 CAST(COUNT(*) AS BIGINT) AS n_next,
+                 CAST(SUM(c) AS BIGINT) AS occ
+          FROM ctx3 GROUP BY 1, 2
+        )
+        SELECT n_next, COUNT(*) AS contexts, CAST(SUM(occ) AS BIGINT) AS occurrences
+        FROM ctx WHERE occ >= 2
+        GROUP BY 1
+        """,
+    doc="Templated-text detector: for every bigram context seen at least "
+    "twice, how many DISTINCT next tokens follow it?  A corpus heavy in "
+    "n_next=1 contexts (the context always continues the same way) is "
+    "templated/boilerplate — the memorization-risk signal Lee et al.'s "
+    "dedup work motivates, cheaper than any span join.  Trigrams come "
+    "from one slice-and-zip of the token array (the pmi_collocations "
+    "pattern, no self-join); the distinct-next count is two stacked "
+    "hash aggregates — (w1,w2,w3) then (w1,w2) — both map-side "
+    "combinable, so the shuffle tracks the distinct trigram vocabulary, "
+    "not corpus positions.  The >= 2 occurrence gate runs on the "
+    "aggregated context row (integer column, no fold re-eval).  All "
+    "integer arithmetic.",
+    tags=("text", "statistics", "dedup", "added-r13"),
+)
+def context_branching_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    docs_w = spread(docs).select(F.expr(H.tokens("text", "spark")).alias("w"))
+    tri = docs_w.filter(F.expr("size(w) >= 3")).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(w) - 2), "
+                "i -> struct(element_at(w, i) AS w1, element_at(w, i + 1) AS w2, "
+                "element_at(w, i + 2) AS w3))"
+            )
+        ).alias("t")
+    ).select("t.w1", "t.w2", "t.w3")
+    ctx3 = tri.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c"))
+    ctx = ctx3.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_next"),
+        F.sum("c").cast("long").alias("occ"),
+    )
+    return (
+        ctx.filter(F.col("occ") >= 2)
+        .groupBy("n_next")
+        .agg(
+            F.count(F.lit(1)).alias("contexts"),
+            F.sum("occ").cast("long").alias("occurrences"),
+        )
+    )
