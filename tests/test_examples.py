@@ -11,6 +11,7 @@ import tempfile
 import pytest
 
 from examples import (  # noqa: F401  (docs the mapping)
+    corpus_search,
     curation_pipeline,
     ordered_redelivery_loop,
     part1_backpressured_source,
@@ -32,6 +33,8 @@ EXAMPLES = [
     # ledger compaction, DLQ requeue — conservation end to end)
     ordered_redelivery_loop,  # extension: K2 × S6/S7 composed — failures
     # re-enter the SAME key queues as flagged redeliveries, loop converges
+    corpus_search,  # extension: retrieval stack walkthrough (boolean vs
+    # BM25, RBO ranker agreement, logit probe + reliability curve)
 ]
 
 
