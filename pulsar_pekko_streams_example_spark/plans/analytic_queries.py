@@ -1585,3 +1585,94 @@ def order_reconciliation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             + " END"
         ).alias("bucket")
     ).agg(F.count(F.lit(1)).alias("orders"))
+
+
+# ---------------------------------------------------------------------------
+# Wilson confidence bounds for the A/B conversion readout
+# ---------------------------------------------------------------------------
+# The statistically honest form of ab_test_report's permille comparison: the
+# 95% Wilson score interval per variant.  Engine-portable WITHOUT rational
+# tricks: n and k are exact int64 aggregates, z is an injected literal, the
+# interval formula is one shared expression string evaluated in identical
+# order, and IEEE sqrt is correctly rounded in both engines — so the bounds
+# are bit-identical doubles.  (Normal-approximation "Wald" bounds misbehave
+# at k≈0/k≈n; Wilson is the form A/B dashboards actually ship.)
+AB_WILSON_Z = "1.959963984540054"  # Phi^-1(0.975), double literal
+_ABW = {
+    "p": "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))",
+    "z": f"CAST('{AB_WILSON_Z}' AS DOUBLE)",
+    "nd": "CAST(n AS DOUBLE)",
+}
+_ABW_DENOM = "(1.0 + ({z} * {z}) / {nd})".format(**_ABW)
+_ABW_CENTER = "({p} + ({z} * {z}) / (2.0 * {nd}))".format(**_ABW)
+_ABW_HALF = (
+    "({z} * SQRT(({p} * (1.0 - {p})) / {nd} "
+    "+ ({z} * {z}) / (4.0 * {nd} * {nd})))"
+).format(**_ABW)
+# clamped to [0, 1]: Wilson is analytically inside the unit interval, but
+# the fixed-order double arithmetic can overshoot by 1 ulp (observed
+# 1.0000000000000002 at k = n); LEAST/GREATEST are deterministic in both
+# engines
+_ABW_LO = f"GREATEST(({_ABW_CENTER} - {_ABW_HALF}) / {_ABW_DENOM}, 0.0)"
+_ABW_HI = f"LEAST(({_ABW_CENTER} + {_ABW_HALF}) / {_ABW_DENOM}, 1.0)"
+
+
+@register(
+    "ab_wilson_bounds",
+    oracle=f"""
+        WITH per_user AS (
+          SELECT user_id,
+                 CASE WHEN (((user_id % {AB_HASH_PREMOD}) * {AB_HASH_MULT}) % {AB_HASH_MOD}) < {AB_SPLIT_LT}
+                      THEN 'A' ELSE 'B' END AS variant,
+                 SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS purchases
+          FROM events GROUP BY 1, 2
+        ),
+        counts AS (
+          SELECT variant,
+                 CAST(COUNT(*) AS BIGINT) AS n,
+                 CAST(SUM(CASE WHEN purchases > 0 THEN 1 ELSE 0 END) AS BIGINT) AS k
+          FROM per_user GROUP BY variant
+        )
+        SELECT variant, n AS users, k AS converters,
+               {_ABW_LO} AS wilson_lo,
+               {_ABW_HI} AS wilson_hi
+        FROM counts
+        """,
+    doc="95% Wilson score interval per A/B variant — the statistically "
+    "honest companion to ab_test_report's point-estimate permille: "
+    "non-overlapping intervals mean the variants actually differ; Wilson "
+    "(unlike Wald) stays inside [0,1] and behaves at k≈0/k≈n.  Same "
+    "deterministic multiplicative-hash assignment and the same two hash "
+    "aggregates (per-user, then 2-row per-variant); the interval math is "
+    "one shared expression over exact int64 (n, k) with an injected "
+    "z-literal — fixed-order double arithmetic and correctly-rounded "
+    "IEEE sqrt make both engines' bounds bit-identical.  At 100 TB the "
+    "readout still shuffles only per-user rows.",
+    tags=("agg", "experimentation", "statistics", "added-r13"),
+)
+def ab_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    per_user = events.groupBy(
+        "user_id",
+        F.expr(
+            f"CASE WHEN (((user_id % {AB_HASH_PREMOD}) * {AB_HASH_MULT}) % {AB_HASH_MOD}) < {AB_SPLIT_LT} "
+            "THEN 'A' ELSE 'B' END"
+        ).alias("variant"),
+    ).agg(
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "purchases"
+        )
+    )
+    counts = per_user.groupBy("variant").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("purchases") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("k"),
+    )
+    return counts.selectExpr(
+        "variant",
+        "n AS users",
+        "k AS converters",
+        f"{_ABW_LO} AS wilson_lo",
+        f"{_ABW_HI} AS wilson_hi",
+    )

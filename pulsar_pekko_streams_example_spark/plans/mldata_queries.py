@@ -1876,3 +1876,82 @@ def context_branching_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("occ").cast("long").alias("occurrences"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Largest-remainder quota apportionment: integer sample quotas per source
+# ---------------------------------------------------------------------------
+# mixture_temperature_weights says WHAT fraction each source deserves; a
+# sampler needs integer QUOTAS that sum exactly to the batch size.  Rounding
+# per-source floors loses slots and naive rounding can overshoot; the
+# largest-remainder (Hare) method is the standard fix: floor every quota,
+# then hand the leftover slots to the largest fractional remainders.  All
+# integer arithmetic — quota floors and remainders are exact int64 (the
+# remainder of T*c DIV N is T*c - floor*N), the rank window runs over the
+# |sources| post-aggregate rows, and ties break by source name — so both
+# engines replay exactly and the quotas ALWAYS sum to QUOTA_TOTAL.
+QUOTA_TOTAL = 1000
+
+
+@register(
+    "quota_apportionment",
+    oracle=f"""
+        WITH per_src AS (
+          SELECT source, COUNT(*) AS docs FROM documents GROUP BY source
+        ),
+        tot AS (SELECT SUM(docs) AS n FROM per_src),
+        base AS (
+          SELECT source, docs,
+                 CAST(({QUOTA_TOTAL} * docs) // n AS BIGINT) AS floor_quota,
+                 CAST({QUOTA_TOTAL} * docs - (({QUOTA_TOTAL} * docs) // n) * n
+                      AS BIGINT) AS remainder
+          FROM per_src CROSS JOIN tot
+        ),
+        ranked AS (
+          SELECT source, docs, floor_quota, remainder,
+                 ROW_NUMBER() OVER (ORDER BY remainder DESC, source) AS rnk,
+                 SUM(floor_quota) OVER () AS floor_sum
+          FROM base
+        )
+        SELECT source, CAST(docs AS BIGINT) AS docs, floor_quota,
+               CAST(floor_quota + CASE WHEN rnk <= {QUOTA_TOTAL} - floor_sum
+                                       THEN 1 ELSE 0 END AS BIGINT) AS quota
+        FROM ranked
+        """,
+    doc="Integer sample quotas per source by the largest-remainder (Hare) "
+    "method: floor every proportional share of QUOTA_TOTAL, then give the "
+    "leftover slots to the largest fractional remainders (ties by source "
+    "name).  The integer companion to mixture_temperature_weights — a "
+    "batch sampler needs quotas that sum EXACTLY to the batch size, and "
+    "this query guarantees it in pure int64 arithmetic (remainder = "
+    "T*docs - floor*N, no floats anywhere).  One corpus aggregate, then "
+    "windows over the |sources| rows only.  At 100 TB: the same "
+    "source-count aggregate every mixture query already runs.",
+    tags=("mldata", "sampling", "added-r13"),
+)
+def quota_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = spread(docs).groupBy("source").agg(F.count(F.lit(1)).alias("docs"))
+    tot = per_src.agg(F.sum("docs").alias("n"))
+    base = per_src.crossJoin(F.broadcast(tot)).selectExpr(
+        "source",
+        "docs",
+        f"CAST(({QUOTA_TOTAL}L * docs) DIV n AS BIGINT) AS floor_quota",
+        f"CAST({QUOTA_TOTAL}L * docs - (({QUOTA_TOTAL}L * docs) DIV n) * n AS BIGINT) AS remainder",
+    )
+    w_rank = Window.orderBy(F.col("remainder").desc(), "source")
+    w_all = Window.partitionBy()
+    ranked = base.select(
+        "source",
+        "docs",
+        "floor_quota",
+        F.row_number().over(w_rank).alias("rnk"),
+        F.sum("floor_quota").over(w_all).alias("floor_sum"),
+    )
+    return ranked.selectExpr(
+        "source",
+        "CAST(docs AS BIGINT) AS docs",
+        "floor_quota",
+        f"CAST(floor_quota + CASE WHEN rnk <= {QUOTA_TOTAL} - floor_sum "
+        "THEN 1 ELSE 0 END AS BIGINT) AS quota",
+    )

@@ -106,6 +106,10 @@ PINNED = [
     ("image_resize_stats", "non-ASCII byte-vs-codepoint dims"),
     ("tfidf_cosine_pairs", "tf~3500 rare term (int64 Σw² overflow)"),
     ("priority_price_rank_approx", "single-row percent_rank divisor"),
+    # skewed sources (web=4, synthetic=2 docs): floor quotas sum to 999, so
+    # the largest-remainder leftover-slot path actually allocates — the
+    # uniform test corpus (20 sources x 25 docs) never exercises it
+    ("quota_apportionment", "skewed sources: remainder slot allocated"),
 ]
 
 
