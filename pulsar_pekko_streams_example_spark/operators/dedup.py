@@ -502,3 +502,80 @@ def doc_fingerprints(docs: DataFrame) -> DataFrame:
         .agg(F.min("fingerprint").alias("fingerprint"))
     )
     return sim.join(fp, "doc_id").select("doc_id", "simhash", "fingerprint")
+
+
+def jaccard_prefix_pairs(
+    docs: DataFrame,
+    threshold_numer: int,
+    threshold_denom: int,
+    n: int = SHINGLE_N,
+) -> DataFrame:
+    """Exact-threshold Jaccard pairs by PREFIX FILTERING (the PPJoin family
+    — Chaudhuri et al. ICDE 2006, Xiao et al. WWW 2008): the standard exact
+    alternative to this module's df-capped inverted index and MinHash-LSH.
+
+    Order every doc's shingles by global rarity (df asc, shingle) and keep
+    only the first ``sz - ceil(t*sz) + 1`` as its PREFIX; the prefix-filter
+    theorem guarantees two docs with Jaccard >= t share at least one prefix
+    shingle, so the candidate join runs on prefixes only.  Hot shingles
+    sort LAST and almost never enter a prefix — the quadratic hot-shingle
+    blowup the df cap exists to contain never happens here, and the result
+    is the exact Jaccard over the FULL shingle universe (no cap, unlike
+    ``jaccard_pairs``).  Verification joins each candidate pair back to the
+    full postings, so verify cost is sum over candidates of |doc_a| — it
+    tracks the candidate count, not the corpus square.
+
+    Threshold is a rational (numer/denom) so the prefix length is exact
+    int64 arithmetic: ``ceil(t*sz) = (tn*sz + td - 1) DIV td`` — identical
+    in both engines.  Shuffles: postings by shingle (df), by doc_id (the
+    per-doc rank window), prefixes by shingle (candidates), candidates by
+    pair (verify).  Reference analog: none (pulsar-pekko-streams-example
+    has no relational surface); extension operator per SURVEY §2.7."""
+    tn, td = threshold_numer, threshold_denom
+    posting = shingle_postings(docs, n)
+    dfreq = posting.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    from pyspark.sql.window import Window
+
+    w_doc = Window.partitionBy("doc_id").orderBy("df", "s")
+    w_sz = Window.partitionBy("doc_id")
+    op = (
+        posting.join(dfreq, ["s"])
+        .select(
+            "doc_id",
+            "s",
+            F.row_number().over(w_doc).alias("r"),
+            F.count(F.lit(1)).over(w_sz).alias("sz"),
+        )
+    )
+    pre = op.filter(
+        F.expr(f"r <= sz - (({tn}L * sz + {td - 1}L) DIV {td}L) + 1L")
+    ).select("doc_id", "s")
+    a = pre.alias("a")
+    b = pre.alias("b")
+    cand = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    pa = posting.select(F.col("doc_id").alias("doc_a"), "s")
+    pb = posting.select(F.col("doc_id").alias("b_id"), F.col("s").alias("sb"))
+    inter = (
+        cand.join(pa, ["doc_a"])
+        .join(pb, (F.col("doc_b") == F.col("b_id")) & (F.col("s") == F.col("sb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sizes = posting.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, ["doc_a"])
+        .join(sb, ["doc_b"])
+        .withColumn(
+            "jaccard",
+            F.col("inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= F.lit(tn) / F.lit(td))
+        .select("doc_a", "doc_b", "jaccard")
+    )
