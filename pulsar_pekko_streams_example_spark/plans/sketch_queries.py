@@ -632,3 +632,133 @@ def hll_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# KMV (k-minimum-values / theta-style) distinct sketch with SET OPERATIONS
+# ---------------------------------------------------------------------------
+# The sketch family HLL cannot replace: HLL registers union cleanly but has
+# no intersection; a KMV sketch (the K smallest hash values of a set) is a
+# uniform SAMPLE of the hashed universe, so sketches merge by taking the K
+# smallest of the concatenation, and Jaccard estimates by counting union-
+# sample members present in both input samples (Beyer et al. SIGMOD 2007,
+# the core of the theta-sketch framework).  Everything is engine-portable
+# integer arithmetic: the hash is the AB-test multiplicative form, the
+# K-smallest selection is ORDER BY + LIMIT (TakeOrderedAndProject — per-
+# partition top-K, K-row driver merge, the distributed shape), and the
+# estimator (K-1)*MOD DIV h_K is one exact int64 division.  |S| < K
+# degrades to the exact count (the sample IS the set) — the sf0.001 corpus
+# exercises that branch, sf0.01+ exercises the estimator.
+KMV_K = 16
+KMV_PREMOD = 1000003
+KMV_MULT = 2654435761
+KMV_MOD = 1073741789  # prime < 2^30
+KMV_SET_A = "click"
+KMV_SET_B = "purchase"
+_KMV_HASH = f"(((user_id % {KMV_PREMOD}) * {KMV_MULT}) % {KMV_MOD})"
+
+
+def _kmv_est(cnt: str, theta: str) -> str:
+    """Shared estimator text: exact when the sample is the whole set
+    (cnt < K), else (K-1)*MOD DIV theta."""
+    return (
+        f"CAST(CASE WHEN {cnt} < {KMV_K} THEN {cnt} "
+        f"ELSE (({KMV_K} - 1) * CAST({KMV_MOD} AS BIGINT)) // {theta} END AS BIGINT)"
+    )
+
+
+@register(
+    "kmv_sketch_setops",
+    oracle=f"""
+        WITH ha AS (
+          SELECT DISTINCT {_KMV_HASH} AS h FROM events WHERE event_type = '{KMV_SET_A}'
+        ),
+        hb AS (
+          SELECT DISTINCT {_KMV_HASH} AS h FROM events WHERE event_type = '{KMV_SET_B}'
+        ),
+        sa AS (SELECT h FROM ha ORDER BY h LIMIT {KMV_K}),
+        sb AS (SELECT h FROM hb ORDER BY h LIMIT {KMV_K}),
+        su AS (
+          SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+          ORDER BY h LIMIT {KMV_K}
+        ),
+        stats AS (
+          SELECT (SELECT COUNT(*) FROM sa) AS ca, (SELECT MAX(h) FROM sa) AS ta,
+                 (SELECT COUNT(*) FROM sb) AS cb, (SELECT MAX(h) FROM sb) AS tb,
+                 (SELECT COUNT(*) FROM su) AS cu, (SELECT MAX(h) FROM su) AS tu,
+                 (SELECT COUNT(*) FROM su
+                   WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)) AS cboth,
+                 (SELECT COUNT(*) FROM ha) AS xa,
+                 (SELECT COUNT(*) FROM hb) AS xb,
+                 (SELECT COUNT(*) FROM (SELECT h FROM ha UNION SELECT h FROM hb)) AS xu
+        )
+        SELECT CAST({KMV_K} AS BIGINT) AS k,
+               {_kmv_est('ca', 'ta')} AS est_a, CAST(xa AS BIGINT) AS exact_a,
+               {_kmv_est('cb', 'tb')} AS est_b, CAST(xb AS BIGINT) AS exact_b,
+               {_kmv_est('cu', 'tu')} AS est_union, CAST(xu AS BIGINT) AS exact_union,
+               CAST((cboth * {_kmv_est('cu', 'tu')}) // cu AS BIGINT) AS est_intersection,
+               CAST(xa + xb - xu AS BIGINT) AS exact_intersection
+        FROM stats
+        """,
+    doc="KMV / theta-style distinct sketch with set operations — the "
+    "sketch HLL cannot be: the K smallest user-id hash values per set "
+    "merge by re-taking the K smallest of the concatenation (union "
+    "sketch from SKETCHES, never re-reading the data), and intersection "
+    "estimates as (union-sample members in both inputs)/K x est_union "
+    "(Beyer et al. 2007; the theta-sketch core).  K-smallest is ORDER BY "
+    "+ LIMIT -> TakeOrderedAndProject (per-partition top-K, K-row driver "
+    "merge); the estimator (K-1)*MOD DIV h_K is exact int64; samples "
+    "smaller than K degrade to exact counts.  Exact counterparts are "
+    "emitted alongside for error inspection — the sketch math itself is "
+    "under oracle test, not just the happy path.  At 100 TB each "
+    "per-set sketch is one distinct + top-K pass; every set operation "
+    "after that touches K rows.",
+    tags=("sketch", "agg", "added-r13"),
+)
+def kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+
+    def sample(event_type: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == event_type)
+            .select(F.expr(_KMV_HASH).alias("h"))
+            .distinct()
+            .orderBy("h")
+            .limit(KMV_K)
+        )
+
+    def exact(event_type: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == event_type)
+            .select(F.expr(_KMV_HASH).alias("h"))
+            .distinct()
+        )
+
+    sa, sb = sample(KMV_SET_A), sample(KMV_SET_B)
+    su = sa.union(sb).distinct().orderBy("h").limit(KMV_K)
+    ha, hb = exact(KMV_SET_A), exact(KMV_SET_B)
+    xu = ha.union(hb).distinct()
+    both = (
+        su.join(sa.withColumnRenamed("h", "h_a"), F.col("h") == F.col("h_a"), "left_semi")
+        .join(sb.withColumnRenamed("h", "h_b"), F.col("h") == F.col("h_b"), "left_semi")
+    )
+    stats = (
+        sa.agg(F.count("h").alias("ca"), F.max("h").alias("ta"))
+        .crossJoin(sb.agg(F.count("h").alias("cb"), F.max("h").alias("tb")))
+        .crossJoin(su.agg(F.count("h").alias("cu"), F.max("h").alias("tu")))
+        .crossJoin(both.agg(F.count("h").alias("cboth")))
+        .crossJoin(ha.agg(F.count("h").alias("xa")))
+        .crossJoin(hb.agg(F.count("h").alias("xb")))
+        .crossJoin(xu.agg(F.count("h").alias("xu")))
+    )
+    return stats.selectExpr(
+        f"CAST({KMV_K} AS BIGINT) AS k",
+        f"{_kmv_est('ca', 'ta')} AS est_a".replace("//", "DIV"),
+        "CAST(xa AS BIGINT) AS exact_a",
+        f"{_kmv_est('cb', 'tb')} AS est_b".replace("//", "DIV"),
+        "CAST(xb AS BIGINT) AS exact_b",
+        f"{_kmv_est('cu', 'tu')} AS est_union".replace("//", "DIV"),
+        "CAST(xu AS BIGINT) AS exact_union",
+        f"CAST((cboth * {_kmv_est('cu', 'tu')}) DIV cu AS BIGINT) AS est_intersection".replace("//", "DIV"),
+        "CAST(xa + xb - xu AS BIGINT) AS exact_intersection",
+    )
