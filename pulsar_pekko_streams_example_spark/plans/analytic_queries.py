@@ -1676,3 +1676,71 @@ def ab_wilson_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_ABW_LO} AS wilson_lo",
         f"{_ABW_HI} AS wilson_hi",
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit: data-forensics profile of order totals
+# ---------------------------------------------------------------------------
+# Fabricated or unit-mangled monetary data drifts from Benford's law; the
+# first-digit histogram plus each digit's chi-square contribution is the
+# standard forensic screen.  The digit comes from the STRING form of the
+# exact integer floor (no float log10 anywhere); expected proportions
+# log10(1 + 1/d) are Python-precomputed double literals injected as
+# strings, and the chi-square contribution runs in fixed-order double off
+# exact integer counts — bit-identical in both engines.
+_BENFORD_P = {d: repr(__import__("math").log10(1 + 1 / d)) for d in range(1, 10)}
+_BENFORD_P_CASE = "CASE " + " ".join(
+    f"WHEN digit = {d} THEN CAST('{p}' AS DOUBLE)" for d, p in _BENFORD_P.items()
+) + " END"
+
+
+@register(
+    "benford_price_audit",
+    oracle=f"""
+        WITH digits AS (
+          SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                      AS BIGINT) AS digit
+          FROM orders WHERE o_totalprice >= 1
+        ),
+        counts AS (
+          SELECT digit, COUNT(*) AS observed FROM digits GROUP BY digit
+        ),
+        tot AS (SELECT SUM(observed) AS n FROM counts)
+        SELECT digit, CAST(observed AS BIGINT) AS observed,
+               CAST(FLOOR(({_BENFORD_P_CASE}) * 1000000.0) AS BIGINT) AS expected_ppm,
+               ((CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * ({_BENFORD_P_CASE}))
+                * (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * ({_BENFORD_P_CASE})))
+               / (CAST(n AS DOUBLE) * ({_BENFORD_P_CASE})) AS chi_contrib
+        FROM counts CROSS JOIN tot
+        """,
+    doc="Benford first-digit forensic audit of order totals: the observed "
+    "leading-digit histogram against log10(1+1/d) expectations, with each "
+    "digit's chi-square contribution — the standard screen for fabricated "
+    "or unit-mangled monetary columns before they poison downstream "
+    "revenue aggregates.  The digit derives from the STRING form of the "
+    "exact integer floor (no float log10 in the extraction); expectations "
+    "are Python-precomputed double literals, so the fixed-order "
+    "chi-square arithmetic is bit-identical in both engines.  ONE scan, "
+    "one 9-row aggregate, a 1-row total broadcast — the same shape at "
+    "any corpus size.  (The synthetic uniform prices FAIL Benford "
+    "loudly — large chi contributions are the expected, correct output "
+    "here; the operator is the screen, not a pass asserter.)",
+    tags=("agg", "statistics", "dq", "added-r13"),
+)
+def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        F.expr(
+            "CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
+        ).alias("digit")
+    )
+    counts = digits.groupBy("digit").agg(F.count(F.lit(1)).alias("observed"))
+    tot = counts.agg(F.sum("observed").alias("n"))
+    return counts.crossJoin(F.broadcast(tot)).selectExpr(
+        "digit",
+        "CAST(observed AS BIGINT) AS observed",
+        f"CAST(FLOOR(({_BENFORD_P_CASE}) * 1000000.0) AS BIGINT) AS expected_ppm",
+        f"((CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * ({_BENFORD_P_CASE}))"
+        f" * (CAST(observed AS DOUBLE) - CAST(n AS DOUBLE) * ({_BENFORD_P_CASE})))"
+        f" / (CAST(n AS DOUBLE) * ({_BENFORD_P_CASE})) AS chi_contrib",
+    )
