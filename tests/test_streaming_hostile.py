@@ -3453,3 +3453,53 @@ def test_ordered_cursor_exact_at_int64_scale():
     )
     (out2,) = OS._process_key(("k",), iter([pdf2]), st)
     assert list(out2["is_redelivery"]) == [True, False]
+
+
+def test_status_bounded_retry_contract(spark, tmpdir):
+    """Deterministic pin of status()'s never-raise contract (round 13,
+    df980f6) — the concurrency stress test above exercises the race
+    statistically; this injects it exactly.
+
+    (a) a mutator that keeps invalidating the lock-free counts past the
+    bounded retry degrades the poll to the CONTENDED shape (all counts
+    None, maintenance_in_progress = the latest lease record, counters
+    still served) — never an exception; (b) a transient invalidation that
+    clears within the retry budget yields the full counted shape.  The
+    injection point is due_retries — the first count job status() runs —
+    raising the same AnalysisException a compact's directory swap
+    produces."""
+    from pyspark.errors import AnalysisException
+
+    router = RetryRouter(
+        sink_path=os.path.join(tmpdir, "sink"),
+        retry_path=os.path.join(tmpdir, "retry"),
+        dlq_path=os.path.join(tmpdir, "dlq"),
+    )
+
+    calls = {"n": 0}
+    real_due = router.due_retries
+
+    def always_swapped(*a, **k):
+        calls["n"] += 1
+        raise AnalysisException("[PATH_NOT_FOUND] injected ledger swap")
+
+    router.due_retries = always_swapped
+    s = router.status(spark)  # must NOT raise
+    assert calls["n"] == 3, "bounded retry = exactly 3 attempts"
+    assert s["retry_rows"] is None and s["frontier"] is None
+    assert s["dlq"] is None and s["resolved"] is None
+    assert "counters" in s  # the in-process counters are served either way
+
+    calls["n"] = 0
+
+    def transient(*a, **k):
+        calls["n"] += 1
+        if calls["n"] < 3:
+            raise AnalysisException("[PATH_NOT_FOUND] injected ledger swap")
+        return real_due(*a, **k)
+
+    router.due_retries = transient
+    s2 = router.status(spark)
+    assert calls["n"] == 3
+    assert s2["frontier"] == 0 and s2["retry_rows"] == 0  # empty ledgers count
+    assert s2["maintenance_in_progress"] is None
