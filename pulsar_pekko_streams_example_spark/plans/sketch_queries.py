@@ -696,7 +696,9 @@ def _kmv_est(cnt: str, theta: str) -> str:
                {_kmv_est('ca', 'ta')} AS est_a, CAST(xa AS BIGINT) AS exact_a,
                {_kmv_est('cb', 'tb')} AS est_b, CAST(xb AS BIGINT) AS exact_b,
                {_kmv_est('cu', 'tu')} AS est_union, CAST(xu AS BIGINT) AS exact_union,
-               CAST((cboth * {_kmv_est('cu', 'tu')}) // cu AS BIGINT) AS est_intersection,
+               CAST(CASE WHEN cu = 0 THEN 0
+                    ELSE (cboth * {_kmv_est('cu', 'tu')}) // cu END AS BIGINT)
+                 AS est_intersection,
                CAST(xa + xb - xu AS BIGINT) AS exact_intersection
         FROM stats
         """,
@@ -759,6 +761,10 @@ def kmv_sketch_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(xb AS BIGINT) AS exact_b",
         f"{_kmv_est('cu', 'tu')} AS est_union".replace("//", "DIV"),
         "CAST(xu AS BIGINT) AS exact_union",
-        f"CAST((cboth * {_kmv_est('cu', 'tu')}) DIV cu AS BIGINT) AS est_intersection".replace("//", "DIV"),
+        (
+            f"CAST(CASE WHEN cu = 0 THEN 0 "
+            f"ELSE (cboth * {_kmv_est('cu', 'tu')}) DIV cu END AS BIGINT) "
+            f"AS est_intersection"
+        ).replace("//", "DIV"),
         "CAST(xa + xb - xu AS BIGINT) AS exact_intersection",
     )

@@ -1,5 +1,5 @@
 """CLI surface: list/oracle run in-process; check shares the package's
-verify.compare with the test suite (tests/parity.py is a shim over it)."""
+verify.compare with the test suite."""
 
 from __future__ import annotations
 

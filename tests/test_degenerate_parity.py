@@ -26,7 +26,7 @@ import pytest
 from pulsar_pekko_streams_example_spark.plans.registry import REGISTRY, all_queries
 
 from tests.conftest import SF_SMOKE
-from tests.parity import compare
+from pulsar_pekko_streams_example_spark.verify import compare
 
 all_queries()  # force registration
 
@@ -1041,3 +1041,67 @@ def test_adversarial_compound_parity(
     df = spec.build(spark, adversarial_all_sf)
     problems = compare(df, adversarial_all_duck.sql(spec.oracle))
     assert not problems, f"{name} [{why}]: " + "; ".join(problems)
+
+
+# ---------------------------------------------------------------------------
+# Round-14: KMV set-operations on EMPTY input sets (ADVICE r13).
+#
+# kmv_sketch_setops estimates |A ∩ B| as (cboth * est_union) / cu.  When
+# BOTH event sets are absent from the corpus, cu = 0: Spark 4 runs ANSI
+# mode by default, so an unguarded division throws DIVIDE_BY_ZERO while
+# DuckDB's `// 0` yields NULL — an engine/oracle divergence reachable on
+# any corpus slice that simply lacks the two event types (a certainty in
+# per-day partitions at 100 TB).  The estimator now short-circuits cu = 0
+# to 0 in BOTH dialects; this corpus keeps it that way.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def empty_events_sf(spark, tmp_path_factory):
+    """sf0.001 with events holding NO 'click' / 'purchase' rows, so every
+    KMV sample, exact set, and union is empty (ca = cb = cu = 0)."""
+    base = tmp_path_factory.mktemp("empty_events_sf")
+    for t in TABLES:
+        if t != "events":
+            shutil.copyfile(f"{SF_SMOKE}/{t}.parquet", str(base / f"{t}.parquet"))
+    rows = [
+        (1, "2024-01-01 00:00:00", 11, "view", 1.0, "{}"),
+        (2, "2024-01-01 00:01:00", 12, "signup", 0.0, "{}"),
+        (3, "2024-01-02 00:00:00", 13, "error", 0.0, "{}"),
+    ]
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    ).write.mode("overwrite").parquet(str(base / "events.parquet"))
+    return str(base)
+
+
+@pytest.fixture(scope="module")
+def empty_events_duck(empty_events_sf):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{empty_events_sf}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
+    yield con
+    con.close()
+
+
+def test_kmv_empty_sets_parity(spark, empty_events_sf, empty_events_duck):
+    """cu = 0 branch: engine must not raise (ANSI divide-by-zero) and must
+    agree with the oracle that every estimate and exact count is 0."""
+    spec = REGISTRY["kmv_sketch_setops"]
+    df = spec.build(spark, empty_events_sf)
+    problems = compare(df, empty_events_duck.sql(spec.oracle))
+    assert not problems, "kmv_sketch_setops [empty sets, cu=0]: " + "; ".join(problems)
+    row = df.collect()[0]
+    assert row["est_intersection"] == 0 and row["est_union"] == 0
+    assert row["exact_a"] == 0 and row["exact_b"] == 0

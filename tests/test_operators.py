@@ -224,8 +224,12 @@ def test_pq_codebook_census_detects_null_seed_collapse(spark):
     signal."""
     emb = load_table(spark, SF_CORRECT, "embeddings")
     census = similarity.pq_codebook_census(emb)
-    assert census["n_centroids"] >= similarity.PQ_CODEBOOK // 2, census
-    assert census["n_centroids"] + len(census["missing_j"]) == similarity.PQ_CODEBOOK
+    # the holed assertions below assume the real corpus codebook is COMPLETE
+    # (every even slot missing = exactly the injected holes); make that
+    # assumption explicit so a pre-existing odd-slot hole fails HERE with a
+    # clear message, not downstream with a confusing set mismatch
+    assert census["missing_j"] == [], census
+    assert census["n_centroids"] == similarity.PQ_CODEBOOK, census
 
     seed_mod = similarity.PQ_CENT_OFFSET
     holed = emb.withColumn(

@@ -16,7 +16,7 @@ import pytest
 from pulsar_pekko_streams_example_spark.plans.registry import REGISTRY, all_queries
 
 from tests.conftest import SF_CORRECT
-from tests.parity import compare
+from pulsar_pekko_streams_example_spark.verify import compare
 
 all_queries()  # force registration
 

@@ -1425,3 +1425,176 @@ def test_sink_fold_partial_removal_failures_defer_and_converge(
             r.message_id for r in spark.read.parquet(router.sink_path).collect()
         )
         assert rows == sorted(seeded), (stuck_mask, cutoff)
+
+
+# ---------------------------------------------------------------------------
+# Round-14 pins for the round-13 oracle-only operators (VERDICT r13 task 1).
+#
+# The DuckDB oracle mirrors the engine's own construction (same prefix
+# formula, same estimator), so a shared off-by-one would be parity-green —
+# the blind spot that historically bit the quantile sketch and the retry
+# frontier.  These pins check against INDEPENDENT references instead:
+# brute-force Python, the prefix-filter theorem, and the estimator's own
+# exact-branch/monotonicity contracts.
+# ---------------------------------------------------------------------------
+
+
+def _brute_jaccard_pairs(texts: dict[int, str], tn: int, td: int, n: int = 3):
+    """Exact Jaccard over full (uncapped) shingle universes — independent
+    Python reference mirroring hashing.tokens/shingles semantics."""
+    def shingle_set(t: str) -> set[str]:
+        w = [x for x in t.split(" ") if x]
+        return {"_".join(w[i : i + n]) for i in range(len(w) - n + 1)} if len(w) >= n else set()
+
+    sets = {d: shingle_set(t) for d, t in texts.items()}
+    out = {}
+    ids = sorted(sets)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            inter = len(sets[a] & sets[b])
+            union = len(sets[a] | sets[b])
+            # same IEEE ops as the engine's double filter: inter/union >= tn/td
+            if union and inter / union >= tn / td:
+                out[(a, b)] = inter / union
+    return out
+
+
+jdocs = st.lists(
+    st.lists(
+        st.sampled_from(["alpha", "beta", "gamma", "delta", "eps", "zeta"]),
+        min_size=3,
+        max_size=10,
+    ),
+    min_size=2,
+    max_size=5,
+)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(docs_words=jdocs, tail=st.sampled_from(["alpha", "zeta"]))
+def test_jaccard_prefix_pairs_complete_vs_bruteforce(spark, docs_words, tail):
+    """The prefix-filter theorem, end to end: every pair the exact uncapped
+    brute force finds at J >= 7/10 MUST appear in jaccard_prefix_pairs(7, 10)
+    with the identical jaccard — completeness is the whole point of PPJoin
+    (a too-short prefix silently LOSES pairs and stays oracle-green, because
+    the oracle runs the same prefix formula).  Near-dup pairs are forced by
+    duplicating doc 0 verbatim and once with one appended token."""
+    texts = {i: " ".join(ws) for i, ws in enumerate(docs_words)}
+    n0 = len(texts)
+    texts[n0] = texts[0]                     # exact duplicate: J = 1
+    texts[n0 + 1] = texts[0] + " " + tail    # near-dup: usually J >= 0.7
+    docs = spark.createDataFrame(
+        sorted(texts.items()), "doc_id long, text string"
+    )
+    from pulsar_pekko_streams_example_spark.operators import dedup
+
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.jaccard_prefix_pairs(docs, 7, 10).collect()
+    }
+    want = _brute_jaccard_pairs(texts, 7, 10)
+    missing = {p: j for p, j in want.items() if p not in got}
+    assert not missing, f"prefix filter LOST pairs: {missing}; got {got}"
+    # and nothing below threshold leaks through (exactness, both directions)
+    assert got == want, (got, want)
+
+
+def _write_kmv_events(spark, base, user_ids_by_type):
+    rows = []
+    eid = 0
+    for etype, uids in user_ids_by_type.items():
+        for u in uids:
+            rows.append((eid, "2024-01-01 00:00:00", u, etype, 1.0, "{}"))
+            eid += 1
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts string, user_id bigint, event_type string, "
+        "value double, props string",
+    ).selectExpr(
+        "event_id", "CAST(ts AS TIMESTAMP) AS ts", "user_id", "event_type",
+        "value", "props",
+    ).write.mode("overwrite").parquet(f"{base}/events.parquet")
+    return str(base)
+
+
+def test_kmv_exact_branch_and_union_monotonicity(spark, tmp_path):
+    """KMV estimator contracts the oracle cannot check (it runs the same
+    estimator): (a) |S| < K  =>  the sample IS the set and the estimate
+    EQUALS the exact count — both sets and their union; (b) est_union >=
+    max(est_a, est_b) in ALL branch combinations (union sample's K-th
+    smallest <= either input's, and in the mixed case (K-1)*MOD DIV theta
+    >= K-1 >= the exact small side)."""
+    from pulsar_pekko_streams_example_spark.plans.sketch_queries import (
+        KMV_K,
+        kmv_sketch_setops,
+    )
+
+    # (a) exact branch: 5 click users, 4 purchase users, 2 shared — all < K
+    small = _write_kmv_events(
+        spark,
+        tmp_path / "small",
+        {"click": [1, 2, 3, 4, 5], "purchase": [4, 5, 6, 7], "view": [9]},
+    )
+    r = kmv_sketch_setops(spark, small).collect()[0]
+    assert r.est_a == r.exact_a == 5
+    assert r.est_b == r.exact_b == 4
+    assert r.est_union == r.exact_union == 7
+    assert r.est_intersection == r.exact_intersection == 2
+    assert r.est_union >= max(r.est_a, r.est_b)
+
+    # (b) estimator branch: both sets far above K distinct users
+    big = _write_kmv_events(
+        spark,
+        tmp_path / "big",
+        {
+            "click": list(range(1, 4 * KMV_K + 1)),
+            "purchase": list(range(2 * KMV_K, 7 * KMV_K)),
+        },
+    )
+    r = kmv_sketch_setops(spark, big).collect()[0]
+    assert r.exact_a >= KMV_K and r.exact_b >= KMV_K  # the branch we mean to hit
+    assert r.est_a > 0 and r.est_b > 0
+    assert r.est_union >= max(r.est_a, r.est_b), r
+
+    # (c) mixed branches: A tiny (exact), B large (estimated)
+    mixed = _write_kmv_events(
+        spark,
+        tmp_path / "mixed",
+        {"click": [1, 2, 3], "purchase": list(range(100, 100 + 5 * KMV_K))},
+    )
+    r = kmv_sketch_setops(spark, mixed).collect()[0]
+    assert r.est_a == r.exact_a == 3
+    assert r.est_union >= max(r.est_a, r.est_b), r
+
+
+def test_bm25_rank_order_and_term_membership(spark):
+    """BM25 sanity contracts promoted from examples/corpus_search.py into
+    the suite (VERDICT r13): output is rank-ordered by score (ties by
+    doc_id), every returned doc really CONTAINS >= 1 query term as a
+    whitespace token (OR semantics — a scoring bug that surfaced docs with
+    zero matching terms would be oracle-green), matched_terms is a sane
+    1..|terms| count, and scores are positive."""
+    from pulsar_pekko_streams_example_spark.plans import REGISTRY, all_queries
+    from pulsar_pekko_streams_example_spark.plans.data_queries import SEARCH_TERMS
+
+    all_queries()
+    sf = "/root/testdata/sf0.001"
+    rows = REGISTRY["bm25_search_topk"].build(spark, sf).collect()
+    assert rows, "BM25 must rank at least one document on the smoke corpus"
+    scores = [(r.score_pico, -r.doc_id) for r in rows]
+    assert scores == sorted(scores, key=lambda t: (-t[0], -t[1])), rows
+    for r in rows:
+        assert 1 <= r.matched_terms <= len(SEARCH_TERMS), r
+        assert r.score_pico > 0, r
+    texts = {
+        d.doc_id: d.text
+        for d in spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "text")
+        .collect()
+        if d.doc_id in {r.doc_id for r in rows}
+    }
+    for r in rows:
+        toks = set(texts[r.doc_id].split(" "))
+        hit = toks & set(SEARCH_TERMS)
+        assert hit, f"doc {r.doc_id} returned by BM25 but contains no query term"
+        assert len(hit) == r.matched_terms, (r, sorted(hit))

@@ -35,6 +35,12 @@ passes, but the probes branch's pushed filter shrinks it to query rows —
 good pattern), kmeans_round2_movement (two Lloyd's rounds are two scoring
 passes by definition), semantic_dedup_probe / ann_pq_adc_topk (one scoring
 pass per side of a deliberate recompute, see their docstrings).
+
+Round-13 eyeball verdicts (both benign): kmv_sketch_setops (7 crossJoins
+of 1-row aggregates — the stats assembly, sketch_queries.py; each side is
+a single scalar row), ranking_rbo_report (a depth-bounded <=20 x <=20
+inequality join of per-ranker tops against a broadcast — the RBO overlap
+windows, data_queries.py).
 """
 
 from __future__ import annotations

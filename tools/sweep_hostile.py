@@ -108,7 +108,7 @@ def main() -> None:
     from pulsar_pekko_streams_example_spark.session import get_spark
 
     import tests.test_degenerate_parity as fixtures_mod
-    from tests.parity import compare
+    from pulsar_pekko_streams_example_spark.verify import compare
 
     spark = get_spark(app_name="hostile-sweep")
     spark.sparkContext.setLogLevel("ERROR")
