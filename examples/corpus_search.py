@@ -38,6 +38,15 @@ def run(spark: SparkSession, workdir: str) -> dict:
     or_ids = {r.doc_id for r in bm25}
     assert len(or_ids) >= min(len(and_ids), 1)
 
+    # 1b. stage-2 dense rerank over the BM25 candidates (round 14): the
+    # candidate SET is unchanged, only the order moves, and the query doc
+    # (BM25 rank 1) scores ~1 against itself
+    rerank = REGISTRY["search_rerank_stage"].build(spark, SF_DIR).collect()
+    assert {r.doc_id for r in rerank} == or_ids, "rerank must not change the candidate set"
+    top = next(r for r in rerank if r.bm25_rank == 1)
+    assert top.cosine >= 1.0 - 1e-9, "the query doc must score ~1 against itself"
+    moved = sum(1 for r in rerank if r.rerank_rank != r.bm25_rank)
+
     # 2. did BM25's idf + length normalization actually reorder anything?
     rbo = sorted(
         REGISTRY["ranking_rbo_report"].build(spark, SF_DIR).collect(),
@@ -59,6 +68,7 @@ def run(spark: SparkSession, workdir: str) -> dict:
     return {
         "and_hits": len(and_ids),
         "bm25_hits": len(or_ids),
+        "rerank_moved": moved,
         "rbo_at_20_micro": cums[-1],
         "probe_docs": probe.n_used,
         "reliability_buckets": len(curve),

@@ -2850,6 +2850,105 @@ def ranking_rbo_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Retrieval second stage: embedding rerank over the BM25 candidate set
+# ---------------------------------------------------------------------------
+# The production two-stage retrieval shape (VERDICT r13 task 5): a cheap
+# lexical ranker narrows the corpus to k candidates, then a dense scorer
+# reorders ONLY those k.  The dense score here is pseudo-relevance feedback
+# with m=1 (Rocchio degenerate case): cosine of each candidate's stored
+# embedding against the top-BM25 candidate's embedding — the "query vector"
+# a real cross-encoder would compute from the query text, derived instead
+# from data the engine already stores, so the whole stage stays
+# oracle-checkable.  Cosines use the shared fold idiom (similarity.DOT /
+# safe_cos), already proven bit-identical across engines.
+
+
+@register(
+    "search_rerank_stage",
+    oracle=f"""{_BM25_PERDOC_SQL},
+        cand AS (
+          SELECT doc_id, score_pico FROM perdoc
+          ORDER BY score_pico DESC, doc_id LIMIT {BM25_TOPK}
+        ),
+        ranked AS (
+          SELECT doc_id,
+                 ROW_NUMBER() OVER (ORDER BY score_pico DESC, doc_id) AS bm25_rank
+          FROM cand
+        ),
+        cemb AS (
+          SELECT r.doc_id, r.bm25_rank, e.embedding
+          FROM ranked r JOIN embeddings e ON e.vec_id = r.doc_id
+          WHERE e.embedding IS NOT NULL
+        ),
+        q AS (SELECT embedding AS qe FROM cemb ORDER BY bm25_rank LIMIT 1),
+        rescored AS (
+          SELECT c.doc_id, c.bm25_rank,
+                 COALESCE({similarity.safe_cos(_duck_dot('c.embedding', 'qe'), f"sqrt({_duck_dot('c.embedding', 'c.embedding')}) * sqrt({_duck_dot('qe', 'qe')})", 'duckdb')},
+                          CAST(-1 AS DOUBLE)) AS cosine
+          FROM cemb c CROSS JOIN q
+        )
+        SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+               CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
+                 AS rerank_rank,
+               cosine
+        FROM rescored
+        """,
+    doc="Two-stage retrieval: BM25 narrows to the top-"
+    f"{BM25_TOPK} candidates (TakeOrderedAndProject — never a global "
+    "sort), then a dense rerank reorders ONLY those candidates by cosine "
+    "against the top-BM25 candidate's stored embedding (pseudo-relevance "
+    "feedback, the oracle-checkable stand-in for a cross-encoder's query "
+    "vector).  The candidate list broadcasts into the embeddings join, so "
+    "the scan side prunes to <= k rows; the 1-row query vector broadcasts "
+    "into the scoring pass; the final rank window sees <= k rows.  At "
+    "100 TB the expensive part remains the stage-1 posting scan — stage 2 "
+    "is O(k x dim) regardless of corpus size, which is exactly why "
+    "production retrieval is staged this way.  Cosine = shared "
+    "similarity.DOT fold + safe_cos total contract (zero-norm/NaN -> -1, "
+    "NULL-element dot coalesced to -1), bit-identical across engines.",
+    tags=("text", "search", "similarity", "topk", "added-r14"),
+)
+def search_rerank_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    perdoc = _bm25_perdoc(spark, sf_dir)
+    wr = Window.orderBy(F.col("score_pico").desc(), "doc_id")
+    ranked = (
+        perdoc.orderBy(F.col("score_pico").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select("doc_id", F.row_number().over(wr).alias("bm25_rank"))
+    )
+    emb = (
+        spread(load_table(spark, sf_dir, "embeddings"))
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", "embedding")
+    )
+    cemb = emb.join(
+        F.broadcast(ranked), F.col("vec_id") == F.col("doc_id")
+    ).select("doc_id", "bm25_rank", "embedding")
+    q = cemb.orderBy("bm25_rank").limit(1).select(F.col("embedding").alias("qe"))
+    scored = cemb.crossJoin(F.broadcast(q)).withColumn(
+        "cosine",
+        F.coalesce(
+            F.expr(
+                similarity.safe_cos(
+                    similarity.DOT.format(a="embedding", b="qe"),
+                    f"sqrt({similarity.DOT.format(a='embedding', b='embedding')})"
+                    f" * sqrt({similarity.DOT.format(a='qe', b='qe')})",
+                    "spark",
+                )
+            ),
+            F.lit(-1.0),
+        ),
+    )
+    wk = Window.orderBy(F.col("cosine").desc(), "doc_id")
+    return scored.select(
+        "doc_id",
+        F.col("bm25_rank").cast("long").alias("bm25_rank"),
+        F.row_number().over(wk).cast("long").alias("rerank_rank"),
+        "cosine",
+    )
+
+
+# ---------------------------------------------------------------------------
 # PII / blocklist scan: regex categories + term blocklist, per-source report
 # ---------------------------------------------------------------------------
 # Patterns are deliberately simple ERE so Java regex (Spark) and RE2 (DuckDB)

@@ -1598,3 +1598,116 @@ def test_bm25_rank_order_and_term_membership(spark):
         hit = toks & set(SEARCH_TERMS)
         assert hit, f"doc {r.doc_id} returned by BM25 but contains no query term"
         assert len(hit) == r.matched_terms, (r, sorted(hit))
+
+
+# ---------------------------------------------------------------------------
+# Round-14 queries, pinned from day one (VERDICT r13 task 5's "done" bar).
+# ---------------------------------------------------------------------------
+
+
+def _bpe_reference(texts: list[str], k: int):
+    """Independent Python BPE: weighted pair counts over the word vocab,
+    ties lexicographic on (s1, s2), greedy left-to-right apply — the
+    de-facto algorithm (Sennrich et al. 2016), written without looking at
+    either engine dialect."""
+    from collections import Counter
+
+    words = Counter(w for t in texts for w in t.split(" ") if w)
+    syms = {w: list(w) for w in words}
+    before = sum(c * len(w) for w, c in words.items())
+    merges = []
+    for _ in range(k):
+        pc = Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            continue  # engine's sentinel round: no merge recorded
+        s1, s2 = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((len(merges) + 1, s1, s2))
+        for w in syms:
+            out = []
+            for x in syms[w]:
+                if out and out[-1] == s1 and x == s2:
+                    out[-1] = s1 + s2
+                else:
+                    out.append(x)
+            syms[w] = out
+    after = sum(c * len(syms[w]) for w, c in words.items())
+    rows = []
+    for rank, s1, s2 in merges:
+        tok = s1 + s2
+        rows.append(
+            (
+                rank,
+                f"{s1}+{s2}",
+                tok,
+                sum(1 for w in words if tok in syms[w]),
+                sum(c * syms[w].count(tok) for w, c in words.items()),
+                before,
+                after,
+            )
+        )
+    return sorted(rows)
+
+
+bpe_texts = st.lists(
+    st.lists(
+        st.sampled_from(["aa", "ab", "abab", "banana", "bandana", "cab", "a"]),
+        min_size=1,
+        max_size=8,
+    ).map(" ".join),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=bpe_texts)
+def test_bpe_encode_stats_matches_python_reference(spark, texts):
+    """The full train->apply->count arc vs an independent Python BPE on
+    merge-overlap-heavy corpora ('aaa', 'banana': the shapes where a wrong
+    greedy fold — e.g. string replace() skipping boundary-sharing
+    occurrences — diverges).  The oracle replays the engine's own fold, so
+    only an OUTSIDE reference can catch a shared apply bug."""
+    from pulsar_pekko_streams_example_spark.plans.mldata_queries import (
+        BPE_ENCODE_MERGES,
+        _bpe_encode_stats,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = sorted(
+        (
+            r.merge_rank, r.pair, r.token, r.vocab_words, r.occurrences,
+            r.syms_before, r.syms_after,
+        )
+        for r in _bpe_encode_stats(docs).collect()
+    )
+    assert got == _bpe_reference(texts, BPE_ENCODE_MERGES), texts
+
+
+def test_search_rerank_is_a_permutation_with_self_query_on_top(spark):
+    """Rerank contracts an oracle that mirrors the construction cannot
+    check: stage 2 reorders WITHOUT changing the candidate set (ids are
+    exactly the BM25 top-k), both rank columns are dense permutations of
+    1..n, every cosine is a valid [-1, 1] score, and the query doc (BM25
+    rank 1) scores cosine ~1 against itself — the maximum — so it
+    rounds-trips to rerank rank 1."""
+    from pulsar_pekko_streams_example_spark.plans import REGISTRY, all_queries
+
+    all_queries()
+    sf = "/root/testdata/sf0.001"
+    rr = REGISTRY["search_rerank_stage"].build(spark, sf).collect()
+    bm = REGISTRY["bm25_search_topk"].build(spark, sf).collect()
+    assert {r.doc_id for r in rr} == {r.doc_id for r in bm}
+    n = len(rr)
+    assert sorted(r.rerank_rank for r in rr) == list(range(1, n + 1))
+    assert sorted(r.bm25_rank for r in rr) == list(range(1, n + 1))
+    for r in rr:
+        assert -1.0 <= r.cosine <= 1.0 + 1e-9, r
+    top = next(r for r in rr if r.bm25_rank == 1)
+    assert top.cosine >= 1.0 - 1e-9, top
+    assert top.cosine == max(r.cosine for r in rr)

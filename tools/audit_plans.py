@@ -41,6 +41,11 @@ of 1-row aggregates — the stats assembly, sketch_queries.py; each side is
 a single scalar row), ranking_rbo_report (a depth-bounded <=20 x <=20
 inequality join of per-ranker tops against a broadcast — the RBO overlap
 windows, data_queries.py).
+
+Round-14 eyeball verdicts (benign): search_rerank_stage (crossJoins of the
+1-row query vector and 1-row rank scaffolding against the <=20-row
+candidate set — every BNLJ side is a broadcast bounded by BM25_TOPK,
+data_queries.py).
 """
 
 from __future__ import annotations
