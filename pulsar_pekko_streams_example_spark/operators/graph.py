@@ -23,6 +23,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 # Iterative operators inherit the partition width of the (corpus-scale)
 # mining plan that produced their edge list, but the edge list itself is
@@ -265,6 +266,53 @@ def pagerank(
         "rank_atto",
         (F.col("rank_atto").cast("double") / F.lit(float(ATTO))).alias("rank"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iters: int = 2,
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007) over an
+    undirected pair list: ``iters`` rounds of "adopt the label most
+    frequent among your neighbors", from identity labels.
+
+    Returns (node, label) for every node incident to an edge.  Ties break
+    deterministically on (count DESC, label ASC) — the asynchronous
+    random-order variant of the paper is replaced by the synchronous
+    deterministic one so results are bit-stable under any partitioning
+    (the same determinism trade the k-means and PageRank operators make).
+
+    Distributed shape per round: one edge⋈labels equi-join, one (node,
+    label) hash count, one per-node rank window — scatter/gather with no
+    driver-side graph state, exactly PageRank's cost profile with a window
+    in place of the gather-sum.  The mirrored edge list localCheckpoints
+    once; round k's lineage stays one join deep.  Community detection this
+    cheap is the label-based complement of connected_components (which
+    ignores edge multiplicity) — LPA splits a barbell graph's loose ends
+    where CC reports one blob.
+    """
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b")).localCheckpoint(
+        eager=True
+    )
+    e = _right_size(e)
+    sym = e.unionByName(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    labels = sym.select(F.col("a").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(iters):
+        neigh = sym.join(labels.withColumnRenamed("node", "a"), ["a"]).select(
+            F.col("b").alias("node"), "label"
+        )
+        cnt = neigh.groupBy("node", "label").agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("node").orderBy(F.col("c").desc(), "label")
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels
 
 
 def kcore_peel(

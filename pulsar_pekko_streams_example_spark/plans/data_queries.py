@@ -664,6 +664,203 @@ def token_count_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Vocabulary coverage curve: token mass covered by the top-N types (Zipf)
+# ---------------------------------------------------------------------------
+# The vocabulary-truncation planning read: before fixing a tokenizer or
+# embedding vocabulary at N types, what fraction of the corpus token mass do
+# the N most frequent types actually cover?  One corpus-wide token count is
+# the only big shuffle; the ranked head is a TakeOrdered prefix (bounded by
+# the largest depth), and the per-depth cumulative coverage is a <=max_depth
+# x |depths| broadcast inequality join — driver-trivial at any corpus size.
+VOCAB_COVERAGE_DEPTHS = (10, 100, 1000, 10000)
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+        WITH tok AS (
+          SELECT unnest({H.tokens('text', 'duckdb')}) AS t FROM documents
+        ),
+        tc AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS cnt FROM tok GROUP BY t),
+        totals AS (
+          SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS vocab_types
+          FROM tc
+        ),
+        head AS (
+          SELECT cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, t) AS rnk
+          FROM tc ORDER BY cnt DESC, t LIMIT {max(VOCAB_COVERAGE_DEPTHS)}
+        ),
+        depths AS (
+          SELECT CAST(unnest([{', '.join(str(d) for d in VOCAB_COVERAGE_DEPTHS)}]) AS BIGINT) AS depth
+        )
+        SELECT d.depth,
+               CAST(COALESCE(SUM(h.cnt), 0) AS BIGINT) AS covered_tokens,
+               MIN(t.total_tokens) AS total_tokens,
+               MIN(t.vocab_types) AS vocab_types,
+               CAST(COALESCE(SUM(h.cnt), 0) * 1000 // MIN(t.total_tokens) AS BIGINT)
+                 AS coverage_permille
+        FROM depths d
+        LEFT JOIN head h ON h.rnk <= d.depth
+        CROSS JOIN totals t
+        GROUP BY d.depth
+        """,
+    doc=f"Vocabulary coverage curve (Zipf mass): fraction of all corpus "
+    f"tokens covered by the top-N most frequent types at N in "
+    f"{VOCAB_COVERAGE_DEPTHS} — the measurement behind fixing a tokenizer "
+    "or embedding vocabulary size.  The corpus is scanned once into a "
+    "token-count table (the only corpus-sized shuffle); the ranked head is "
+    "ORDER BY + LIMIT -> TakeOrderedAndProject (per-partition top-K, "
+    "K-row merge, never a global sort); depths join the <=10k-row head by "
+    "rank inequality (broadcast).  Coverage is exact integer permille; "
+    "vocabularies smaller than a depth saturate at total coverage.  "
+    "Tie-break (count desc, token asc) is pinned so the boundary type at "
+    "each depth is deterministic in both engines.",
+    tags=("text", "tokenizer", "topk", "added-r14"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _vocab_coverage_curve(load_table(spark, sf_dir, "documents"))
+
+
+def _vocab_coverage_curve(docs: DataFrame) -> DataFrame:
+    """Core over an explicit documents frame (property-tested against an
+    independent Python reference on adversarial tiny corpora)."""
+    tc = (
+        spread(docs)
+        .select(F.explode(F.expr(H.tokens("text", "spark"))).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    totals = tc.agg(
+        F.sum("cnt").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab_types"),
+    )
+    max_depth = max(VOCAB_COVERAGE_DEPTHS)
+    w = Window.orderBy(F.col("cnt").desc(), "t")
+    head = (
+        tc.orderBy(F.col("cnt").desc(), "t")
+        .limit(max_depth)
+        .select("cnt", F.row_number().over(w).cast("long").alias("rnk"))
+    )
+    spark = docs.sparkSession
+    depths = spark.createDataFrame(
+        [(d,) for d in VOCAB_COVERAGE_DEPTHS], "depth long"
+    )
+    return (
+        depths.join(F.broadcast(head), F.col("rnk") <= F.col("depth"), "left")
+        .groupBy("depth")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("covered_tokens"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "depth",
+            "covered_tokens",
+            "total_tokens",
+            "vocab_types",
+            F.expr("covered_tokens * 1000 div total_tokens")
+            .cast("long")
+            .alias("coverage_permille"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Truncation loss curve: token mass lost at candidate context lengths
+# ---------------------------------------------------------------------------
+# Context-length planning: packing a corpus into sequences of length L
+# truncates every doc longer than L.  One scan computes, for each candidate
+# L, how many documents are cut and how much token mass is lost — the table
+# a pipeline reads before fixing max_seq_len.  All-integer single-pass
+# conditional aggregation; the per-L rows come from an unpivot of one
+# aggregate row, so the corpus is touched exactly once.
+TRUNCATION_LENGTHS = (16, 32, 64, 128)
+
+
+def _truncation_oracle() -> str:
+    per_l = ", ".join(
+        f"CAST(SUM(CASE WHEN n > {L} THEN 1 ELSE 0 END) AS BIGINT) AS cut_{L}, "
+        f"CAST(SUM(CASE WHEN n > {L} THEN n - {L} ELSE 0 END) AS BIGINT) AS lost_{L}"
+        for L in TRUNCATION_LENGTHS
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT CAST({L} AS BIGINT) AS max_len, cut_{L} AS docs_truncated, "
+        f"lost_{L} AS tokens_lost, total_tokens FROM agg"
+        for L in TRUNCATION_LENGTHS
+    )
+    return f"""
+        WITH n_per_doc AS (
+          SELECT CAST(len({H.tokens('text', 'duckdb')}) AS BIGINT) AS n FROM documents
+        ),
+        agg AS (
+          SELECT {per_l}, CAST(SUM(n) AS BIGINT) AS total_tokens FROM n_per_doc
+        )
+        SELECT max_len, docs_truncated, tokens_lost,
+               CAST(total_tokens - tokens_lost AS BIGINT) AS tokens_kept,
+               CAST(tokens_lost * 1000 // GREATEST(total_tokens, 1) AS BIGINT)
+                 AS loss_permille
+        FROM ({branches})
+        """
+
+
+@register(
+    "truncation_loss_curve",
+    oracle=_truncation_oracle(),
+    doc=f"Truncation loss curve at candidate context lengths "
+    f"{TRUNCATION_LENGTHS}: documents cut and token mass lost if every doc "
+    "is truncated to L tokens — the context-length planning table "
+    "(complement of sequence_packing_stats, which packs; this measures "
+    "what packing at L throws away).  ONE corpus scan computes all "
+    "lengths as conditional integer aggregates fused into a single "
+    "map-side-combinable hash agg; the per-L rows unpivot from the one "
+    "aggregate row via stack() — no per-L re-scan, no explode.  "
+    "loss_permille is exact integer arithmetic with an empty-corpus "
+    "guard.  Candidate lengths are scaled to the synthetic corpus "
+    "(10-99-token docs) so every row carries verified signal; a "
+    "production run passes its real max_seq_len grid.",
+    tags=("text", "curation", "added-r14"),
+)
+def truncation_loss_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _truncation_loss_curve(load_table(spark, sf_dir, "documents"))
+
+
+def _truncation_loss_curve(docs: DataFrame) -> DataFrame:
+    """Core over an explicit documents frame (property-tested)."""
+    n = docs.select(
+        F.expr(f"CAST(size({H.tokens('text', 'spark')}) AS BIGINT)").alias("n")
+    )
+    aggs = [
+        a
+        for L in TRUNCATION_LENGTHS
+        for a in (
+            F.sum(F.expr(f"CASE WHEN n > {L} THEN 1 ELSE 0 END"))
+            .cast("long")
+            .alias(f"cut_{L}"),
+            F.sum(F.expr(f"CASE WHEN n > {L} THEN n - {L} ELSE 0 END"))
+            .cast("long")
+            .alias(f"lost_{L}"),
+        )
+    ]
+    agg = n.agg(*aggs, F.sum("n").cast("long").alias("total_tokens"))
+    stack = ", ".join(
+        f"{L}L, cut_{L}, lost_{L}" for L in TRUNCATION_LENGTHS
+    )
+    return agg.select(
+        F.expr(
+            f"stack({len(TRUNCATION_LENGTHS)}, {stack}) "
+            "AS (max_len, docs_truncated, tokens_lost)"
+        ),
+        "total_tokens",
+    ).select(
+        "max_len",
+        "docs_truncated",
+        "tokens_lost",
+        F.expr("total_tokens - tokens_lost").cast("long").alias("tokens_kept"),
+        F.expr("tokens_lost * 1000 div GREATEST(total_tokens, 1)")
+        .cast("long")
+        .alias("loss_permille"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Language-ID: lexicon argmax classifier, confusion matrix vs the label
 # ---------------------------------------------------------------------------
 @register(
@@ -1521,6 +1718,77 @@ def cooccurrence_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     edges = _shared_cooc_edges(spark, sf_dir)
     return graph.pagerank(edges, src="ua", dst="ub", iters=PR_ITERS)
+
+
+# ---------------------------------------------------------------------------
+# Label propagation (community detection) over the co-occurrence graph
+# ---------------------------------------------------------------------------
+LPA_ITERS = 2
+
+
+def _duck_lpa_sql(iters: int) -> str:
+    """Unrolled l0→l{iters} CTE chain mirroring operators/graph.
+    label_propagation: per round, count neighbor labels and adopt the
+    (count DESC, label ASC) winner."""
+    rounds = []
+    for i in range(1, iters + 1):
+        rounds.append(f"""
+        n{i} AS (
+          SELECT s.b AS node, l.label, COUNT(*) AS c
+          FROM sym s JOIN l{i - 1} l ON s.a = l.node
+          GROUP BY 1, 2
+        ),
+        l{i} AS (
+          SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+            FROM n{i}
+          ) WHERE rn = 1
+        )""")
+    return f"""
+        WITH {DUCK_COOC_EDGE_CTE},
+        sym AS (
+          SELECT ua AS a, ub AS b FROM e
+          UNION ALL
+          SELECT ub AS a, ua AS b FROM e
+        ),
+        l0 AS (SELECT DISTINCT a AS node, a AS label FROM sym),{','.join(rounds)},
+        comm AS (
+          SELECT label, CAST(COUNT(*) AS BIGINT) AS community_size
+          FROM l{iters} GROUP BY label
+        )
+        SELECT community_size, CAST(COUNT(*) AS BIGINT) AS n_communities
+        FROM comm GROUP BY 1
+        """
+
+
+@register(
+    "label_propagation_round",
+    oracle=_duck_lpa_sql(LPA_ITERS),
+    doc=f"Community detection by {LPA_ITERS}-round synchronous label "
+    "propagation (Raghavan et al. 2007) over the behavioral co-occurrence "
+    "graph (same mined edge set as triangles/pagerank/k-core), reported "
+    "as the community-size histogram — the partition a curation pipeline "
+    "samples within to avoid over-representing one behavioral clique.  "
+    "LPA is the label-frequency complement of connected_components: CC "
+    "merges anything touching, LPA splits loosely-bridged regions.  Per "
+    "round ONE edge⋈labels equi-join + one (node, label) hash count + one "
+    "per-node rank window — scatter/gather, no driver-side graph state; "
+    "ties break (count DESC, label ASC) so the result is bit-stable "
+    "under any partitioning.  Oracle unrolls the identical rounds.",
+    tags=("graph", "iterative", "added-r14"),
+)
+def label_propagation_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pulsar_pekko_streams_example_spark.operators import graph
+
+    edges = _shared_cooc_edges(spark, sf_dir)
+    labels = graph.label_propagation(edges, src="ua", dst="ub", iters=LPA_ITERS)
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("long").alias("community_size"))
+        .groupBy("community_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_communities"))
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -2846,6 +3114,127 @@ def ranking_rbo_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overlap",
             F.sum("term_micro").over(wc).cast("long").alias("rbo_micro"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau between the BM25 and raw-tf rankers (exact rank agreement)
+# ---------------------------------------------------------------------------
+# RBO weights the HEAD of the two rankings; Kendall tau-a counts every
+# discordant pair equally — together they are the standard ranker-agreement
+# pair a retrieval QA run reports.  Computed over the docs common to both
+# top-20 lists (row_number ranks, so no rank ties): C - D over m(m-1)/2
+# pairs, exact int64 milli-units, m < 2 guarded to tau 0.
+
+
+@register(
+    "ranking_kendall_tau",
+    oracle=f"""{_BM25_PERDOC_SQL},
+        top_a AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY score_pico DESC, doc_id) AS rnk_a
+          FROM (SELECT doc_id, score_pico FROM perdoc
+                ORDER BY score_pico DESC, doc_id LIMIT {BM25_TOPK})
+        ),
+        top_b AS (
+          SELECT doc_id, ROW_NUMBER() OVER (ORDER BY tf_total DESC, doc_id) AS rnk_b
+          FROM (SELECT doc_id, tf_total FROM perdoc
+                ORDER BY tf_total DESC, doc_id LIMIT {BM25_TOPK})
+        ),
+        common AS (SELECT a.doc_id, a.rnk_a, b.rnk_b
+                   FROM top_a a JOIN top_b b ON a.doc_id = b.doc_id),
+        pairstats AS (
+          SELECT
+            CAST(COALESCE(SUM(CASE WHEN (i.rnk_a - j.rnk_a) * (i.rnk_b - j.rnk_b) > 0
+                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS concordant,
+            CAST(COALESCE(SUM(CASE WHEN (i.rnk_a - j.rnk_a) * (i.rnk_b - j.rnk_b) < 0
+                               THEN 1 ELSE 0 END), 0) AS BIGINT) AS discordant
+          FROM common i JOIN common j ON i.doc_id < j.doc_id
+        ),
+        msize AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM common)
+        SELECT m, concordant, discordant,
+               -- sign split: DuckDB's // floors while Spark's div truncates,
+               -- so divide magnitudes only (identical in both) and re-sign
+               CAST(CASE WHEN m < 2 THEN 0
+                    WHEN concordant >= discordant
+                    THEN (concordant - discordant) * 1000 // (m * (m - 1) // 2)
+                    ELSE -((discordant - concordant) * 1000 // (m * (m - 1) // 2))
+                    END AS BIGINT) AS tau_milli
+        FROM pairstats CROSS JOIN msize
+        """,
+    doc="Exact rank agreement between the BM25 and raw-tf rankers: Kendall "
+    "tau-a over the docs common to both top-20 lists — the head-agnostic "
+    "complement of ranking_rbo_report (RBO discounts disagreement deep in "
+    "the list; tau counts every inversion equally).  Both tops come from "
+    "the ONE shared posting-statistics subtree (_bm25_perdoc) via "
+    "TakeOrderedAndProject; the concordant/discordant count is a <=20 x "
+    "<=20 broadcast inequality self-join, so everything after the posting "
+    "scan is constant work at any corpus size.  row_number ranks make "
+    "ties impossible, so tau-a's denominator m(m-1)/2 is exact; "
+    "(C - D) * 1000 DIV pairs is exact int64; m < 2 -> 0.",
+    tags=("text", "search", "statistics", "added-r14"),
+)
+def ranking_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    perdoc = _bm25_perdoc(spark, sf_dir)
+    wa = Window.orderBy(F.col("score_pico").desc(), "doc_id")
+    wb = Window.orderBy(F.col("tf_total").desc(), "doc_id")
+    top_a = (
+        perdoc.orderBy(F.col("score_pico").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select("doc_id", F.row_number().over(wa).cast("long").alias("rnk_a"))
+    )
+    top_b = (
+        perdoc.orderBy(F.col("tf_total").desc(), "doc_id")
+        .limit(BM25_TOPK)
+        .select("doc_id", F.row_number().over(wb).cast("long").alias("rnk_b"))
+    )
+    common = top_a.join(top_b, "doc_id")
+    i = common.select(
+        F.col("doc_id").alias("id_i"),
+        F.col("rnk_a").alias("ra_i"),
+        F.col("rnk_b").alias("rb_i"),
+    )
+    j = common.select(
+        F.col("doc_id").alias("id_j"),
+        F.col("rnk_a").alias("ra_j"),
+        F.col("rnk_b").alias("rb_j"),
+    )
+    pairstats = (
+        i.join(F.broadcast(j), F.col("id_i") < F.col("id_j"))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CASE WHEN (ra_i - ra_j) * (rb_i - rb_j) > 0 THEN 1 ELSE 0 END"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("concordant"),
+            F.coalesce(
+                F.sum(
+                    F.expr(
+                        "CASE WHEN (ra_i - ra_j) * (rb_i - rb_j) < 0 THEN 1 ELSE 0 END"
+                    )
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("discordant"),
+        )
+    )
+    msize = common.agg(F.count(F.lit(1)).cast("long").alias("m"))
+    return pairstats.crossJoin(F.broadcast(msize)).select(
+        "m",
+        "concordant",
+        "discordant",
+        F.expr(
+            "CAST(CASE WHEN m < 2 THEN 0 "
+            "WHEN concordant >= discordant "
+            "THEN (concordant - discordant) * 1000 div (m * (m - 1) div 2) "
+            "ELSE -((discordant - concordant) * 1000 div (m * (m - 1) div 2)) "
+            "END AS BIGINT)"
+        ).alias("tau_milli"),
     )
 
 

@@ -1382,7 +1382,10 @@ def bpe_merge_round(spark: SparkSession, sf_dir: str) -> DataFrame:
 BPE_ENCODE_MERGES = 3
 
 
-def _duck_bpe_encode_sql(k: int) -> str:
+def _duck_bpe_chain(k: int) -> str:
+    """WITH-prefix shared by the BPE oracles: word counts, k chained
+    (pairs -> top -> greedy-fold) rounds, each symN carrying (w, cnt,
+    syms)."""
     def pairs_cte(sym_src: str) -> str:
         return f"""
           SELECT s1, s2, CAST(SUM(cnt) AS BIGINT) AS c FROM (
@@ -1398,7 +1401,7 @@ def _duck_bpe_encode_sql(k: int) -> str:
           ) GROUP BY t
         ),
         sym0 AS (
-          SELECT cnt, string_split(w, '') AS syms FROM words
+          SELECT w, cnt, string_split(w, '') AS syms FROM words
         )"""
     ]
     for i in range(k):
@@ -1412,7 +1415,7 @@ def _duck_bpe_encode_sql(k: int) -> str:
           ) ORDER BY c DESC, s1, s2 LIMIT 1
         ),
         sym{i + 1} AS (
-          SELECT cnt,
+          SELECT w, cnt,
                  list_reduce(
                    list_transform(syms, x -> [x]),
                    (acc, x) -> CASE WHEN len(acc) > 0 AND acc[-1] = t.s1
@@ -1423,11 +1426,15 @@ def _duck_bpe_encode_sql(k: int) -> str:
           FROM sym{i} CROSS JOIN top{i} t
         )"""
         )
+    return "".join(parts)
+
+
+def _duck_bpe_encode_sql(k: int) -> str:
     merge_union = " UNION ALL ".join(
         f"SELECT CAST({i + 1} AS BIGINT) AS merge_rank, s1, s2, c FROM top{i}"
         for i in range(k)
     )
-    parts.append(
+    return _duck_bpe_chain(k) + (
         f""",
         mtok AS (
           SELECT merge_rank, s1 || '+' || s2 AS pair, s1 || s2 AS token
@@ -1447,7 +1454,6 @@ def _duck_bpe_encode_sql(k: int) -> str:
         FROM mtok m CROSS JOIN sym{k} s CROSS JOIN totals t
         GROUP BY 1, 2, 3"""
     )
-    return "".join(parts)
 
 
 @register(
@@ -1476,20 +1482,33 @@ def bpe_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_encode_stats(load_table(spark, sf_dir, "documents"))
 
 
-def _bpe_encode_stats(docs: DataFrame, k: int = BPE_ENCODE_MERGES) -> DataFrame:
-    """Core of ``bpe_encode_stats`` over an explicit documents frame — the
-    property tests drive it on adversarial tiny corpora against an
-    independent Python BPE reference (tests/test_properties.py)."""
-    words = (
+def _bpe_vocab(docs: DataFrame) -> DataFrame:
+    """(w, cnt): the frequency-weighted word vocabulary — the only
+    corpus-sized pass of the BPE family."""
+    return (
         spread(docs)
         .select(F.explode(F.expr(H.tokens("text", "spark"))).alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    sym = words.select("cnt", F.expr("split(w, '')").alias("syms"))
-    before = sym.agg(
-        F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("syms_before")
-    )
+
+
+def _bpe_train_chain(words: DataFrame, k: int):
+    """k chained BPE training rounds over a (w, cnt) vocabulary.
+
+    Returns ``(sym, tops)``: ``sym`` = (w, cnt, syms) after all k merges
+    applied; ``tops`` = the k 1-row winner frames (s1, s2, c) in merge
+    order (sentinel ('', '') at c = -1 when a round had no pairs).  Spark
+    twin of the ``_duck_bpe_chain`` CTE prefix; shared by
+    ``bpe_encode_stats`` and ``tokenizer_fertility_by_source``."""
+    # localCheckpoint (the pagerank pattern): each round consumes the prior
+    # sym TWICE (pair counting + the next fold) and the chain is k deep, so
+    # an unmaterialized lineage re-runs the corpus-sized vocabulary scan
+    # O(k^2) times.  The checkpointed tables are vocab-bounded.
+    from pulsar_pekko_streams_example_spark.operators.graph import _right_size
+
+    words = _right_size(words.localCheckpoint(eager=True))
+    sym = words.select("w", "cnt", F.expr("split(w, '')").alias("syms"))
 
     def pairs_of(symdf: DataFrame) -> DataFrame:
         return (
@@ -1523,6 +1542,7 @@ def _bpe_encode_stats(docs: DataFrame, k: int = BPE_ENCODE_MERGES) -> DataFrame:
         )
         tops.append(top)
         sym = sym.crossJoin(F.broadcast(top.select("s1", "s2"))).select(
+            "w",
             "cnt",
             F.expr(
                 "aggregate(syms, CAST(array() AS array<string>), "
@@ -1531,7 +1551,20 @@ def _bpe_encode_stats(docs: DataFrame, k: int = BPE_ENCODE_MERGES) -> DataFrame:
                 "THEN concat(slice(acc, 1, size(acc) - 1), array(concat(s1, s2))) "
                 "ELSE concat(acc, array(x)) END)"
             ).alias("syms"),
-        )
+        ).localCheckpoint(eager=True)
+        sym = _right_size(sym)
+    return sym, tops
+
+
+def _bpe_encode_stats(docs: DataFrame, k: int = BPE_ENCODE_MERGES) -> DataFrame:
+    """Core of ``bpe_encode_stats`` over an explicit documents frame — the
+    property tests drive it on adversarial tiny corpora against an
+    independent Python BPE reference (tests/test_properties.py)."""
+    words = _bpe_vocab(docs)
+    before = words.agg(
+        F.sum(F.col("cnt") * F.length("w")).cast("long").alias("syms_before")
+    )
+    sym, tops = _bpe_train_chain(words, k)
     after = sym.agg(
         F.sum(F.col("cnt") * F.size("syms")).cast("long").alias("syms_after")
     )
@@ -1563,6 +1596,90 @@ def _bpe_encode_stats(docs: DataFrame, k: int = BPE_ENCODE_MERGES) -> DataFrame:
         .select(
             "merge_rank", "pair", "token", "vocab_words", "occurrences",
             "syms_before", "syms_after",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by source: the standard tokenizer-evaluation metric
+# ---------------------------------------------------------------------------
+# Fertility = tokens emitted per word; chars-per-token = how much text each
+# token absorbs.  Computed per SOURCE against the corpus-trained merge list
+# (the same 3-round chain as bpe_encode_stats), because a tokenizer trained
+# on the pooled corpus systematically over-fragments minority sources —
+# this table is how a pipeline detects that before training on the tokens.
+
+
+@register(
+    "tokenizer_fertility_by_source",
+    oracle=_duck_bpe_chain(BPE_ENCODE_MERGES)
+    + f""",
+        perword AS (
+          SELECT w, CAST(len(syms) AS BIGINT) AS nsym,
+                 CAST(len(w) AS BIGINT) AS nchar
+          FROM sym{BPE_ENCODE_MERGES}
+        ),
+        docw AS (
+          SELECT source, unnest({H.tokens('text', 'duckdb')}) AS w FROM documents
+        )
+        SELECT d.source,
+               CAST(COUNT(*) AS BIGINT) AS words,
+               CAST(SUM(p.nchar) AS BIGINT) AS chars,
+               CAST(SUM(p.nsym) AS BIGINT) AS tokens,
+               CAST(SUM(p.nsym) * 1000 // COUNT(*) AS BIGINT) AS fertility_milli,
+               CAST(SUM(p.nchar) * 1000 // SUM(p.nsym) AS BIGINT)
+                 AS chars_per_token_milli
+        FROM docw d JOIN perword p ON d.w = p.w
+        GROUP BY d.source
+        """,
+    doc="Tokenizer fertility per source — THE standard tokenizer-quality "
+    "metric: tokens-per-word and chars-per-token after applying the "
+    f"corpus-trained {BPE_ENCODE_MERGES}-merge BPE chain "
+    "(_bpe_train_chain, shared with bpe_encode_stats).  The encoded "
+    "VOCABULARY (w -> symbol count) is the train-side artifact; the "
+    "corpus joins to it by word, so the apply pass shuffles (source, "
+    "word) keys — never symbol arrays — and the per-source roll-up is "
+    "one map-side-combinable agg.  All-integer milli ratios.  A pooled "
+    "tokenizer over-fragments minority sources; this is the table that "
+    "shows it.  100 TB: vocabulary and corpus shuffle on the word key; "
+    "the merge chain itself is vocab-bounded.",
+    tags=("text", "tokenizer", "added-r14"),
+)
+def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _tokenizer_fertility_by_source(load_table(spark, sf_dir, "documents"))
+
+
+def _tokenizer_fertility_by_source(
+    docs: DataFrame, k: int = BPE_ENCODE_MERGES
+) -> DataFrame:
+    """Core over an explicit documents frame (property-tested against the
+    same independent Python BPE reference as _bpe_encode_stats)."""
+    sym, _ = _bpe_train_chain(_bpe_vocab(docs), k)
+    perword = sym.select(
+        "w",
+        F.size("syms").cast("long").alias("nsym"),
+        F.length("w").cast("long").alias("nchar"),
+    )
+    docw = spread(docs).select(
+        "source", F.explode(F.expr(H.tokens("text", "spark"))).alias("w")
+    )
+    return (
+        docw.join(perword, "w")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("words"),
+            F.sum("nchar").cast("long").alias("chars"),
+            F.sum("nsym").cast("long").alias("tokens"),
+        )
+        .select(
+            "source",
+            "words",
+            "chars",
+            "tokens",
+            F.expr("tokens * 1000 div words").cast("long").alias("fertility_milli"),
+            F.expr("chars * 1000 div tokens")
+            .cast("long")
+            .alias("chars_per_token_milli"),
         )
     )
 

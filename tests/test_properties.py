@@ -1711,3 +1711,247 @@ def test_search_rerank_is_a_permutation_with_self_query_on_top(spark):
     top = next(r for r in rr if r.bm25_rank == 1)
     assert top.cosine >= 1.0 - 1e-9, top
     assert top.cosine == max(r.cosine for r in rr)
+
+
+def _py_tokens(t: str) -> list[str]:
+    return [w for w in t.split(" ") if w]
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(
+    st.lists(
+        st.sampled_from(["a", "bb", "ccc", "bb ccc", "a a a", "zz"]),
+        min_size=1, max_size=6,
+    ).map(" ".join),
+    min_size=1, max_size=5,
+))
+def test_vocab_coverage_matches_python_reference(spark, texts):
+    """Coverage curve vs an independent Python reference: exact covered
+    mass at every depth with the (count DESC, token ASC) boundary
+    tie-break, plus monotonicity (coverage non-decreasing in depth,
+    saturating at total once depth >= |vocab|)."""
+    from collections import Counter
+
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        VOCAB_COVERAGE_DEPTHS,
+        _vocab_coverage_curve,
+    )
+
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.depth: r
+        for r in _vocab_coverage_curve(docs).collect()
+    }
+    cnt = Counter(w for t in texts for w in _py_tokens(t))
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    prev = -1
+    for d in VOCAB_COVERAGE_DEPTHS:
+        r = got[d]
+        want = sum(c for _, c in ordered[:d])
+        assert (r.covered_tokens, r.total_tokens, r.vocab_types) == (
+            want, total, len(cnt)
+        ), (d, texts)
+        assert r.coverage_permille == want * 1000 // total
+        assert r.covered_tokens >= prev
+        prev = r.covered_tokens
+        if d >= len(cnt):
+            assert r.covered_tokens == total
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(lens=st.lists(st.integers(min_value=0, max_value=200), min_size=1, max_size=8))
+def test_truncation_loss_matches_python_reference(spark, lens):
+    """Truncation loss vs brute force on arbitrary doc lengths (docs built
+    with exactly n one-char tokens), plus monotonicity: loss and cut-doc
+    count are non-increasing in L."""
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        TRUNCATION_LENGTHS,
+        _truncation_loss_curve,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, " ".join(["x"] * n)) for i, n in enumerate(lens)],
+        "doc_id long, text string",
+    )
+    got = {r.max_len: r for r in _truncation_loss_curve(docs).collect()}
+    total = sum(lens)
+    prev_lost, prev_cut = None, None
+    for L in TRUNCATION_LENGTHS:
+        r = got[L]
+        lost = sum(max(0, n - L) for n in lens)
+        cut = sum(1 for n in lens if n > L)
+        assert (r.docs_truncated, r.tokens_lost, r.tokens_kept) == (
+            cut, lost, total - lost
+        ), (L, lens)
+        assert r.loss_permille == lost * 1000 // max(total, 1)
+        if prev_lost is not None:
+            assert r.tokens_lost <= prev_lost and r.docs_truncated <= prev_cut
+        prev_lost, prev_cut = r.tokens_lost, r.docs_truncated
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(srcs=st.lists(
+    st.tuples(
+        st.sampled_from(["web", "syn"]),
+        st.lists(
+            st.sampled_from(["aa", "ab", "abab", "banana", "cab"]),
+            min_size=1, max_size=6,
+        ).map(" ".join),
+    ),
+    min_size=1, max_size=4,
+))
+def test_tokenizer_fertility_matches_python_reference(spark, srcs):
+    """Fertility per source vs the independent Python BPE: train on the
+    pooled corpus, apply, then per-source words/chars/tokens must match
+    the reference's encode exactly (the apply-by-vocab-join shape is the
+    part the oracle shares with the engine)."""
+    from collections import Counter
+
+    from pulsar_pekko_streams_example_spark.plans.mldata_queries import (
+        BPE_ENCODE_MERGES,
+        _tokenizer_fertility_by_source,
+    )
+
+    texts = [t for _, t in srcs]
+    # independent reference: train (reusing _bpe_reference's algorithm body)
+    words = Counter(w for t in texts for w in _py_tokens(t))
+    syms = {w: list(w) for w in words}
+    for _ in range(BPE_ENCODE_MERGES):
+        pc = Counter()
+        for w, c in words.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            continue
+        s1, s2 = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        for w in syms:
+            out = []
+            for x in syms[w]:
+                if out and out[-1] == s1 and x == s2:
+                    out[-1] = s1 + s2
+                else:
+                    out.append(x)
+            syms[w] = out
+    want = {}
+    for src, t in srcs:
+        toks = _py_tokens(t)
+        ws, ch, tk = want.get(src, (0, 0, 0))
+        want[src] = (
+            ws + len(toks),
+            ch + sum(len(w) for w in toks),
+            tk + sum(len(syms[w]) for w in toks),
+        )
+
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, (s, t) in enumerate(srcs)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: (r.words, r.chars, r.tokens, r.fertility_milli)
+        for r in _tokenizer_fertility_by_source(docs).collect()
+    }
+    assert set(got) == set(want), srcs
+    for src, (ws, ch, tk) in want.items():
+        assert got[src] == (ws, ch, tk, tk * 1000 // ws), (src, srcs)
+
+
+def _py_lpa(pairs: list[tuple[int, int]], iters: int) -> dict[int, int]:
+    """Independent synchronous LPA with (count DESC, label ASC) ties."""
+    from collections import Counter, defaultdict
+
+    adj = defaultdict(list)
+    for a, b in pairs:
+        adj[a].append(b)
+        adj[b].append(a)
+    labels = {n: n for n in adj}
+    for _ in range(iters):
+        new = {}
+        for n, nbrs in adj.items():
+            cnt = Counter(labels[m] for m in nbrs)
+            new[n] = min(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        labels = new
+    return labels
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(pairs=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=9), st.integers(min_value=0, max_value=9))
+    .filter(lambda p: p[0] != p[1]),
+    min_size=1, max_size=16, unique=True,
+))
+def test_label_propagation_matches_python_reference(spark, pairs):
+    """graph.label_propagation vs an independent Python LPA on arbitrary
+    small graphs — exact per-node label equality after 2 synchronous
+    rounds.  Edge multiplicity matters (a doubled edge is a doubled vote):
+    the mirrored-pair construction must count each undirected edge once
+    per endpoint, which the reference reproduces from the raw pair list."""
+    from pulsar_pekko_streams_example_spark.operators import graph
+
+    edges = spark.createDataFrame(pairs, "src long, dst long")
+    got = {
+        r.node: r.label
+        for r in graph.label_propagation(edges, iters=2).collect()
+    }
+    assert got == _py_lpa(pairs, 2), pairs
+
+
+def test_kendall_tau_matches_python_reference_on_smoke_corpus(spark):
+    """ranking_kendall_tau vs an independent Python pipeline on sf0.001:
+    tokenize, integer BM25 term scores (the published formula re-derived
+    from the constants, not the engine's SQL), both rankings, common set,
+    pair counting — catching dialect/rank-window bugs the shared-construction
+    oracle cannot.  Also pins the range contract |tau_milli| <= 1000."""
+    from collections import Counter
+
+    from pulsar_pekko_streams_example_spark.plans import REGISTRY, all_queries
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        BM25_TOPK,
+        SEARCH_TERMS,
+    )
+
+    all_queries()
+    sf = "/root/testdata/sf0.001"
+    row = REGISTRY["ranking_kendall_tau"].build(spark, sf).collect()[0]
+    assert -1000 <= row.tau_milli <= 1000
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text").collect()
+    toks = {d.doc_id: _py_tokens(d.text) for d in docs}
+    n_docs, x = len(toks), sum(len(t) for t in toks.values())
+    tf = {
+        d: {t: c for t, c in Counter(w for w in ws if w in SEARCH_TERMS).items()}
+        for d, ws in toks.items()
+    }
+    tf = {d: m for d, m in tf.items() if m}
+    df = Counter(t for m in tf.values() for t in m)
+    def score(d):
+        s = 0
+        for t, f in tf[d].items():
+            idf = ((2 * n_docs - 2 * df[t] + 1) * 1000000) // (2 * df[t] + 1)
+            tfn = (22 * f * x * 1000000) // (10 * x * f + 3 * x + 9 * len(toks[d]) * n_docs)
+            s += idf * tfn
+        return s
+    top_a = sorted(tf, key=lambda d: (-score(d), d))[:BM25_TOPK]
+    top_b = sorted(tf, key=lambda d: (-sum(tf[d].values()), d))[:BM25_TOPK]
+    ra = {d: i + 1 for i, d in enumerate(top_a)}
+    rb = {d: i + 1 for i, d in enumerate(top_b)}
+    common = sorted(set(ra) & set(rb))
+    C = D = 0
+    for i, di in enumerate(common):
+        for dj in common[i + 1 :]:
+            prod = (ra[di] - ra[dj]) * (rb[di] - rb[dj])
+            C += prod > 0
+            D += prod < 0
+    m = len(common)
+    pairs_n = m * (m - 1) // 2
+    want_tau = (
+        0 if m < 2
+        else (C - D) * 1000 // pairs_n if C >= D
+        else -((D - C) * 1000 // pairs_n)
+    )
+    assert (row.m, row.concordant, row.discordant, row.tau_milli) == (
+        m, C, D, want_tau
+    )

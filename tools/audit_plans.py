@@ -45,7 +45,11 @@ windows, data_queries.py).
 Round-14 eyeball verdicts (benign): search_rerank_stage (crossJoins of the
 1-row query vector and 1-row rank scaffolding against the <=20-row
 candidate set — every BNLJ side is a broadcast bounded by BM25_TOPK,
-data_queries.py).
+data_queries.py); tokenizer_fertility_by_source (the BPE chain's three
+1-row merge winners crossJoined per round, plus their recurrence in the
+shared train subtree — all 1-row broadcasts, mldata_queries.py);
+vocab_coverage_curve (4-row depths table inequality-joined to the <=10k
+TakeOrdered head + a 1-row totals crossJoin, data_queries.py).
 """
 
 from __future__ import annotations
