@@ -729,3 +729,92 @@ def rp_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("ratio_band")
         .agg(F.count(F.lit(1)).alias("pairs"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding per-dimension profile: the whitening / encoder-drift audit
+# ---------------------------------------------------------------------------
+# Per-dimension mean/variance/extrema over the embedding matrix — what a
+# pipeline inspects before whitening or PCA, and the cheapest detector of a
+# broken encoder (a dead dimension has var ~ 0; a saturated one pins the
+# extrema).  One posexplode pass, one (dim)-keyed aggregation of exact
+# DECIMAL(38,6) sums; the derived mean/var doubles come from ONE shared
+# expression string per dialect so both engines round identically.  Rows
+# with non-finite components contribute NULL to the sums (the davg/dsum
+# total-cast contract) and are excluded from the extrema symmetrically.
+
+
+@register(
+    "embedding_dim_profile",
+    oracle=f"""
+        WITH comp AS (
+          -- CAST before any arithmetic: embedding[i] is FLOAT32 and DuckDB
+          -- would square/round in single precision while Spark works in
+          -- DOUBLE; float32->double is exact, so casting first makes every
+          -- downstream op see identical values
+          SELECT i.i AS dim, CAST(e.embedding[i.i] AS DOUBLE) AS x
+          FROM embeddings e,
+               LATERAL (SELECT unnest(range(1, len(e.embedding) + 1)) AS i) i
+          WHERE e.embedding IS NOT NULL
+        ),
+        agg AS (
+          SELECT dim,
+                 CAST(COUNT(x) AS BIGINT) AS n,
+                 {sql_dsum('x')} AS sum_x,
+                 {sql_dsum('x * x')} AS sum_x2,
+                 MIN(CASE WHEN isfinite(x) THEN x END) AS min_x,
+                 MAX(CASE WHEN isfinite(x) THEN x END) AS max_x
+          FROM comp GROUP BY dim
+        )
+        SELECT CAST(dim AS BIGINT) AS dim, n, sum_x, sum_x2,
+               sum_x / n AS mean,
+               sum_x2 / n - (sum_x / n) * (sum_x / n) AS var,
+               min_x, max_x
+        FROM agg
+        """,
+    doc="Per-dimension embedding profile (mean / variance / extrema / exact "
+    "sums): the pre-whitening and encoder-drift audit over the embedding "
+    "matrix.  ONE posexplode pass (components never leave their scan "
+    "partition until the |dims|-keyed aggregate), exact DECIMAL(38,6) "
+    "accumulation for both moments (double sum order never enters), and "
+    "the derived mean/var doubles share one expression string across "
+    "dialects so rounding is bit-identical.  Non-finite components (real "
+    "at 100 TB: float32-max garbage, NaN from failed encoders) are "
+    "NULL-excluded from sums and extrema symmetrically in both engines — "
+    "the query is total on hostile corpora.  At scale: shuffle carries "
+    "|dims| x 4 scalars per partition, nothing else.",
+    tags=("similarity", "statistics", "added-r14"),
+)
+def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _embedding_dim_profile(load_table(spark, sf_dir, "embeddings"))
+
+
+def _embedding_dim_profile(emb: DataFrame) -> DataFrame:
+    """Core over an explicit embeddings frame (property-tested)."""
+    comp = (
+        emb.filter(F.col("embedding").isNotNull())
+        .select(F.posexplode("embedding").alias("pos", "xf"))
+        .select((F.col("pos") + 1).cast("long").alias("dim"),
+                F.col("xf").cast("double").alias("x"))
+    )
+    finite = (
+        "CASE WHEN isnan(x) OR abs(x) = CAST('Infinity' AS DOUBLE) "
+        "THEN NULL ELSE x END"
+    )
+    agg = comp.groupBy("dim").agg(
+        F.count("x").cast("long").alias("n"),
+        dsum(F.col("x")).alias("sum_x"),
+        dsum(F.expr("x * x")).alias("sum_x2"),
+        F.min(F.expr(finite)).alias("min_x"),
+        F.max(F.expr(finite)).alias("max_x"),
+    )
+    return agg.select(
+        "dim",
+        "n",
+        "sum_x",
+        "sum_x2",
+        F.expr("sum_x / n").alias("mean"),
+        F.expr("sum_x2 / n - (sum_x / n) * (sum_x / n)").alias("var"),
+        "min_x",
+        "max_x",
+    )

@@ -409,6 +409,129 @@ def bigram_surprisal_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Cross-corpus LM perplexity filter (CCNet shape): train slice scores held
+# ---------------------------------------------------------------------------
+# The most-deployed web-data quality filter (Wenzek et al., CCNet 2020):
+# train a cheap LM on a trusted reference corpus, score candidate documents
+# by perplexity, gate on the score.  Here the reference slice is doc_id%10<8
+# (the same split convention as dedup_incremental_batch / train_split
+# queries) and the LM is the add-one-smoothed bigram surrogate: unlike
+# bigram_surprisal_quality (within-corpus, unsmoothed), held-out docs
+# contain bigrams the model NEVER SAW, so smoothing and OOV accounting are
+# load-bearing — they are exactly what the within-corpus query cannot test.
+
+
+@register(
+    "crosslm_perplexity_filter",
+    oracle=f"""
+        WITH tok AS (
+          SELECT doc_id, source, {H.tokens('text', 'duckdb')} AS w,
+                 doc_id % 10 < 8 AS is_train
+          FROM documents
+        ),
+        b AS (
+          SELECT doc_id, source, is_train, unnest({_DUCK_BIGRAMS}) AS bigram
+          FROM tok
+        ),
+        freq AS (
+          SELECT bigram, CAST(COUNT(*) AS BIGINT) AS f FROM b
+          WHERE is_train GROUP BY bigram
+        ),
+        model AS (
+          SELECT CAST(COALESCE(SUM(f), 0) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS v
+          FROM freq
+        ),
+        held AS (
+          SELECT h.doc_id, h.source,
+                 CAST((m.n + m.v) // (COALESCE(fr.f, 0) + 1) AS BIGINT) AS s,
+                 CASE WHEN fr.f IS NULL THEN 1 ELSE 0 END AS oov
+          FROM b h LEFT JOIN freq fr USING (bigram) CROSS JOIN model m
+          WHERE NOT h.is_train
+        ),
+        perdoc AS (
+          SELECT doc_id, source,
+                 CAST(SUM(s) // COUNT(*) AS BIGINT) AS score,
+                 CAST(SUM(oov) AS BIGINT) AS oov_bigrams,
+                 CAST(COUNT(*) AS BIGINT) AS bigrams
+          FROM held GROUP BY doc_id, source
+        )
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS held_docs,
+               CAST(SUM(score) AS DOUBLE) / COUNT(*) AS avg_surprisal,
+               CAST(MAX(score) AS BIGINT) AS max_surprisal,
+               CAST(SUM(oov_bigrams) * 1000 // SUM(bigrams) AS BIGINT)
+                 AS oov_permille
+        FROM perdoc GROUP BY source
+        """,
+    doc="CCNet-style cross-corpus quality filter (Wenzek et al. 2020): an "
+    "add-one-smoothed bigram LM trained on the reference slice "
+    "(doc_id%10<8) scores every HELD-OUT doc; per-source mean/max "
+    "surprisal and OOV rate are the gating table.  Integer Laplace "
+    "surrogate: bigram surprisal = (N + V) div (f + 1) with N = train "
+    "bigram tokens, V = train bigram types — unseen transitions score the "
+    "(N+V) ceiling, so the OOV mass that within-corpus scoring "
+    "(bigram_surprisal_quality) never produces is first-class here.  One "
+    "bigram explode serves both slices; the model is a vocabulary-sized "
+    "frequency table LEFT-joined back (AQE broadcasts it) plus a 1-row "
+    "(N, V) broadcast.  At 100 TB the reference model is built once and "
+    "reused — the same standing-table shape as the BM25 df table.  All "
+    "scoring is exact int64; the only doubles are the final per-source "
+    "means (exact int sums divided once).",
+    tags=("text", "lm-quality", "curation", "added-r14"),
+)
+def crosslm_perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _crosslm_perplexity_filter(load_table(spark, sf_dir, "documents"))
+
+
+def _crosslm_perplexity_filter(docs: DataFrame) -> DataFrame:
+    """Core over an explicit documents frame (property-tested against an
+    independent Python bigram-LM reference)."""
+    tok = spread(docs).select(
+        "doc_id",
+        "source",
+        F.expr(H.tokens("text", "spark")).alias("w"),
+        F.expr("doc_id % 10 < 8").alias("is_train"),
+    )
+    b = tok.select(
+        "doc_id", "source", "is_train", F.explode(F.expr(_SPARK_BIGRAMS)).alias("bigram")
+    )
+    freq = (
+        b.filter("is_train")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).cast("long").alias("f"))
+    )
+    model = freq.agg(
+        F.coalesce(F.sum("f"), F.lit(0)).cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("v"),
+    )
+    held = (
+        b.filter(~F.col("is_train"))
+        .join(freq, ["bigram"], "left")
+        .crossJoin(F.broadcast(model))
+        .select(
+            "doc_id",
+            "source",
+            F.expr("CAST((n + v) div (coalesce(f, 0L) + 1L) AS BIGINT)").alias("s"),
+            F.expr("CASE WHEN f IS NULL THEN 1 ELSE 0 END").alias("oov"),
+        )
+    )
+    perdoc = held.groupBy("doc_id", "source").agg(
+        F.expr("CAST(SUM(s) div COUNT(*) AS BIGINT)").alias("score"),
+        F.sum("oov").cast("long").alias("oov_bigrams"),
+        F.count(F.lit(1)).cast("long").alias("bigrams"),
+    )
+    return perdoc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("held_docs"),
+        (F.sum("score").cast("double") / F.count(F.lit(1))).alias("avg_surprisal"),
+        F.max("score").cast("long").alias("max_surprisal"),
+        F.expr("CAST(SUM(oov_bigrams) * 1000 div SUM(bigrams) AS BIGINT)").alias(
+            "oov_permille"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quality-weighted deterministic sampling (importance sampling for data mixes)
 # ---------------------------------------------------------------------------
 WEIGHTED_MAX_PERMILLE = 300  # a perfect-quality doc is kept at 30%
@@ -2061,6 +2184,162 @@ def feature_correlation_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         + ") AS (feat_a, feat_b, corr)",
     )
     return stacked.select("feat_a", "feat_b", "n_used", "corr")
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank-correlation matrix (tie-corrected, no global row sort)
+# ---------------------------------------------------------------------------
+# The monotone complement of feature_correlation_matrix: Pearson answers
+# "linear?", Spearman answers "monotone?" — the pair a feature-selection
+# pass reports together.  The naive rank transform is a GLOBAL row sort
+# (a single-partition window at 100 TB); instead, tie-corrected doubled
+# average ranks come from the VALUE HISTOGRAM: for value v with cnt_v
+# occurrences and `below` smaller-valued rows, 2*avg_rank = 2*below +
+# cnt_v + 1 — exact int64, computed by a cumulative window over |distinct
+# values| rows (~100 here, bounded by the signal's cardinality at any
+# corpus size) and broadcast-joined back.  Ties are handled canonically
+# (average ranks + Pearson-over-ranks), not by the tie-free Σd² shortcut,
+# which is biased under ties.
+_SPEAR_FEATS = ("dl", "u", "nc")
+_SPEAR_PAIRS = [(a, b) for i, a in enumerate(_SPEAR_FEATS) for b in _SPEAR_FEATS[i + 1 :]]
+
+
+def _spear_rho(n: str, sx: str, sy: str, sxx: str, syy: str, sxy: str) -> str:
+    """Shared dialect-neutral double expression for Pearson over the exact
+    integer rank sums (identical text in both engines => identical IEEE
+    rounding).  Constant signal => zero denominator => NULL."""
+    d = "CAST({} AS DOUBLE)"
+    N, SX, SY = d.format(n), d.format(sx), d.format(sy)
+    SXX, SYY, SXY = d.format(sxx), d.format(syy), d.format(sxy)
+    num = f"({N} * {SXY} - {SX} * {SY})"
+    denx = f"sqrt({N} * {SXX} - {SX} * {SX})"
+    deny = f"sqrt({N} * {SYY} - {SY} * {SY})"
+    return (
+        f"CASE WHEN {denx} * {deny} = CAST(0 AS DOUBLE) THEN NULL "
+        f"ELSE {num} / ({denx} * {deny}) END"
+    )
+
+
+def _duck_spearman_sql() -> str:
+    rank_ctes = ",".join(
+        f"""
+        h_{s} AS (SELECT {s} AS v, CAST(COUNT(*) AS BIGINT) AS cnt FROM fp GROUP BY {s}),
+        c_{s} AS (
+          SELECT v, CAST(2 * (SUM(cnt) OVER (ORDER BY v) - cnt) + cnt + 1 AS BIGINT) AS r2
+          FROM h_{s}
+        )"""
+        for s in _SPEAR_FEATS
+    )
+    joins = " ".join(
+        f"JOIN c_{s} ON fp.{s} = c_{s}.v" for s in _SPEAR_FEATS
+    )
+    moment_cols = ", ".join(
+        [f"CAST(SUM(CAST(r_{s} AS HUGEINT)) AS HUGEINT) AS s_{s}" for s in _SPEAR_FEATS]
+        + [
+            f"CAST(SUM(CAST(r_{a} AS HUGEINT) * r_{b}) AS HUGEINT) AS s_{a}_{b}"
+            for i, a in enumerate(_SPEAR_FEATS)
+            for b in _SPEAR_FEATS[i:]
+        ]
+    )
+    branches = " UNION ALL ".join(
+        f"SELECT '{a}' AS feat_a, '{b}' AS feat_b, n AS n_used, "
+        + _spear_rho("n", f"s_{a}", f"s_{b}", f"s_{a}_{a}", f"s_{b}_{b}", f"s_{a}_{b}")
+        + " AS rho FROM sums"
+        for a, b in _SPEAR_PAIRS
+    )
+    return f"""
+        WITH fp AS (
+          SELECT CAST(len(toks) AS BIGINT) AS dl,
+                 CAST(len(list_distinct(toks)) AS BIGINT) AS u,
+                 CAST(n_chars AS BIGINT) AS nc
+          FROM (SELECT {H.tokens('text', 'duckdb')} AS toks, n_chars
+                FROM documents WHERE text IS NOT NULL)
+        ),{rank_ctes},
+        ranked AS (
+          SELECT {', '.join(f'c_{s}.r2 AS r_{s}' for s in _SPEAR_FEATS)}
+          FROM fp {joins}
+        ),
+        sums AS (
+          SELECT CAST(COUNT(*) AS BIGINT) AS n, {moment_cols} FROM ranked
+        )
+        SELECT feat_a, feat_b, n_used, rho FROM ({branches})
+        """
+
+
+@register(
+    "signal_spearman_matrix",
+    oracle=_duck_spearman_sql(),
+    doc="Tie-corrected Spearman rank correlation between the doc signals "
+    "(token length, distinct types, char count) — the monotone complement "
+    "of feature_correlation_matrix's Pearson.  The rank transform NEVER "
+    "globally sorts rows: doubled average ranks (2*below + cnt + 1, exact "
+    "int64) come from each signal's VALUE HISTOGRAM via a cumulative "
+    "window over |distinct values| rows (bounded by signal cardinality, "
+    "~100 here, regardless of corpus size) broadcast-joined back to the "
+    "docs; rho is then Pearson over the integer ranks — HUGEINT/DECIMAL "
+    "exact moment sums (rank products reach 4n^2 per row, past int64 at "
+    "10^10 docs), one shared double expression per dialect for the final "
+    "division.  Canonical tie handling (average ranks + Pearson-of-ranks; "
+    "the tie-free 1 - 6*sum(d^2)/... shortcut is biased under ties, and "
+    "doc-length signals tie heavily).  Constant signal => NULL rho.",
+    tags=("statistics", "text", "added-r14"),
+)
+def signal_spearman_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _signal_spearman_matrix(load_table(spark, sf_dir, "documents"))
+
+
+def _signal_spearman_matrix(docs: DataFrame) -> DataFrame:
+    """Core over an explicit documents frame (property-tested against an
+    independent Python average-rank Spearman)."""
+    fp = (
+        spread(docs)
+        .filter(F.col("text").isNotNull())
+        .select(
+            F.expr(H.tokens("text", "spark")).alias("toks"),
+            F.col("n_chars").cast("long").alias("nc"),
+        )
+        .select(
+            F.size("toks").cast("long").alias("dl"),
+            F.size(F.array_distinct("toks")).cast("long").alias("u"),
+            "nc",
+        )
+    )
+    ranked = fp
+    for s in _SPEAR_FEATS:
+        h = fp.groupBy(F.col(s).alias("v")).agg(
+            F.count(F.lit(1)).cast("long").alias("cnt")
+        )
+        w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+        c = h.select(
+            "v",
+            (2 * (F.sum("cnt").over(w) - F.col("cnt")) + F.col("cnt") + 1)
+            .cast("long")
+            .alias(f"r_{s}"),
+        )
+        ranked = ranked.join(F.broadcast(c), ranked[s] == c.v).drop("v")
+    sums = ranked.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.col(f"r_{s}").cast("decimal(38,0)")).alias(f"s_{s}")
+            for s in _SPEAR_FEATS
+        ],
+        *[
+            F.sum(
+                F.col(f"r_{a}").cast("decimal(38,0)") * F.col(f"r_{b}")
+            ).alias(f"s_{a}_{b}")
+            for i, a in enumerate(_SPEAR_FEATS)
+            for b in _SPEAR_FEATS[i:]
+        ],
+    )
+    branches = ", ".join(
+        f"'{a}', '{b}', "
+        + _spear_rho("n", f"s_{a}", f"s_{b}", f"s_{a}_{a}", f"s_{b}_{b}", f"s_{a}_{b}")
+        for a, b in _SPEAR_PAIRS
+    )
+    return sums.selectExpr(
+        "CAST(n AS BIGINT) AS n_used",
+        f"stack({len(_SPEAR_PAIRS)}, {branches}) AS (feat_a, feat_b, rho)",
+    ).select("feat_a", "feat_b", "n_used", "rho")
 
 
 # ---------------------------------------------------------------------------

@@ -1955,3 +1955,179 @@ def test_kendall_tau_matches_python_reference_on_smoke_corpus(spark):
     assert (row.m, row.concordant, row.discordant, row.tau_milli) == (
         m, C, D, want_tau
     )
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(texts=st.lists(
+    st.lists(
+        st.sampled_from(["the cat", "a dog ran", "the dog", "cat ran far", "zz qq"]),
+        min_size=1, max_size=3,
+    ).map(" ".join),
+    min_size=10, max_size=12,  # ids 0..n-1: %10>=8 guarantees held docs
+))
+def test_crosslm_perplexity_matches_python_reference(spark, texts):
+    """CCNet-style filter vs an independent Python bigram LM: train on
+    ids%10<8, add-one-smoothed scoring of the held slice, per-source
+    rollup with OOV accounting.  Unseen transitions must score exactly the
+    (N+V) ceiling — the smoothing branch the within-corpus surprisal query
+    never exercises."""
+    from collections import Counter, defaultdict
+
+    from pulsar_pekko_streams_example_spark.plans.mldata_queries import (
+        _crosslm_perplexity_filter,
+    )
+
+    def bigrams(t):
+        w = _py_tokens(t)
+        return [f"{w[i]}_{w[i+1]}" for i in range(len(w) - 1)]
+
+    srcs = ["s0" if i % 2 == 0 else "s1" for i in range(len(texts))]
+    train = Counter(
+        b for i, t in enumerate(texts) if i % 10 < 8 for b in bigrams(t)
+    )
+    n, v = sum(train.values()), len(train)
+    perdoc = {}
+    for i, t in enumerate(texts):
+        if i % 10 < 8:
+            continue
+        bs = bigrams(t)
+        if not bs:
+            continue
+        scores = [(n + v) // (train.get(b, 0) + 1) for b in bs]
+        oov = sum(1 for b in bs if b not in train)
+        for b in bs:
+            if b not in train:
+                assert (n + v) // 1 == n + v  # the ceiling, by construction
+        perdoc[i] = (srcs[i], sum(scores) // len(bs), oov, len(bs))
+    want = {}
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # docs, score_sum, oov, bigrams
+    maxs = {}
+    for i, (s, score, oov, nb) in perdoc.items():
+        a = agg[s]
+        a[0] += 1; a[1] += score; a[2] += oov; a[3] += nb
+        maxs[s] = max(maxs.get(s, 0), score)
+    for s, (d, ssum, oov, nb) in agg.items():
+        want[s] = (d, ssum / d, maxs[s], oov * 1000 // nb)
+
+    docs = spark.createDataFrame(
+        [(i, t, srcs[i]) for i, t in enumerate(texts)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: (r.held_docs, r.avg_surprisal, r.max_surprisal, r.oov_permille)
+        for r in _crosslm_perplexity_filter(docs).collect()
+    }
+    assert got == want, (texts, got, want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(vecs=st.lists(
+    st.one_of(
+        st.none(),
+        st.lists(
+            st.sampled_from([-1.0, -0.5, -0.25, 0.0, 0.25, 0.5, 1.0]),
+            min_size=3, max_size=3,
+        ),
+    ),
+    min_size=1, max_size=8,
+).filter(lambda vs: any(v is not None for v in vs)))
+def test_embedding_dim_profile_matches_exact_fractions(spark, vecs):
+    """Per-dim profile vs exact arithmetic on quarter-grid components
+    (losslessly representable in DECIMAL(38,6) and float32, so the
+    engine's exact-decimal sums must EQUAL the Python fractions — any
+    float-order or rounding leak shows as a hard mismatch).  NULL vectors
+    are excluded; extrema and counts come from the surviving rows."""
+    from fractions import Fraction
+
+    from pulsar_pekko_streams_example_spark.plans.cluster_queries import (
+        _embedding_dim_profile,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.dim: r for r in _embedding_dim_profile(emb).collect()}
+    live = [v for v in vecs if v is not None]
+    assert set(rows) == {1, 2, 3}
+    for d in (1, 2, 3):
+        xs = [Fraction(v[d - 1]) for v in live]
+        r = rows[d]
+        n = len(xs)
+        s1, s2 = sum(xs), sum(x * x for x in xs)
+        assert r.n == n
+        assert Fraction(r.sum_x) == s1 and Fraction(r.sum_x2) == s2, (d, vecs)
+        assert r.mean == float(r.sum_x) / n
+        assert r.var == float(r.sum_x2) / n - (float(r.sum_x) / n) ** 2
+        assert r.min_x == min(float(x) for x in xs)
+        assert r.max_x == max(float(x) for x in xs)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),   # extra repeated tokens (ties!)
+        st.integers(min_value=0, max_value=40),  # n_chars
+    ),
+    min_size=2, max_size=10,
+))
+def test_spearman_matrix_matches_python_reference(spark, rows):
+    """signal_spearman_matrix vs an independent Python Spearman: average
+    ranks from explicit sorting (not the engine's histogram-cumulative
+    construction), Pearson over the doubled integer ranks, identical
+    IEEE op order for the final division — exact equality, heavy ties
+    included (every doc shares the 'tok' token)."""
+    import math
+
+    from pulsar_pekko_streams_example_spark.plans.mldata_queries import (
+        _signal_spearman_matrix,
+        _SPEAR_PAIRS,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (i, " ".join(["tok"] * (k + 1) + [f"u{j}" for j in range(i % 3)]), nc)
+            for i, (k, nc) in enumerate(rows)
+        ],
+        "doc_id long, text string, n_chars long",
+    )
+    feats = []
+    for i, (k, nc) in enumerate(rows):
+        toks = ["tok"] * (k + 1) + [f"u{j}" for j in range(i % 3)]
+        feats.append((len(toks), len(set(toks)), nc))
+
+    def doubled_ranks(xs):
+        order = sorted(range(len(xs)), key=lambda i: xs[i])
+        r2 = [0] * len(xs)
+        i = 0
+        while i < len(order):
+            j = i
+            while j < len(order) and xs[order[j]] == xs[order[i]]:
+                j += 1
+            # doubled average rank of the tie group [i, j)
+            val = (i + 1) + (j)  # 2 * (min_rank + max_rank) / 2
+            for t in order[i:j]:
+                r2[t] = val
+            i = j
+        return r2
+
+    cols = list(zip(*feats))
+    ranks = {s: doubled_ranks(list(cols[si])) for si, s in enumerate(("dl", "u", "nc"))}
+    n = len(rows)
+    got = {
+        (r.feat_a, r.feat_b): (r.n_used, r.rho)
+        for r in _signal_spearman_matrix(docs).collect()
+    }
+    for a, b in _SPEAR_PAIRS:
+        rx, ry = ranks[a], ranks[b]
+        sx, sy = sum(rx), sum(ry)
+        sxx = sum(x * x for x in rx)
+        syy = sum(y * y for y in ry)
+        sxy = sum(x * y for x, y in zip(rx, ry))
+        denx = math.sqrt(float(n) * float(sxx) - float(sx) * float(sx))
+        deny = math.sqrt(float(n) * float(syy) - float(sy) * float(sy))
+        if denx * deny == 0.0:
+            want = None
+        else:
+            want = (float(n) * float(sxy) - float(sx) * float(sy)) / (denx * deny)
+        assert got[(a, b)] == (n, want), (a, b, rows, got[(a, b)], want)
