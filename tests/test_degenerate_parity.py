@@ -1105,3 +1105,104 @@ def test_kmv_empty_sets_parity(spark, empty_events_sf, empty_events_duck):
     row = df.collect()[0]
     assert row["est_intersection"] == 0 and row["est_union"] == 0
     assert row["exact_a"] == 0 and row["exact_b"] == 0
+
+
+# ---------------------------------------------------------------------------
+# Round-14: branch corners of the new analytics queries.
+#
+# (a) UNIFORM corpus (six identical docs, ids 0-5): every Spearman signal is
+#     constant -> zero denominators -> rho must be NULL in BOTH engines (not
+#     a divide error, not -0.0 vs NULL); the vocabulary is smaller than every
+#     coverage depth -> saturation rows; no doc reaches any truncation length
+#     -> all-zero loss rows; and no doc_id lands in the %10>=8 held slice ->
+#     crosslm emits ZERO rows (empty-held parity).
+# (b) HELD-ONLY corpus (ids 8/9/18/19): the training slice is EMPTY, so the
+#     LM is N=0, V=0 and every held bigram is OOV scoring (0+0)//(0+1) = 0 —
+#     the all-smoothing branch, with oov_permille pinned at 1000.
+# ---------------------------------------------------------------------------
+
+
+def _mini_docs_sf(spark, tmp_path_factory, name, rows):
+    base = tmp_path_factory.mktemp(name)
+    for t in TABLES:
+        if t != "documents":
+            shutil.copyfile(f"{SF_SMOKE}/{t}.parquet", str(base / f"{t}.parquet"))
+    spark.createDataFrame(
+        rows, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    ).write.mode("overwrite").parquet(str(base / "documents.parquet"))
+    return str(base)
+
+
+def _duck_for(sf_dir):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in TABLES:
+        path = f"{sf_dir}/{t}.parquet"
+        pattern = f"{path}/*.parquet" if os.path.isdir(path) else path
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{pattern}')")
+    return con
+
+
+@pytest.fixture(scope="module")
+def uniform_docs_sf(spark, tmp_path_factory):
+    text = "alpha beta alpha"
+    rows = [(i, text, "en", "web", len(text)) for i in range(6)]
+    return _mini_docs_sf(spark, tmp_path_factory, "uniform_docs_sf", rows)
+
+
+@pytest.fixture(scope="module")
+def held_only_docs_sf(spark, tmp_path_factory):
+    rows = [
+        (8, "the cat sat", "en", "web", 11),
+        (9, "a dog ran far", "en", "web", 13),
+        (18, "the dog sat", "en", "syn", 11),
+        (19, "zz", "en", "syn", 2),  # <2 tokens: drops out of scoring
+    ]
+    return _mini_docs_sf(spark, tmp_path_factory, "held_only_docs_sf", rows)
+
+
+PINNED_R14 = [
+    ("signal_spearman_matrix", "constant signals: NULL rho, not an error"),
+    ("vocab_coverage_curve", "2-type vocabulary: saturation at every depth"),
+    ("truncation_loss_curve", "3-token docs: all-zero loss rows"),
+    ("crosslm_perplexity_filter", "empty HELD slice: zero rows, no crash"),
+    ("tokenizer_fertility_by_source", "uniform corpus: single-source fertility"),
+    ("bpe_encode_stats", "2-type vocabulary: merges exhaust into the sentinel"),
+]
+
+
+@pytest.mark.parametrize("name,why", PINNED_R14, ids=[n for n, _ in PINNED_R14])
+def test_round14_uniform_corpus_parity(name, why, spark, uniform_docs_sf):
+    con = _duck_for(uniform_docs_sf)
+    try:
+        spec = REGISTRY[name]
+        df = spec.build(spark, uniform_docs_sf)
+        problems = compare(df, con.sql(spec.oracle))
+        assert not problems, f"{name} [{why}]: " + "; ".join(problems)
+        if name == "signal_spearman_matrix":
+            assert all(r.rho is None for r in df.collect()), why
+        if name == "crosslm_perplexity_filter":
+            assert df.count() == 0, why
+    finally:
+        con.close()
+
+
+def test_crosslm_empty_train_slice_parity(spark, held_only_docs_sf):
+    """N=0, V=0 model: every held bigram is OOV and scores (0+0)//(0+1)=0;
+    oov_permille is exactly 1000; <2-token docs drop out — identical in
+    both engines (the all-smoothing branch a populated split never hits)."""
+    con = _duck_for(held_only_docs_sf)
+    try:
+        spec = REGISTRY["crosslm_perplexity_filter"]
+        df = spec.build(spark, held_only_docs_sf)
+        problems = compare(df, con.sql(spec.oracle))
+        assert not problems, "; ".join(problems)
+        rows = {r.source: r for r in df.collect()}
+        assert rows["web"].held_docs == 2 and rows["syn"].held_docs == 1
+        for r in rows.values():
+            assert r.avg_surprisal == 0.0 and r.oov_permille == 1000, r
+    finally:
+        con.close()

@@ -13,6 +13,7 @@ import pytest
 from examples import (  # noqa: F401  (docs the mapping)
     corpus_search,
     curation_pipeline,
+    tokenizer_planning,
     ordered_redelivery_loop,
     part1_backpressured_source,
     part2_single_workload,
@@ -35,6 +36,9 @@ EXAMPLES = [
     # re-enter the SAME key queues as flagged redeliveries, loop converges
     corpus_search,  # extension: retrieval stack walkthrough (boolean vs
     # BM25, RBO ranker agreement, logit probe + reliability curve)
+    tokenizer_planning,  # extension: tokenizer + context-length planning
+    # (coverage curve, truncation budget, BPE train/apply, fertility,
+    # CCNet cross-corpus LM gate)
 ]
 
 
