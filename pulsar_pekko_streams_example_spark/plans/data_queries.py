@@ -625,6 +625,145 @@ def lang_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Token-budget selection: the budgeted data-selection step (DCLM shape)
+# ---------------------------------------------------------------------------
+# "Fill a token budget with the best documents": sort by (quality DESC,
+# doc_id), greedily take docs while the running token total fits the budget
+# (here 50% of the corpus), report what got selected per source.  The naive
+# implementation is a GLOBAL sort + running sum over every doc; instead the
+# selection threshold comes from the QUALITY HISTOGRAM (quality_milli is an
+# exact integer on 0..1000, so the histogram has <= 1001 rows at any corpus
+# size): full levels are those whose descending cumulative fits, the single
+# boundary level resolves by doc_id prefix within that one level — the only
+# per-doc ordered pass, bounded by one histogram bucket.
+BUDGET_PERMILLE = 500
+
+
+@register(
+    "token_budget_selection",
+    oracle=f"""
+        WITH {textstats.SQL_FEATURES_CTE.strip()},
+        hist AS (
+          SELECT quality_milli AS qm,
+                 CAST(SUM(token_count) AS BIGINT) AS toks
+          FROM scored GROUP BY quality_milli
+        ),
+        cum AS (
+          SELECT qm, toks,
+                 CAST(SUM(toks) OVER (ORDER BY qm DESC) AS BIGINT) AS cum_toks
+          FROM hist
+        ),
+        tot AS (
+          SELECT CAST(COALESCE(SUM(toks), 0) * {BUDGET_PERMILLE} // 1000 AS BIGINT)
+                   AS budget
+          FROM hist
+        ),
+        full_lvls AS (
+          SELECT qm FROM cum CROSS JOIN tot WHERE cum_toks <= budget
+        ),
+        boundary AS (
+          SELECT qm, CAST(budget - (cum_toks - toks) AS BIGINT) AS remaining
+          FROM cum CROSS JOIN tot
+          WHERE cum_toks - toks < budget AND cum_toks > budget
+        ),
+        bsel AS (
+          SELECT doc_id FROM (
+            SELECT s.doc_id,
+                   SUM(s.token_count) OVER (ORDER BY s.doc_id) AS run,
+                   b.remaining
+            FROM scored s JOIN boundary b ON s.quality_milli = b.qm
+          ) WHERE run <= remaining
+        ),
+        sel AS (
+          SELECT doc_id FROM scored WHERE quality_milli IN (SELECT qm FROM full_lvls)
+          UNION ALL SELECT doc_id FROM bsel
+        )
+        SELECT s.source,
+               CAST(COUNT(*) AS BIGINT) AS docs_total,
+               CAST(SUM(s.token_count) AS BIGINT) AS tokens_total,
+               CAST(COUNT(k.doc_id) AS BIGINT) AS docs_selected,
+               CAST(COALESCE(SUM(CASE WHEN k.doc_id IS NOT NULL
+                                      THEN s.token_count END), 0) AS BIGINT)
+                 AS tokens_selected,
+               MIN((SELECT CAST(qm AS BIGINT) FROM boundary)) AS threshold_quality,
+               MIN((SELECT budget FROM tot)) AS budget
+        FROM scored s LEFT JOIN sel k ON s.doc_id = k.doc_id
+        GROUP BY s.source
+        """,
+    doc=f"Budgeted data selection (the DCLM / quality-threshold shape): fill "
+    f"{BUDGET_PERMILLE}permille of the corpus token mass with the "
+    "best-quality documents — docs ordered (quality_milli DESC, doc_id), "
+    "greedy prefix under the budget — and report the per-source "
+    "composition of the selected set plus the quality threshold.  NO "
+    "global doc sort: quality_milli is an exact integer on 0..1000, so "
+    "the descending cumulative runs over the <=1001-row quality HISTOGRAM "
+    "(broadcast); whole levels above the boundary are selected by a "
+    "semi-join on the level key, and only the ONE boundary level pays a "
+    "doc_id-ordered prefix window, bounded by a single histogram bucket.  "
+    "Exact integer accounting throughout; corpora that fit entirely have "
+    "a NULL threshold.  doc_id is assumed unique here (the selection "
+    "left-join is per-doc; the dup-id corpora pin their own queries).",
+    tags=("text", "curation", "topk", "added-r14"),
+)
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _token_budget_selection(load_table(spark, sf_dir, "documents"))
+
+
+def _token_budget_selection(docs: DataFrame) -> DataFrame:
+    """Core over an explicit documents frame (property-tested against the
+    greedy-prefix Python reference)."""
+    feats = textstats.with_text_features(docs).select(
+        "doc_id", "source", F.col("token_count").alias("tc"),
+        F.col("quality_milli").alias("qm"),
+    )
+    hist = feats.groupBy("qm").agg(F.sum("tc").cast("long").alias("toks"))
+    wq = Window.orderBy(F.col("qm").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = hist.withColumn("cum_toks", F.sum("toks").over(wq).cast("long"))
+    tot = hist.agg(
+        F.expr(
+            f"CAST(COALESCE(SUM(toks), 0) * {BUDGET_PERMILLE} div 1000 AS BIGINT)"
+        ).alias("budget")
+    )
+    levels = cum.crossJoin(F.broadcast(tot))
+    full_lvls = levels.filter("cum_toks <= budget").select("qm")
+    boundary = levels.filter(
+        "cum_toks - toks < budget AND cum_toks > budget"
+    ).select("qm", F.expr("CAST(budget - (cum_toks - toks) AS BIGINT)").alias("remaining"))
+    wb = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    bsel = (
+        feats.join(F.broadcast(boundary), ["qm"])
+        .withColumn("run", F.sum("tc").over(wb))
+        .filter("run <= remaining")
+        .select("doc_id")
+    )
+    sel = (
+        feats.join(F.broadcast(full_lvls), ["qm"], "left_semi")
+        .select("doc_id")
+        .unionByName(bsel)
+    )
+    thresh = boundary.agg(F.min("qm").cast("long").alias("threshold_quality"))
+    return (
+        feats.join(sel.withColumn("selected", F.lit(1)), ["doc_id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs_total"),
+            F.sum("tc").cast("long").alias("tokens_total"),
+            F.count("selected").cast("long").alias("docs_selected"),
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN selected IS NOT NULL THEN tc END")),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("tokens_selected"),
+        )
+        .crossJoin(F.broadcast(thresh))
+        .crossJoin(F.broadcast(tot))
+    )
+
+
 @register(
     "quality_histogram",
     oracle=f"""

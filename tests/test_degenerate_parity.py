@@ -1171,6 +1171,7 @@ PINNED_R14 = [
     ("crosslm_perplexity_filter", "empty HELD slice: zero rows, no crash"),
     ("tokenizer_fertility_by_source", "uniform corpus: single-source fertility"),
     ("bpe_encode_stats", "2-type vocabulary: merges exhaust into the sentinel"),
+    ("token_budget_selection", "single quality level: pure boundary-prefix path"),
 ]
 
 

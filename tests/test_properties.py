@@ -2131,3 +2131,65 @@ def test_spearman_matrix_matches_python_reference(spark, rows):
         else:
             want = (float(n) * float(sxy) - float(sx) * float(sy)) / (denx * deny)
         assert got[(a, b)] == (n, want), (a, b, rows, got[(a, b)], want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1"]),
+        st.lists(
+            st.sampled_from(["the", "a", "cat", "dog", "ran", "far", "zz", "qq"]),
+            min_size=0, max_size=8,
+        ).map(" ".join),
+    ),
+    min_size=1, max_size=10,
+))
+def test_token_budget_selection_matches_greedy_prefix(spark, rows):
+    """token_budget_selection vs the spec it implements, stated directly:
+    sort docs by (quality DESC, doc_id), include while the running token
+    total fits 50% of the corpus, stop at the first violation.  The engine
+    derives the same set from the quality HISTOGRAM (full levels +
+    boundary prefix) — this pin is the equivalence proof on adversarial
+    tie-heavy corpora, including empty docs (quality 0, zero tokens)."""
+    from pulsar_pekko_streams_example_spark.operators.textstats import STOPWORDS
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        BUDGET_PERMILLE,
+        _token_budget_selection,
+    )
+
+    def feats(t):
+        w = _py_tokens(t)
+        tc = len(w)
+        stops = sum(1 for x in w if x in STOPWORDS)
+        qm = (
+            4 * min(tc, 100)
+            + (300 * len(set(w))) // max(tc, 1)
+            + (300 * (tc - stops)) // max(tc, 1)
+        )
+        return tc, qm
+
+    per_doc = [(i, s, *feats(t)) for i, (s, t) in enumerate(rows)]
+    total = sum(tc for _, _, tc, _ in per_doc)
+    budget = total * BUDGET_PERMILLE // 1000
+    run, selected = 0, set()
+    for i, s, tc, qm in sorted(per_doc, key=lambda r: (-r[3], r[0])):
+        if run + tc > budget:
+            break
+        run += tc
+        selected.add(i)
+    want = {}
+    for i, s, tc, qm in per_doc:
+        d = want.setdefault(s, [0, 0, 0, 0])
+        d[0] += 1; d[1] += tc
+        if i in selected:
+            d[2] += 1; d[3] += tc
+
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: [r.docs_total, r.tokens_total, r.docs_selected, r.tokens_selected]
+        for r in _token_budget_selection(docs).collect()
+    }
+    assert got == want, (rows, got, want)

@@ -49,7 +49,10 @@ data_queries.py); tokenizer_fertility_by_source (the BPE chain's three
 1-row merge winners crossJoined per round, plus their recurrence in the
 shared train subtree — all 1-row broadcasts, mldata_queries.py);
 vocab_coverage_curve (4-row depths table inequality-joined to the <=10k
-TakeOrdered head + a 1-row totals crossJoin, data_queries.py).
+TakeOrdered head + a 1-row totals crossJoin, data_queries.py);
+token_budget_selection (budget/threshold/boundary scaffolding crossJoins —
+every BNLJ side is the <=1001-row quality histogram or a 1-row aggregate,
+data_queries.py).
 """
 
 from __future__ import annotations
