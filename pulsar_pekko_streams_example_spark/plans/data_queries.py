@@ -732,22 +732,33 @@ def _token_budget_selection(docs: DataFrame) -> DataFrame:
     boundary = levels.filter(
         "cum_toks - toks < budget AND cum_toks > budget"
     ).select("qm", F.expr("CAST(budget - (cum_toks - toks) AS BIGINT)").alias("remaining"))
-    wb = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    bsel = (
-        feats.join(F.broadcast(boundary), ["qm"])
-        .withColumn("run", F.sum("tc").over(wb))
-        .filter("run <= remaining")
-        .select("doc_id")
-    )
-    sel = (
-        feats.join(F.broadcast(full_lvls), ["qm"], "left_semi")
-        .select("doc_id")
-        .unionByName(bsel)
+    # the selection FLAG is computed inline on the doc stream — no doc-level
+    # join back: full levels arrive as a broadcast flag, the boundary level's
+    # remaining-budget arrives as a broadcast (qm, remaining) row, and the
+    # prefix position comes from a window PARTITIONED BY qm (only the one
+    # boundary partition's value is ever read, and non-boundary partitions
+    # cost one pre-sorted pass each) — so the whole query is one qm-keyed
+    # shuffle + one source-keyed aggregate, never a corpus self-join
+    wb = Window.partitionBy("qm").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, 0
     )
     thresh = boundary.agg(F.min("qm").cast("long").alias("threshold_quality"))
+    flagged = (
+        feats.join(
+            F.broadcast(full_lvls.withColumn("is_full", F.lit(1))), ["qm"], "left"
+        )
+        .join(F.broadcast(boundary), ["qm"], "left")
+        .withColumn("run", F.sum("tc").over(wb))
+        .withColumn(
+            "selected",
+            F.expr(
+                "CASE WHEN is_full IS NOT NULL THEN 1 "
+                "WHEN remaining IS NOT NULL AND run <= remaining THEN 1 END"
+            ),
+        )
+    )
     return (
-        feats.join(sel.withColumn("selected", F.lit(1)), ["doc_id"], "left")
-        .groupBy("source")
+        flagged.groupBy("source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("docs_total"),
             F.sum("tc").cast("long").alias("tokens_total"),

@@ -226,6 +226,35 @@ SHOWCASE = [
         "exactly once per pair (the audit-tool double-eval signature this "
         "query was fixed against in 7b0e05e).",
     ),
+    (
+        "search_rerank_stage",
+        "Two-stage retrieval (round 14): the BM25 candidate list is a "
+        "TakeOrderedAndProject prefix that BROADCASTS into the embeddings "
+        "join (the scan side prunes to ≤k rows before any scoring); the "
+        "1-row query vector is a broadcast BNLJ into the cosine pass; the "
+        "final rank window sees ≤k rows.  Stage 2 is O(k×dim) at any "
+        "corpus size — the posting scan stays the only corpus-shaped work.",
+    ),
+    (
+        "signal_spearman_matrix",
+        "Tie-corrected Spearman (round 14): NO global row sort anywhere in "
+        "the plan — each signal's doubled average ranks come from a "
+        "cumulative window over its ~100-row value HISTOGRAM (a "
+        "SinglePartition exchange of histogram rows, not docs), broadcast "
+        "back onto the doc stream as three BroadcastHashJoins; the moment "
+        "sums are one map-side-combinable hash aggregate of DECIMAL-exact "
+        "rank products.",
+    ),
+    (
+        "token_budget_selection",
+        "Budgeted quality selection (round 14): the (quality DESC, doc_id) "
+        "greedy prefix runs WITHOUT a corpus sort — the descending "
+        "cumulative lives on the ≤1001-row quality histogram, whole levels "
+        "select via a broadcast left-semi join on the level key, and the "
+        "single boundary level pays the only doc_id-ordered prefix window, "
+        "bounded by one histogram bucket.  The per-source roll-up is one "
+        "hash aggregate over the selection-flag left join.",
+    ),
 ]
 
 
