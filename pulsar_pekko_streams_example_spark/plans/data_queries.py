@@ -775,6 +775,135 @@ def _token_budget_selection(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Quantile normalization of per-source quality (distribution alignment)
+# ---------------------------------------------------------------------------
+# Heterogeneous sources score on incompatible quality scales (a boilerplate-
+# heavy source's "good" is another's "mediocre"), so gating the pooled corpus
+# on raw scores silently skews the mix.  Quantile normalization replaces each
+# doc's score with the GLOBAL score at the same within-source CDF position —
+# after it, every source has the same score distribution and one threshold
+# is fair.  Everything runs on histograms: quality_milli is an exact integer
+# on 0..1000, so the per-source CDF, the global inverse CDF, and the mapping
+# join are all bounded by |sources| x 1001 rows at any corpus size.  The CDF
+# comparison is exact rational arithmetic (cross-multiplied counts in
+# DECIMAL/HUGEINT — products reach N * n_src, past int64 at 10^10 docs).
+
+
+@register(
+    "quality_quantile_normalization",
+    oracle=f"""
+        WITH {textstats.SQL_FEATURES_CTE.strip()},
+        sh AS (
+          SELECT source, quality_milli AS qm, CAST(COUNT(*) AS BIGINT) AS cnt
+          FROM scored GROUP BY source, quality_milli
+        ),
+        scdf AS (
+          SELECT source, qm, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY source ORDER BY qm) - cnt
+                      AS BIGINT) AS below,
+                 CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS n_src
+          FROM sh
+        ),
+        gh AS (
+          SELECT quality_milli AS gqm, CAST(COUNT(*) AS BIGINT) AS gcnt
+          FROM scored GROUP BY quality_milli
+        ),
+        gcdf AS (
+          SELECT gqm, CAST(SUM(gcnt) OVER (ORDER BY gqm) AS BIGINT) AS gcum,
+                 CAST(SUM(gcnt) OVER () AS BIGINT) AS n_all
+          FROM gh
+        ),
+        mapped AS (
+          -- normalized value = MIN global score whose CDF reaches the
+          -- midpoint within-source CDF of this (source, qm) level:
+          -- gcum/N >= (2*below + cnt) / (2*n_src), cross-multiplied exactly
+          SELECT s.source, s.qm, s.cnt, s.n_src,
+                 MIN(g.gqm) AS norm_qm
+          FROM scdf s JOIN gcdf g
+            ON CAST(g.gcum AS HUGEINT) * 2 * s.n_src
+               >= CAST(2 * s.below + s.cnt AS HUGEINT) * g.n_all
+          GROUP BY s.source, s.qm, s.cnt, s.n_src
+        )
+        SELECT source,
+               CAST(MIN(n_src) AS BIGINT) AS docs,
+               CAST(SUM(qm * cnt) // MIN(n_src) AS BIGINT) AS mean_raw_milli,
+               CAST(SUM(norm_qm * cnt) // MIN(n_src) AS BIGINT)
+                 AS mean_norm_milli,
+               CAST(MAX(ABS(norm_qm - qm)) AS BIGINT) AS max_shift_milli
+        FROM mapped GROUP BY source
+        """,
+    doc="Quantile normalization of per-source quality scores (distribution "
+    "alignment): every doc's score maps to the GLOBAL score at its "
+    "within-source midpoint-CDF position, so post-normalization all "
+    "sources share one distribution and a single gating threshold is "
+    "fair.  NO per-doc work beyond the histogram aggregation: the "
+    "per-source CDF, global inverse CDF, and the mapping inequality join "
+    "(min global level reaching the position) all run on <=|sources|x1001 "
+    "histogram rows — broadcast-sized at any corpus scale.  The CDF "
+    "comparison cross-multiplies counts in HUGEINT/DECIMAL (N*n_src "
+    "passes int64 at 10^10 docs).  Report: per-source raw vs normalized "
+    "mean (exact integer milli) and the largest single-level shift — the "
+    "sources whose scale disagreed most with the pool.",
+    tags=("text", "curation", "statistics", "added-r14"),
+)
+def quality_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _quality_quantile_normalization(load_table(spark, sf_dir, "documents"))
+
+
+def _quality_quantile_normalization(docs: DataFrame) -> DataFrame:
+    """Core over an explicit documents frame (property-tested against an
+    independent Python empirical-CDF reference)."""
+    feats = textstats.with_text_features(docs).select(
+        "source", F.col("quality_milli").alias("qm")
+    )
+    sh = feats.groupBy("source", "qm").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    wsrc = Window.partitionBy("source").orderBy("qm").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall_src = Window.partitionBy("source")
+    scdf = sh.select(
+        "source",
+        "qm",
+        "cnt",
+        (F.sum("cnt").over(wsrc) - F.col("cnt")).cast("long").alias("below"),
+        F.sum("cnt").over(wall_src).cast("long").alias("n_src"),
+    )
+    gh = feats.groupBy(F.col("qm").alias("gqm")).agg(
+        F.count(F.lit(1)).cast("long").alias("gcnt")
+    )
+    wg = Window.orderBy("gqm").rowsBetween(Window.unboundedPreceding, 0)
+    wg_all = Window.partitionBy()
+    gcdf = gh.select(
+        "gqm",
+        F.sum("gcnt").over(wg).cast("long").alias("gcum"),
+        F.sum("gcnt").over(wg_all).cast("long").alias("n_all"),
+    )
+    mapped = (
+        scdf.join(
+            F.broadcast(gcdf),
+            F.expr(
+                "CAST(gcum AS DECIMAL(38,0)) * 2 * n_src"
+                " >= CAST(2 * below + cnt AS DECIMAL(38,0)) * n_all"
+            ),
+        )
+        .groupBy("source", "qm", "cnt", "n_src")
+        .agg(F.min("gqm").alias("norm_qm"))
+    )
+    return mapped.groupBy("source").agg(
+        F.min("n_src").cast("long").alias("docs"),
+        F.expr("CAST(SUM(qm * cnt) div MIN(n_src) AS BIGINT)").alias(
+            "mean_raw_milli"
+        ),
+        F.expr("CAST(SUM(norm_qm * cnt) div MIN(n_src) AS BIGINT)").alias(
+            "mean_norm_milli"
+        ),
+        F.max(F.expr("ABS(norm_qm - qm)")).cast("long").alias("max_shift_milli"),
+    )
+
+
 @register(
     "quality_histogram",
     oracle=f"""

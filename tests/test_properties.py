@@ -2193,3 +2193,80 @@ def test_token_budget_selection_matches_greedy_prefix(spark, rows):
         for r in _token_budget_selection(docs).collect()
     }
     assert got == want, (rows, got, want)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=list(HealthCheck))
+@given(rows=st.lists(
+    st.tuples(
+        st.sampled_from(["s0", "s1", "s2"]),
+        st.lists(
+            st.sampled_from(["the", "a", "cat", "dog", "ran", "far", "zz", "qq"]),
+            min_size=1, max_size=8,
+        ).map(" ".join),
+    ),
+    min_size=2, max_size=12,
+))
+def test_quantile_normalization_matches_python_reference(spark, rows):
+    """quality_quantile_normalization vs an independent Python empirical-CDF
+    reference (midpoint positions, min-global-level inverse CDF), plus the
+    identity invariant: a single-source corpus must normalize to ITSELF
+    (mean_norm == mean_raw, zero shift) — the fixed point any correct
+    distribution alignment has."""
+    from pulsar_pekko_streams_example_spark.operators.textstats import STOPWORDS
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        _quality_quantile_normalization,
+    )
+
+    def qm_of(t):
+        w = _py_tokens(t)
+        tc = len(w)
+        stops = sum(1 for x in w if x in STOPWORDS)
+        return (
+            4 * min(tc, 100)
+            + (300 * len(set(w))) // max(tc, 1)
+            + (300 * (tc - stops)) // max(tc, 1)
+        )
+
+    docs_py = [(s, qm_of(t)) for s, t in rows]
+    all_q = sorted(q for _, q in docs_py)
+    N = len(all_q)
+
+    def norm_of(src, q):
+        grp = sorted(x for s2, x in docs_py if s2 == src)
+        below = sum(1 for x in grp if x < q)
+        cnt = sum(1 for x in grp if x == q)
+        n_src = len(grp)
+        for v in sorted(set(all_q)):
+            gcum = sum(1 for x in all_q if x <= v)
+            if gcum * 2 * n_src >= (2 * below + cnt) * N:
+                return v
+        raise AssertionError("inverse CDF must resolve")
+
+    want = {}
+    for src in {s for s, _ in docs_py}:
+        grp = [(q, norm_of(src, q)) for s2, q in docs_py if s2 == src]
+        n = len(grp)
+        want[src] = (
+            n,
+            sum(q for q, _ in grp) // n,
+            sum(v for _, v in grp) // n,
+            max(abs(v - q) for q, v in grp),
+        )
+
+    docs = spark.createDataFrame(
+        [(i, t, s) for i, (s, t) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    got = {
+        r.source: (r.docs, r.mean_raw_milli, r.mean_norm_milli, r.max_shift_milli)
+        for r in _quality_quantile_normalization(docs).collect()
+    }
+    assert got == want, (rows, got, want)
+
+    # identity fixed point: one source == the pool
+    single = spark.createDataFrame(
+        [(i, t, "only") for i, (_, t) in enumerate(rows)],
+        "doc_id long, text string, source string",
+    )
+    r = _quality_quantile_normalization(single).collect()[0]
+    assert r.mean_norm_milli == r.mean_raw_milli and r.max_shift_milli == 0, r
