@@ -667,29 +667,37 @@ BUDGET_PERMILLE = 500
           FROM cum CROSS JOIN tot
           WHERE cum_toks - toks < budget AND cum_toks > budget
         ),
-        bsel AS (
-          SELECT doc_id FROM (
-            SELECT s.doc_id,
-                   SUM(s.token_count) OVER (ORDER BY s.doc_id) AS run,
-                   b.remaining
-            FROM scored s JOIN boundary b ON s.quality_milli = b.qm
-          ) WHERE run <= remaining
-        ),
-        sel AS (
-          SELECT doc_id FROM scored WHERE quality_milli IN (SELECT qm FROM full_lvls)
-          UNION ALL SELECT doc_id FROM bsel
+        -- per-ROW selection flag (a doc_id membership join would fan out on
+        -- corpora with duplicate ids — each physical row is selected on its
+        -- own quality/prefix position, mirroring the engine).  token_count
+        -- as the secondary prefix key: equal (doc_id, tc) rows are
+        -- interchangeable, so the selected SET is deterministic even with
+        -- duplicate ids
+        flagged AS (
+          SELECT s.source, s.token_count,
+                 CASE WHEN f.qm IS NOT NULL THEN 1
+                      WHEN b.qm IS NOT NULL AND s.run <= b.remaining THEN 1
+                 END AS selected
+          FROM (
+            SELECT *, SUM(token_count) OVER (
+                        PARTITION BY quality_milli
+                        ORDER BY doc_id, token_count) AS run
+            FROM scored
+          ) s
+          LEFT JOIN full_lvls f ON s.quality_milli = f.qm
+          LEFT JOIN boundary b ON s.quality_milli = b.qm
         )
-        SELECT s.source,
+        SELECT source,
                CAST(COUNT(*) AS BIGINT) AS docs_total,
-               CAST(SUM(s.token_count) AS BIGINT) AS tokens_total,
-               CAST(COUNT(k.doc_id) AS BIGINT) AS docs_selected,
-               CAST(COALESCE(SUM(CASE WHEN k.doc_id IS NOT NULL
-                                      THEN s.token_count END), 0) AS BIGINT)
+               CAST(SUM(token_count) AS BIGINT) AS tokens_total,
+               CAST(COUNT(selected) AS BIGINT) AS docs_selected,
+               CAST(COALESCE(SUM(CASE WHEN selected IS NOT NULL
+                                      THEN token_count END), 0) AS BIGINT)
                  AS tokens_selected,
                MIN((SELECT CAST(qm AS BIGINT) FROM boundary)) AS threshold_quality,
                MIN((SELECT budget FROM tot)) AS budget
-        FROM scored s LEFT JOIN sel k ON s.doc_id = k.doc_id
-        GROUP BY s.source
+        FROM flagged
+        GROUP BY source
         """,
     doc=f"Budgeted data selection (the DCLM / quality-threshold shape): fill "
     f"{BUDGET_PERMILLE}permille of the corpus token mass with the "
@@ -739,7 +747,7 @@ def _token_budget_selection(docs: DataFrame) -> DataFrame:
     # boundary partition's value is ever read, and non-boundary partitions
     # cost one pre-sorted pass each) — so the whole query is one qm-keyed
     # shuffle + one source-keyed aggregate, never a corpus self-join
-    wb = Window.partitionBy("qm").orderBy("doc_id").rowsBetween(
+    wb = Window.partitionBy("qm").orderBy("doc_id", "tc").rowsBetween(
         Window.unboundedPreceding, 0
     )
     thresh = boundary.agg(F.min("qm").cast("long").alias("threshold_quality"))

@@ -1029,6 +1029,9 @@ PINNED_ALL = [
     # round-7 compound-corpus findings: oracle-side dup-id fan-outs
     ("chunk_shared_pairs", "dup id x different text: per-ROW chunk streams"),
     ("decontamination_report", "dup id x different source: no src re-join"),
+    # round-14: dup id x different text -> the boundary prefix window must
+    # stay deterministic (secondary token_count key) and match the oracle
+    ("token_budget_selection", "dup id x different text: boundary prefix"),
 ]
 
 
