@@ -1032,6 +1032,10 @@ PINNED_ALL = [
     # round-14: dup id x different text -> the boundary prefix window must
     # stay deterministic (secondary token_count key) and match the oracle
     ("token_budget_selection", "dup id x different text: boundary prefix"),
+    # round-14 cross-table shapes: dup/negative doc ids on BOTH sides of the
+    # docs<->embeddings join, and dup-id docs merging in per-doc LM scoring
+    ("search_rerank_stage", "hostile candidate ids x degenerate embeddings"),
+    ("crosslm_perplexity_filter", "dup id x different text in train AND held"),
 ]
 
 
