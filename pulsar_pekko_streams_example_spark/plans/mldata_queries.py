@@ -1683,7 +1683,10 @@ def _bpe_encode_stats(docs: DataFrame, k: int = BPE_ENCODE_MERGES) -> DataFrame:
     """Core of ``bpe_encode_stats`` over an explicit documents frame — the
     property tests drive it on adversarial tiny corpora against an
     independent Python BPE reference (tests/test_properties.py)."""
-    words = _bpe_vocab(docs)
+    # checkpoint once here: `before` and the chain otherwise EACH re-run
+    # the corpus-sized vocabulary scan (the chain's own checkpoint of an
+    # already-materialized frame copies vocab rows, not the corpus)
+    words = _bpe_vocab(docs).localCheckpoint(eager=True)
     before = words.agg(
         F.sum(F.col("cnt") * F.length("w")).cast("long").alias("syms_before")
     )
