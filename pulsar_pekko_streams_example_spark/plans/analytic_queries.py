@@ -1700,7 +1700,8 @@ _BENFORD_P_CASE = "CASE " + " ".join(
         WITH digits AS (
           SELECT CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
                       AS BIGINT) AS digit
-          FROM orders WHERE o_totalprice >= 1
+          FROM orders
+          WHERE o_totalprice >= 1 AND o_totalprice < CAST('1e15' AS DOUBLE)
         ),
         counts AS (
           SELECT digit, COUNT(*) AS observed FROM digits GROUP BY digit
@@ -1718,7 +1719,11 @@ _BENFORD_P_CASE = "CASE " + " ".join(
     "digit's chi-square contribution — the standard screen for fabricated "
     "or unit-mangled monetary columns before they poison downstream "
     "revenue aggregates.  The digit derives from the STRING form of the "
-    "exact integer floor (no float log10 in the extraction); expectations "
+    "exact integer floor (no float log10 in the extraction), bounded to "
+    "the documented measure envelope [1, 1e15) so the int64 floor is "
+    "TOTAL — poisoned 1e35 / NaN / Inf prices (hostile-sweep finding, "
+    "round 14) are excluded identically in both engines (NaN and +Inf "
+    "fail the upper bound in both); expectations "
     "are Python-precomputed double literals, so the fixed-order "
     "chi-square arithmetic is bit-identical in both engines.  ONE scan, "
     "one 9-row aggregate, a 1-row total broadcast — the same shape at "
@@ -1729,7 +1734,9 @@ _BENFORD_P_CASE = "CASE " + " ".join(
 )
 def benford_price_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
-    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+    digits = orders.filter(
+        "o_totalprice >= 1 AND o_totalprice < CAST('1e15' AS DOUBLE)"
+    ).select(
         F.expr(
             "CAST(substr(CAST(CAST(FLOOR(o_totalprice) AS BIGINT) AS STRING), 1, 1) AS BIGINT)"
         ).alias("digit")

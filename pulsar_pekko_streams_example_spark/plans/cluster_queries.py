@@ -668,7 +668,12 @@ def _rp_project(arr: str, dialect: str) -> str:
           FROM proj a JOIN proj b ON b.vec_id = a.vec_id + {RP_PAIR_STRIDE}
         )
         SELECT CASE WHEN d_orig > 0 AND NOT isnan(d_orig) AND NOT isnan(d_proj)
-                    THEN CAST(FLOOR((d_proj / ({RP_K}.0 * d_orig)) * 10.0) AS BIGINT)
+                    THEN CASE WHEN NOT isnan(d_proj / ({RP_K}.0 * d_orig))
+                              AND (d_proj / ({RP_K}.0 * d_orig)) * 10.0
+                                  < CAST('9e18' AS DOUBLE)
+                         THEN CAST(FLOOR((d_proj / ({RP_K}.0 * d_orig)) * 10.0)
+                                   AS BIGINT)
+                         END
                END AS ratio_band,
                COUNT(*) AS pairs
         FROM pairs
@@ -719,10 +724,21 @@ def rp_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exactly what tools/audit_plans.py flags).  Unscorable pairs (zero or
     # NaN true distance, NaN projection) land in a NULL band row instead —
     # both engines group NULLs together.
+    # ratio-level guards (hostile-sweep finding, round 14): float32-max
+    # garbage makes d_proj/d_orig = Inf/Inf = NaN, and a finite d_orig with
+    # Inf d_proj makes the ratio +Inf — both must land in the NULL band,
+    # not error the int64 floor cast
+    # ratio guards NESTED under the d_orig > 0 branch: the division must not
+    # evaluate for d_orig = 0 rows (Spark ANSI raises DIVIDE_BY_ZERO inside a
+    # WHEN predicate — AND does not short-circuit it); the inner CASE rejects
+    # NaN ratios (Inf/Inf from float32-max garbage) and ratios too large for
+    # the int64 floor (Inf, or a finite ratio past 9e17)
     band = (
         "CASE WHEN d_orig > 0 AND NOT isnan(d_orig) AND NOT isnan(d_proj) "
+        f"THEN CASE WHEN NOT isnan(d_proj / ({RP_K}.0 * d_orig)) "
+        f"AND (d_proj / ({RP_K}.0 * d_orig)) * 10.0 < CAST('9e18' AS DOUBLE) "
         f"THEN CAST(FLOOR((d_proj / ({RP_K}.0 * d_orig)) * 10.0) AS BIGINT) "
-        "END"
+        "END END"
     )
     return (
         pairs.select(F.expr(band).alias("ratio_band"))

@@ -296,6 +296,9 @@ PINNED_EMB = [
     # sentinel guard and the decimal ADC sum's identical Inf exclusion
     ("ann_pq_adc_topk", "NaN/Inf codebook + NaN query: guarded argmin/ADC"),
     ("embedding_near_dup", "NaN/Inf candidate pairs: safe_cos verify"),
+    # round-14 hostile-sweep finding: Inf/Inf projection ratio = NaN, and an
+    # Inf ratio, both erred the int64 floor cast -> NULL band now
+    ("rp_projection_distortion", "Inf/NaN distance ratios: guarded band"),
     # round-7 sweep finding
     ("embedding_quantization_error", "float32-max err: saturated micro sum"),
 ]
@@ -573,6 +576,9 @@ PINNED_ORD = [
     ("q12_ship_latency_priority", "NULL priority: NOT IN counts 0 vs ELSE 1"),
     ("sql_api_monthly_returns", "-Inf revenue line: guarded portable text"),
     ("unpivot_lineitem_measures", "1e20 summand: 1-ULP decimal->double"),
+    # round-14 hostile-sweep finding: 1e35 price overflowed the digit
+    # extraction's int64 floor -> [1, 1e15) measure envelope now
+    ("benford_price_audit", "1e35/NaN/Inf prices: digit envelope"),
 ]
 
 
