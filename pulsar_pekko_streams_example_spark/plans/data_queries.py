@@ -784,6 +784,105 @@ def _token_budget_selection(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Training-order mixing audit: is the stored order well-shuffled?
+# ---------------------------------------------------------------------------
+# Language models see documents in STORED order; a poorly-shuffled corpus
+# (long same-source runs) trains measurably worse than an interleaved one.
+# The audit statistic is per-source clumping: among consecutive (doc_id,
+# doc_id+1) pairs starting in source s, how often does the NEXT doc also
+# come from s, versus the (n_s - 1)/(N - 1) expected under a uniform random
+# order?  clump_milli ~ 1000 = well mixed; >> 1000 = source-sorted runs.
+# The construction is a pure doc_id+1 EQUI-JOIN — no window, no global
+# sort, nothing driver-side — so the audit costs one shuffle at any corpus
+# size (the stride-pair trick rp_projection_distortion uses, applied to
+# adjacency).  Pairs exist only where doc_id+1 does; id gaps simply drop
+# that adjacency, identically in both engines.
+
+
+@register(
+    "order_mixing_audit",
+    oracle="""
+        WITH pairs AS (
+          SELECT a.source AS source,
+                 CASE WHEN b.source = a.source THEN 1 ELSE 0 END AS same_next
+          FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1
+        ),
+        counts AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS docs FROM documents
+          GROUP BY source
+        ),
+        tot AS (SELECT CAST(SUM(docs) AS BIGINT) AS n FROM counts)
+        SELECT p.source,
+               c.docs,
+               CAST(COUNT(*) AS BIGINT) AS next_pairs,
+               CAST(SUM(p.same_next) AS BIGINT) AS same_next_pairs,
+               CAST(SUM(p.same_next) * 1000 // COUNT(*) AS BIGINT)
+                 AS observed_same_permille,
+               CAST((c.docs - 1) * 1000 // GREATEST(t.n - 1, 1) AS BIGINT)
+                 AS expected_same_permille,
+               CAST(CASE WHEN (c.docs - 1) * COUNT(*) = 0 THEN NULL
+                    ELSE SUM(p.same_next) * 1000 * GREATEST(t.n - 1, 1)
+                         // ((c.docs - 1) * COUNT(*)) END AS BIGINT)
+                 AS clump_milli
+        FROM pairs p
+        JOIN counts c ON p.source = c.source
+        CROSS JOIN tot t
+        GROUP BY p.source, c.docs, t.n
+        """,
+    doc="Training-order mixing audit: per-source clumping of the STORED "
+    "corpus order — among consecutive (doc_id, doc_id+1) pairs starting "
+    "in a source, the observed next-doc-same-source rate vs the "
+    "(n_s-1)/(N-1) rate a uniform shuffle would give; clump_milli ~1000 "
+    "means well mixed, >>1000 means source-sorted runs that hurt "
+    "training.  Adjacency is a pure doc_id+1 EQUI-JOIN (the stride-pair "
+    "trick): no window, no global sort, no driver state — ONE shuffle at "
+    "any corpus size.  All-integer permille arithmetic with single-doc "
+    "and single-source guards (NULL clump when a source has no possible "
+    "same-pair).  Id gaps drop that adjacency identically in both "
+    "engines.",
+    tags=("curation", "statistics", "join", "added-r14"),
+)
+def order_mixing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _order_mixing_audit(load_table(spark, sf_dir, "documents"))
+
+
+def _order_mixing_audit(docs: DataFrame) -> DataFrame:
+    """Core over an explicit documents frame (property-tested against an
+    independent Python adjacency walk)."""
+    d = spread(docs).select("doc_id", "source")
+    a = d.select(F.col("doc_id").alias("aid"), F.col("source").alias("source"))
+    b = d.select((F.col("doc_id") - 1).alias("aid"), F.col("source").alias("nsrc"))
+    pairs = a.join(b, ["aid"]).select(
+        "source",
+        F.expr("CASE WHEN nsrc = source THEN 1 ELSE 0 END").alias("same_next"),
+    )
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("long").alias("docs"))
+    tot = counts.agg(F.sum("docs").cast("long").alias("n"))
+    return (
+        pairs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("next_pairs"),
+            F.sum("same_next").cast("long").alias("same_next_pairs"),
+        )
+        .join(counts, ["source"])
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "source",
+            "docs",
+            "next_pairs",
+            "same_next_pairs",
+            "CAST(same_next_pairs * 1000 div next_pairs AS BIGINT)"
+            " AS observed_same_permille",
+            "CAST((docs - 1) * 1000 div GREATEST(n - 1, 1L) AS BIGINT)"
+            " AS expected_same_permille",
+            "CAST(CASE WHEN (docs - 1) * next_pairs = 0 THEN NULL"
+            " ELSE same_next_pairs * 1000 * GREATEST(n - 1, 1L)"
+            " div ((docs - 1) * next_pairs) END AS BIGINT) AS clump_milli",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quantile normalization of per-source quality (distribution alignment)
 # ---------------------------------------------------------------------------
 # Heterogeneous sources score on incompatible quality scales (a boilerplate-

@@ -2270,3 +2270,53 @@ def test_quantile_normalization_matches_python_reference(spark, rows):
     )
     r = _quality_quantile_normalization(single).collect()[0]
     assert r.mean_norm_milli == r.mean_raw_milli and r.max_shift_milli == 0, r
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(order=st.lists(st.sampled_from(["s0", "s1", "s2"]), min_size=2, max_size=14),
+       gap_at=st.integers(min_value=0, max_value=13))
+def test_order_mixing_audit_matches_python_walk(spark, order, gap_at):
+    """order_mixing_audit vs a direct Python adjacency walk on orders with
+    REAL clumping (the standard corpus is round-robin, so same_next is all
+    zeros there — this pin covers the non-zero paths: long runs, id gaps
+    dropping an adjacency, single-doc sources yielding NULL clump)."""
+    # inject one id gap: ids are 0..n-1 except `gap_at` shifts by +1 after it
+    ids = []
+    nxt = 0
+    for i, _ in enumerate(order):
+        if i == gap_at:
+            nxt += 1  # hole: doc_id jumps, dropping one adjacency
+        ids.append(nxt)
+        nxt += 1
+    docs = spark.createDataFrame(
+        [(ids[i], f"text {i}", s) for i, s in enumerate(order)],
+        "doc_id long, text string, source string",
+    )
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        _order_mixing_audit,
+    )
+
+    idset = dict(zip(ids, order))
+    n = len(order)
+    want = {}
+    for s in set(order):
+        n_s = sum(1 for x in order if x == s)
+        pairs = [(i, idset[i + 1]) for i in ids if (i + 1) in idset and idset[i] == s]
+        same = sum(1 for _, nsrc in pairs if nsrc == s)
+        np = len(pairs)
+        if np == 0:
+            continue  # no adjacency rows -> no output row for this source
+        obs = same * 1000 // np
+        exp = (n_s - 1) * 1000 // max(n - 1, 1)
+        clump = (
+            None if (n_s - 1) * np == 0
+            else same * 1000 * max(n - 1, 1) // ((n_s - 1) * np)
+        )
+        want[s] = (n_s, np, same, obs, exp, clump)
+    got = {
+        r.source: (r.docs, r.next_pairs, r.same_next_pairs,
+                   r.observed_same_permille, r.expected_same_permille,
+                   r.clump_milli)
+        for r in _order_mixing_audit(docs).collect()
+    }
+    assert got == want, (order, gap_at, got, want)
