@@ -1042,6 +1042,7 @@ PINNED_ALL = [
     # docs<->embeddings join, and dup-id docs merging in per-doc LM scoring
     ("search_rerank_stage", "hostile candidate ids x degenerate embeddings"),
     ("crosslm_perplexity_filter", "dup id x different text in train AND held"),
+    ("order_mixing_audit", "dup/negative ids: adjacency fan-out in lockstep"),
 ]
 
 
