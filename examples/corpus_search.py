@@ -39,8 +39,10 @@ def run(spark: SparkSession, workdir: str) -> dict:
     assert len(or_ids) >= min(len(and_ids), 1)
 
     # 1b. stage-2 dense rerank over the BM25 candidates (round 14): the
-    # candidate SET is unchanged, only the order moves, and the query doc
-    # (BM25 rank 1) scores ~1 against itself
+    # candidate SET is unchanged BY CONTRACT — since round 15 the query
+    # left-joins embeddings, so candidates without one stay in the output
+    # at cosine -1 instead of silently dropping — only the order moves,
+    # and the query doc (BM25 rank 1) scores ~1 against itself
     rerank = REGISTRY["search_rerank_stage"].build(spark, SF_DIR).collect()
     assert {r.doc_id for r in rerank} == or_ids, "rerank must not change the candidate set"
     top = next(r for r in rerank if r.bm25_rank == 1)

@@ -729,6 +729,45 @@ def ivf_assignments(emb: DataFrame) -> DataFrame:
     )
 
 
+def ivf_probe_ranks(emb: DataFrame, query_filter: str) -> DataFrame:
+    """(query_id, cent_id, pr): EVERY centroid ranked per query by cosine —
+    the full probe ordering of which ``ann_ivf_topk`` takes the first
+    ``nprobe``.  Feeds the recall ledger (ann_ivf_recall_report): the probe
+    rank of an exact neighbor's home centroid tells you the smallest nprobe
+    that would have found it.
+
+    Queries filter BEFORE the centroid cross join, so the scoring pass is
+    |queries| x |centroids| — never corpus-sized; the rank window partitions
+    by query over <= |centroids| rows."""
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm")
+    )
+    cent = base.filter(
+        (F.col("vec_id") % IVF_CENT_STRIDE) == IVF_CENT_OFFSET
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    scored = (
+        base.filter(F.expr(query_filter))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            "cent_id",
+            F.expr(
+                safe_cos(DOT.format(a="embedding", b="ce"), "nrm * cn", "spark")
+            ).alias("csim"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id")
+    )
+    return scored.withColumn("pr", F.row_number().over(wq).cast("long")).select(
+        "query_id", "cent_id", "pr"
+    )
+
+
 def ann_ivf_topk(
     emb: DataFrame, query_filter: str, k: int, nprobe: int = IVF_NPROBE
 ) -> DataFrame:

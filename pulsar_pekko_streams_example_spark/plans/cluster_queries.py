@@ -774,17 +774,25 @@ def rp_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
           WHERE e.embedding IS NOT NULL
         ),
         agg AS (
+          -- n counts FINITE components only, symmetric with the sums and
+          -- extrema (ADVICE r14: COUNT(x) counted NaN/Inf components the
+          -- decimal-guarded sums exclude, silently diluting mean/var on
+          -- hostile rows)
           SELECT dim,
-                 CAST(COUNT(x) AS BIGINT) AS n,
+                 CAST(COUNT(CASE WHEN isfinite(x) THEN x END) AS BIGINT) AS n,
                  {sql_dsum('x')} AS sum_x,
                  {sql_dsum('x * x')} AS sum_x2,
                  MIN(CASE WHEN isfinite(x) THEN x END) AS min_x,
                  MAX(CASE WHEN isfinite(x) THEN x END) AS max_x
           FROM comp GROUP BY dim
         )
+        -- n = 0 (every component of a dimension non-finite) must yield NULL
+        -- moments, not a zero-division: Spark ANSI would abort where DuckDB
+        -- yields NULL, so both dialects guard explicitly
         SELECT CAST(dim AS BIGINT) AS dim, n, sum_x, sum_x2,
-               sum_x / n AS mean,
-               sum_x2 / n - (sum_x / n) * (sum_x / n) AS var,
+               CASE WHEN n > 0 THEN sum_x / n END AS mean,
+               CASE WHEN n > 0 THEN sum_x2 / n - (sum_x / n) * (sum_x / n) END
+                 AS var,
                min_x, max_x
         FROM agg
         """,
@@ -796,9 +804,11 @@ def rp_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the derived mean/var doubles share one expression string across "
     "dialects so rounding is bit-identical.  Non-finite components (real "
     "at 100 TB: float32-max garbage, NaN from failed encoders) are "
-    "NULL-excluded from sums and extrema symmetrically in both engines — "
-    "the query is total on hostile corpora.  At scale: shuffle carries "
-    "|dims| x 4 scalars per partition, nothing else.",
+    "NULL-excluded from n, sums, and extrema symmetrically in both "
+    "engines — the moments describe exactly the finite mass, and an "
+    "all-non-finite dimension reports NULL moments (n = 0 guard) rather "
+    "than an ANSI zero-division.  At scale: shuffle carries |dims| x 4 "
+    "scalars per partition, nothing else.",
     tags=("similarity", "statistics", "added-r14"),
 )
 def embedding_dim_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -818,19 +828,25 @@ def _embedding_dim_profile(emb: DataFrame) -> DataFrame:
         "THEN NULL ELSE x END"
     )
     agg = comp.groupBy("dim").agg(
-        F.count("x").cast("long").alias("n"),
+        # finite components only — symmetric with the decimal-guarded sums
+        # and the extrema (ADVICE r14)
+        F.count(F.expr(finite)).cast("long").alias("n"),
         dsum(F.col("x")).alias("sum_x"),
         dsum(F.expr("x * x")).alias("sum_x2"),
         F.min(F.expr(finite)).alias("min_x"),
         F.max(F.expr(finite)).alias("max_x"),
     )
+    # n = 0 guard: an all-non-finite dimension must report NULL moments, not
+    # an ANSI DIVIDE_BY_ZERO (shared expression shape with the oracle)
     return agg.select(
         "dim",
         "n",
         "sum_x",
         "sum_x2",
-        F.expr("sum_x / n").alias("mean"),
-        F.expr("sum_x2 / n - (sum_x / n) * (sum_x / n)").alias("var"),
+        F.expr("CASE WHEN n > 0 THEN sum_x / n END").alias("mean"),
+        F.expr(
+            "CASE WHEN n > 0 THEN sum_x2 / n - (sum_x / n) * (sum_x / n) END"
+        ).alias("var"),
         "min_x",
         "max_x",
     )

@@ -670,9 +670,12 @@ BUDGET_PERMILLE = 500
         -- per-ROW selection flag (a doc_id membership join would fan out on
         -- corpora with duplicate ids — each physical row is selected on its
         -- own quality/prefix position, mirroring the engine).  token_count
-        -- as the secondary prefix key: equal (doc_id, tc) rows are
-        -- interchangeable, so the selected SET is deterministic even with
-        -- duplicate ids
+        -- then source as further prefix keys: rows tied on all three of
+        -- (doc_id, token_count, source) are interchangeable for BOTH the
+        -- selected set and the per-source rollup, so the report is
+        -- deterministic even with duplicate ids (ADVICE r14: doc_id+tc
+        -- alone left the boundary pick's SOURCE attribution to chance).
+        -- NULLS FIRST matches Spark's ascending default on the engine side
         flagged AS (
           SELECT s.source, s.token_count,
                  CASE WHEN f.qm IS NOT NULL THEN 1
@@ -681,7 +684,7 @@ BUDGET_PERMILLE = 500
           FROM (
             SELECT *, SUM(token_count) OVER (
                         PARTITION BY quality_milli
-                        ORDER BY doc_id, token_count) AS run
+                        ORDER BY doc_id, token_count, source NULLS FIRST) AS run
             FROM scored
           ) s
           LEFT JOIN full_lvls f ON s.quality_milli = f.qm
@@ -747,9 +750,9 @@ def _token_budget_selection(docs: DataFrame) -> DataFrame:
     # boundary partition's value is ever read, and non-boundary partitions
     # cost one pre-sorted pass each) — so the whole query is one qm-keyed
     # shuffle + one source-keyed aggregate, never a corpus self-join
-    wb = Window.partitionBy("qm").orderBy("doc_id", "tc").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    wb = Window.partitionBy("qm").orderBy(
+        "doc_id", "tc", F.col("source").asc_nulls_first()
+    ).rowsBetween(Window.unboundedPreceding, 0)
     thresh = boundary.agg(F.min("qm").cast("long").alias("threshold_quality"))
     flagged = (
         feats.join(
@@ -1604,6 +1607,195 @@ def _duck_ann_pq_sql(k: int) -> str:
 def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.ann_pq_adc_topk(emb, ANN_QUERY_FILTER, ANN_K)
+
+
+# ---------------------------------------------------------------------------
+# ANN recall ledgers (VERDICT r14 task 2): the quality accounting for the two
+# approximate index paths, mirroring lsh_recall_report.  A 100 TB ANN
+# deployment tunes nprobe (IVF) and judges codebook fidelity (PQ) off exactly
+# these tables — an index without a recall ledger is a black box.
+# ---------------------------------------------------------------------------
+IVF_RECALL_MAX_PROBES = 8
+
+
+def _duck_ivf_recall_sql() -> str:
+    stride, offset = similarity.IVF_CENT_STRIDE, similarity.IVF_CENT_OFFSET
+    cos = similarity.safe_cos(
+        _duck_dot("b.embedding", "c.ce"), "b.nrm * c.cn", "duckdb"
+    )
+    qcos = similarity.safe_cos(
+        _duck_dot("q.embedding", "c.ce"), "q.nrm * c.cn", "duckdb"
+    )
+    return f"""
+        WITH exact AS (
+          SELECT query_id, neighbor_id FROM ({_ANN_TOPK_ORACLE})
+        ),
+        base AS (
+          SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        cent AS (
+          SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+          FROM base WHERE vec_id % {stride} = {offset}
+        ),
+        assign AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT b.vec_id, c.cent_id, ROW_NUMBER() OVER (
+              PARTITION BY b.vec_id ORDER BY {cos} DESC, c.cent_id) AS rn
+            FROM base b CROSS JOIN cent c
+          ) t WHERE rn = 1
+        ),
+        pranks AS (
+          SELECT query_id, cent_id, CAST(pr AS BIGINT) AS pr FROM (
+            SELECT q.vec_id AS query_id, c.cent_id, ROW_NUMBER() OVER (
+              PARTITION BY q.vec_id ORDER BY {qcos} DESC, c.cent_id) AS pr
+            FROM (SELECT * FROM base WHERE {ANN_QUERY_FILTER}) q
+            CROSS JOIN cent c
+          ) t
+        ),
+        hit AS (
+          SELECT e.query_id, p.pr
+          FROM exact e
+          LEFT JOIN assign a ON e.neighbor_id = a.vec_id
+          LEFT JOIN pranks p
+            ON p.query_id = e.query_id AND p.cent_id = a.cent_id
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs FROM hit),
+        grid AS (
+          SELECT CAST(g + 1 AS BIGINT) AS nprobe
+          FROM range({IVF_RECALL_MAX_PROBES}) t(g)
+        ),
+        per AS (
+          SELECT nprobe,
+                 CAST(COALESCE(SUM(CASE WHEN h.pr <= grid.nprobe
+                                        THEN 1 END), 0) AS BIGINT) AS found
+          FROM grid LEFT JOIN hit h ON h.pr <= grid.nprobe
+          GROUP BY nprobe
+        )
+        SELECT nprobe, exact_pairs, found,
+               CAST(exact_pairs - found AS BIGINT) AS missed,
+               CAST(CASE WHEN exact_pairs > 0
+                         THEN 1000000 * found // exact_pairs
+                         ELSE 0 END AS BIGINT) AS recall_micro
+        FROM per CROSS JOIN tot
+        """
+
+
+@register(
+    "ann_ivf_recall_report",
+    oracle=_duck_ivf_recall_sql(),
+    doc="IVF recall ledger: exact cosine top-k pairs LEFT JOIN the probe "
+    f"rank of each neighbor's home centroid — found/missed and integer-"
+    f"micro recall@{ANN_K} for every nprobe in 1..{IVF_RECALL_MAX_PROBES} "
+    "in one pass (an exact neighbor is reachable at nprobe p iff its "
+    "centroid ranks <= p among the query's probes, so ONE rank column "
+    "yields the whole tuning curve — no per-nprobe re-search).  Shapes at "
+    "scale: the ground-truth join reuses cosine_topk's broadcast-query "
+    "pass; probe ranks are |queries| x |centroids|; the nprobe grid is an "
+    f"{IVF_RECALL_MAX_PROBES}-row broadcast inequality join against the "
+    "per-pair rank histogram.  This is the table a deployment reads to "
+    "set nprobe: the smallest p whose recall clears the product bar.",
+    tags=("similarity", "ivf", "quality", "added-r15"),
+)
+def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    exact = similarity.cosine_topk(emb, ANN_QUERY_FILTER, ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    assign = similarity.ivf_assignments(emb).withColumnRenamed(
+        "vec_id", "neighbor_id"
+    )
+    pranks = similarity.ivf_probe_ranks(emb, ANN_QUERY_FILTER)
+    hit = exact.join(F.broadcast(assign), ["neighbor_id"], "left").join(
+        F.broadcast(pranks), ["query_id", "cent_id"], "left"
+    )
+    tot = hit.agg(F.count(F.lit(1)).cast("long").alias("exact_pairs"))
+    grid = spark.range(1, IVF_RECALL_MAX_PROBES + 1).select(
+        F.col("id").alias("nprobe")
+    )
+    # rank HISTOGRAM before the grid join: the broadcast side is bounded by
+    # |centroids| rows (not |queries| x k pairs), so the inequality join
+    # stays trivial at any corpus size
+    prh = hit.groupBy("pr").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    per = (
+        grid.join(F.broadcast(prh), F.col("pr") <= F.col("nprobe"), "left")
+        .groupBy("nprobe")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("found"))
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "nprobe",
+        "exact_pairs",
+        "found",
+        (F.col("exact_pairs") - F.col("found")).cast("long").alias("missed"),
+        F.expr(
+            "CAST(CASE WHEN exact_pairs > 0 "
+            "THEN 1000000 * found div exact_pairs ELSE 0 END AS BIGINT)"
+        ).alias("recall_micro"),
+    )
+
+
+def _duck_pq_recall_sql() -> str:
+    return f"""
+        WITH exact AS (
+          SELECT query_id, neighbor_id FROM ({_ANN_TOPK_ORACLE})
+        ),
+        pq AS (
+          SELECT query_id AS p_q, neighbor_id AS p_n
+          FROM ({_duck_ann_pq_sql(ANN_K)})
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+               CAST(SUM(CASE WHEN p.p_q IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS pq_found,
+               CAST(SUM(CASE WHEN p.p_q IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS pq_missed,
+               CAST(CASE WHEN COUNT(*) > 0
+                         THEN 1000000 * SUM(CASE WHEN p.p_q IS NOT NULL
+                                                 THEN 1 ELSE 0 END) // COUNT(*)
+                         ELSE 0 END AS BIGINT) AS recall_micro
+        FROM exact e
+        LEFT JOIN pq p ON e.query_id = p.p_q AND e.neighbor_id = p.p_n
+        """
+
+
+@register(
+    "ann_pq_recall_report",
+    oracle=_duck_pq_recall_sql(),
+    doc="PQ/ADC recall ledger: exact cosine top-k pairs LEFT JOIN the "
+    f"ADC top-{ANN_K} — found/missed and integer-micro recall@{ANN_K} "
+    "quantifying what the 8-byte codes trade away vs exact scoring (the "
+    "codebook-fidelity number a deployment publishes next to its index).  "
+    "Reuses both dataflows as-is; the comparison join is pair-keys only "
+    "(two <= k-per-query sets), nothing corpus-sized.",
+    tags=("similarity", "pq", "quality", "added-r15"),
+)
+def ann_pq_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, ANN_QUERY_FILTER, ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    pq = similarity.ann_pq_adc_topk(emb, ANN_QUERY_FILTER, ANN_K).select(
+        F.col("query_id").alias("p_q"), F.col("neighbor_id").alias("p_n")
+    )
+    joined = exact.join(
+        F.broadcast(pq),
+        (F.col("query_id") == F.col("p_q"))
+        & (F.col("neighbor_id") == F.col("p_n")),
+        "left",
+    )
+    n = F.count(F.lit(1))
+    found = F.sum(F.expr("CASE WHEN p_q IS NOT NULL THEN 1 ELSE 0 END"))
+    return joined.groupBy().agg(
+        n.cast("long").alias("exact_pairs"),
+        found.cast("long").alias("pq_found"),
+        F.sum(F.expr("CASE WHEN p_q IS NULL THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("pq_missed"),
+        F.expr(
+            "CAST(CASE WHEN count(1) > 0 THEN 1000000 * "
+            "sum(CASE WHEN p_q IS NOT NULL THEN 1 ELSE 0 END) div count(1) "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("recall_micro"),
+    )
 
 
 def _duck_components_sql() -> str:
@@ -3636,6 +3828,43 @@ def ranking_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
 # from data the engine already stores, so the whole stage stays
 # oracle-checkable.  Cosines use the shared fold idiom (similarity.DOT /
 # safe_cos), already proven bit-identical across engines.
+#
+# Determinism of the query-vector pick (ADVICE r14, medium): on a corpus
+# where the top candidate's vec_id is DUPLICATED in embeddings with
+# DIFFERENT vectors, `ORDER BY bm25_rank LIMIT 1` is a coin flip each
+# engine may call differently, diverging every cosine downstream.  The pick
+# therefore tie-breaks on two content-derived fold scalars — norm² and a
+# position-weighted sum — computed with the shared left-fold idiom so both
+# engines see bit-identical doubles.  (The array COLUMN itself is NOT a
+# portable sort key: measured, Spark orders NULL array elements first,
+# DuckDB last.)  Keys are coalesced to -1 (NULL-element folds sort first in
+# both engines; NaN folds sort last in both).  Two different vectors
+# colliding on BOTH keys is the accepted degenerate residue.
+#
+# Coverage (ADVICE r14, low): candidates LEFT-join embeddings, so a top-k
+# doc with no (non-NULL) embedding stays in the output with cosine -1 —
+# stage 2 reorders the candidate set, it never shrinks it.  Real corpora
+# have incomplete embedding coverage; dropping uncovered winners of stage 1
+# would silently lose the best lexical hits.
+
+_RERANK_QK1_SPARK = (
+    f"coalesce({similarity.DOT.format(a='embedding', b='embedding')}, "
+    "CAST(-1 AS DOUBLE))"
+)
+_RERANK_QK2_SPARK = (
+    "coalesce(aggregate(sequence(1, size(embedding)), CAST(0.0 AS DOUBLE), "
+    "(acc, i) -> acc + CAST(element_at(embedding, i) AS DOUBLE) "
+    "* CAST(i AS DOUBLE)), CAST(-1 AS DOUBLE))"
+)
+_RERANK_QK1_DUCK = (
+    f"COALESCE({_duck_dot('embedding', 'embedding')}, CAST(-1 AS DOUBLE))"
+)
+_RERANK_QK2_DUCK = (
+    "COALESCE(list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(range(1, len(embedding) + 1), "
+    "i -> CAST(embedding[i] AS DOUBLE) * CAST(i AS DOUBLE))), "
+    "(acc, x) -> acc + x), CAST(-1 AS DOUBLE))"
+)
 
 
 @register(
@@ -3652,15 +3881,19 @@ def ranking_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         cemb AS (
           SELECT r.doc_id, r.bm25_rank, e.embedding
-          FROM ranked r JOIN embeddings e ON e.vec_id = r.doc_id
-          WHERE e.embedding IS NOT NULL
+          FROM ranked r LEFT JOIN (
+            SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+          ) e ON e.vec_id = r.doc_id
         ),
-        q AS (SELECT embedding AS qe FROM cemb ORDER BY bm25_rank LIMIT 1),
+        q AS (
+          SELECT embedding AS qe FROM cemb WHERE embedding IS NOT NULL
+          ORDER BY bm25_rank, {_RERANK_QK1_DUCK}, {_RERANK_QK2_DUCK} LIMIT 1
+        ),
         rescored AS (
           SELECT c.doc_id, c.bm25_rank,
                  COALESCE({similarity.safe_cos(_duck_dot('c.embedding', 'qe'), f"sqrt({_duck_dot('c.embedding', 'c.embedding')}) * sqrt({_duck_dot('qe', 'qe')})", 'duckdb')},
                           CAST(-1 AS DOUBLE)) AS cosine
-          FROM cemb c CROSS JOIN q
+          FROM cemb c LEFT JOIN q ON TRUE
         )
         SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
                CAST(ROW_NUMBER() OVER (ORDER BY cosine DESC, doc_id) AS BIGINT)
@@ -3671,16 +3904,23 @@ def ranking_kendall_tau(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Two-stage retrieval: BM25 narrows to the top-"
     f"{BM25_TOPK} candidates (TakeOrderedAndProject — never a global "
     "sort), then a dense rerank reorders ONLY those candidates by cosine "
-    "against the top-BM25 candidate's stored embedding (pseudo-relevance "
-    "feedback, the oracle-checkable stand-in for a cross-encoder's query "
-    "vector).  The candidate list broadcasts into the embeddings join, so "
-    "the scan side prunes to <= k rows; the 1-row query vector broadcasts "
-    "into the scoring pass; the final rank window sees <= k rows.  At "
-    "100 TB the expensive part remains the stage-1 posting scan — stage 2 "
-    "is O(k x dim) regardless of corpus size, which is exactly why "
+    "against the best-ranked candidate's stored embedding (pseudo-"
+    "relevance feedback, the oracle-checkable stand-in for a cross-"
+    "encoder's query vector).  Candidates LEFT-join embeddings: top-k "
+    "docs with no embedding stay in the output at cosine -1 (ranked "
+    "last), never silently dropped — stage 2 is a permutation of stage "
+    "1's set by contract.  The query-vector pick tie-breaks duplicate "
+    "vec_ids on two content-derived fold scalars (norm², position-"
+    "weighted sum) so both engines pick the same vector bit-for-bit.  "
+    "The candidate list broadcasts into the embeddings join, so the scan "
+    "side prunes to <= k rows; the 1-row query vector broadcasts into "
+    "the scoring pass; the final rank window sees <= k rows.  At 100 TB "
+    "the expensive part remains the stage-1 posting scan — stage 2 is "
+    "O(k x dim) regardless of corpus size, which is exactly why "
     "production retrieval is staged this way.  Cosine = shared "
     "similarity.DOT fold + safe_cos total contract (zero-norm/NaN -> -1, "
-    "NULL-element dot coalesced to -1), bit-identical across engines.",
+    "NULL-embedding/NULL-element dot coalesced to -1), bit-identical "
+    "across engines.",
     tags=("text", "search", "similarity", "topk", "added-r14"),
 )
 def search_rerank_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3696,11 +3936,21 @@ def search_rerank_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("embedding").isNotNull())
         .select("vec_id", "embedding")
     )
-    cemb = emb.join(
+    # covered candidates only — ONE embeddings scan, candidate list broadcast
+    # into the probe; the uncovered candidates rejoin at the end from the
+    # ranked side (left-joining emb directly would forbid broadcasting the
+    # small side: BroadcastHashJoin only builds the non-preserved side)
+    covered = emb.join(
         F.broadcast(ranked), F.col("vec_id") == F.col("doc_id")
     ).select("doc_id", "bm25_rank", "embedding")
-    q = cemb.orderBy("bm25_rank").limit(1).select(F.col("embedding").alias("qe"))
-    scored = cemb.crossJoin(F.broadcast(q)).withColumn(
+    q = (
+        covered.orderBy(
+            "bm25_rank", F.expr(_RERANK_QK1_SPARK), F.expr(_RERANK_QK2_SPARK)
+        )
+        .limit(1)
+        .select(F.col("embedding").alias("qe"))
+    )
+    scored = covered.join(F.broadcast(q), F.lit(True), "left").withColumn(
         "cosine",
         F.coalesce(
             F.expr(
@@ -3714,8 +3964,16 @@ def search_rerank_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(-1.0),
         ),
     )
+    # uncovered candidates rejoin from the ranked side: a LEFT probe against
+    # the (<= k + dup-fanout)-row scored set — broadcastable by construction
+    # — scoring cosine -1 (the safe_cos degenerate value) so they rank last
+    # instead of vanishing; the perdoc subtree under ranked's two uses shares
+    # its shuffles via ReuseExchange
+    out = ranked.join(
+        F.broadcast(scored.select("doc_id", "cosine")), ["doc_id"], "left"
+    ).withColumn("cosine", F.coalesce(F.col("cosine"), F.lit(-1.0)))
     wk = Window.orderBy(F.col("cosine").desc(), "doc_id")
-    return scored.select(
+    return out.select(
         "doc_id",
         F.col("bm25_rank").cast("long").alias("bm25_rank"),
         F.row_number().over(wk).cast("long").alias("rerank_rank"),

@@ -1221,3 +1221,67 @@ def test_crosslm_empty_train_slice_parity(spark, held_only_docs_sf):
             assert r.avg_surprisal == 0.0 and r.oov_permille == 1000, r
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Round-15 (ADVICE r14, medium): the rerank query-vector pick on a corpus
+# where EVERY vec_id is duplicated with DIFFERENT vectors — the exact shape
+# where `ORDER BY bm25_rank LIMIT 1` was a per-engine coin flip.  Two dup
+# flavors per id: a REVERSED copy (identical norm², so the pick must fall
+# through to the position-weighted second key) and a PERTURBED copy
+# (different norm², resolved by the first key).  Every 7th vec_id is dropped
+# entirely so the stage-1 top-k contains UNCOVERED candidates, pinning the
+# round-15 left-join contract (candidates without an embedding stay in the
+# output at cosine -1 instead of silently vanishing).
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def dup_vecid_sf(spark, tmp_path_factory):
+    from pyspark.sql import functions as F
+
+    base = tmp_path_factory.mktemp("dup_vecid_sf")
+    for t in TABLES:
+        if t != "embeddings":
+            shutil.copyfile(f"{SF_SMOKE}/{t}.parquet", str(base / f"{t}.parquet"))
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").filter(
+        "vec_id % 7 <> 3"
+    )
+    reversed_dup = emb.withColumn("embedding", F.reverse("embedding"))
+    perturbed_dup = emb.withColumn(
+        "embedding",
+        F.expr(
+            "transform(embedding, (x, i) -> CAST(x + CAST(i % 3 AS FLOAT)"
+            " - 1.0 AS FLOAT))"
+        ),
+    )
+    emb.unionByName(reversed_dup).unionByName(perturbed_dup).write.mode(
+        "overwrite"
+    ).parquet(str(base / "embeddings.parquet"))
+    return str(base)
+
+
+def test_rerank_dup_vecid_and_uncovered_candidates(spark, dup_vecid_sf):
+    con = _duck_for(dup_vecid_sf)
+    try:
+        spec = REGISTRY["search_rerank_stage"]
+        df = spec.build(spark, dup_vecid_sf)
+        problems = compare(df, con.sql(spec.oracle))
+        assert not problems, "; ".join(problems)
+        rows = df.collect()
+        bm = REGISTRY["bm25_search_topk"].build(spark, dup_vecid_sf).collect()
+        # left-join contract: the candidate SET survives incomplete coverage
+        assert {r.doc_id for r in rows} == {r.doc_id for r in bm}
+        uncovered = [r for r in rows if r.doc_id % 7 == 3]
+        assert uncovered, "fixture must drop at least one candidate's vectors"
+        assert all(r.cosine == -1.0 for r in uncovered)
+        # covered candidates fan out over their three dup vectors — the fan
+        # is the documented semantics, and parity above proves both engines
+        # scored the SAME deterministic query vector across it
+        covered_ids = {r.doc_id for r in rows if r.doc_id % 7 != 3}
+        per_id = {
+            d: sum(1 for r in rows if r.doc_id == d) for d in covered_ids
+        }
+        assert all(v == 3 for v in per_id.values()), per_id
+    finally:
+        con.close()

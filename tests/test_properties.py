@@ -2320,3 +2320,101 @@ def test_order_mixing_audit_matches_python_walk(spark, order, gap_at):
         for r in _order_mixing_audit(docs).collect()
     }
     assert got == want, (order, gap_at, got, want)
+
+
+def test_embedding_dim_profile_finite_count_symmetry(spark):
+    """ADVICE r14: n counts FINITE components only, symmetric with the
+    decimal-guarded sums — a NaN/Inf component dilutes neither mean nor
+    var — and an ALL-non-finite dimension reports n=0 with NULL moments
+    (not an ANSI zero-division)."""
+    import math
+
+    from pulsar_pekko_streams_example_spark.plans.cluster_queries import (
+        _embedding_dim_profile,
+    )
+
+    nan, inf = float("nan"), float("inf")
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, nan, nan]),
+            (1, [3.0, inf, nan]),
+            (2, [5.0, 7.0, nan]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.dim: r for r in _embedding_dim_profile(emb).collect()}
+    assert rows[1].n == 3 and rows[1].mean == 3.0 and rows[1].var == 35.0 / 3 - 9.0
+    # dim 2: one Inf component must not dilute the finite mean (7.0, n=1)
+    assert rows[2].n == 1 and rows[2].mean == 7.0 and rows[2].var == 0.0
+    # dim 3: all components non-finite -> n=0, NULL moments, NULL extrema
+    r3 = rows[3]
+    assert r3.n == 0
+    assert r3.mean is None and r3.var is None
+    assert r3.min_x is None and r3.max_x is None
+    assert r3.sum_x is None or math.isnan(r3.sum_x) is False
+
+
+def test_ann_ivf_recall_report_cross_validates_the_ivf_path(spark):
+    """The IVF recall ledger vs the independent ann_ivf_topk dataflow: at
+    every nprobe p, found@p must EQUAL the exact-pair mass reachable
+    through ann_ivf_topk's own candidate generation at that nprobe (k
+    large enough to keep every candidate), the curve must be monotone
+    non-decreasing in nprobe, and found+missed must tile exact_pairs."""
+    from pulsar_pekko_streams_example_spark.operators import similarity
+    from pulsar_pekko_streams_example_spark.plans import REGISTRY, all_queries
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        ANN_K,
+        ANN_QUERY_FILTER,
+        IVF_RECALL_MAX_PROBES,
+    )
+    from pulsar_pekko_streams_example_spark.plans.registry import REGISTRY
+
+    all_queries()
+    sf = "/root/testdata/sf0.001"
+    rows = sorted(
+        REGISTRY["ann_ivf_recall_report"].build(spark, sf).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert [r.nprobe for r in rows] == list(range(1, IVF_RECALL_MAX_PROBES + 1))
+    assert all(r.found + r.missed == r.exact_pairs for r in rows)
+    assert all(a.found <= b.found for a, b in zip(rows, rows[1:]))
+    assert rows[0].exact_pairs > 0, "fixture must produce ground-truth pairs"
+    assert rows[-1].found > 0, "recall must be nonzero by max nprobe"
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.cosine_topk(emb, ANN_QUERY_FILTER, ANN_K).collect()
+    }
+    for p in (1, similarity.IVF_NPROBE, IVF_RECALL_MAX_PROBES):
+        cand = {
+            (r.query_id, r.neighbor_id)
+            for r in similarity.ann_ivf_topk(
+                emb, ANN_QUERY_FILTER, k=10**6, nprobe=p
+            ).collect()
+        }
+        want = len(exact & cand)
+        got = next(r.found for r in rows if r.nprobe == p)
+        assert got == want, (p, got, want)
+
+
+def test_ann_pq_recall_report_matches_set_intersection(spark):
+    """The PQ recall ledger vs a Python set intersection of the two
+    registry top-k queries it claims to compare."""
+    from pulsar_pekko_streams_example_spark.plans import REGISTRY, all_queries
+
+    all_queries()
+    sf = "/root/testdata/sf0.001"
+    row = REGISTRY["ann_pq_recall_report"].build(spark, sf).collect()[0]
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_cosine_topk"].build(spark, sf).collect()
+    }
+    pq = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_pq_adc_topk"].build(spark, sf).collect()
+    }
+    assert row.exact_pairs == len(exact) > 0
+    assert row.pq_found == len(exact & pq)
+    assert row.pq_missed == len(exact - pq)
+    assert row.recall_micro == 1000000 * len(exact & pq) // len(exact)

@@ -52,7 +52,11 @@ vocab_coverage_curve (4-row depths table inequality-joined to the <=10k
 TakeOrdered head + a 1-row totals crossJoin, data_queries.py);
 token_budget_selection (budget/threshold/boundary scaffolding crossJoins —
 every BNLJ side is the <=1001-row quality histogram or a 1-row aggregate,
-data_queries.py).
+data_queries.py); ranking_kendall_tau (8 BNLJ passes: the id_i < id_j
+inequality self-join of the <=20-row common-candidate set against its
+broadcast twin, plus 1-row m/pairstats scaffolding crossJoins — every BNLJ
+side is bounded by BM25_TOPK or is a single aggregate row, benign,
+data_queries.py — VERDICT r14 task 3, the one unrecorded round-14 name).
 """
 
 from __future__ import annotations
