@@ -886,6 +886,92 @@ def _order_mixing_audit(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Constructive training-order generator: the remediation twin of the audit
+# ---------------------------------------------------------------------------
+# order_mixing_audit DETECTS source clumping; this query FIXES it: a
+# deterministic, well-mixed global order as (doc, sort-key) pairs.  Two
+# ingredients (VERDICT r14 task 5):
+#   1. per-source hash-salted intra ranks — docs of a source are ordered by
+#      a portable integer hash of doc_id, destroying any within-source
+#      temporal/crawl correlation (a per-source shuffle);
+#   2. stride interleave — doc i of an n_s-doc source gets ord_key
+#      (2i+1)/(2*n_s) in (0, 1): each source's docs land EVENLY spaced over
+#      the whole training run, which is strictly better mixing than a
+#      uniform random order (a minority source can never be adjacent to
+#      itself; the audit certifies clump_milli <= ~1000 everywhere).
+# ONE shuffle (the per-source rank window), NO global sort — the consumer
+# writes with repartitionByRange(ord_key) + sortWithinPartitions, a total
+# order without a single-node sort.  The key is an exact int->double
+# division, bit-identical across engines; ties across equal-sized sources
+# break on (ord_key, source, doc_id) at write time.
+ORDER_SALT_A = 2654435761 % 1_000_003
+ORDER_SALT_P = 1_000_003
+
+
+def _order_salt(col: str, dialect: str) -> str:
+    """Portable integer hash of doc_id onto [0, P): total on negative and
+    boundary ids (mod-first keeps A*x inside int64)."""
+    if dialect == "spark":
+        return f"pmod(pmod({col}, {ORDER_SALT_P}) * {ORDER_SALT_A} + 17, {ORDER_SALT_P})"
+    return (
+        f"((({col} % {ORDER_SALT_P}) * {ORDER_SALT_A} + 17) % {ORDER_SALT_P}"
+        f" + {ORDER_SALT_P}) % {ORDER_SALT_P}"
+    )
+
+
+@register(
+    "training_order_generate",
+    oracle=f"""
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_order_salt('doc_id', 'duckdb')}, doc_id) - 1 AS i,
+                 COUNT(*) OVER (PARTITION BY source) AS n_s
+          FROM documents
+        )
+        SELECT doc_id, source, CAST(i + 1 AS BIGINT) AS intra_rank,
+               CAST(2 * i + 1 AS DOUBLE) / CAST(2 * n_s AS DOUBLE) AS ord_key
+        FROM ranked
+        """,
+    doc="Constructive training order (the remediation twin of "
+    "order_mixing_audit): per-source hash-salted intra ranks + stride "
+    "interleave keys ord_key=(2i+1)/(2*n_s) in (0,1), so every source "
+    "paces evenly through the training run regardless of how clumped the "
+    "stored doc_ids are.  ONE per-source rank shuffle, no global sort — "
+    "writers order by (ord_key, source, doc_id) via range partitioning.  "
+    "The generated order passes its own audit by construction (property-"
+    "pinned on a source-sorted hostile corpus): a p-share source's "
+    "same-next rate is max(0, 2-1/p) < uniform-random's p, so clump_milli "
+    "<= ~1000 for every source.  Exact int->double key division, "
+    "bit-identical across engines; NULL sources form their own stream.",
+    tags=("curation", "window", "added-r15"),
+)
+def training_order_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _training_order_generate(load_table(spark, sf_dir, "documents"))
+
+
+def _training_order_generate(docs: DataFrame) -> DataFrame:
+    """Core over an explicit documents frame (audit-certification tested)."""
+    w = Window.partitionBy("source").orderBy(
+        F.expr(_order_salt("doc_id", "spark")), "doc_id"
+    )
+    wc = Window.partitionBy("source")
+    ranked = docs.select("doc_id", "source").withColumn(
+        "i", F.row_number().over(w) - 1
+    ).withColumn("n_s", F.count(F.lit(1)).over(wc))
+    return ranked.select(
+        "doc_id",
+        "source",
+        (F.col("i") + 1).cast("long").alias("intra_rank"),
+        (
+            F.expr("CAST(2 * i + 1 AS DOUBLE)")
+            / F.expr("CAST(2 * n_s AS DOUBLE)")
+        ).alias("ord_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quantile normalization of per-source quality (distribution alignment)
 # ---------------------------------------------------------------------------
 # Heterogeneous sources score on incompatible quality scales (a boilerplate-
@@ -2443,6 +2529,122 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return batch.groupBy(status.alias("status")).agg(
         F.count(F.lit(1)).alias("n_docs")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-corpus cross-dedup with provenance (VERDICT r14 task 6): extend the
+# incremental probe from ONE standing corpus to N named ones.  The standing
+# fingerprint sets are keyed by SOURCE (in production: one per upstream
+# dataset), and the report answers "which upstream dataset is leaking into
+# my new crawl" — per standing source, how many new-batch docs collide with
+# that source's fingerprints and how much of the batch that is.  A batch doc
+# leaking from several sources counts against EACH (that is the provenance
+# question); the shuffle still carries (source, fingerprint) and
+# (fingerprint, doc_id) only — text never moves.
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "cross_corpus_leak_report",
+    oracle=f"""
+        WITH fp AS (
+          SELECT doc_id, source,
+                 coalesce({H.word_hash('text', 'duckdb')}, -1) AS fp,
+                 (doc_id % 10 = 9) AS is_new
+          FROM documents
+        ),
+        standing AS (
+          SELECT DISTINCT source AS standing_source, fp
+          FROM fp WHERE NOT is_new
+        ),
+        batch AS (SELECT doc_id, fp FROM fp WHERE is_new),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS batch_docs FROM batch),
+        hits AS (
+          SELECT s.standing_source, b.doc_id, b.fp
+          FROM batch b JOIN standing s ON b.fp = s.fp
+        ),
+        agg AS (
+          SELECT standing_source,
+                 CAST(COUNT(*) AS BIGINT) AS docs_leaked,
+                 CAST(COUNT(DISTINCT fp) AS BIGINT) AS fps_leaked
+          FROM hits GROUP BY standing_source
+        ),
+        srcs AS (SELECT DISTINCT standing_source FROM standing)
+        -- every standing source reports, zero-leak ones included: "no
+        -- leakage detected, and every source was checked" is the result a
+        -- release audit must be able to show (a row appearing only on
+        -- leakage would be indistinguishable from the source never being
+        -- probed).  IS NOT DISTINCT FROM keeps the NULL-named source row.
+        SELECT s.standing_source,
+               COALESCE(a.docs_leaked, 0) AS docs_leaked,
+               COALESCE(a.fps_leaked, 0) AS fps_leaked,
+               t.batch_docs,
+               CAST(CASE WHEN t.batch_docs > 0
+                         THEN COALESCE(a.docs_leaked, 0) * 1000 // t.batch_docs
+                         ELSE 0 END AS BIGINT) AS leak_permille
+        FROM srcs s
+        LEFT JOIN agg a ON s.standing_source IS NOT DISTINCT FROM a.standing_source
+        CROSS JOIN tot t
+        """,
+    doc="Multi-corpus cross-dedup with provenance attribution: the new "
+    "batch (doc_id%10==9) probes the UNION of per-source standing "
+    "fingerprint sets and reports, per standing source, the collision "
+    "mass — batch rows colliding, distinct fingerprints colliding, and "
+    "the leak permille of the whole batch.  The 'which upstream dataset "
+    "is leaking into my new crawl' report every ingest pipeline needs; a "
+    "batch doc leaking from several sources counts against each (that IS "
+    "the provenance question).  Shuffles carry (source, fingerprint) and "
+    "(fingerprint, doc_id) only; the probe is one equi-join on the total "
+    "(-1-sentinel) fingerprint — never corpus x corpus, text never "
+    "moves.  Physical batch ROWS are counted (dup ids with different "
+    "text are distinct leaks); EVERY standing source reports, zero-leak "
+    "ones included (a release audit must distinguish 'clean' from 'never "
+    "probed'), with the NULL-named source kept by a null-safe join.",
+    tags=("dedup", "incremental", "curation", "added-r15"),
+)
+def cross_corpus_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "doc_id",
+        "source",
+        F.expr(f"coalesce({H.word_hash('text', 'spark')}, -1L)").alias("fp"),
+        (F.pmod("doc_id", F.lit(10)) == 9).alias("is_new"),
+    )
+    standing = (
+        fp.filter(~F.col("is_new"))
+        .select(F.col("source").alias("standing_source"), "fp")
+        .distinct()
+    )
+    batch = fp.filter(F.col("is_new")).select("doc_id", "fp")
+    tot = batch.agg(F.count(F.lit(1)).cast("long").alias("batch_docs"))
+    hits = batch.join(standing, ["fp"])
+    agg = hits.groupBy("standing_source").agg(
+        F.count(F.lit(1)).cast("long").alias("docs_leaked"),
+        F.countDistinct("fp").cast("long").alias("fps_leaked"),
+    )
+    srcs = standing.select("standing_source").distinct()
+    # null-safe join keeps the NULL-named source's row; zero-leak sources
+    # coalesce to 0 so "clean" is distinguishable from "never probed"
+    return (
+        srcs.alias("s")
+        .join(
+            agg.alias("a"),
+            F.col("s.standing_source").eqNullSafe(F.col("a.standing_source")),
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("s.standing_source").alias("standing_source"),
+            F.coalesce(F.col("a.docs_leaked"), F.lit(0)).cast("long").alias("docs_leaked"),
+            F.coalesce(F.col("a.fps_leaked"), F.lit(0)).cast("long").alias("fps_leaked"),
+            "batch_docs",
+            F.expr(
+                "CAST(CASE WHEN batch_docs > 0 THEN "
+                "COALESCE(a.docs_leaked, 0) * 1000 div batch_docs "
+                "ELSE 0 END AS BIGINT)"
+            ).alias("leak_permille"),
+        )
     )
 
 

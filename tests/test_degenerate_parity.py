@@ -1043,6 +1043,10 @@ PINNED_ALL = [
     ("search_rerank_stage", "hostile candidate ids x degenerate embeddings"),
     ("crosslm_perplexity_filter", "dup id x different text in train AND held"),
     ("order_mixing_audit", "dup/negative ids: adjacency fan-out in lockstep"),
+    # round-15: the audit's constructive twin and the provenance probe on
+    # the same dup/negative-id + dup-id-x-different-text hostility
+    ("training_order_generate", "dup ids tie the salt rank: output-set parity"),
+    ("cross_corpus_leak_report", "dup id x different text on both probe sides"),
 ]
 
 

@@ -2418,3 +2418,96 @@ def test_ann_pq_recall_report_matches_set_intersection(spark):
     assert row.pq_found == len(exact & pq)
     assert row.pq_missed == len(exact - pq)
     assert row.recall_micro == 1000000 * len(exact & pq) // len(exact)
+
+
+def test_training_order_generate_passes_its_own_audit_on_clumped_corpus(spark):
+    """The audit->remediate arc, closed: a fully source-SORTED corpus
+    (worst-case clumping, clump_milli >> 1000 for every source) run
+    through training_order_generate yields an order whose own audit shows
+    clump_milli <= ~1000 everywhere — the stride interleave paces each
+    source evenly, which is at least as well-mixed as uniform random.
+    Also pins the output contract: intra_rank is a dense permutation of
+    1..n_s per source and ord_key lies in (0, 1)."""
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        _order_mixing_audit,
+        _training_order_generate,
+    )
+
+    rows = (
+        [(i, "t", "en", "A", 1) for i in range(600)]
+        + [(600 + i, "t", "en", "B", 1) for i in range(300)]
+        + [(900 + i, "t", "en", "C", 1) for i in range(100)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    raw_audit = {r.source: r for r in _order_mixing_audit(docs).collect()}
+    assert all(r.clump_milli > 1400 for r in raw_audit.values()), {
+        s: r.clump_milli for s, r in raw_audit.items()
+    }
+
+    gen = _training_order_generate(docs).collect()
+    n_s = {"A": 600, "B": 300, "C": 100}
+    per = {}
+    for r in gen:
+        per.setdefault(r.source, []).append(r)
+        assert 0.0 < r.ord_key < 1.0, r
+    for s, rs in per.items():
+        assert sorted(x.intra_rank for x in rs) == list(range(1, n_s[s] + 1))
+
+    # renumber densely in the generated order and re-audit
+    ordered = sorted(gen, key=lambda r: (r.ord_key, r.source, r.doc_id))
+    redocs = spark.createDataFrame(
+        [(i, "t", "en", r.source, 1) for i, r in enumerate(ordered)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    gen_audit = {r.source: r for r in _order_mixing_audit(redocs).collect()}
+    for s, r in gen_audit.items():
+        assert r.clump_milli <= 1100, (s, r.clump_milli)
+        assert r.clump_milli < raw_audit[s].clump_milli, s
+
+
+def test_cross_corpus_leak_report_matches_crafted_provenance(spark, tmp_path):
+    """Leak attribution on a corpus with KNOWN cross-source duplicate
+    structure: a batch doc leaking from two standing sources counts
+    against each; distinct-fp and permille accounting are exact; clean
+    sources emit no row."""
+    import shutil as _sh
+
+    from pulsar_pekko_streams_example_spark.plans import REGISTRY, all_queries
+    from tests.conftest import SF_SMOKE
+
+    all_queries()
+    base = tmp_path / "leak_sf"
+    base.mkdir()
+    for t in "region nation customer supplier part orders lineitem events embeddings".split():
+        _sh.copyfile(f"{SF_SMOKE}/{t}.parquet", str(base / f"{t}.parquet"))
+    docs = [
+        (1, "x", "en", "A", 1),
+        (2, "y", "en", "A", 1),
+        (3, "x", "en", "B", 1),
+        (4, "z", "en", "B", 1),
+        (5, "w", "en", None, 1),   # standing corpus with NULL source name
+        (6, "q", "en", "C", 1),    # standing source with no leaks
+        (9, "x", "en", "new", 1),  # leaks from A AND B
+        (19, "z", "en", "new", 1),  # leaks from B
+        (29, "w", "en", "new", 1),  # leaks from the NULL-named source
+        (39, "fresh", "en", "new", 1),  # unique
+    ]
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.mode("overwrite").parquet(str(base / "documents.parquet"))
+
+    out = {
+        r.standing_source: r
+        for r in REGISTRY["cross_corpus_leak_report"].build(spark, str(base)).collect()
+    }
+    assert set(out) == {"A", "B", "C", None}
+    assert (out["A"].docs_leaked, out["A"].fps_leaked) == (1, 1)
+    assert (out["B"].docs_leaked, out["B"].fps_leaked) == (2, 2)
+    assert (out[None].docs_leaked, out[None].fps_leaked) == (1, 1)
+    # a clean standing source still reports — zero-leak, not absent
+    assert (out["C"].docs_leaked, out["C"].fps_leaked) == (0, 0)
+    for r in out.values():
+        assert r.batch_docs == 4
+        assert r.leak_permille == r.docs_leaked * 1000 // 4

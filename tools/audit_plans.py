@@ -56,7 +56,20 @@ data_queries.py); ranking_kendall_tau (8 BNLJ passes: the id_i < id_j
 inequality self-join of the <=20-row common-candidate set against its
 broadcast twin, plus 1-row m/pairstats scaffolding crossJoins — every BNLJ
 side is bounded by BM25_TOPK or is a single aggregate row, benign,
-data_queries.py — VERDICT r14 task 3, the one unrecorded round-14 name).
+data_queries.py — VERDICT r14 task 3, the one unrecorded round-14 name);
+bpe_encode_stats (the same BPE-chain 1-row merge-winner crossJoins already
+recorded under tokenizer_fertility_by_source — the two queries share the
+train subtree, mldata_queries.py).
+
+Round-15 eyeball verdicts (benign): ann_ivf_recall_report (8 BNLJ passes:
+the exact-ground-truth queries x corpus scoring crossJoin inherited from
+cosine_topk, the IVF quantizer's corpus x broadcast-centroid passes already
+recorded under ann_ivf_topk, the 8-row nprobe grid inequality-joined to the
+<=|centroids|-row rank histogram, and 1-row tot scaffolding — every side
+bounded by centroids/grid/1 row, data_queries.py); ann_pq_recall_report
+(3 passes: the exact ground-truth crossJoin plus the PQ distance-table's
+corpus x <=16-row codebook crossJoins recorded under ann_pq_adc_topk,
+data_queries.py).
 """
 
 from __future__ import annotations
