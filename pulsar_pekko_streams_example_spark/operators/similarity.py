@@ -680,6 +680,60 @@ def ann_pq_adc_topk(emb: DataFrame, query_filter: str, k: int) -> DataFrame:
     )
 
 
+def ann_pq_refine_topk(
+    emb: DataFrame, query_filter: str, k: int, r: int
+) -> DataFrame:
+    """PQ/ADC + refine (the IVFADC+R shape, Jégou et al. TPAMI 2011 §V):
+    the compressed-domain ADC pass shortlists ``r`` candidates per query,
+    then ONLY those r rejoin their full embeddings for an exact-cosine
+    re-rank to the final top-``k``.
+
+    The standard accuracy/IO trade at 100 TB: the corpus-wide scan stays in
+    the 8-byte-code domain (ann_pq_adc_topk's contract), and the refine
+    stage touches r full vectors per query — an equi-join of the
+    (queries x r)-row shortlist against the embedding store, never a second
+    corpus scan shape.  Any true top-k neighbor that survives the shortlist
+    is guaranteed into the refined top-k (at most k-1 vectors beat it
+    globally), so refined recall@k >= ADC recall@k — pinned.  Cosine is the
+    shared fold + safe_cos total contract (NULL-element dot -> -1, same as
+    cosine_topk) so ranks are deterministic on hostile corpora."""
+    short = ann_pq_adc_topk(emb, query_filter, r).select(
+        "query_id", "neighbor_id"
+    )
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm")
+    )
+    q = base.filter(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    n = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    rescored = (
+        short.join(n, ["neighbor_id"])
+        .join(F.broadcast(q), ["query_id"])
+        .withColumn(
+            "cosine",
+            F.coalesce(
+                F.expr(safe_cos(DOT.format(a="qe", b="ne"), "qn * nn", "spark")),
+                F.lit(-1.0),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )
+
+
 # --- IVF (inverted-file) ANN -----------------------------------------------
 
 # Deterministic strided coarse quantizer: centroid set = every 64th vector.

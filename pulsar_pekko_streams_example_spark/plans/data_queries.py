@@ -1695,6 +1695,63 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_pq_adc_topk(emb, ANN_QUERY_FILTER, ANN_K)
 
 
+# PQ refine: ADC shortlists 4k candidates, exact cosine re-ranks to top-k —
+# the IVFADC+R accuracy/IO trade (corpus scan stays in the code domain; only
+# r full vectors per query are ever touched).
+PQ_REFINE_R = 4 * ANN_K
+
+
+def _duck_pq_refine_sql(k: int, r: int) -> str:
+    cos = similarity.safe_cos(
+        _duck_dot("qe", "ne"), "qn * nn", "duckdb"
+    )
+    return f"""
+        WITH short AS (
+          SELECT query_id, neighbor_id FROM ({_duck_ann_pq_sql(r)})
+        ),
+        base AS (
+          SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        rescored AS (
+          SELECT s.query_id, s.neighbor_id,
+                 COALESCE({cos}, CAST(-1 AS DOUBLE)) AS cosine
+          FROM short s
+          JOIN (SELECT vec_id, embedding AS ne, nrm AS nn FROM base) n
+            ON s.neighbor_id = n.vec_id
+          JOIN (SELECT vec_id, embedding AS qe, nrm AS qn FROM base
+                WHERE {ANN_QUERY_FILTER}) q
+            ON s.query_id = q.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM rescored
+        ) t WHERE rnk <= {k}
+        """
+
+
+@register(
+    "ann_pq_refine_topk",
+    oracle=_duck_pq_refine_sql(ANN_K, PQ_REFINE_R),
+    doc="PQ/ADC + refine (IVFADC+R, Jégou et al. TPAMI 2011 §V): the "
+    f"compressed-domain ADC pass shortlists {PQ_REFINE_R} candidates per "
+    f"query, then ONLY those rejoin their full embeddings for an exact-"
+    f"cosine re-rank to the top-{ANN_K}.  The accuracy/IO trade a 100 TB "
+    "deployment actually ships: the corpus-wide scan stays in the 8-byte "
+    "code domain, the refine equi-join touches r full vectors per query "
+    "(never a second corpus-scan shape), and any true top-k neighbor that "
+    "survives the shortlist is GUARANTEED into the refined top-k — so "
+    "refined recall@k >= ADC recall@k, property-pinned.  Cosine/tie-break "
+    "contracts shared with cosine_topk (total on hostile corpora).",
+    tags=("similarity", "pq", "scale-default", "added-r15"),
+)
+def ann_pq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_pq_refine_topk(emb, ANN_QUERY_FILTER, ANN_K, PQ_REFINE_R)
+
+
 # ---------------------------------------------------------------------------
 # ANN recall ledgers (VERDICT r14 task 2): the quality accounting for the two
 # approximate index paths, mirroring lsh_recall_report.  A 100 TB ANN

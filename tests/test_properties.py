@@ -2511,3 +2511,51 @@ def test_cross_corpus_leak_report_matches_crafted_provenance(spark, tmp_path):
     for r in out.values():
         assert r.batch_docs == 4
         assert r.leak_permille == r.docs_leaked * 1000 // 4
+
+
+def test_ann_pq_refine_dominates_adc_recall(spark):
+    """IVFADC+R contract: the refined top-k is a subset of the ADC
+    shortlist; any exact top-k neighbor surviving the shortlist lands in
+    the refined top-k (at most k-1 vectors beat it globally), so refined
+    recall@k >= plain-ADC recall@k; and the refined ranking equals the
+    exact-cosine ranking restricted to the shortlist."""
+    from pulsar_pekko_streams_example_spark.operators import similarity
+    from pulsar_pekko_streams_example_spark.plans import REGISTRY, all_queries
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        ANN_K,
+        ANN_QUERY_FILTER,
+        PQ_REFINE_R,
+    )
+
+    all_queries()
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    refined = REGISTRY["ann_pq_refine_topk"].build(spark, sf).collect()
+    short = {
+        (r.query_id, r.neighbor_id)
+        for r in similarity.ann_pq_adc_topk(
+            emb, ANN_QUERY_FILTER, PQ_REFINE_R
+        ).collect()
+    }
+    assert {(r.query_id, r.neighbor_id) for r in refined} <= short
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_cosine_topk"].build(spark, sf).collect()
+    }
+    adc = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_pq_adc_topk"].build(spark, sf).collect()
+    }
+    ref = {(r.query_id, r.neighbor_id) for r in refined}
+    assert len(exact & ref) >= len(exact & adc)
+    # every surviving exact neighbor is in the refined set
+    assert (exact & short) <= ref
+    # per query: dense ranks 1..k, descending cosine
+    per = {}
+    for r in refined:
+        per.setdefault(r.query_id, []).append(r)
+    for q, rs in per.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        cos = [r.cosine for r in rs]
+        assert cos == sorted(cos, reverse=True)

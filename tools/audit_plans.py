@@ -69,7 +69,9 @@ recorded under ann_ivf_topk, the 8-row nprobe grid inequality-joined to the
 bounded by centroids/grid/1 row, data_queries.py); ann_pq_recall_report
 (3 passes: the exact ground-truth crossJoin plus the PQ distance-table's
 corpus x <=16-row codebook crossJoins recorded under ann_pq_adc_topk,
-data_queries.py).
+data_queries.py); ann_pq_refine_topk (the same inherited distance-table
+codebook crossJoins — the refine stage itself is a pair-keyed equi-join +
+broadcast query probe, operators/similarity.py::ann_pq_refine_topk).
 """
 
 from __future__ import annotations
