@@ -783,6 +783,63 @@ def ivf_assignments(emb: DataFrame) -> DataFrame:
     )
 
 
+def ann_ivfadc_topk(
+    emb: DataFrame, query_filter: str, k: int, nprobe: int = None
+) -> DataFrame:
+    """IVF + PQ composed (the IVFADC index structure, Jégou et al. TPAMI
+    2011 §VI, without residual encoding): vectors live in nearest-centroid
+    inverted lists AS PQ CODES; a query probes its ``nprobe`` closest lists
+    and ADC-scores ONLY those lists' codes against its distance table.
+
+    THE production shape for billion-scale ANN — both reductions at once:
+    IVF cuts the candidate set to ~corpus·nprobe/C (an equi-join on
+    cent_id, lists partitioned by centroid), and PQ keeps the scan in the
+    8-byte code domain (scoring = M broadcast-table lookups, no corpus
+    embedding is ever touched at query time).  The scoring join carries
+    (cent_id, m, code) against the broadcast (query, probe-list, table)
+    rows; the ADC sum is one decimal-exact hash aggregate.  Residuals are
+    deliberately NOT encoded (codes quantize raw vectors) so the codebook
+    stays the deterministic strided one the DuckDB oracle replicates
+    bit-for-bit; the structure — probe, then compressed-domain score — is
+    exactly IVFADC's.  Rank by (adc_dist ASC NULLS LAST, neighbor_id),
+    the ann_pq_adc_topk contract."""
+    from pulsar_pekko_streams_example_spark.functions.numeric import dsum
+
+    nprobe = IVF_NPROBE if nprobe is None else nprobe
+    emb = spread(emb)
+    codes = pq_codes(pq_distance_table(emb))
+    lists = ivf_assignments(emb).withColumnRenamed("vec_id", "neighbor_id")
+    coded_lists = codes.withColumnRenamed("vec_id", "neighbor_id").join(
+        lists, ["neighbor_id"]
+    )
+    probes = ivf_probe_ranks(emb, query_filter).filter(
+        F.col("pr") <= nprobe
+    ).select("query_id", "cent_id")
+    qdt = pq_distance_table(emb, row_filter=query_filter).select(
+        F.col("vec_id").alias("query_id"),
+        "m",
+        F.col("j").alias("code"),
+        "d",
+    )
+    # one broadcast carries (query, probed list, subspace, code, d): the
+    # big side streams codes once, filtered to probed lists by the join
+    probe_tables = probes.join(qdt, ["query_id"])
+    scored = (
+        coded_lists.join(F.broadcast(probe_tables), ["cent_id", "m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(dsum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )
+
+
 def ivf_probe_ranks(emb: DataFrame, query_filter: str) -> DataFrame:
     """(query_id, cent_id, pr): EVERY centroid ranked per query by cosine —
     the full probe ordering of which ``ann_ivf_topk`` takes the first

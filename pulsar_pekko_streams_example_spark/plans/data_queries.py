@@ -972,6 +972,155 @@ def _training_order_generate(docs: DataFrame) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Mixture resampling: the APPLY stage of mixture_temperature_weights
+# ---------------------------------------------------------------------------
+# The weights query (cluster_queries.py) computes WHERE the mixture should
+# sit; this emits the manifest of a deterministic hash-threshold resample
+# that takes the corpus there: per source, target docs = floor(share * N),
+# and a doc survives iff salt(doc_id) * n_s < target_s * P — an exact
+# integer inequality (salt < P ~ 1e6, counts <= 1e10: products stay inside
+# int64 at any corpus size), so the selected SET is a pure function of the
+# data, reproducible shard-by-shard with no RNG state.  Downsample-only:
+# a source whose target exceeds its size keeps everything and reports the
+# shortfall (upsampling = duplication is a policy decision, not a filter).
+
+
+@register(
+    "mixture_resample_manifest",
+    oracle=f"""
+        WITH s AS (
+          SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+                 CAST(SUM(n_chars) AS BIGINT) AS chars
+          FROM documents GROUP BY source
+        ),
+        w AS (
+          SELECT source, n_docs,
+                 sqrt(CAST(GREATEST(COALESCE(chars, 0), 0) AS DOUBLE)) AS weight
+          FROM s
+        ),
+        t AS (
+          SELECT source, n_docs,
+                 CASE WHEN CAST(SUM(CAST(weight AS DECIMAL(38,6))) OVER ()
+                            AS DOUBLE) > 0
+                      THEN weight / CAST(SUM(CAST(weight AS DECIMAL(38,6)))
+                                         OVER () AS DOUBLE) END AS share,
+                 CAST(SUM(n_docs) OVER () AS BIGINT) AS n_total
+          FROM w
+        ),
+        tgt AS (
+          SELECT source, n_docs, share,
+                 CASE WHEN share IS NOT NULL THEN
+                   CAST(FLOOR(share * CAST(n_total AS DOUBLE)) AS BIGINT) END
+                   AS target_docs
+          FROM t
+        ),
+        sel AS (
+          SELECT g.source, g.n_docs, g.target_docs, d.n_chars,
+                 CASE WHEN g.target_docs IS NOT NULL
+                       AND {_order_salt('d.doc_id', 'duckdb')} * g.n_docs
+                           < g.target_docs * {ORDER_SALT_P}
+                      THEN 1 END AS selected
+          FROM documents d
+          JOIN tgt g ON d.source IS NOT DISTINCT FROM g.source
+        )
+        SELECT source, n_docs, target_docs,
+               CAST(COUNT(selected) AS BIGINT) AS selected_docs,
+               CAST(COALESCE(SUM(CASE WHEN selected IS NOT NULL
+                                      THEN n_chars END), 0) AS BIGINT)
+                 AS selected_chars,
+               CAST(GREATEST(COALESCE(target_docs, 0) - n_docs, 0) AS BIGINT)
+                 AS shortfall_docs,
+               CAST(COUNT(selected) * 1000 // n_docs AS BIGINT) AS keep_permille
+        FROM sel GROUP BY source, n_docs, target_docs
+        """,
+    doc="Mixture resample manifest — the APPLY stage of "
+    "mixture_temperature_weights: per-source target docs = "
+    "floor(sqrt-temperature share x corpus size), and the survivor set is "
+    "the deterministic hash threshold salt(doc_id) * n_s < target_s * P — "
+    "exact integer arithmetic, no RNG state, reproducible shard-by-shard "
+    "(the same doc survives on every machine and every rerun).  Per "
+    "source: actual selected docs/chars, the keep rate, and the "
+    "SHORTFALL where the target exceeds the source (downsample-only; "
+    "upsampling is a duplication policy, not a filter).  One corpus pass "
+    "+ a broadcast null-safe join of the |sources|-row target table; "
+    "degenerate corpora (all weights clamp to 0) select nothing and "
+    "report NULL targets.  Completes the measure->remediate arc the "
+    "audit/generator pair set for ordering, here for mixture.",
+    tags=("curation", "mixture", "added-r15"),
+)
+def mixture_resample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _mixture_resample_manifest(load_table(spark, sf_dir, "documents"))
+
+
+def _mixture_resample_manifest(docs: DataFrame) -> DataFrame:
+    """Core over an explicit documents frame (Python-reference tested)."""
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("chars"),
+    )
+    w = s.withColumn(
+        "weight",
+        F.expr("sqrt(CAST(GREATEST(COALESCE(chars, 0), 0) AS DOUBLE))"),
+    )
+    tot = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    t = w.select(
+        "source",
+        "n_docs",
+        F.when(
+            F.sum(F.col("weight").cast("decimal(38,6)")).over(tot).cast("double")
+            > 0,
+            F.col("weight")
+            / F.sum(F.col("weight").cast("decimal(38,6)")).over(tot).cast("double"),
+        ).alias("share"),
+        F.sum("n_docs").over(tot).cast("long").alias("n_total"),
+    )
+    tgt = t.select(
+        F.col("source").alias("tsource"),
+        "n_docs",
+        F.expr(
+            "CASE WHEN share IS NOT NULL THEN "
+            "CAST(FLOOR(share * CAST(n_total AS DOUBLE)) AS BIGINT) END"
+        ).alias("target_docs"),
+    )
+    sel = docs.select("doc_id", "source", "n_chars").join(
+        F.broadcast(tgt), F.col("source").eqNullSafe(F.col("tsource"))
+    ).withColumn(
+        "selected",
+        F.expr(
+            "CASE WHEN target_docs IS NOT NULL AND "
+            f"{_order_salt('doc_id', 'spark')} * n_docs"
+            f" < target_docs * {ORDER_SALT_P}L THEN 1 END"
+        ),
+    )
+    return sel.groupBy("tsource", "n_docs", "target_docs").agg(
+        F.count("selected").cast("long").alias("selected_docs"),
+        F.coalesce(
+            F.sum(F.expr("CASE WHEN selected IS NOT NULL THEN n_chars END")),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("selected_chars"),
+        F.expr(
+            "CAST(GREATEST(COALESCE(MIN(target_docs), 0) - MIN(n_docs), 0) "
+            "AS BIGINT)"
+        ).alias("shortfall_docs"),
+        F.expr(
+            "CAST(count(selected) * 1000 div MIN(n_docs) AS BIGINT)"
+        ).alias("keep_permille"),
+    ).select(
+        F.col("tsource").alias("source"),
+        "n_docs",
+        "target_docs",
+        "selected_docs",
+        "selected_chars",
+        "shortfall_docs",
+        "keep_permille",
+    )
+
+
+# ---------------------------------------------------------------------------
 # Quantile normalization of per-source quality (distribution alignment)
 # ---------------------------------------------------------------------------
 # Heterogeneous sources score on incompatible quality scales (a boilerplate-
@@ -1695,6 +1844,107 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_pq_adc_topk(emb, ANN_QUERY_FILTER, ANN_K)
 
 
+def _duck_ann_ivfadc_sql(k: int, nprobe: int) -> str:
+    S = similarity
+    ivf_cos = S.safe_cos(_duck_dot("b.embedding", "c.ce"), "b.nrm * c.cn", "duckdb")
+    sub_v = f"b.embedding[t.m * {S.PQ_SUBDIM} + 1 : t.m * {S.PQ_SUBDIM} + {S.PQ_SUBDIM}]"
+    sub_c = f"pc.ce[t.m * {S.PQ_SUBDIM} + 1 : t.m * {S.PQ_SUBDIM} + {S.PQ_SUBDIM}]"
+    dd = S.sqdist(sub_v, sub_c, "duckdb")
+    guarded = (
+        f"coalesce(CASE WHEN isnan({dd}) THEN CAST({S.PQ_SENTINEL} AS DOUBLE) "
+        f"ELSE ({dd}) END, CAST({S.PQ_SENTINEL} AS DOUBLE))"
+    )
+    return f"""
+        WITH nb AS (
+          SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        ivfcent AS (
+          SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+          FROM nb WHERE vec_id % {S.IVF_CENT_STRIDE} = {S.IVF_CENT_OFFSET}
+        ),
+        ivfscored AS (
+          SELECT b.vec_id, c.cent_id, {ivf_cos} AS csim
+          FROM nb b CROSS JOIN ivfcent c
+        ),
+        assign AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+            FROM ivfscored
+          ) t WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, cent_id FROM (
+            SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+            FROM ivfscored WHERE {ANN_QUERY_FILTER}
+          ) t WHERE rn <= {nprobe}
+        ),
+        pqcent AS (
+          SELECT CAST((vec_id - {S.PQ_CENT_OFFSET}) // {S.PQ_CENT_STRIDE} AS BIGINT) AS j,
+                 embedding AS ce
+          FROM nb
+          WHERE vec_id < {S.PQ_CENT_STRIDE * S.PQ_CODEBOOK}
+            AND vec_id % {S.PQ_CENT_STRIDE} = {S.PQ_CENT_OFFSET}
+        ),
+        dt AS (
+          SELECT b.vec_id, CAST(t.m AS BIGINT) AS m, pc.j, {guarded} AS d
+          FROM nb b CROSS JOIN pqcent pc CROSS JOIN range({S.PQ_M}) t(m)
+        ),
+        codes AS (
+          SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+            FROM dt
+          ) x WHERE rn = 1
+        ),
+        qdt AS (
+          SELECT vec_id AS query_id, m, j AS code, d FROM dt
+          WHERE {ANN_QUERY_FILTER}
+        ),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 {sql_dsum('q.d')} AS adc_dist
+          FROM codes c
+          JOIN assign a ON c.vec_id = a.vec_id
+          JOIN probes p ON a.cent_id = p.cent_id
+          JOIN qdt q ON q.query_id = p.query_id
+                    AND q.m = c.m AND q.code = c.code
+          WHERE c.vec_id <> p.query_id
+          GROUP BY q.query_id, c.vec_id
+        )
+        SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist NULLS LAST, neighbor_id) AS rnk
+          FROM scored
+        ) t WHERE rnk <= {k}
+        """
+
+
+@register(
+    "ann_ivfadc_topk",
+    oracle=_duck_ann_ivfadc_sql(ANN_K, similarity.IVF_NPROBE),
+    doc="IVF + PQ composed (the IVFADC index structure, Jégou et al. TPAMI "
+    "2011 §VI, sans residual encoding so the strided codebook stays "
+    "oracle-replicable): vectors live in nearest-centroid inverted lists "
+    "AS 8-byte PQ codes; a query probes its nprobe closest lists and "
+    "ADC-scores ONLY those lists' codes via its broadcast distance "
+    "table.  Both billion-scale reductions at once — IVF cuts candidates "
+    "to ~corpus*nprobe/C by a cent_id equi-join, PQ keeps the scan in "
+    "the code domain (no corpus embedding touched at query time).  The "
+    "decimal-exact ADC sum and (adc ASC NULLS LAST, id) rank share "
+    "ann_pq_adc_topk's contract; probing shares ann_ivf_topk's.  "
+    "Property-pinned: equals the full-ADC ranking restricted to the "
+    "probed-list candidate set.",
+    tags=("similarity", "ivf", "pq", "scale-default", "added-r15"),
+)
+def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_ivfadc_topk(emb, ANN_QUERY_FILTER, ANN_K)
+
+
 # PQ refine: ADC shortlists 4k candidates, exact cosine re-ranks to top-k —
 # the IVFADC+R accuracy/IO trade (corpus scan stays in the code domain; only
 # r full vectors per query are ever touched).
@@ -1875,6 +2125,107 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "THEN 1000000 * found div exact_pairs ELSE 0 END AS BIGINT)"
         ).alias("recall_micro"),
     )
+
+
+def _duck_method_recall_sql() -> str:
+    """One recall row per approximate index path: exact top-k LEFT JOIN each
+    method's top-k, five independent WITH-scoped subqueries UNION ALL'd."""
+    methods = {
+        "lsh": _duck_ann_lsh_sql(ANN_K),
+        "ivf": _duck_ann_ivf_sql(ANN_K, similarity.IVF_NPROBE),
+        "pq_adc": _duck_ann_pq_sql(ANN_K),
+        "ivfadc": _duck_ann_ivfadc_sql(ANN_K, similarity.IVF_NPROBE),
+        "pq_refine": _duck_pq_refine_sql(ANN_K, PQ_REFINE_R),
+    }
+    parts = []
+    for name, sql in methods.items():
+        parts.append(f"""
+        SELECT '{name}' AS method,
+               CAST(COUNT(*) AS BIGINT) AS exact_pairs,
+               CAST(SUM(CASE WHEN m.m_q IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS found,
+               CAST(SUM(CASE WHEN m.m_q IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+                 AS missed,
+               CAST(CASE WHEN COUNT(*) > 0
+                         THEN 1000000 * SUM(CASE WHEN m.m_q IS NOT NULL
+                                                 THEN 1 ELSE 0 END) // COUNT(*)
+                         ELSE 0 END AS BIGINT) AS recall_micro
+        FROM (SELECT query_id, neighbor_id FROM ({_ANN_TOPK_ORACLE})) e
+        LEFT JOIN (SELECT query_id AS m_q, neighbor_id AS m_n FROM ({sql})) m
+          ON e.query_id = m.m_q AND e.neighbor_id = m.m_n
+        """)
+        parts.append(" UNION ALL ")
+    return "".join(parts[:-1])
+
+
+@register(
+    "ann_method_recall_matrix",
+    oracle=_duck_method_recall_sql(),
+    doc="The index-selection table: recall@k of EVERY approximate ANN path "
+    "in this engine — hyperplane-LSH, IVF (default nprobe), PQ/ADC, "
+    "composed IVFADC, and ADC+refine — against the same exact-cosine "
+    f"ground truth, one row per method at k={ANN_K}.  This is the first "
+    "table a deployment reads when choosing its index: recall side by "
+    "side under identical data, queries, and tie-break contracts.  Each "
+    "method contributes a pair-keys-only LEFT JOIN against the shared "
+    "ground truth (<= queries x k rows per side); the expensive parts are "
+    "the five index dataflows themselves, reused verbatim from their "
+    "standing queries so this matrix can never drift from what the "
+    "engine actually ships.",
+    tags=("similarity", "quality", "added-r15"),
+)
+def ann_method_recall_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from functools import reduce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = similarity.cosine_topk(emb, ANN_QUERY_FILTER, ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    methods = {
+        "lsh": lambda: similarity.ann_lsh_topk(emb, ANN_QUERY_FILTER, ANN_K),
+        "ivf": lambda: similarity.ann_ivf_topk(emb, ANN_QUERY_FILTER, ANN_K),
+        "pq_adc": lambda: similarity.ann_pq_adc_topk(emb, ANN_QUERY_FILTER, ANN_K),
+        "ivfadc": lambda: similarity.ann_ivfadc_topk(emb, ANN_QUERY_FILTER, ANN_K),
+        "pq_refine": lambda: similarity.ann_pq_refine_topk(
+            emb, ANN_QUERY_FILTER, ANN_K, PQ_REFINE_R
+        ),
+    }
+    parts = []
+    for name, build in methods.items():
+        m = build().select(
+            F.col("query_id").alias("m_q"), F.col("neighbor_id").alias("m_n")
+        )
+        joined = exact.join(
+            F.broadcast(m),
+            (F.col("query_id") == F.col("m_q"))
+            & (F.col("neighbor_id") == F.col("m_n")),
+            "left",
+        )
+        parts.append(
+            joined.groupBy()
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("exact_pairs"),
+                F.sum(F.expr("CASE WHEN m_q IS NOT NULL THEN 1 ELSE 0 END"))
+                .cast("long")
+                .alias("found"),
+                F.sum(F.expr("CASE WHEN m_q IS NULL THEN 1 ELSE 0 END"))
+                .cast("long")
+                .alias("missed"),
+                F.expr(
+                    "CAST(CASE WHEN count(1) > 0 THEN 1000000 * "
+                    "sum(CASE WHEN m_q IS NOT NULL THEN 1 ELSE 0 END) "
+                    "div count(1) ELSE 0 END AS BIGINT)"
+                ).alias("recall_micro"),
+            )
+            .select(
+                F.lit(name).alias("method"),
+                "exact_pairs",
+                "found",
+                "missed",
+                "recall_micro",
+            )
+        )
+    return reduce(lambda a, b: a.unionByName(b), parts)
 
 
 def _duck_pq_recall_sql() -> str:

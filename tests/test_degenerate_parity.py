@@ -745,6 +745,9 @@ PINNED_DOCID = [
     # round-7 sweep findings
     ("mixture_temperature_weights", "negative chars sum: clamped sqrt"),
     ("simhash_near_pairs", "duplicate doc_id: one sims row per id"),
+    # round-15: the weights' APPLY stage on the same poisoned corpus —
+    # clamped weights, dup/negative ids through the salt threshold
+    ("mixture_resample_manifest", "negative chars x dup ids: total resample"),
 ]
 
 

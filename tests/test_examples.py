@@ -11,6 +11,7 @@ import tempfile
 import pytest
 
 from examples import (  # noqa: F401  (docs the mapping)
+    ann_index_selection,
     corpus_search,
     curation_pipeline,
     tokenizer_planning,
@@ -39,6 +40,8 @@ EXAMPLES = [
     tokenizer_planning,  # extension: tokenizer + context-length planning
     # (coverage curve, truncation budget, BPE train/apply, fertility,
     # CCNet cross-corpus LM gate)
+    ann_index_selection,  # extension: ANN index selection off the engine's
+    # own recall ledgers (method matrix, nprobe curve, refine dominance)
 ]
 
 

@@ -2559,3 +2559,146 @@ def test_ann_pq_refine_dominates_adc_recall(spark):
         assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
         cos = [r.cosine for r in rs]
         assert cos == sorted(cos, reverse=True)
+
+
+def test_ann_ivfadc_equals_full_adc_restricted_to_probed_lists(spark):
+    """The composed index vs its two parents, stated directly: per query,
+    ann_ivfadc_topk must equal the FULL-corpus ADC ranking (ADC distance
+    and tie-break identical to ann_pq_adc_topk) restricted to the IVF
+    probed-list candidate set (identical to ann_ivf_topk's candidate
+    generation at the same nprobe)."""
+    from pulsar_pekko_streams_example_spark.operators import similarity
+    from pulsar_pekko_streams_example_spark.plans import REGISTRY, all_queries
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        ANN_K,
+        ANN_QUERY_FILTER,
+    )
+
+    all_queries()
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    got = {}
+    for r in REGISTRY["ann_ivfadc_topk"].build(spark, sf).collect():
+        got.setdefault(r.query_id, []).append(r)
+    # full ADC ranking over the whole corpus (k = corpus size)
+    adc_all = {}
+    for r in similarity.ann_pq_adc_topk(emb, ANN_QUERY_FILTER, 10**6).collect():
+        adc_all[(r.query_id, r.neighbor_id)] = r.adc_dist
+    # IVF candidate set at the same nprobe (k = corpus size keeps them all)
+    cand = {}
+    for r in similarity.ann_ivf_topk(emb, ANN_QUERY_FILTER, 10**6).collect():
+        cand.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert got, "composed index must return rows on the standard corpus"
+    for q, rows in got.items():
+        rows.sort(key=lambda r: r.rnk)
+        want = sorted(
+            cand.get(q, set()),
+            key=lambda n: (
+                adc_all[(q, n)] is None,
+                adc_all[(q, n)] if adc_all[(q, n)] is not None else 0.0,
+                n,
+            ),
+        )[: ANN_K]
+        assert [r.neighbor_id for r in rows] == want, (q, rows, want)
+        for r in rows:
+            assert r.adc_dist == adc_all[(q, r.neighbor_id)], r
+
+
+def test_mixture_resample_manifest_matches_python_reference(spark):
+    """The resample manifest vs an independent Python replay of its spec
+    on a deliberately imbalanced corpus (9:1 char mass, so sqrt-temperature
+    targets force REAL downsampling of the big source and a shortfall on
+    the small one): per-source targets, the exact hash-threshold survivor
+    set, chars, shortfall and keep rate all equal the reference."""
+    import math
+
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        ORDER_SALT_A,
+        ORDER_SALT_P,
+        _mixture_resample_manifest,
+    )
+
+    rows = [(i, "t", "en", "big", 100) for i in range(900)] + [
+        (1000 + i, "t", "en", "small", 100) for i in range(100)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    def salt(doc_id):
+        return ((doc_id % ORDER_SALT_P) * ORDER_SALT_A + 17) % ORDER_SALT_P
+
+    srcs = {"big": [r for r in rows if r[3] == "big"],
+            "small": [r for r in rows if r[3] == "small"]}
+    weights = {s: math.sqrt(sum(r[4] for r in rs)) for s, rs in srcs.items()}
+    total_w = sum(weights.values())
+    n_total = len(rows)
+    want = {}
+    for s, rs in srcs.items():
+        share = weights[s] / total_w
+        target = math.floor(share * n_total)
+        sel = [r for r in rs if salt(r[0]) * len(rs) < target * ORDER_SALT_P]
+        want[s] = (
+            len(rs),
+            target,
+            len(sel),
+            sum(r[4] for r in sel),
+            max(target - len(rs), 0),
+            len(sel) * 1000 // len(rs),
+        )
+    got = {
+        r.source: (
+            r.n_docs,
+            r.target_docs,
+            r.selected_docs,
+            r.selected_chars,
+            r.shortfall_docs,
+            r.keep_permille,
+        )
+        for r in _mixture_resample_manifest(docs).collect()
+    }
+    assert got == want, (got, want)
+    # the imbalance actually exercised both branches
+    assert got["big"][2] < got["big"][0], "big source must be downsampled"
+    assert got["small"][4] > 0, "small source must report a shortfall"
+
+
+def test_ann_method_recall_matrix_is_consistent_with_per_method_reports(spark):
+    """The matrix must agree with the standalone ledgers and contracts it
+    summarizes: the pq_adc row equals ann_pq_recall_report, every row
+    tiles exact_pairs, refine dominates plain ADC, and each row's found
+    equals a Python set intersection of the two standing top-k queries."""
+    from pulsar_pekko_streams_example_spark.plans import REGISTRY, all_queries
+
+    all_queries()
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r.method: r
+        for r in REGISTRY["ann_method_recall_matrix"].build(spark, sf).collect()
+    }
+    assert set(rows) == {"lsh", "ivf", "pq_adc", "ivfadc", "pq_refine"}
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in REGISTRY["ann_cosine_topk"].build(spark, sf).collect()
+    }
+    for m, qname in (
+        ("lsh", "ann_lsh_topk"),
+        ("ivf", "ann_ivf_topk"),
+        ("pq_adc", "ann_pq_adc_topk"),
+        ("ivfadc", "ann_ivfadc_topk"),
+        ("pq_refine", "ann_pq_refine_topk"),
+    ):
+        r = rows[m]
+        assert r.exact_pairs == len(exact)
+        assert r.found + r.missed == r.exact_pairs
+        got = {
+            (x.query_id, x.neighbor_id)
+            for x in REGISTRY[qname].build(spark, sf).collect()
+        }
+        assert r.found == len(exact & got), (m, r.found, len(exact & got))
+    pq_row = REGISTRY["ann_pq_recall_report"].build(spark, sf).collect()[0]
+    assert (rows["pq_adc"].found, rows["pq_adc"].missed) == (
+        pq_row.pq_found,
+        pq_row.pq_missed,
+    )
+    assert rows["pq_refine"].found >= rows["pq_adc"].found

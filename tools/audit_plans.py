@@ -71,7 +71,16 @@ bounded by centroids/grid/1 row, data_queries.py); ann_pq_recall_report
 corpus x <=16-row codebook crossJoins recorded under ann_pq_adc_topk,
 data_queries.py); ann_pq_refine_topk (the same inherited distance-table
 codebook crossJoins — the refine stage itself is a pair-keyed equi-join +
-broadcast query probe, operators/similarity.py::ann_pq_refine_topk).
+broadcast query probe, operators/similarity.py::ann_pq_refine_topk);
+ann_ivfadc_topk (the inherited IVF quantizer corpus x broadcast-centroid
+passes + PQ distance-table codebook crossJoins, both recorded above — the
+composed scoring join is an equi-join on (cent_id, m, code),
+operators/similarity.py::ann_ivfadc_topk); ann_method_recall_matrix (15
+passes = the sum of its five constituent index paths' recorded notes plus
+one exact-ground-truth crossJoin per UNION branch — every pass is a
+verbatim reuse of a standing query's dataflow, each individually
+adjudicated above; the matrix adds only pair-keyed LEFT JOINs,
+data_queries.py::ann_method_recall_matrix).
 """
 
 from __future__ import annotations
