@@ -228,12 +228,16 @@ SHOWCASE = [
     ),
     (
         "search_rerank_stage",
-        "Two-stage retrieval (round 14): the BM25 candidate list is a "
-        "TakeOrderedAndProject prefix that BROADCASTS into the embeddings "
-        "join (the scan side prunes to ≤k rows before any scoring); the "
-        "1-row query vector is a broadcast BNLJ into the cosine pass; the "
-        "final rank window sees ≤k rows.  Stage 2 is O(k×dim) at any "
-        "corpus size — the posting scan stays the only corpus-shaped work.",
+        "Two-stage retrieval (round 14; left-join contract round 15): the "
+        "BM25 candidate list is a TakeOrderedAndProject prefix that "
+        "BROADCASTS into the embeddings join (the scan side prunes to ≤k "
+        "rows before any scoring); the 1-row query vector (deterministic "
+        "fold-scalar tie-breaks) is a broadcast BNLJ into the cosine pass; "
+        "uncovered candidates rejoin via a broadcast LEFT probe of the "
+        "≤k-row scored set back onto ranked — the single embeddings scan "
+        "is preserved because BroadcastHashJoin cannot build the preserved "
+        "side of an outer join.  Stage 2 stays O(k×dim) at any corpus "
+        "size.",
     ),
     (
         "signal_spearman_matrix",
@@ -254,6 +258,35 @@ SHOWCASE = [
         "single boundary level pays the only doc_id-ordered prefix window, "
         "bounded by one histogram bucket.  The per-source roll-up is one "
         "hash aggregate over the selection-flag left join.",
+    ),
+    (
+        "ann_ivfadc_topk",
+        "IVF + PQ composed (round 15): the corpus streams through the "
+        "broadcast coarse quantizer into an argmax hash aggregate (list "
+        "assignment) and through the broadcast codebook into the argmin "
+        "(codes); the codes ⋈ assignment merge on vec_id is the one-time "
+        "INDEX-BUILD shuffle (materialized once at ingest in a real "
+        "deployment — cache.py posture).  Query-time work never touches a "
+        "corpus embedding: scoring is an equi-join of coded lists against "
+        "the broadcast (probe-list × distance-table) rows on "
+        "(cent_id, m, code) + one decimal-exact ADC hash aggregate over "
+        "the IVF-pruned candidate mass only.",
+    ),
+    (
+        "training_order_generate",
+        "Constructive training order (round 15): ONE shuffle total — the "
+        "per-source rank window (hash-salted intra order); the stride "
+        "interleave key is a projection.  No global sort appears in the "
+        "plan: consumers achieve the total order with range partitioning "
+        "on the emitted key.",
+    ),
+    (
+        "mixture_resample_manifest",
+        "Mixture APPLY stage (round 15): per-source aggregate → global "
+        "window over the |sources|-row table → broadcast null-safe join "
+        "of the target table back onto ONE corpus scan; the survivor "
+        "predicate is exact integer arithmetic inside the scan's codegen "
+        "stage.  Corpus-shaped work: one scan, one per-source shuffle.",
     ),
 ]
 
