@@ -12,6 +12,7 @@ import pytest
 
 from examples import (  # noqa: F401  (docs the mapping)
     ann_index_selection,
+    training_order_writer,
     corpus_search,
     curation_pipeline,
     tokenizer_planning,
@@ -42,6 +43,9 @@ EXAMPLES = [
     # CCNet cross-corpus LM gate)
     ann_index_selection,  # extension: ANN index selection off the engine's
     # own recall ledgers (method matrix, nprobe curve, refine dominance)
+    training_order_writer,  # extension: the ordering arc through STORAGE -
+    # clumped corpus -> generate -> range-partitioned write -> stored-order
+    # audit passes
 ]
 
 
