@@ -926,7 +926,8 @@ def _order_salt(col: str, dialect: str) -> str:
           SELECT doc_id, source,
                  ROW_NUMBER() OVER (
                    PARTITION BY source
-                   ORDER BY {_order_salt('doc_id', 'duckdb')}, doc_id) - 1 AS i,
+                   ORDER BY {_order_salt('doc_id', 'duckdb')} NULLS FIRST,
+                            doc_id NULLS FIRST) - 1 AS i,
                  COUNT(*) OVER (PARTITION BY source) AS n_s
           FROM documents
         )
@@ -968,6 +969,133 @@ def _training_order_generate(docs: DataFrame) -> DataFrame:
             F.expr("CAST(2 * i + 1 AS DOUBLE)")
             / F.expr("CAST(2 * n_s AS DOUBLE)")
         ).alias("ord_key"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Shard planning: token-budgeted output shards over the interleaved order
+# ---------------------------------------------------------------------------
+# The last step before a training run writes its corpus: cut the (well-mixed)
+# global order into shards of ~SHARD_TOKENS tokens each.  Shard id = global
+# prefix-sum of token counts div the budget — and the prefix sum is computed
+# the way a 1000-executor cluster must: TWO-PASS (per-range-bucket totals ->
+# a <=B-row broadcast of bucket offsets -> within-bucket window), never one
+# global single-partition window over the corpus.  The bucket function
+# floor(ord_key * B) is monotone in the order key, so bucket boundaries
+# respect the global order and the two-pass sum equals the global one
+# exactly (integer arithmetic throughout).
+SHARD_TOKENS = 2000
+SHARD_BUCKETS = 32
+
+
+@register(
+    "shard_plan_manifest",
+    oracle=f"""
+        WITH ranked AS (
+          SELECT doc_id, source,
+                 len({H.tokens('text', 'duckdb')}) AS tc,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY {_order_salt('doc_id', 'duckdb')} NULLS FIRST,
+                            doc_id NULLS FIRST,
+                            COALESCE(len({H.tokens('text', 'duckdb')}), 0)) - 1
+                   AS i,
+                 COUNT(*) OVER (PARTITION BY source) AS n_s
+          FROM documents
+        ),
+        keyed AS (
+          SELECT doc_id, source, CAST(COALESCE(tc, 0) AS BIGINT) AS tc,
+                 CAST(2 * i + 1 AS DOUBLE) / CAST(2 * n_s AS DOUBLE) AS ord_key
+          FROM ranked
+        ),
+        cum AS (
+          SELECT *, CAST(SUM(tc) OVER (
+                   ORDER BY ord_key, source NULLS FIRST, doc_id NULLS FIRST,
+                            tc)
+                 AS BIGINT) AS cum_toks
+          FROM keyed
+        )
+        SELECT CAST((cum_toks - tc) // {SHARD_TOKENS} AS BIGINT) AS shard_id,
+               CAST(COUNT(*) AS BIGINT) AS docs,
+               CAST(SUM(tc) AS BIGINT) AS tokens,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS sources
+        FROM cum GROUP BY 1
+        """,
+    doc="Shard plan over the interleaved training order: documents are cut "
+    f"into ~{SHARD_TOKENS}-token output shards by a GLOBAL token prefix "
+    "sum — computed the only way that scales: per-range-bucket totals "
+    f"(bucket = floor(ord_key x {SHARD_BUCKETS}), monotone in the order "
+    "key so boundaries respect the global order), a <=B-row broadcast of "
+    "cumulative bucket offsets, and a within-bucket running window — "
+    "never a single-partition corpus window.  Integer arithmetic end to "
+    "end, so the two-pass sum EQUALS the oracle's global window exactly.  "
+    "The order is the stride interleave with a token_count tie-break "
+    "appended (rows tied on salt/id/source/tc are interchangeable for "
+    "shard accounting — the dup-id lesson from token_budget_selection).  "
+    "Per shard: docs, tokens, distinct sources — the mixing check a "
+    "shard-level reader wants (every shard should see every major "
+    "source).",
+    tags=("curation", "window", "added-r15"),
+)
+def shard_plan_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _shard_plan_manifest(load_table(spark, sf_dir, "documents"))
+
+
+def _shard_plan_manifest(docs: DataFrame) -> DataFrame:
+    """Core over an explicit documents frame (global-window-equality
+    property-tested)."""
+    tc_expr = f"CAST(size({H.tokens('text', 'spark')}) AS BIGINT)"
+    # COALESCEd tie-break (both engines): a NULL-text row ties with a real
+    # zero-token row — interchangeable for shard accounting — instead of
+    # sorting NULL first here and last in DuckDB
+    w = Window.partitionBy("source").orderBy(
+        F.expr(_order_salt("doc_id", "spark")),
+        "doc_id",
+        F.expr("COALESCE(tc0, 0L)"),
+    )
+    wc = Window.partitionBy("source")
+    keyed = (
+        docs.select("doc_id", "source", F.expr(tc_expr).alias("tc0"))
+        .withColumn("i", F.row_number().over(w) - 1)
+        .withColumn("n_s", F.count(F.lit(1)).over(wc))
+        .select(
+            "doc_id",
+            "source",
+            F.expr("CAST(COALESCE(tc0, 0) AS BIGINT)").alias("tc"),
+            F.expr(
+                "CAST(2 * i + 1 AS DOUBLE) / CAST(2 * n_s AS DOUBLE)"
+            ).alias("ord_key"),
+        )
+        .withColumn(
+            "bucket", F.expr(f"CAST(FLOOR(ord_key * {SHARD_BUCKETS}) AS BIGINT)")
+        )
+    )
+    # pass 1: bucket totals -> exclusive cumulative offsets (<=B rows)
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = (
+        keyed.groupBy("bucket")
+        .agg(F.sum("tc").alias("btoks"))
+        .withColumn("offset", F.coalesce(F.sum("btoks").over(wb), F.lit(0)))
+        .select("bucket", "offset")
+    )
+    # pass 2: within-bucket running sum + broadcast offset = global prefix sum
+    wr = Window.partitionBy("bucket").orderBy(
+        "ord_key", F.col("source").asc_nulls_first(), "doc_id", "tc"
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = keyed.withColumn("run", F.sum("tc").over(wr)).join(
+        F.broadcast(offsets), ["bucket"]
+    ).withColumn("cum_toks", (F.col("run") + F.col("offset")).cast("long"))
+    return (
+        cum.withColumn(
+            "shard_id",
+            F.expr(f"CAST((cum_toks - tc) div {SHARD_TOKENS} AS BIGINT)"),
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("docs"),
+            F.sum("tc").cast("long").alias("tokens"),
+            F.countDistinct("source").cast("long").alias("sources"),
+        )
     )
 
 

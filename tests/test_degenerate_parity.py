@@ -1050,6 +1050,9 @@ PINNED_ALL = [
     # the same dup/negative-id + dup-id-x-different-text hostility
     ("training_order_generate", "dup ids tie the salt rank: output-set parity"),
     ("cross_corpus_leak_report", "dup id x different text on both probe sides"),
+    # round-15: the two-pass prefix sum on dup ids / NULL-and-empty texts —
+    # the coalesced token tie-break must keep both engines on one total order
+    ("shard_plan_manifest", "dup id x NULL text: coalesced tc tie-break"),
 ]
 
 

@@ -2702,3 +2702,60 @@ def test_ann_method_recall_matrix_is_consistent_with_per_method_reports(spark):
         pq_row.pq_missed,
     )
     assert rows["pq_refine"].found >= rows["pq_adc"].found
+
+
+def test_shard_plan_manifest_matches_global_prefix_sum(spark):
+    """The two-pass (bucket totals + within-bucket window) prefix sum must
+    EQUAL a naive Python global cumulative sum over the same total order —
+    on a corpus with duplicate ids, a NULL text (coalesced tie-break), and
+    empty docs.  Shard accounting: every doc lands in exactly one shard,
+    token totals tile the corpus, and no shard except possibly the last
+    ends more than one doc past the budget boundary."""
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        ORDER_SALT_A,
+        ORDER_SALT_P,
+        SHARD_TOKENS,
+        _shard_plan_manifest,
+    )
+
+    rows = (
+        [(i, " ".join(["w"] * (7 + i % 90)), "en", "web", 1) for i in range(400)]
+        + [(1000 + i, " ".join(["v"] * 50), "en", "books", 1) for i in range(200)]
+        + [(5, None, "en", "web", 1), (5, "dup id text", "en", "web", 1),
+           (7, "", "en", "books", 1)]
+    )
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+    def salt(i):
+        return ((i % ORDER_SALT_P) * ORDER_SALT_A + 17) % ORDER_SALT_P
+
+    def toks(t):
+        return 0 if t is None else len([w for w in t.split(" ") if w])
+
+    per_src = {}
+    for r in rows:
+        per_src.setdefault(r[3], []).append(r)
+    keyed = []
+    for s, rs in per_src.items():
+        rs = sorted(rs, key=lambda r: (salt(r[0]), r[0], toks(r[1])))
+        n = len(rs)
+        for i, r in enumerate(rs):
+            keyed.append(((2 * i + 1) / (2 * n), s, r[0], toks(r[1])))
+    keyed.sort(key=lambda k: (k[0], k[1], k[2], k[3]))
+    want = {}
+    cum = 0
+    for ord_key, s, doc_id, tc in keyed:
+        shard = cum // SHARD_TOKENS
+        cum += tc
+        d, t, srcs = want.get(shard, (0, 0, set()))
+        srcs = set(srcs) | {s}
+        want[shard] = (d + 1, t + tc, srcs)
+    got = {
+        r.shard_id: (r.docs, r.tokens, r.sources)
+        for r in _shard_plan_manifest(docs).collect()
+    }
+    assert got == {k: (d, t, len(s)) for k, (d, t, s) in want.items()}, (got, want)
+    assert sum(t for _, t, _ in got.values()) == sum(tc for *_, tc in keyed)
+    assert sum(d for d, _, _ in got.values()) == len(rows)
