@@ -253,6 +253,23 @@ def main() -> None:
     order = [n for n in heavy if n in queries] + sorted(
         n for n in queries if n not in heavy
     )
+
+    # Hypervisor-steal accounting (round 15): this box is virtualized and the
+    # host intermittently steals cycles — a same-commit, loadavg-0 mix wall
+    # read 46 s and 105 s twenty minutes apart, with loadavg BLIND to the
+    # cause (it counts our runnable tasks, not stolen ticks).  Sample
+    # /proc/stat's steal field around the mix so every artifact carries its
+    # own exclusion evidence: steal_sec is stolen CPU-seconds across all
+    # cores during the mix; readings with steal_sec comparable to
+    # value x cpus are host-contended, not plan signals.
+    def _steal_jiffies() -> int:
+        try:
+            with open("/proc/stat") as fh:
+                return int(fh.readline().split()[8])
+        except (OSError, ValueError, IndexError):
+            return 0
+
+    steal0 = _steal_jiffies()
     t_start = time.perf_counter()
     with ThreadPoolExecutor(max_workers=THREADS) as pool:
         # wave 0: the shared subtree builds, submitted before any of their
@@ -264,6 +281,8 @@ def main() -> None:
         for wf in warm_futures.values():
             wf.result()
     total = round(time.perf_counter() - t_start, 3)
+    # USER_HZ is 100 on linux; steal_sec = stolen core-seconds during the mix
+    steal_sec = round((_steal_jiffies() - steal0) / 100.0, 1)
 
     # sequential pass: top-N heaviest mix walls, one at a time on the warmed
     # session — per-plan compute, free of contention and shared-build waits
@@ -303,6 +322,10 @@ def main() -> None:
         "unit": "sec",
         "sf": _sf_from_dir(SF_DIR),
         "n_queries": len(timings),
+        # stolen core-seconds during the mix (virtualized host): compare to
+        # value x cpus — when they are the same order, the host was taking
+        # cycles and the wall is ambient, not a plan signal
+        "steal_sec": steal_sec,
         "warm": warm,
         # top-N contention-free walls ride in BOTH lines: the driver keeps
         # only the tail of stdout, and losing `sequential` to head-truncation
