@@ -12,6 +12,7 @@ import pytest
 
 from examples import (  # noqa: F401  (docs the mapping)
     ann_index_selection,
+    corpus_release,
     training_order_writer,
     corpus_search,
     curation_pipeline,
@@ -46,6 +47,9 @@ EXAMPLES = [
     training_order_writer,  # extension: the ordering arc through STORAGE -
     # clumped corpus -> generate -> range-partitioned write -> stored-order
     # audit passes
+    corpus_release,  # extension: the full release workflow - mixture
+    # resample -> interleave order (audited) -> token-budgeted shard plan,
+    # with cross-stage accounting asserted exactly
 ]
 
 
