@@ -379,6 +379,18 @@ def run_retry_lifecycle(spark, n_messages: int) -> dict:
         shutil.rmtree(base, ignore_errors=True)
 
 
+def _steal_jiffies() -> int:
+    """Hypervisor-steal counter (round 15, mirrors bench.py): loadavg is
+    blind to the host taking cycles, so each stage's reading carries its own
+    stolen-core-seconds evidence — a band-miss with high steal_sec is
+    ambient, not an engine signal."""
+    try:
+        with open("/proc/stat") as fh:
+            return int(fh.readline().split()[8])
+    except (OSError, ValueError, IndexError):
+        return 0
+
+
 def main() -> None:
     from pulsar_pekko_streams_example_spark.session import get_spark
 
@@ -402,7 +414,10 @@ def main() -> None:
         ("windowed", lambda: run_windowed(spark, N_MESSAGES)),
     ):
         try:
-            print(json.dumps(fn()), flush=True)
+            s0 = _steal_jiffies()
+            out = fn()
+            out["steal_sec"] = round((_steal_jiffies() - s0) / 100.0, 1)
+            print(json.dumps(out), flush=True)
         except Exception as e:  # noqa: BLE001 — a bench stage, report + go on
             failures += 1
             print(
