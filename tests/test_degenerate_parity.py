@@ -256,6 +256,13 @@ def adversarial_emb_sf(spark, tmp_path_factory):
         (41, [inf] + [0.0] * (dim - 1), 2),         # +Inf-spike vector
         (100, [nan] * dim, 6),                      # NaN ANN query (%100==0)
         (200, sane(23), 6),                         # sane ANN query (%100==0)
+        # round-16 (ADVICE r15): EMPTY (non-NULL) embeddings — Spark's
+        # sequence(1, size)=sequence(1,0) descends to [1,0] and element_at
+        # throws where DuckDB's range(1,1) folds to 0.0.  vec_ids 49/88 are
+        # BM25 top-20 candidates at sf0.001, so search_rerank_stage's
+        # query-vector tie-break folds actually evaluate on the empty row.
+        (49, [], 7),                                # EMPTY embedding, rerank candidate
+        (88, sane(31), 7),                          # sane rerank candidate
     ] + [(i, sane(i), i % 8) for i in range(11, 20)] + [
         (i, sane(i * 7 + 1), i % 8) for i in range(21, 40)
     ]
@@ -291,6 +298,10 @@ PINNED_EMB = [
     ("ann_cosine_topk_vectorized", "numpy twin of the safe_cos guards"),
     ("ann_lsh_topk", "NaN signatures bucket consistently"),
     ("ann_ivf_topk", "degenerate centroid/query in IVF probing"),
+    # round-16: the trained quantizer must stay total when Lloyd's rounds
+    # run over NaN/Inf/NULL-element/empty vectors (dsum excludes non-finite
+    # components; safe_cos assigns degenerates at -1 in both engines)
+    ("ann_ivf_trained_topk", "Lloyd's training over degenerate vectors"),
     # round-12: PQ codebook seeds land on the all-NaN (1), NULL-embedding
     # (9) and +Inf-spike (41) rows; the NaN query (100) exercises the
     # sentinel guard and the decimal ADC sum's identical Inf exclusion
@@ -301,6 +312,11 @@ PINNED_EMB = [
     ("rp_projection_distortion", "Inf/NaN distance ratios: guarded band"),
     # round-7 sweep finding
     ("embedding_quantization_error", "float32-max err: saturated micro sum"),
+    # round-16 (ADVICE r15): an EMPTY (non-NULL) embedding at a BM25
+    # candidate id crashes an unguarded sequence(1, size) position fold on
+    # Spark while DuckDB's range(1, len+1) folds to 0.0 — the query-vector
+    # tie-break must be total on the empty shape in both engines
+    ("search_rerank_stage", "empty embedding candidate: guarded position fold"),
 ]
 
 
@@ -709,6 +725,11 @@ def adversarial_docid_sf(spark, tmp_path_factory):
         (0, "duplicate id zero doc", "en", "web", 21),
         (0, "duplicate id zero doc", "en", "web", 21),
         (-5, "negative doc id", "en", "web", 15),
+        # -11 ≡ 9 under pmod but -11 % 10 = -1 under sign-of-dividend: pins
+        # the incremental-batch split's sign-consistent double-mod oracle
+        # (ADVICE r15 — a negative id must land in the NEW batch in BOTH
+        # engines, and its text collides with a standing doc to leak)
+        (-11, "negative doc id", "en", "web", 15),
         (999999, "n_chars lies here", "en", "web", -100),
         (999998, "lang is null", None, None, 12),
     ]
@@ -748,6 +769,11 @@ PINNED_DOCID = [
     # round-15: the weights' APPLY stage on the same poisoned corpus —
     # clamped weights, dup/negative ids through the salt threshold
     ("mixture_resample_manifest", "negative chars x dup ids: total resample"),
+    # round-16 (ADVICE r15): -11 ≡ 9 (mod 10) must split into the NEW batch
+    # in both engines — DuckDB's sign-of-dividend % classified it standing
+    # until the oracle's split became the sign-consistent double-mod
+    ("dedup_incremental_batch", "negative id in the new-batch split"),
+    ("cross_corpus_leak_report", "negative id leaking from a standing source"),
 ]
 
 
@@ -783,6 +809,41 @@ def test_doc_fingerprints_operator_one_row_per_doc_id(spark, adversarial_docid_s
     assert len(dup_rows) == 1
     # MIN tie-break over the id's physical rows: identical texts → the one hash
     assert dup_rows[0].fingerprint is not None
+
+
+def test_token_budget_boundary_splits_fully_tied_pair(spark, tmp_path_factory):
+    """ADVICE r15 (medium): the boundary prefix window's frame.  A corpus of
+    three IDENTICAL physical rows (same doc_id, text, source → same quality
+    level, token_count, and all three prefix keys) puts the 500-permille
+    budget boundary in the MIDDLE of one fully-tied run: budget = floor(1.5t)
+    admits exactly one of the three t-token rows.  Spark's rowsBetween gives
+    the tied rows distinct prefix sums; DuckDB's default RANGE frame would
+    hand all three ONE shared run value (0 selected) — the oracle pins ROWS
+    BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW so both engines split the
+    tie group identically.  Tied rows are interchangeable, so which physical
+    row is picked cannot show in the per-source rollup."""
+    import duckdb
+
+    spec = REGISTRY["token_budget_selection"]
+    base = tmp_path_factory.mktemp("tied_budget_sf")
+    rows = [(0, "identical tied document text here", "en", "web", 33)] * 3
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).coalesce(1).write.mode("overwrite").parquet(str(base / "documents.parquet"))
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{base}/documents.parquet/*.parquet')"
+    )
+    df = spec.build(spark, str(base))
+    problems = compare(df, con.sql(spec.oracle))
+    con.close()
+    assert not problems, "tied-boundary split diverged: " + "; ".join(problems)
+    row = df.collect()[0]
+    # the boundary really does split the tie group: 1 of 3 interchangeable
+    # rows fits under floor(1.5t) — a RANGE-framed engine would select 0
+    assert row.docs_total == 3 and row.docs_selected == 1, row
 
 
 # ---------------------------------------------------------------------------
