@@ -567,12 +567,22 @@ def sqdist(a: str, b: str, dialect: str) -> str:
             "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
             "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
         )
+    # Round-16 ragged/NULL-pair totality, matching Spark's zip_with exactly:
+    # greatest-length iteration — zip_with NULL-pads the shorter array, so
+    # a length-mismatched pair folds to NULL (then the sentinel guard);
+    # iterating len(a) alone would instead fold a real partial distance
+    # when a is shorter (an EMPTY subvector would score a perfect 0.0
+    # against every codebook entry).  The explicit NULL-array CASE is
+    # required because DuckDB's greatest IGNORES NULL args and
+    # list_prepend(0.0, NULL) is [0.0] — without it, empty-vs-NULL pairs
+    # fold to 0.0 where Spark's zip_with(empty, NULL) is NULL.
     return (
+        f"(CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(range(1, len({a}) + 1), "
+        f"list_transform(range(1, greatest(len({a}), len({b})) + 1), "
         f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
         f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), "
-        "(acc, x) -> acc + x)"
+        "(acc, x) -> acc + x) END)"
     )
 
 
@@ -1069,3 +1079,170 @@ def ann_ivf_trained_topk(
         F.expr(_norm("centroid")).alias("cn"),
     )
     return _ivf_topk_from_cent(base, cent, query_filter, k, nprobe)
+
+
+# --- Residual-encoded IVFADC (VERDICT r15 task 2, Jégou §VI complete) --------
+
+# Spark-side residual r = x - c(x): zip_with difference in DOUBLE.  No size
+# guard on purpose — zip_with NULL-pads ragged pairs, and the NULL elements
+# then fold to the PQ sentinel in every subdistance, which is exactly the
+# deterministic worst-rank contract the raw-vector PQ path uses.
+RESID = (
+    "zip_with({x}, {c}, (x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))"
+)
+
+
+def resid_duck(x: str, c: str) -> str:
+    """DuckDB twin of RESID: greatest-length iteration + NULL-array CASE
+    (the _duck_dot round-16 recipe) so ragged and NULL pairs produce the
+    same NULL-padded residual zip_with does."""
+    return (
+        f"(CASE WHEN {x} IS NULL OR {c} IS NULL THEN NULL ELSE "
+        f"list_transform(range(1, greatest(len({x}), len({c})) + 1), "
+        f"i -> CAST({x}[i] AS DOUBLE) - CAST({c}[i] AS DOUBLE)) END)"
+    )
+
+
+def ann_ivfadc_residual_topk(
+    emb: DataFrame, query_filter: str, k: int, nprobe: int = None
+) -> DataFrame:
+    """IVFADC with RESIDUAL encoding — the accuracy half of Jégou et al.
+    TPAMI 2011 §VI that ann_ivfadc_topk deliberately omits: PQ codes
+    quantize r = x − c(x) (the vector's offset from its home centroid)
+    instead of x itself, and at query time the query is re-expressed as a
+    residual AGAINST EACH PROBED LIST, so the distance table is computed
+    per (query, probed centroid) — |queries| × nprobe × M × K rows, still
+    a broadcast.  Residuals concentrate near the origin, so the same
+    codebook budget quantizes them with less error than raw vectors —
+    measured in ann_method_recall_matrix's ivfadc_residual row.
+
+    Deterministic twin structure: the coarse quantizer is the strided IVF
+    centroid set and the residual codebook is the RESIDUALS of the strided
+    PQ seeds (their own home-centroid offsets), so the DuckDB oracle
+    replicates the index bit-for-bit.  Scoring joins codes against the
+    broadcast query tables on (cent_id, m, code) — the corpus streams its
+    8-byte codes once, embeddings never move at query time; ranks by
+    (adc_dist ASC NULLS LAST, neighbor_id), the shared PQ contract."""
+    from pulsar_pekko_streams_example_spark.functions.numeric import dsum
+
+    nprobe = IVF_NPROBE if nprobe is None else nprobe
+    emb = spread(emb)
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm")
+    )
+    cent = base.filter(
+        (F.col("vec_id") % IVF_CENT_STRIDE) == IVF_CENT_OFFSET
+    ).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    assign = ivf_assignments(emb)
+    # residual of every corpus vector against its HOME centroid: one
+    # broadcast of the (cent_id, ce) table into the assignment join — the
+    # corpus never shuffles beyond the one (vec_id)-keyed assignment row
+    res = (
+        base.join(assign, ["vec_id"])
+        .join(F.broadcast(cent.select("cent_id", "ce")), ["cent_id"])
+        .select(
+            "vec_id",
+            "cent_id",
+            F.expr(RESID.format(x="embedding", c="ce")).alias("res"),
+        )
+    )
+    # residual codebook: the strided PQ seeds' own residuals, j-indexed —
+    # bounded by PQ_CODEBOOK rows, broadcast into both scoring passes
+    cb = res.filter(
+        (F.col("vec_id") < PQ_CENT_STRIDE * PQ_CODEBOOK)
+        & (F.col("vec_id") % PQ_CENT_STRIDE == PQ_CENT_OFFSET)
+    ).select(
+        ((F.col("vec_id") - PQ_CENT_OFFSET) / PQ_CENT_STRIDE)
+        .cast("long")
+        .alias("j"),
+        F.col("res").alias("cbe"),
+    )
+    sub_r = f"slice(res, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+    sub_c = f"slice(cbe, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})"
+    d_expr = sqdist(sub_r, sub_c, "spark")
+    guarded = (
+        f"coalesce(nanvl({d_expr}, CAST({PQ_SENTINEL} AS DOUBLE)), "
+        f"CAST({PQ_SENTINEL} AS DOUBLE))"
+    )
+    rdt = (
+        res.crossJoin(F.broadcast(cb))
+        .select(
+            "vec_id",
+            "cent_id",
+            "j",
+            "res",
+            "cbe",
+            F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
+        )
+        .select(
+            "vec_id",
+            "cent_id",
+            F.col("m").cast("long").alias("m"),
+            "j",
+            F.expr(guarded).alias("d"),
+        )
+    )
+    codes = (
+        rdt.groupBy("vec_id", "cent_id", "m")
+        .agg(F.min(F.struct(F.col("d"), F.col("j"))).alias("mn"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            "cent_id",
+            "m",
+            F.col("mn.j").alias("code"),
+        )
+    )
+    # query side: one residual PER PROBED LIST, then its own distance table
+    probes = ivf_probe_ranks(emb, query_filter).filter(
+        F.col("pr") <= nprobe
+    ).select("query_id", "cent_id")
+    qres = (
+        probes.join(
+            base.filter(F.expr(query_filter)).select(
+                F.col("vec_id").alias("query_id"), "embedding"
+            ),
+            ["query_id"],
+        )
+        .join(F.broadcast(cent.select("cent_id", "ce")), ["cent_id"])
+        .select(
+            "query_id",
+            "cent_id",
+            F.expr(RESID.format(x="embedding", c="ce")).alias("res"),
+        )
+    )
+    qdt = (
+        qres.crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            "cent_id",
+            "j",
+            "res",
+            "cbe",
+            F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m"),
+        )
+        .select(
+            "query_id",
+            "cent_id",
+            F.col("m").cast("long").alias("m"),
+            F.col("j").alias("code"),
+            F.expr(guarded).alias("d"),
+        )
+    )
+    scored = (
+        codes.join(F.broadcast(qdt), ["cent_id", "m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(dsum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )

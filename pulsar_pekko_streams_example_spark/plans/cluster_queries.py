@@ -517,11 +517,17 @@ def _l2sq_spark(a: str, b: str) -> str:
 
 
 def _l2sq_duck(a: str, b: str) -> str:
+    # greatest-length iteration + NULL-array CASE (round-16 ragged-pair
+    # totality, see similarity.sqdist): matches Spark's zip_with NULL-pad
+    # on mismatched lengths instead of folding a real partial distance
+    # over len(a), and a NULL array folds to NULL, not 0.0 (DuckDB's
+    # greatest ignores NULL args; list_prepend(0.0, NULL) is [0.0])
     return (
+        f"(CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(range(1, len({a}) + 1), "
+        f"list_transform(range(1, greatest(len({a}), len({b})) + 1), "
         f"i -> (CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)) * "
-        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), (acc, x) -> acc + x)"
+        f"(CAST({a}[i] AS DOUBLE) - CAST({b}[i] AS DOUBLE)))), (acc, x) -> acc + x) END)"
     )
 
 

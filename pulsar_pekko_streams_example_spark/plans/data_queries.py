@@ -237,10 +237,20 @@ def _shared_cooc_edges(spark: SparkSession, sf_dir: str):
 
 
 def _duck_dot(a: str, b: str) -> str:
+    # Round-16 ragged/NULL-pair totality, matching Spark's zip_with exactly:
+    # (1) greatest(len,len), not len(a) — zip_with pads the SHORTER side
+    #     with NULL, so a length-mismatched pair folds to a NULL dot, while
+    #     iterating only len(a) would fold a real partial dot when a is the
+    #     shorter side (DuckDB out-of-bounds indexing is NULL, so iterating
+    #     the longer length reproduces the NULL-pad);
+    # (2) the explicit NULL-array CASE — zip_with(NULL, x) is NULL, but
+    #     DuckDB's greatest IGNORES NULL args and list_prepend(0.0, NULL)
+    #     is [0.0], so without the guard a NULL array folds to 0.0.
     return (
+        f"(CASE WHEN {a} IS NULL OR {b} IS NULL THEN NULL ELSE "
         f"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
-        f"list_transform(range(1, len({a}) + 1), "
-        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x)"
+        f"list_transform(range(1, greatest(len({a}), len({b})) + 1), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))), (acc, x) -> acc + x) END)"
     )
 
 
@@ -2216,6 +2226,121 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_REFINE_R = 4 * ANN_K
 
 
+def _duck_ann_ivfadc_residual_sql(k: int, nprobe: int) -> str:
+    S = similarity
+    ivf_cos = S.safe_cos(_duck_dot("b.embedding", "c.ce"), "b.nrm * c.cn", "duckdb")
+    sub_r = f"r.res[t.m * {S.PQ_SUBDIM} + 1 : t.m * {S.PQ_SUBDIM} + {S.PQ_SUBDIM}]"
+    sub_c = f"c.cbe[t.m * {S.PQ_SUBDIM} + 1 : t.m * {S.PQ_SUBDIM} + {S.PQ_SUBDIM}]"
+    dd = S.sqdist(sub_r, sub_c, "duckdb")
+    guarded = (
+        f"coalesce(CASE WHEN isnan({dd}) THEN CAST({S.PQ_SENTINEL} AS DOUBLE) "
+        f"ELSE ({dd}) END, CAST({S.PQ_SENTINEL} AS DOUBLE))"
+    )
+    return f"""
+        WITH nb AS (
+          SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        ivfcent AS (
+          SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+          FROM nb WHERE vec_id % {S.IVF_CENT_STRIDE} = {S.IVF_CENT_OFFSET}
+        ),
+        ivfscored AS (
+          SELECT b.vec_id, c.cent_id, {ivf_cos} AS csim
+          FROM nb b CROSS JOIN ivfcent c
+        ),
+        assign AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+            FROM ivfscored
+          ) t WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, cent_id FROM (
+            SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+            FROM ivfscored WHERE {ANN_QUERY_FILTER}
+          ) t WHERE rn <= {nprobe}
+        ),
+        res AS (
+          SELECT b.vec_id, a.cent_id,
+                 {S.resid_duck('b.embedding', 'c.ce')} AS res
+          FROM nb b
+          JOIN assign a ON b.vec_id = a.vec_id
+          JOIN ivfcent c ON a.cent_id = c.cent_id
+        ),
+        cb AS (
+          SELECT CAST((vec_id - {S.PQ_CENT_OFFSET}) // {S.PQ_CENT_STRIDE} AS BIGINT) AS j,
+                 res AS cbe
+          FROM res
+          WHERE vec_id < {S.PQ_CENT_STRIDE * S.PQ_CODEBOOK}
+            AND vec_id % {S.PQ_CENT_STRIDE} = {S.PQ_CENT_OFFSET}
+        ),
+        rdt AS (
+          SELECT r.vec_id, r.cent_id, CAST(t.m AS BIGINT) AS m, c.j, {guarded} AS d
+          FROM res r CROSS JOIN cb c CROSS JOIN range({S.PQ_M}) t(m)
+        ),
+        codes AS (
+          SELECT vec_id, cent_id, m, j AS code FROM (
+            SELECT vec_id, cent_id, m, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+            FROM rdt
+          ) x WHERE rn = 1
+        ),
+        qres AS (
+          SELECT p.query_id, p.cent_id,
+                 {S.resid_duck('q.embedding', 'c.ce')} AS res
+          FROM probes p
+          JOIN nb q ON p.query_id = q.vec_id
+          JOIN ivfcent c ON p.cent_id = c.cent_id
+        ),
+        qdt AS (
+          SELECT r.query_id, r.cent_id, CAST(t.m AS BIGINT) AS m, c.j AS code,
+                 {guarded} AS d
+          FROM qres r CROSS JOIN cb c CROSS JOIN range({S.PQ_M}) t(m)
+        ),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 {sql_dsum('q.d')} AS adc_dist
+          FROM codes c
+          JOIN qdt q ON q.cent_id = c.cent_id AND q.m = c.m AND q.code = c.code
+          WHERE c.vec_id <> q.query_id
+          GROUP BY q.query_id, c.vec_id
+        )
+        SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist NULLS LAST, neighbor_id) AS rnk
+          FROM scored
+        ) t WHERE rnk <= {k}
+        """
+
+
+@register(
+    "ann_ivfadc_residual_topk",
+    oracle=_duck_ann_ivfadc_residual_sql(ANN_K, similarity.IVF_NPROBE),
+    doc="IVFADC with RESIDUAL encoding — Jégou et al. TPAMI 2011 §VI "
+    "complete (VERDICT r15 task 2): PQ codes quantize r = x - c(x), the "
+    "vector's offset from its home IVF centroid, instead of x itself; at "
+    "query time the query becomes a residual against EACH probed list, so "
+    "its ADC table is per (query, probed centroid) — |queries| x nprobe x "
+    "M x K rows, still one broadcast.  Residuals concentrate near the "
+    "origin, so the same codebook budget quantizes them with less error "
+    "than raw vectors (the accuracy half the raw-code ann_ivfadc_topk "
+    "documents as omitted); the gain is published in "
+    "ann_method_recall_matrix's ivfadc_residual row.  The coarse "
+    "quantizer is the strided IVF centroid set and the codebook is the "
+    "strided PQ seeds' OWN residuals, so the DuckDB oracle replicates the "
+    "index bit-for-bit; scoring stays codes ⋈ broadcast tables on "
+    "(cent_id, m, code) — embeddings never move at query time.",
+    tags=("similarity", "pq", "ivf", "scale-default", "added-r16"),
+)
+def ann_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_ivfadc_residual_topk(emb, ANN_QUERY_FILTER, ANN_K)
+
+
 def _duck_pq_refine_sql(k: int, r: int) -> str:
     cos = similarity.safe_cos(
         _duck_dot("qe", "ne"), "qn * nn", "duckdb"
@@ -2399,7 +2524,7 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_method_recall_sql() -> str:
     """One recall row per approximate index path: exact top-k LEFT JOIN each
-    method's top-k, six independent WITH-scoped subqueries UNION ALL'd."""
+    method's top-k, seven independent WITH-scoped subqueries UNION ALL'd."""
     methods = {
         "lsh": _duck_ann_lsh_sql(ANN_K),
         "ivf": _duck_ann_ivf_sql(ANN_K, similarity.IVF_NPROBE),
@@ -2408,6 +2533,9 @@ def _duck_method_recall_sql() -> str:
         "pq_refine": _duck_pq_refine_sql(ANN_K, PQ_REFINE_R),
         "ivf_trained": _duck_ann_ivf_trained_sql(
             ANN_K, similarity.IVF_NPROBE, similarity.IVF_TRAIN_ROUNDS
+        ),
+        "ivfadc_residual": _duck_ann_ivfadc_residual_sql(
+            ANN_K, similarity.IVF_NPROBE
         ),
     }
     parts = []
@@ -2436,7 +2564,8 @@ def _duck_method_recall_sql() -> str:
     oracle=_duck_method_recall_sql(),
     doc="The index-selection table: recall@k of EVERY approximate ANN path "
     "in this engine — hyperplane-LSH, IVF (default nprobe), PQ/ADC, "
-    "composed IVFADC, ADC+refine, and Lloyd's-trained IVF — against the "
+    "composed IVFADC, ADC+refine, Lloyd's-trained IVF, and residual-"
+    "encoded IVFADC — against the "
     f"same exact-cosine ground truth, one row per method at k={ANN_K}.  "
     "This is the first table a deployment reads when choosing its index: "
     "recall side by side under identical data, queries, and tie-break "
@@ -2479,6 +2608,9 @@ def ann_method_recall_matrix(
             emb, qf, ANN_K, PQ_REFINE_R
         ),
         "ivf_trained": lambda: similarity.ann_ivf_trained_topk(emb, qf, ANN_K),
+        "ivfadc_residual": lambda: similarity.ann_ivfadc_residual_topk(
+            emb, qf, ANN_K
+        ),
     }
     parts = []
     for name, build in methods.items():

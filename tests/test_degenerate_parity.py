@@ -263,6 +263,12 @@ def adversarial_emb_sf(spark, tmp_path_factory):
         # query-vector tie-break folds actually evaluate on the empty row.
         (49, [], 7),                                # EMPTY embedding, rerank candidate
         (88, sane(31), 7),                          # sane rerank candidate
+        # round-16: RAGGED length (32 of 64 dims — a truncated upload).
+        # Spark's zip_with NULL-pads the shorter side (NULL dot/L2 folds ->
+        # -1 cosine / sentinel subdistance); the DuckDB twins now iterate
+        # greatest(len, len) to reproduce exactly that, instead of folding
+        # a real partial value over the shorter array.
+        (43, [1.0] * 32, 2),                        # ragged 32-dim vector
     ] + [(i, sane(i), i % 8) for i in range(11, 20)] + [
         (i, sane(i * 7 + 1), i % 8) for i in range(21, 40)
     ]
@@ -306,6 +312,10 @@ PINNED_EMB = [
     # (9) and +Inf-spike (41) rows; the NaN query (100) exercises the
     # sentinel guard and the decimal ADC sum's identical Inf exclusion
     ("ann_pq_adc_topk", "NaN/Inf codebook + NaN query: guarded argmin/ADC"),
+    # round-16: residual encoding composes every degenerate shape — the
+    # residual of a NaN/Inf/NULL-element/ragged vector inherits its poison
+    # and must still sentinel-guard into deterministic codes in both engines
+    ("ann_ivfadc_residual_topk", "degenerate residuals: guarded codes/ADC"),
     ("embedding_near_dup", "NaN/Inf candidate pairs: safe_cos verify"),
     # round-14 hostile-sweep finding: Inf/Inf projection ratio = NaN, and an
     # Inf ratio, both erred the int64 floor cast -> NULL band now

@@ -2677,7 +2677,8 @@ def test_ann_method_recall_matrix_is_consistent_with_per_method_reports(spark):
         for r in REGISTRY["ann_method_recall_matrix"].build(spark, sf).collect()
     }
     assert set(rows) == {
-        "lsh", "ivf", "pq_adc", "ivfadc", "pq_refine", "ivf_trained"
+        "lsh", "ivf", "pq_adc", "ivfadc", "pq_refine", "ivf_trained",
+        "ivfadc_residual",
     }
     exact = {
         (r.query_id, r.neighbor_id)
@@ -2690,6 +2691,7 @@ def test_ann_method_recall_matrix_is_consistent_with_per_method_reports(spark):
         ("ivfadc", "ann_ivfadc_topk"),
         ("pq_refine", "ann_pq_refine_topk"),
         ("ivf_trained", "ann_ivf_trained_topk"),
+        ("ivfadc_residual", "ann_ivfadc_residual_topk"),
     ):
         r = rows[m]
         assert r.exact_pairs == len(exact)
@@ -2862,3 +2864,44 @@ def test_recall_matrix_query_gate_stays_in_binomial_envelope(spark):
         p_g = g.recall_micro / 1e6
         envelope = 4 * math.sqrt(max(p_f * (1 - p_f), 0.25 / 2) / g.exact_pairs)
         assert abs(p_g - p_f) <= envelope, (m, p_g, p_f, envelope)
+
+
+def test_residual_ivfadc_recall_dominates_raw_on_standard_corpus(spark):
+    """VERDICT r15 task 2's done-bar: residual encoding (PQ over x - c(x),
+    Jégou §VI complete) must recall at least as much as the raw-vector
+    IVFADC under the same coarse quantizer, codebook budget, and nprobe on
+    the standard corpus — residuals concentrate near the origin, so the
+    same 16-entry codebook quantizes them with strictly less error.  Also
+    pins the structural invariant that both paths search the SAME probed
+    lists: every residual-path neighbor lives in a list the query probes."""
+    from pulsar_pekko_streams_example_spark.operators import similarity
+    from pulsar_pekko_streams_example_spark.plans import REGISTRY, all_queries
+
+    all_queries()
+    sf = "/root/testdata/sf0.001"
+    rows = {
+        r.method: r
+        for r in REGISTRY["ann_method_recall_matrix"].build(spark, sf).collect()
+    }
+    assert (
+        rows["ivfadc_residual"].recall_micro >= rows["ivfadc"].recall_micro
+    ), rows
+    # structural: residual-path neighbors come only from probed lists
+    from pulsar_pekko_streams_example_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf, "embeddings")
+    assign = {
+        (r.vec_id): r.cent_id
+        for r in similarity.ivf_assignments(emb).collect()
+    }
+    probed = {}
+    for r in (
+        similarity.ivf_probe_ranks(emb, "vec_id % 100 = 0")
+        .filter("pr <= 2")
+        .collect()
+    ):
+        probed.setdefault(r.query_id, set()).add(r.cent_id)
+    got = REGISTRY["ann_ivfadc_residual_topk"].build(spark, sf).collect()
+    assert got, "residual IVFADC returned no rows on the standard corpus"
+    for r in got:
+        assert assign[r.neighbor_id] in probed[r.query_id], r

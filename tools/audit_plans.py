@@ -81,6 +81,31 @@ one exact-ground-truth crossJoin per UNION branch — every pass is a
 verbatim reuse of a standing query's dataflow, each individually
 adjudicated above; the matrix adds only pair-keyed LEFT JOINs,
 data_queries.py::ann_method_recall_matrix).
+
+Round-16 eyeball verdicts (benign): ann_ivf_trained_topk (6 BNLJ passes:
+two Lloyd's training rounds' corpus x broadcast-centroid assign passes —
+the clustering.assign shape already recorded under kmeans_round2_movement
+— plus the shared search pass's corpus x broadcast-trained-centroid
+scoring and 1-row scaffolding; the quantizer side is bounded by
+|centroids| rows at every step, operators/similarity.py::
+ann_ivf_trained_topk); ann_method_recall_matrix (22 passes = the prior 15
+plus ann_ivf_trained_topk's 6 training/search passes and its UNION
+branch's exact-ground-truth crossJoin — all verbatim reuses of the
+adjudicated dataflows above; the new ivf_trained branch still only adds a
+pair-keyed LEFT JOIN); ann_ivf_recall_report (unchanged 8 passes — the
+ADVICE r15 fix swapped the corpus-sized assignment broadcast for a
+neighbor_id-keyed shuffle join, which REMOVES a broadcast rather than
+adding a BNLJ; the remaining passes are the ones recorded in the round-15
+paragraph); ann_ivfadc_residual_topk (6 BNLJ passes: the inherited IVF
+quantizer corpus x broadcast-centroid scoring recorded under ann_ivf_topk,
+plus the residual distance-table passes — corpus-residuals x the <=16-row
+broadcast RESIDUAL codebook, and the bounded (queries x nprobe) query-
+residual rows x the same codebook; the scoring join itself is an equi-join
+on (cent_id, m, code), operators/similarity.py::ann_ivfadc_residual_topk);
+ann_method_recall_matrix (29 passes = the prior 22 plus
+ann_ivfadc_residual_topk's 6 and its UNION branch's exact-ground-truth
+crossJoin — verbatim reuses of the adjudicated dataflows, pair-keyed LEFT
+JOINs only on top).
 """
 
 from __future__ import annotations
