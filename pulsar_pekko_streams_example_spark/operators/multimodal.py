@@ -177,3 +177,99 @@ def resize_images(media: DataFrame, box: int = 64) -> DataFrame:
             )
 
     return media.mapInPandas(run, RESIZED_SCHEMA)
+
+
+# --- Perceptual-hash image near-dup (VERDICT r15 task 3) ---------------------
+
+DHASH_GRID = 8  # 8x8 gradient bits from an 8x9 sampled grayscale grid
+DHASH_SCHEMA = "media_id long, b0 long, b1 long, b2 long, b3 long"
+
+
+def _dhash_bands_of(buf: bytes) -> tuple[int, int, int, int]:
+    """64-bit dHash of a blob as four 16-bit band values.
+
+    The decode step is the deterministic stub (no codecs in this
+    container): the '8x9 grayscale resize' samples the raw byte stream at
+    72 evenly-spaced offsets (cell k reads byte k*n//72) — a real decoder
+    would substitute actual luma here and NOTHING downstream changes.  The
+    hash itself is the classic dHash gradient: bit (r, c) = 1 iff
+    cell(r, c) < cell(r, c+1), row-major, packed little-endian into four
+    16-bit bands so the banded Hamming join needs no 64-bit sign games."""
+    n = len(buf)
+    g = [buf[(k * n) // 72] if n else 0 for k in range(72)]
+    bands = [0, 0, 0, 0]
+    for r in range(DHASH_GRID):
+        for c in range(DHASH_GRID):
+            if g[r * 9 + c] < g[r * 9 + c + 1]:
+                bit = r * DHASH_GRID + c
+                bands[bit // 16] |= 1 << (bit % 16)
+    return tuple(bands)
+
+
+def dhash_bands(media: DataFrame) -> DataFrame:
+    """(media_id, b0..b3): Arrow-batched dHash over binary blobs.  Blobs
+    never leave their scan partition — only 4 small ints per image move."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            rows = [
+                (r.media_id, *_dhash_bands_of(bytes(r.content or b"")))
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(rows, columns=["media_id", "b0", "b1", "b2", "b3"])
+
+    return media.mapInPandas(run, DHASH_SCHEMA)
+
+
+def image_near_pairs(media: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """(media_a, media_b, hamming): perceptual near-duplicate image pairs —
+    banded Hamming LSH over the 64-bit dHash, EXACT for max_hamming <= 3 by
+    pigeonhole (3 flipped bits dirty at most 3 of the 4 16-bit bands, so
+    every qualifying pair collides on at least one clean band).  Candidates
+    come from a band-value equi-join (the SimHash machinery's shape); the
+    all-pairs product never happens."""
+    assert max_hamming < 4, "4-band exactness requires max_hamming <= 3"
+    from pyspark.sql import functions as F
+
+    sigs = dhash_bands(media)
+    bands = sigs.select(
+        "media_id",
+        "b0",
+        "b1",
+        "b2",
+        "b3",
+        F.explode(
+            F.expr(
+                "array("
+                + ", ".join(f"struct({b}L AS band, b{b} AS val)" for b in range(4))
+                + ")"
+            )
+        ).alias("bv"),
+    ).select(
+        "media_id", "b0", "b1", "b2", "b3",
+        F.col("bv.band").alias("band"), F.col("bv.val").alias("val"),
+    )
+    u, v = bands.alias("u"), bands.alias("v")
+    cand = (
+        u.join(
+            v,
+            (F.col("u.band") == F.col("v.band"))
+            & (F.col("u.val") == F.col("v.val"))
+            & (F.col("u.media_id") < F.col("v.media_id")),
+        )
+        .select(
+            F.col("u.media_id").alias("media_a"),
+            F.col("v.media_id").alias("media_b"),
+            *[F.col(f"u.b{b}").alias(f"ub{b}") for b in range(4)],
+            *[F.col(f"v.b{b}").alias(f"vb{b}") for b in range(4)],
+        )
+        .distinct()
+    )
+    ham = " + ".join(f"bit_count(ub{b} ^ vb{b})" for b in range(4))
+    return (
+        cand.withColumn("hamming", F.expr(f"CAST({ham} AS LONG)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("media_a", "media_b", "hamming")
+    )

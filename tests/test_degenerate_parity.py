@@ -110,6 +110,9 @@ PINNED = [
     # the largest-remainder leftover-slot path actually allocates — the
     # uniform test corpus (20 sources x 25 docs) never exercises it
     ("quota_apportionment", "skewed sources: remainder slot allocated"),
+    # round-16: dHash reads UTF-8 BYTES — multi-byte code points must
+    # sample identically through hex(encode(text)) in the oracle
+    ("image_neardup_pairs", "non-ASCII byte-sampled dHash grids"),
 ]
 
 
@@ -187,6 +190,9 @@ PINNED_TEXT = [
     # (0 positions -> counted in docs, excluded from mostly_dup identically
     # in both engines); the huge unique doc pins the O(positions) path
     ("dup_span_coverage", "sub-span-length and huge docs: guarded coverage"),
+    # round-16: empty/whitespace/huge byte streams through the dHash
+    # sampler (n=0 -> all-zero grid; the huge doc strides its bytes)
+    ("image_neardup_pairs", "empty and huge blobs: total dHash sampling"),
 ]
 
 
@@ -784,6 +790,9 @@ PINNED_DOCID = [
     # until the oracle's split became the sign-consistent double-mod
     ("dedup_incremental_batch", "negative id in the new-batch split"),
     ("cross_corpus_leak_report", "negative id leaking from a standing source"),
+    # round-16: NULL text (empty blob) + the duplicated identical texts
+    # (a hamming-0 diagonal pair through the C(cnt,2) weighting)
+    ("image_neardup_pairs", "NULL-text blob + identical-blob diagonal"),
 ]
 
 

@@ -417,3 +417,33 @@ def test_rolling_hll_reports_zero_event_days(spark, tmp_path):
     assert set(out) == {day0, day0 + 1, day0 + 2}, out
     # the empty middle day still sees day 0's two users in its window
     assert out[day0 + 1] == out[day0]
+
+
+def test_image_near_pairs_finds_noisy_duplicate_not_distinct(spark):
+    """VERDICT r15 task 3's done-bar: a crafted duplicate-with-noise blob
+    pair must be FOUND by the banded dHash join (one bumped byte flips one
+    gradient bit — hamming 1 <= 3, so pigeonhole guarantees a clean band)
+    and a genuinely distinct pair must NOT (reversed byte stream — hamming
+    64 here; a band could still collide by chance, the exact Hamming verify
+    is what rejects it).  Also pins the decode plumbing: blobs ride one
+    mapInPandas pass and only (media_id, 4 x 16-bit band) rows come out."""
+    from pulsar_pekko_streams_example_spark.operators import multimodal
+
+    A = bytes((7 * k) % 251 for k in range(144))
+    bl = bytearray(A)
+    bl[40] = (bl[40] + 120) % 251  # noise on one sampled byte
+    B, C = bytes(bl), bytes(reversed(A))
+    media = spark.createDataFrame(
+        [(1, "image", A, "{}"), (2, "image", B, "{}"), (3, "image", C, "{}")],
+        multimodal.MEDIA_SCHEMA,
+    )
+    pairs = {
+        (r.media_a, r.media_b): r.hamming
+        for r in multimodal.image_near_pairs(media, max_hamming=3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1, pairs
+    assert (1, 3) not in pairs and (2, 3) not in pairs, pairs
+    # band values are 16-bit non-negative (no 64-bit sign games)
+    for r in multimodal.dhash_bands(media).collect():
+        for b in (r.b0, r.b1, r.b2, r.b3):
+            assert 0 <= b < 65536, r
