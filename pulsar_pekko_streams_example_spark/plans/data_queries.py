@@ -3633,6 +3633,164 @@ def cross_corpus_leak_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Corpus snapshot diff (VERDICT r15 task 7): release-to-release change report
+# ---------------------------------------------------------------------------
+# The release-ops question corpus_release.py stops short of: between corpus
+# version v1 and v2, which docs were ADDED, REMOVED, or CHANGED, and how much
+# per-source churn does that make?  The two versions here derive
+# deterministically from the one documents table (docs ≡ 8 (mod 10) exist
+# only in v2 = "added"; ≡ 9 only in v1 = "removed"; ≡ 7 carry edited text in
+# v2 = "changed") so the oracle replicates both snapshots bit-for-bit; in
+# production v1/v2 are two parquet snapshot paths and the dataflow is
+# identical.  Keyed by doc_id with MIN-fingerprint collapse per id per
+# version (the doc_fingerprints dup-id contract), diffed by ONE full outer
+# join carrying (doc_id, fp, source) — text never moves.
+SNAPDIFF_ADDED_MOD = 8
+SNAPDIFF_REMOVED_MOD = 9
+SNAPDIFF_CHANGED_MOD = 7
+
+
+def _duck_snapshot_diff_sql() -> str:
+    fp1 = f"coalesce({H.word_hash('text', 'duckdb')}, CAST(-1 AS BIGINT))"
+    fp2 = (
+        f"coalesce({H.word_hash(chr(39) + 'v2 ' + chr(39) + ' || text', 'duckdb')}, "
+        "CAST(-1 AS BIGINT))"
+    )
+    return f"""
+        WITH base AS (
+          SELECT doc_id, source, text,
+                 ((doc_id % 10) + 10) % 10 AS pm
+          FROM documents
+        ),
+        v1 AS (
+          SELECT doc_id, MIN(source) AS source, MIN({fp1}) AS fp
+          FROM base WHERE pm <> {SNAPDIFF_ADDED_MOD} GROUP BY doc_id
+        ),
+        v2 AS (
+          SELECT doc_id, MIN(source) AS source,
+                 MIN(CASE WHEN pm = {SNAPDIFF_CHANGED_MOD} THEN {fp2}
+                          ELSE {fp1} END) AS fp
+          FROM base WHERE pm <> {SNAPDIFF_REMOVED_MOD} GROUP BY doc_id
+        ),
+        diff AS (
+          SELECT CASE WHEN v2.fp IS NOT NULL THEN v2.source ELSE v1.source END
+                   AS source,
+                 CASE WHEN v1.fp IS NULL THEN 'added'
+                      WHEN v2.fp IS NULL THEN 'removed'
+                      WHEN v1.fp <> v2.fp THEN 'changed'
+                      ELSE 'unchanged' END AS status
+          FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        )
+        SELECT source,
+               CAST(SUM(CASE WHEN status <> 'added' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_v1,
+               CAST(SUM(CASE WHEN status <> 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS docs_v2,
+               CAST(SUM(CASE WHEN status = 'added' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS added,
+               CAST(SUM(CASE WHEN status = 'removed' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS removed,
+               CAST(SUM(CASE WHEN status = 'changed' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS changed,
+               CAST(SUM(CASE WHEN status = 'unchanged' THEN 1 ELSE 0 END) AS BIGINT)
+                 AS unchanged,
+               CAST((SUM(CASE WHEN status IN ('added', 'removed', 'changed')
+                             THEN 1 ELSE 0 END) * 1000)
+                    // GREATEST(SUM(CASE WHEN status <> 'added' THEN 1 ELSE 0 END), 1)
+                 AS BIGINT) AS churn_permille
+        FROM diff GROUP BY source
+        """
+
+
+@register(
+    "corpus_snapshot_diff",
+    oracle=_duck_snapshot_diff_sql(),
+    doc="Corpus snapshot diff — the release-to-release change report "
+    "(VERDICT r15 task 7): per source, docs added / removed / changed / "
+    "unchanged between two corpus versions plus churn permille of the v1 "
+    "base.  Versions derive deterministically from the documents table "
+    "(mod-10 classes simulate adds/removes/edits; production points v1/v2 "
+    "at two snapshot paths, same dataflow).  Each version collapses to "
+    "one (doc_id, MIN fp, MIN source) row per id — the doc_fingerprints "
+    "dup-id contract, so duplicated ids can never fan the diff out — and "
+    "the diff is ONE doc_id-keyed full outer join carrying (doc_id, fp, "
+    "source); text never moves, and the total-fingerprint sentinel makes "
+    "presence detectable by fp IS NULL alone.  Changed docs attribute to "
+    "their v2 source (the live version owns the doc); NULL-text docs "
+    "hash to the sentinel in both versions, so an edit that only touches "
+    "unhashable content reports unchanged.  The churn number is what a "
+    "release gate alarms on: a 30-permille weekly churn is routine, a "
+    "400-permille one means an upstream source was swapped.",
+    tags=("dedup", "curation", "incremental", "added-r16"),
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _corpus_snapshot_diff(load_table(spark, sf_dir, "documents"))
+
+
+def _corpus_snapshot_diff(docs: DataFrame) -> DataFrame:
+    fp1 = f"coalesce({H.word_hash('text', 'spark')}, -1L)"
+    fp2 = f"coalesce({H.word_hash(chr(39) + 'v2 ' + chr(39) + ' || text', 'spark')}, -1L)"
+    base = docs.select(
+        "doc_id", "source", "text", F.pmod("doc_id", F.lit(10)).alias("pm")
+    )
+    v1 = (
+        base.filter(F.col("pm") != SNAPDIFF_ADDED_MOD)
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.min(F.expr(fp1)).alias("fp"),
+        )
+    )
+    v2 = (
+        base.filter(F.col("pm") != SNAPDIFF_REMOVED_MOD)
+        .groupBy("doc_id")
+        .agg(
+            F.min("source").alias("source"),
+            F.min(
+                F.expr(
+                    f"CASE WHEN pm = {SNAPDIFF_CHANGED_MOD} THEN {fp2} "
+                    f"ELSE {fp1} END"
+                )
+            ).alias("fp"),
+        )
+    )
+    diff = (
+        v1.alias("a")
+        .join(v2.alias("b"), F.col("a.doc_id") == F.col("b.doc_id"), "full_outer")
+        .select(
+            F.expr(
+                "CASE WHEN b.fp IS NOT NULL THEN b.source ELSE a.source END"
+            ).alias("source"),
+            F.expr(
+                "CASE WHEN a.fp IS NULL THEN 'added' "
+                "WHEN b.fp IS NULL THEN 'removed' "
+                "WHEN a.fp <> b.fp THEN 'changed' "
+                "ELSE 'unchanged' END"
+            ).alias("status"),
+        )
+    )
+    c = lambda s: F.sum(F.expr(f"CASE WHEN status = '{s}' THEN 1 ELSE 0 END")).cast("long")  # noqa: E731
+    return diff.groupBy("source").agg(
+        F.sum(F.expr("CASE WHEN status <> 'added' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("docs_v1"),
+        F.sum(F.expr("CASE WHEN status <> 'removed' THEN 1 ELSE 0 END"))
+        .cast("long")
+        .alias("docs_v2"),
+        c("added").alias("added"),
+        c("removed").alias("removed"),
+        c("changed").alias("changed"),
+        c("unchanged").alias("unchanged"),
+        F.expr(
+            "CAST(SUM(CASE WHEN status IN ('added', 'removed', 'changed') "
+            "THEN 1 ELSE 0 END) * 1000 div "
+            "GREATEST(SUM(CASE WHEN status <> 'added' THEN 1 ELSE 0 END), 1) "
+            "AS BIGINT)"
+        ).alias("churn_permille"),
+    )
+
+
 @register(
     "image_resize_stats",
     oracle="""

@@ -793,6 +793,9 @@ PINNED_DOCID = [
     # round-16: NULL text (empty blob) + the duplicated identical texts
     # (a hamming-0 diagonal pair through the C(cnt,2) weighting)
     ("image_neardup_pairs", "NULL-text blob + identical-blob diagonal"),
+    # round-16: -11 ≡ 9 (mod 10) must land in the REMOVED class in both
+    # engines (sign-consistent split), and dup id 0 must collapse
+    ("corpus_snapshot_diff", "negative-id removal + dup-id collapse"),
 ]
 
 

@@ -2905,3 +2905,65 @@ def test_residual_ivfadc_recall_dominates_raw_on_standard_corpus(spark):
     assert got, "residual IVFADC returned no rows on the standard corpus"
     for r in got:
         assert assign[r.neighbor_id] in probed[r.query_id], r
+
+
+def test_corpus_snapshot_diff_on_crafted_two_version_corpus(spark):
+    """VERDICT r15 task 7's done-bar: a crafted corpus covering every diff
+    class — added (pm 8), removed (pm 9), changed (pm 7), unchanged, a
+    DUPLICATED id (must collapse, never fan the full outer join out), a
+    NULL-text doc in the changed class (sentinel fp in both versions =>
+    reports unchanged), and a NULL source — checked against hand-computed
+    per-source counts AND the DuckDB oracle."""
+    import duckdb
+
+    from pulsar_pekko_streams_example_spark.plans import REGISTRY, all_queries
+    from pulsar_pekko_streams_example_spark.plans.data_queries import (
+        _corpus_snapshot_diff,
+    )
+
+    all_queries()
+    rows = [
+        (1, "stays the same", "web", "en", 14),      # unchanged
+        (7, "will be edited", "web", "en", 14),      # changed (pm 7)
+        (17, None, "web", "en", 0),                  # pm 7 but NULL text -> unchanged
+        (8, "new arrival", "books", "en", 11),       # added (pm 8)
+        (9, "will be dropped", "books", "en", 15),   # removed (pm 9)
+        (11, "dup id doc", "web", "en", 10),         # duplicated id:
+        (11, "dup id doc prime", "web", "en", 16),   #   collapses via MIN fp
+        (21, "null source doc", None, "en", 15),     # NULL-source unchanged
+    ]
+    docs = spark.createDataFrame(
+        [(d, t, s, lang, n) for d, t, s, lang, n in rows],
+        "doc_id long, text string, source string, lang string, n_chars long",
+    ).select("doc_id", "text", "lang", "source", "n_chars")
+    got = {
+        r.source: (r.docs_v1, r.docs_v2, r.added, r.removed, r.changed,
+                   r.unchanged, r.churn_permille)
+        for r in _corpus_snapshot_diff(docs).collect()
+    }
+    want = {
+        # web: ids 1 (unch), 7 (changed), 17 (NULL-text 'changed' -> unch),
+        #      11 (dup, collapses, unch) => v1=4, v2=4, churn = 1000*1//4
+        "web": (4, 4, 0, 0, 1, 3, 250),
+        # books: 8 added, 9 removed => v1=1, v2=1, churn = 2000*... (1+1)*1000//1
+        "books": (1, 1, 1, 1, 0, 0, 2000),
+        None: (1, 1, 0, 0, 0, 1, 0),
+    }
+    assert got == want, (got, want)
+    # and full oracle parity on the same crafted table
+    import tempfile
+
+    from pulsar_pekko_streams_example_spark.verify import compare
+
+    with tempfile.TemporaryDirectory() as base:
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+        con = duckdb.connect()
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"read_parquet('{base}/documents.parquet/*.parquet')"
+        )
+        spec = REGISTRY["corpus_snapshot_diff"]
+        df = spec.build(spark, base)
+        problems = compare(df, con.sql(spec.oracle))
+        con.close()
+        assert not problems, "; ".join(problems)
