@@ -1246,3 +1246,83 @@ def ann_ivfadc_residual_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rnk")
     )
+
+
+def ann_ivfadc_trained_topk(
+    emb: DataFrame,
+    query_filter: str,
+    k: int,
+    nprobe: int = None,
+    rounds: int = IVF_TRAIN_ROUNDS,
+) -> DataFrame:
+    """IVFADC composed over the Lloyd's-TRAINED coarse quantizer (VERDICT
+    r15 task 1's composition half): inverted lists come from
+    ``trained_ivf_centroids`` while vectors stay as the strided raw-vector
+    PQ codes — exactly ``ann_ivfadc_topk``'s compressed-domain search with
+    only the quantizer swapped, so the matrix attributes its recall delta
+    to coarse-quantizer training alone.  Same scale shape: broadcast
+    centroid scoring for assignment/probing, codes stream once through the
+    (cent_id, m, code) equi-join, embeddings never move at query time."""
+    from pulsar_pekko_streams_example_spark.functions.numeric import dsum
+
+    nprobe = IVF_NPROBE if nprobe is None else nprobe
+    emb = spread(emb)
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm")
+    )
+    cent = trained_ivf_centroids(emb, rounds).select(
+        F.col("cluster_id").alias("cent_id"),
+        F.col("centroid").alias("ce"),
+        F.expr(_norm("centroid")).alias("cn"),
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        F.expr(
+            safe_cos(DOT.format(a="embedding", b="ce"), "nrm * cn", "spark")
+        ).alias("csim"),
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("csim").alias("csim"), (-F.col("cent_id")).alias("neg"))
+            ).alias("m")
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"), (-F.col("m.neg")).alias("cent_id")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    probes = (
+        scored.filter(F.expr(query_filter))
+        .select(F.col("vec_id").alias("query_id"), "cent_id", "csim")
+        .withColumn("pr", F.row_number().over(wq))
+        .filter(F.col("pr") <= nprobe)
+        .select("query_id", "cent_id")
+    )
+    codes = pq_codes(pq_distance_table(emb))
+    coded_lists = codes.withColumnRenamed("vec_id", "neighbor_id").join(
+        assign, ["neighbor_id"]
+    )
+    qdt = pq_distance_table(emb, row_filter=query_filter).select(
+        F.col("vec_id").alias("query_id"),
+        "m",
+        F.col("j").alias("code"),
+        "d",
+    )
+    probe_tables = probes.join(qdt, ["query_id"])
+    adc = (
+        coded_lists.join(F.broadcast(probe_tables), ["cent_id", "m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(dsum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )

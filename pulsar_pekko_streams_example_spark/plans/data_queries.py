@@ -2377,6 +2377,114 @@ def ann_ivfadc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 PQ_REFINE_R = 4 * ANN_K
 
 
+def _duck_ann_ivfadc_trained_sql(k: int, nprobe: int, rounds: int) -> str:
+    """ann_ivfadc_topk's compressed-domain search SQL with the Lloyd's-
+    trained coarse quantizer swapped in: lists/probes come from tc{rounds}
+    centroids, codes stay the strided raw-vector PQ codebook — byte-
+    identical scoring to _duck_ann_ivfadc_sql."""
+    S = similarity
+    ivf_cos = S.safe_cos(_duck_dot("b.embedding", "c.ce"), "b.nrm * c.cn", "duckdb")
+    sub_v = f"b.embedding[t.m * {S.PQ_SUBDIM} + 1 : t.m * {S.PQ_SUBDIM} + {S.PQ_SUBDIM}]"
+    sub_c = f"pc.ce[t.m * {S.PQ_SUBDIM} + 1 : t.m * {S.PQ_SUBDIM} + {S.PQ_SUBDIM}]"
+    dd = S.sqdist(sub_v, sub_c, "duckdb")
+    guarded = (
+        f"coalesce(CASE WHEN isnan({dd}) THEN CAST({S.PQ_SENTINEL} AS DOUBLE) "
+        f"ELSE ({dd}) END, CAST({S.PQ_SENTINEL} AS DOUBLE))"
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        {_duck_lloyds_cent_ctes(rounds)},
+        cent AS (
+          SELECT cluster_id AS cent_id, centroid AS ce,
+                 sqrt({_duck_dot('centroid', 'centroid')}) AS cn
+          FROM tc{rounds}
+        ),
+        ivfscored AS (
+          SELECT b.vec_id, c.cent_id, {ivf_cos} AS csim
+          FROM base b CROSS JOIN cent c
+        ),
+        assign AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+            FROM ivfscored
+          ) t WHERE rn = 1
+        ),
+        probes AS (
+          SELECT vec_id AS query_id, cent_id FROM (
+            SELECT vec_id, cent_id, ROW_NUMBER() OVER (
+              PARTITION BY vec_id ORDER BY csim DESC, cent_id) AS rn
+            FROM ivfscored WHERE {ANN_QUERY_FILTER}
+          ) t WHERE rn <= {nprobe}
+        ),
+        pqcent AS (
+          SELECT CAST((vec_id - {S.PQ_CENT_OFFSET}) // {S.PQ_CENT_STRIDE} AS BIGINT) AS j,
+                 embedding AS ce
+          FROM base
+          WHERE vec_id < {S.PQ_CENT_STRIDE * S.PQ_CODEBOOK}
+            AND vec_id % {S.PQ_CENT_STRIDE} = {S.PQ_CENT_OFFSET}
+        ),
+        dt AS (
+          SELECT b.vec_id, CAST(t.m AS BIGINT) AS m, pc.j, {guarded} AS d
+          FROM base b CROSS JOIN pqcent pc CROSS JOIN range({S.PQ_M}) t(m)
+        ),
+        codes AS (
+          SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+            FROM dt
+          ) x WHERE rn = 1
+        ),
+        qdt AS (
+          SELECT vec_id AS query_id, m, j AS code, d FROM dt
+          WHERE {ANN_QUERY_FILTER}
+        ),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 {sql_dsum('q.d')} AS adc_dist
+          FROM codes c
+          JOIN assign a ON c.vec_id = a.vec_id
+          JOIN probes p ON a.cent_id = p.cent_id
+          JOIN qdt q ON q.query_id = p.query_id
+                    AND q.m = c.m AND q.code = c.code
+          WHERE c.vec_id <> p.query_id
+          GROUP BY q.query_id, c.vec_id
+        )
+        SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist NULLS LAST, neighbor_id) AS rnk
+          FROM scored
+        ) t WHERE rnk <= {k}
+        """
+
+
+@register(
+    "ann_ivfadc_trained_topk",
+    oracle=_duck_ann_ivfadc_trained_sql(
+        ANN_K, similarity.IVF_NPROBE, similarity.IVF_TRAIN_ROUNDS
+    ),
+    doc="IVFADC composed over the Lloyd's-TRAINED coarse quantizer — the "
+    "composition half of VERDICT r15 task 1: inverted lists and probe "
+    "ranks come from the trained centroids (strided seeds + "
+    f"{similarity.IVF_TRAIN_ROUNDS} exact-decimal k-means rounds) while "
+    "vectors stay as the strided raw-vector 8-byte PQ codes, so the "
+    "recall delta vs ann_ivfadc_topk in ann_method_recall_matrix is "
+    "attributable to coarse-quantizer training alone.  Search shape "
+    "unchanged: assignment/probing ride one broadcast centroid scoring "
+    "pass, the corpus streams codes once through the (cent_id, m, code) "
+    "equi-join against the broadcast query tables, and no corpus "
+    "embedding is touched at query time.",
+    tags=("similarity", "pq", "ivf", "clustering", "scale-default", "added-r16"),
+)
+def ann_ivfadc_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_ivfadc_trained_topk(emb, ANN_QUERY_FILTER, ANN_K)
+
+
 def _duck_ann_ivfadc_residual_sql(k: int, nprobe: int) -> str:
     S = similarity
     ivf_cos = S.safe_cos(_duck_dot("b.embedding", "c.ce"), "b.nrm * c.cn", "duckdb")
@@ -2675,7 +2783,7 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_method_recall_sql() -> str:
     """One recall row per approximate index path: exact top-k LEFT JOIN each
-    method's top-k, seven independent WITH-scoped subqueries UNION ALL'd."""
+    method's top-k, eight independent WITH-scoped subqueries UNION ALL'd."""
     methods = {
         "lsh": _duck_ann_lsh_sql(ANN_K),
         "ivf": _duck_ann_ivf_sql(ANN_K, similarity.IVF_NPROBE),
@@ -2687,6 +2795,9 @@ def _duck_method_recall_sql() -> str:
         ),
         "ivfadc_residual": _duck_ann_ivfadc_residual_sql(
             ANN_K, similarity.IVF_NPROBE
+        ),
+        "ivfadc_trained": _duck_ann_ivfadc_trained_sql(
+            ANN_K, similarity.IVF_NPROBE, similarity.IVF_TRAIN_ROUNDS
         ),
     }
     parts = []
@@ -2715,8 +2826,8 @@ def _duck_method_recall_sql() -> str:
     oracle=_duck_method_recall_sql(),
     doc="The index-selection table: recall@k of EVERY approximate ANN path "
     "in this engine — hyperplane-LSH, IVF (default nprobe), PQ/ADC, "
-    "composed IVFADC, ADC+refine, Lloyd's-trained IVF, and residual-"
-    "encoded IVFADC — against the "
+    "composed IVFADC, ADC+refine, Lloyd's-trained IVF (plain and "
+    "IVFADC-composed), and residual-encoded IVFADC — against the "
     f"same exact-cosine ground truth, one row per method at k={ANN_K}.  "
     "This is the first table a deployment reads when choosing its index: "
     "recall side by side under identical data, queries, and tie-break "
@@ -2760,6 +2871,9 @@ def ann_method_recall_matrix(
         ),
         "ivf_trained": lambda: similarity.ann_ivf_trained_topk(emb, qf, ANN_K),
         "ivfadc_residual": lambda: similarity.ann_ivfadc_residual_topk(
+            emb, qf, ANN_K
+        ),
+        "ivfadc_trained": lambda: similarity.ann_ivfadc_trained_topk(
             emb, qf, ANN_K
         ),
     }

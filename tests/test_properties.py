@@ -2678,7 +2678,7 @@ def test_ann_method_recall_matrix_is_consistent_with_per_method_reports(spark):
     }
     assert set(rows) == {
         "lsh", "ivf", "pq_adc", "ivfadc", "pq_refine", "ivf_trained",
-        "ivfadc_residual",
+        "ivfadc_residual", "ivfadc_trained",
     }
     exact = {
         (r.query_id, r.neighbor_id)
@@ -2692,6 +2692,7 @@ def test_ann_method_recall_matrix_is_consistent_with_per_method_reports(spark):
         ("pq_refine", "ann_pq_refine_topk"),
         ("ivf_trained", "ann_ivf_trained_topk"),
         ("ivfadc_residual", "ann_ivfadc_residual_topk"),
+        ("ivfadc_trained", "ann_ivfadc_trained_topk"),
     ):
         r = rows[m]
         assert r.exact_pairs == len(exact)

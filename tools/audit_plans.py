@@ -102,10 +102,17 @@ plus the residual distance-table passes — corpus-residuals x the <=16-row
 broadcast RESIDUAL codebook, and the bounded (queries x nprobe) query-
 residual rows x the same codebook; the scoring join itself is an equi-join
 on (cent_id, m, code), operators/similarity.py::ann_ivfadc_residual_topk);
-ann_method_recall_matrix (29 passes = the prior 22 plus
-ann_ivfadc_residual_topk's 6 and its UNION branch's exact-ground-truth
-crossJoin — verbatim reuses of the adjudicated dataflows, pair-keyed LEFT
-JOINs only on top).
+ann_ivfadc_trained_topk (8 BNLJ passes: the two Lloyd's training rounds'
+corpus x broadcast-centroid assign passes plus the trained-centroid
+scoring pass — all recorded under ann_ivf_trained_topk — composed with the
+PQ distance-table corpus x <=16-row codebook crossJoins recorded under
+ann_pq_adc_topk; the composed scoring join is the (cent_id, m, code)
+equi-join, operators/similarity.py::ann_ivfadc_trained_topk);
+ann_method_recall_matrix (38 passes = the adjudicated sum of its EIGHT
+constituent index paths — ivfadc_residual's 6 and ivfadc_trained's 8
+included — plus one exact-ground-truth crossJoin per UNION branch; every
+pass is a verbatim reuse, the matrix itself adds only pair-keyed LEFT
+JOINs).
 """
 
 from __future__ import annotations
