@@ -39,7 +39,10 @@ def run(spark, workdir: str) -> dict:
         r.method: r
         for r in REGISTRY["ann_method_recall_matrix"].build(spark, SF_DIR).collect()
     }
-    assert set(matrix) == {"lsh", "ivf", "pq_adc", "ivfadc", "pq_refine"}
+    assert set(matrix) == {
+        "lsh", "ivf", "pq_adc", "ivfadc", "pq_refine", "ivf_trained",
+        "ivfadc_residual", "ivfadc_trained", "pq_trained",
+    }
     for r in matrix.values():
         assert r.exact_pairs == n_truth, "every row shares one ground truth"
         assert r.found + r.missed == r.exact_pairs, "the ledger must tile"

@@ -29,11 +29,39 @@ from pyspark.sql import functions as F
 
 DEC = "decimal(38,6)"
 
+# Portable 6-decimal pre-quantization (round-16 finding, surfaced by the
+# trained-PQ ADC sums): the engines CONVERT double -> DECIMAL differently.
+# Spark goes through the value's SHORTEST decimal representation (Java
+# BigDecimal.valueOf) and rounds that HALF_UP; DuckDB rounds the EXACT
+# binary expansion.  A double whose shortest repr carries a tie at the 7th
+# fractional digit therefore rounds differently per engine: 182.7653145 ->
+# 182.765315 (Spark) vs 182.765314 (DuckDB, exact binary ...44999...).
+# Rational-arithmetic data (means of integer-valued components) lands on
+# such doubles in practice.  Fix: quantize with PURE IEEE double ops first
+# — floor(x*1e6 + 0.5)/1e6, bit-identical in both engines — which puts
+# every |x| < 9e9 exactly on a 6-decimal grid point whose decimal
+# conversion is then unambiguous (the grid double's shortest repr IS the
+# grid value, and its exact binary is within half an ulp of it).  Ties
+# round toward +inf in BOTH engines by contract.  Larger magnitudes skip
+# the quantization (the micro-unit product would leave the 2^53
+# exact-integer range); any low-digit conversion difference there is
+# absorbed by the final CAST(.. AS DOUBLE), as it always was.
+_Q6_BOUND = 9.0e9
+
+
+def _q6(c: Column) -> Column:
+    return F.when(
+        F.abs(c) < F.lit(_Q6_BOUND),
+        F.floor(c * F.lit(1e6) + F.lit(0.5)).cast("double") / F.lit(1e6),
+    ).otherwise(c)
+
 
 def dcast(c: Column) -> Column:
-    """Total double→DECIMAL(38,6) cell cast (NaN/Inf/out-of-range → NULL).
-    Use for inline decimal accumulations that dsum/davg don't cover."""
-    return c.try_cast(DEC)
+    """Total, engine-portable double→DECIMAL(38,6) cell cast (NaN/Inf/
+    out-of-range → NULL; 6-decimal ties pre-quantized identically in both
+    engines — see _q6).  Use for inline decimal accumulations that
+    dsum/davg don't cover."""
+    return _q6(c).try_cast(DEC)
 
 
 _dec = dcast
@@ -56,10 +84,16 @@ def davg(col: Column | str) -> Column:
 
 def sql_dcast(expr: str) -> str:
     """DuckDB twin of dcast() (isfinite pre-guard: DuckDB TRY_CAST still
-    errors on NaN/Inf→DECIMAL)."""
+    errors on NaN/Inf→DECIMAL; same _q6 pure-double pre-quantization so
+    6-decimal conversion ties resolve identically in both engines)."""
+    x = f"CAST(({expr}) AS DOUBLE)"
+    q = (
+        f"CASE WHEN abs({x}) < {_Q6_BOUND!r} "
+        f"THEN floor({x} * 1e6 + 0.5) / 1e6 ELSE {x} END"
+    )
     return (
-        f"TRY_CAST(CASE WHEN isfinite(CAST(({expr}) AS DOUBLE)) "
-        f"THEN ({expr}) END AS DECIMAL(38,6))"
+        f"TRY_CAST(CASE WHEN isfinite({x}) "
+        f"THEN ({q}) END AS DECIMAL(38,6))"
     )
 
 

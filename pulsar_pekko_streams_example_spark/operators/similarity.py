@@ -1326,3 +1326,142 @@ def ann_ivfadc_trained_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rnk")
     )
+
+
+# --- Trained PQ codebooks (round-16: the PQ half of quantizer training) ------
+
+PQ_TRAIN_ROUNDS = 2
+
+
+def _pq_dt_from_cb(
+    base: DataFrame, cb: DataFrame, row_filter: str | None = None
+) -> DataFrame:
+    """(vec_id, m, j, d): guarded squared-L2 of every vector's m-th
+    subvector against an EXPLICIT (m, j, cbe) codebook frame (M x K rows,
+    broadcast).  The trained-codebook twin of pq_distance_table — same
+    sentinel contract, same one-map-pass shape."""
+    if row_filter is not None:
+        base = base.filter(F.expr(row_filter))
+    d = sqdist(f"slice(embedding, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})", "cbe", "spark")
+    guarded = (
+        f"coalesce(nanvl({d}, CAST({PQ_SENTINEL} AS DOUBLE)), "
+        f"CAST({PQ_SENTINEL} AS DOUBLE))"
+    )
+    return base.crossJoin(F.broadcast(cb)).select(
+        "vec_id", "m", "j", F.expr(guarded).alias("d")
+    )
+
+
+def trained_pq_codebook(
+    emb: DataFrame, rounds: int = PQ_TRAIN_ROUNDS
+) -> DataFrame:
+    """(m, j, cbe): per-subspace Lloyd's-trained PQ codebook, seeded from
+    the strided codebook's subvectors.  Each round is one guarded-L2
+    assignment (the pq_codes argmin, corpus x M x K broadcast scoring) plus
+    one exact-decimal mean update — the shuffle carries M x K x subdim
+    aggregated rows, never subvectors.  Entries that lose every member
+    drop out, deterministically in both engines; a NaN/huge component is
+    excluded from the mean but still counted (the dsum contract)."""
+    from pulsar_pekko_streams_example_spark.functions.numeric import dsum
+
+    emb = spread(emb)
+    base = emb.filter(F.col("embedding").isNotNull()).select("vec_id", "embedding")
+    cb = (
+        base.filter(
+            (F.col("vec_id") < PQ_CENT_STRIDE * PQ_CODEBOOK)
+            & (F.col("vec_id") % PQ_CENT_STRIDE == PQ_CENT_OFFSET)
+        )
+        .select(
+            ((F.col("vec_id") - PQ_CENT_OFFSET) / PQ_CENT_STRIDE)
+            .cast("long")
+            .alias("j"),
+            F.explode(F.expr(f"sequence(0, {PQ_M - 1})")).alias("m0"),
+            "embedding",
+        )
+        .select(
+            F.col("m0").cast("long").alias("m"),
+            "j",
+            F.expr(f"slice(embedding, m0 * {PQ_SUBDIM} + 1, {PQ_SUBDIM})").alias(
+                "cbe"
+            ),
+        )
+    )
+    for _ in range(rounds):
+        codes = (
+            _pq_dt_from_cb(base, cb)
+            .groupBy("vec_id", "m")
+            .agg(F.min(F.struct(F.col("d"), F.col("j"))).alias("mn"))
+            .select("vec_id", "m", F.col("mn.j").alias("code"))
+        )
+        upd = (
+            codes.join(base, ["vec_id"])
+            .select(
+                "m",
+                "code",
+                F.posexplode(
+                    F.expr(f"slice(embedding, m * {PQ_SUBDIM} + 1, {PQ_SUBDIM})")
+                ).alias("sd0", "comp"),
+            )
+            .groupBy("m", "code", (F.col("sd0") + 1).cast("long").alias("sd"))
+            .agg(
+                dsum(F.col("comp").cast("double")).alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        cb = upd.groupBy("m", F.col("code").alias("j")).agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            F.col("sd").alias("sd"),
+                            (F.col("s") / F.col("n")).alias("c"),
+                        )
+                    )
+                ),
+                lambda x: x["c"],
+            ).alias("cbe")
+        )
+    return cb
+
+
+def ann_pq_trained_topk(
+    emb: DataFrame, query_filter: str, k: int, rounds: int = PQ_TRAIN_ROUNDS
+) -> DataFrame:
+    """PQ/ADC ANN over the Lloyd's-TRAINED per-subspace codebook: identical
+    compressed-domain search to ann_pq_adc_topk (codes once at ingest,
+    broadcast query tables, (m, code) equi-join scoring), only the codebook
+    differs — so ann_method_recall_matrix's pq_trained row attributes its
+    recall delta to codebook training alone."""
+    from pulsar_pekko_streams_example_spark.functions.numeric import dsum
+
+    emb = spread(emb)
+    base = emb.filter(F.col("embedding").isNotNull()).select("vec_id", "embedding")
+    cb = trained_pq_codebook(emb, rounds)
+    dt = _pq_dt_from_cb(base, cb)
+    codes = (
+        dt.groupBy("vec_id", "m")
+        .agg(F.min(F.struct(F.col("d"), F.col("j"))).alias("mn"))
+        .select(
+            F.col("vec_id").alias("neighbor_id"), "m", F.col("mn.j").alias("code")
+        )
+    )
+    qdt = _pq_dt_from_cb(base, cb, row_filter=query_filter).select(
+        F.col("vec_id").alias("query_id"),
+        "m",
+        F.col("j").alias("code"),
+        "d",
+    )
+    scored = (
+        codes.join(F.broadcast(qdt), ["m", "code"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(dsum("d").alias("adc_dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc_nulls_last(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "adc_dist", "rnk")
+    )

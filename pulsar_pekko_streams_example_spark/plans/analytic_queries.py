@@ -243,8 +243,8 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT o_orderpriority,
                COUNT(*) AS orders,
-               (CAST(SUM(CAST(pr AS DECIMAL(38,6))) AS DOUBLE) / COUNT(pr)) AS avg_percent_rank,
-               (CAST(SUM(CAST(cd AS DECIMAL(38,6))) AS DOUBLE) / COUNT(cd)) AS avg_cume_dist
+               (CAST(SUM(TRY_CAST(CASE WHEN isfinite(CAST((pr) AS DOUBLE)) THEN (CASE WHEN abs(CAST((pr) AS DOUBLE)) < 9000000000.0 THEN floor(CAST((pr) AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE CAST((pr) AS DOUBLE) END) END AS DECIMAL(38,6))) AS DOUBLE) / COUNT(pr)) AS avg_percent_rank,
+               (CAST(SUM(TRY_CAST(CASE WHEN isfinite(CAST((cd) AS DOUBLE)) THEN (CASE WHEN abs(CAST((cd) AS DOUBLE)) < 9000000000.0 THEN floor(CAST((cd) AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE CAST((cd) AS DOUBLE) END) END AS DECIMAL(38,6))) AS DOUBLE) / COUNT(cd)) AS avg_cume_dist
         FROM ranked GROUP BY o_orderpriority
         """,
     doc="Relative-rank window functions (percent_rank, cume_dist) over the "

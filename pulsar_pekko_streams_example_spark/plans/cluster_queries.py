@@ -260,9 +260,9 @@ def kmeans_round2_movement(spark: SparkSession, sf_dir: str) -> DataFrame:
                -- an all-degenerate corpus (every weight clamps to 0) has no
                -- defined mixture: share is NULL, never 0/0 (Spark ANSI
                -- raises DIVIDE_BY_ZERO even on doubles)
-               CASE WHEN CAST(SUM(CAST(weight AS DECIMAL(38,6))) OVER ()
+               CASE WHEN CAST(SUM(TRY_CAST(CASE WHEN isfinite(CAST((weight) AS DOUBLE)) THEN (CASE WHEN abs(CAST((weight) AS DOUBLE)) < 9000000000.0 THEN floor(CAST((weight) AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE CAST((weight) AS DOUBLE) END) END AS DECIMAL(38,6))) OVER ()
                           AS DOUBLE) > 0
-                    THEN weight / CAST(SUM(CAST(weight AS DECIMAL(38,6))) OVER ()
+                    THEN weight / CAST(SUM(TRY_CAST(CASE WHEN isfinite(CAST((weight) AS DOUBLE)) THEN (CASE WHEN abs(CAST((weight) AS DOUBLE)) < 9000000000.0 THEN floor(CAST((weight) AS DOUBLE) * 1e6 + 0.5) / 1e6 ELSE CAST((weight) AS DOUBLE) END) END AS DECIMAL(38,6))) OVER ()
                                        AS DOUBLE) END AS share
         FROM w
         """,
@@ -282,7 +282,9 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "weight",
         F.expr("sqrt(CAST(GREATEST(COALESCE(chars, 0), 0) AS DOUBLE))"),
     )
-    total = F.sum(F.col("weight").cast(DEC)).over(
+    # dcast, not a plain cast (round-16): the shared 6-decimal tie
+    # pre-quantization keeps the window sum bit-identical to the oracle's
+    total = F.sum(dcast(F.col("weight"))).over(
         Window.partitionBy().rowsBetween(
             Window.unboundedPreceding, Window.unboundedFollowing
         )

@@ -2270,6 +2270,135 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_pq_adc_topk(emb, ANN_QUERY_FILTER, ANN_K)
 
 
+def _duck_trained_pq_ctes(rounds: int) -> str:
+    """Per-subspace PQ codebook training chain (assumes a preceding ``base``
+    CTE of non-NULL (vec_id, embedding) rows): strided-seed subvector
+    codebook ``pcb0``, then ``rounds`` unrolled iterations of guarded-L2
+    argmin assignment -> exact-decimal per-(m, code, subdim) means.  Ends
+    with ``pcb{rounds}(m, j, cbe)``.  Twin of
+    similarity.trained_pq_codebook."""
+    S = similarity
+    sub_v = f"b.embedding[c.m * {S.PQ_SUBDIM} + 1 : c.m * {S.PQ_SUBDIM} + {S.PQ_SUBDIM}]"
+    dd = S.sqdist(sub_v, "c.cbe", "duckdb")
+    guarded = (
+        f"coalesce(CASE WHEN isnan({dd}) THEN CAST({S.PQ_SENTINEL} AS DOUBLE) "
+        f"ELSE ({dd}) END, CAST({S.PQ_SENTINEL} AS DOUBLE))"
+    )
+    parts = [
+        f"""
+        pcb0 AS (
+          SELECT CAST(t.m AS BIGINT) AS m,
+                 CAST((vec_id - {S.PQ_CENT_OFFSET}) // {S.PQ_CENT_STRIDE} AS BIGINT) AS j,
+                 embedding[t.m * {S.PQ_SUBDIM} + 1 : t.m * {S.PQ_SUBDIM} + {S.PQ_SUBDIM}] AS cbe
+          FROM base CROSS JOIN range({S.PQ_M}) t(m)
+          WHERE vec_id < {S.PQ_CENT_STRIDE * S.PQ_CODEBOOK}
+            AND vec_id % {S.PQ_CENT_STRIDE} = {S.PQ_CENT_OFFSET}
+        )"""
+    ]
+    for r in range(1, rounds + 1):
+        sub_e = (
+            f"e.embedding[c.m * {S.PQ_SUBDIM} + 1 : c.m * {S.PQ_SUBDIM} + {S.PQ_SUBDIM}]"
+        )
+        parts.append(f"""
+        pdt{r} AS (
+          SELECT b.vec_id, c.m, c.j, {guarded} AS d
+          FROM base b CROSS JOIN pcb{r - 1} c
+        ),
+        pcode{r} AS (
+          SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+            FROM pdt{r}
+          ) x WHERE rn = 1
+        ),
+        psub{r} AS (
+          SELECT c.m, c.code AS j, {sub_e} AS sv
+          FROM pcode{r} c JOIN base e ON c.vec_id = e.vec_id
+        ),
+        pupd{r} AS (
+          SELECT m, j, CAST(sdx.range AS BIGINT) AS sd,
+                 {sql_dsum('CAST(sv[sdx.range] AS DOUBLE)')} AS s,
+                 COUNT(*) AS n
+          FROM psub{r}
+          CROSS JOIN LATERAL (
+            SELECT unnest(range(1, len(sv) + 1)) AS range
+          ) sdx
+          GROUP BY m, j, sd
+        ),
+        pcb{r} AS (
+          SELECT m, j, list(s / n ORDER BY sd) AS cbe
+          FROM pupd{r} GROUP BY m, j
+        )""")
+    return ",".join(parts)
+
+
+def _duck_ann_pq_trained_sql(k: int, rounds: int) -> str:
+    """ann_pq_adc_topk's search SQL with the trained per-subspace codebook
+    swapped in — codes and query tables both score against pcb{rounds}."""
+    S = similarity
+    sub_v = f"b.embedding[c.m * {S.PQ_SUBDIM} + 1 : c.m * {S.PQ_SUBDIM} + {S.PQ_SUBDIM}]"
+    dd = S.sqdist(sub_v, "c.cbe", "duckdb")
+    guarded = (
+        f"coalesce(CASE WHEN isnan({dd}) THEN CAST({S.PQ_SENTINEL} AS DOUBLE) "
+        f"ELSE ({dd}) END, CAST({S.PQ_SENTINEL} AS DOUBLE))"
+    )
+    return f"""
+        WITH base AS (
+          SELECT vec_id, embedding FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        {_duck_trained_pq_ctes(rounds)},
+        fdt AS (
+          SELECT b.vec_id, c.m, c.j, {guarded} AS d
+          FROM base b CROSS JOIN pcb{rounds} c
+        ),
+        codes AS (
+          SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d, j) AS rn
+            FROM fdt
+          ) x WHERE rn = 1
+        ),
+        qdt AS (
+          SELECT vec_id AS query_id, m, j AS code, d FROM fdt
+          WHERE {ANN_QUERY_FILTER}
+        ),
+        scored AS (
+          SELECT q.query_id, c.vec_id AS neighbor_id,
+                 {sql_dsum('q.d')} AS adc_dist
+          FROM codes c JOIN qdt q ON c.m = q.m AND c.code = q.code
+          WHERE c.vec_id <> q.query_id
+          GROUP BY q.query_id, c.vec_id
+        )
+        SELECT query_id, neighbor_id, adc_dist, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY adc_dist NULLS LAST, neighbor_id) AS rnk
+          FROM scored
+        ) t WHERE rnk <= {k}
+        """
+
+
+@register(
+    "ann_pq_trained_topk",
+    oracle=_duck_ann_pq_trained_sql(ANN_K, similarity.PQ_TRAIN_ROUNDS),
+    doc="PQ/ADC ANN over Lloyd's-TRAINED per-subspace codebooks — the PQ "
+    "half of quantizer training (the IVF half is ann_ivf_trained_topk): "
+    f"the strided seed codebook runs {similarity.PQ_TRAIN_ROUNDS} unrolled "
+    "k-means rounds per subspace (guarded-L2 argmin assignment — the "
+    "pq_codes dataflow — then exact-decimal per-(m, code, subdim) means; "
+    "each update shuffles only M x K x subdim aggregated rows) before "
+    "quantizing the corpus.  Search is byte-identical to ann_pq_adc_topk, "
+    "so ann_method_recall_matrix's pq_trained row attributes its recall "
+    "delta to codebook training alone.  Deterministic end-to-end; the "
+    "oracle replicates every round bit-for-bit.  Production would train "
+    "on a hash sample with more rounds — the dataflow is identical.",
+    tags=("similarity", "pq", "clustering", "scale-default", "added-r16"),
+)
+def ann_pq_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_pq_trained_topk(emb, ANN_QUERY_FILTER, ANN_K)
+
+
 def _duck_ann_ivfadc_sql(k: int, nprobe: int) -> str:
     S = similarity
     ivf_cos = S.safe_cos(_duck_dot("b.embedding", "c.ce"), "b.nrm * c.cn", "duckdb")
@@ -2783,7 +2912,7 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_method_recall_sql() -> str:
     """One recall row per approximate index path: exact top-k LEFT JOIN each
-    method's top-k, eight independent WITH-scoped subqueries UNION ALL'd."""
+    method's top-k, nine independent WITH-scoped subqueries UNION ALL'd."""
     methods = {
         "lsh": _duck_ann_lsh_sql(ANN_K),
         "ivf": _duck_ann_ivf_sql(ANN_K, similarity.IVF_NPROBE),
@@ -2799,6 +2928,7 @@ def _duck_method_recall_sql() -> str:
         "ivfadc_trained": _duck_ann_ivfadc_trained_sql(
             ANN_K, similarity.IVF_NPROBE, similarity.IVF_TRAIN_ROUNDS
         ),
+        "pq_trained": _duck_ann_pq_trained_sql(ANN_K, similarity.PQ_TRAIN_ROUNDS),
     }
     parts = []
     for name, sql in methods.items():
@@ -2827,7 +2957,8 @@ def _duck_method_recall_sql() -> str:
     doc="The index-selection table: recall@k of EVERY approximate ANN path "
     "in this engine — hyperplane-LSH, IVF (default nprobe), PQ/ADC, "
     "composed IVFADC, ADC+refine, Lloyd's-trained IVF (plain and "
-    "IVFADC-composed), and residual-encoded IVFADC — against the "
+    "IVFADC-composed), Lloyd's-trained PQ, and residual-encoded IVFADC "
+    "— against the "
     f"same exact-cosine ground truth, one row per method at k={ANN_K}.  "
     "This is the first table a deployment reads when choosing its index: "
     "recall side by side under identical data, queries, and tie-break "
@@ -2876,6 +3007,7 @@ def ann_method_recall_matrix(
         "ivfadc_trained": lambda: similarity.ann_ivfadc_trained_topk(
             emb, qf, ANN_K
         ),
+        "pq_trained": lambda: similarity.ann_pq_trained_topk(emb, qf, ANN_K),
     }
     parts = []
     for name, build in methods.items():

@@ -1468,10 +1468,18 @@ def nation_participation_full_outer(spark: SparkSession, sf_dir: str) -> DataFra
 # check the exact per-row text (totality + cross-engine parity on hostile
 # doubles) without re-deriving it; _PORTABLE_SQL's composed text is byte-
 # identical to the pre-refactor literal.
+# The THEN branch pre-quantizes with pure IEEE double ops (round-16, the
+# functions/numeric.py _q6 contract): both engines convert double ->
+# DECIMAL(38,6) differently at 6-decimal representation ties, so the value
+# lands on the 6-decimal grid BEFORE the cast.  floor() returns BIGINT in
+# Spark and DOUBLE in DuckDB; the /1e6 normalizes both to DOUBLE, keeping
+# this one SQL text portable across engines.
 _PORTABLE_REVENUE_SUMMAND = """TRY_CAST(
              CASE WHEN NOT isnan(l_extendedprice * (1 - l_discount))
                    AND abs(l_extendedprice * (1 - l_discount)) < CAST('Infinity' AS DOUBLE)
-                  THEN l_extendedprice * (1 - l_discount) END
+                  THEN CASE WHEN abs(l_extendedprice * (1 - l_discount)) < 9000000000.0
+                            THEN floor(l_extendedprice * (1 - l_discount) * 1e6 + 0.5) / 1e6
+                            ELSE l_extendedprice * (1 - l_discount) END END
              AS DECIMAL(38,6))"""
 
 _PORTABLE_SQL = (

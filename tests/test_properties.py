@@ -2678,7 +2678,7 @@ def test_ann_method_recall_matrix_is_consistent_with_per_method_reports(spark):
     }
     assert set(rows) == {
         "lsh", "ivf", "pq_adc", "ivfadc", "pq_refine", "ivf_trained",
-        "ivfadc_residual", "ivfadc_trained",
+        "ivfadc_residual", "ivfadc_trained", "pq_trained",
     }
     exact = {
         (r.query_id, r.neighbor_id)
@@ -2693,6 +2693,7 @@ def test_ann_method_recall_matrix_is_consistent_with_per_method_reports(spark):
         ("ivf_trained", "ann_ivf_trained_topk"),
         ("ivfadc_residual", "ann_ivfadc_residual_topk"),
         ("ivfadc_trained", "ann_ivfadc_trained_topk"),
+        ("pq_trained", "ann_pq_trained_topk"),
     ):
         r = rows[m]
         assert r.exact_pairs == len(exact)
@@ -2836,6 +2837,9 @@ def test_trained_ivf_beats_strided_in_standard_recall_matrix(spark):
         .collect()
     }
     assert rows["ivf_trained"].recall_micro >= rows["ivf"].recall_micro, rows
+    # the PQ half of quantizer training: the trained per-subspace codebook
+    # must dominate-or-equal the strided one under the same ADC search
+    assert rows["pq_trained"].recall_micro >= rows["pq_adc"].recall_micro, rows
 
 
 def test_recall_matrix_query_gate_stays_in_binomial_envelope(spark):
@@ -2968,3 +2972,65 @@ def test_corpus_snapshot_diff_on_crafted_two_version_corpus(spark):
         problems = compare(df, con.sql(spec.oracle))
         con.close()
         assert not problems, "; ".join(problems)
+
+
+def test_decimal_cast_ties_resolve_identically_across_engines(spark):
+    """Round-16 finding: Spark converts double -> DECIMAL(38,6) through the
+    SHORTEST decimal repr (HALF_UP), DuckDB through the EXACT binary
+    expansion — 182.7653145 rounded to 182.765315 vs 182.765314 and broke
+    the trained-PQ ADC sums.  The _q6 pure-double pre-quantization must
+    make dcast and sql_dcast agree bit-for-bit on tie-prone values, stay
+    total on NaN/Inf/out-of-envelope, and leave large magnitudes to the
+    final double cast."""
+    import duckdb
+
+    from pulsar_pekko_streams_example_spark.functions.numeric import (
+        dcast,
+        sql_dcast,
+    )
+    from pyspark.sql import functions as F
+
+    vals = [
+        182.7653145,   # THE tie that diverged pre-fix
+        2.0000005, 0.1234565, 25.3814715, 1.0000015,
+        -182.7653145, -2.0000005,            # negative ties: toward +inf both
+        0.0, 1.0, 123.456789, 1e-7, -1e-7,
+        8.9e9, 1e12, 1e30,                   # beyond the quantization bound
+        float("nan"), float("inf"), float("-inf"), 1e35,  # totality
+    ]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    got_spark = [
+        r.q for r in df.select(dcast(F.col("x")).alias("q")).collect()
+    ]
+    con = duckdb.connect()
+    def lit(v):
+        import math
+
+        if math.isnan(v):
+            return "CAST('NaN' AS DOUBLE)"
+        if math.isinf(v):
+            return f"CAST('{'-' if v < 0 else ''}Infinity' AS DOUBLE)"
+        return f"CAST({v!r} AS DOUBLE)"
+
+    got_duck = [
+        con.sql(
+            f"SELECT {sql_dcast('x')} FROM (SELECT {lit(v)} AS x)"
+        ).fetchone()[0]
+        for v in vals
+    ]
+    con.close()
+    for v, s, d in zip(vals, got_spark, got_duck):
+        if s is not None and abs(v) >= 9.0e9:
+            # beyond the quantization bound the CONTRACT is absorption:
+            # the decimals may differ in low digits (shortest-repr vs
+            # exact-binary) but the final double cast erases it
+            assert float(s) == float(d), (v, s, d)
+        else:
+            assert str(s) == str(d), (v, s, d)
+    # the tie really lands where the contract says (toward +inf)
+    import decimal as dec
+
+    assert str(got_spark[0]) == "182.765315", got_spark[0]
+    assert str(got_spark[5]) == "-182.765314", got_spark[5]
+    # totality: NaN/Inf/1e35 are NULL, not errors
+    assert got_spark[-4:] == [None, None, None, None]

@@ -108,11 +108,16 @@ scoring pass — all recorded under ann_ivf_trained_topk — composed with the
 PQ distance-table corpus x <=16-row codebook crossJoins recorded under
 ann_pq_adc_topk; the composed scoring join is the (cent_id, m, code)
 equi-join, operators/similarity.py::ann_ivfadc_trained_topk);
-ann_method_recall_matrix (38 passes = the adjudicated sum of its EIGHT
-constituent index paths — ivfadc_residual's 6 and ivfadc_trained's 8
-included — plus one exact-ground-truth crossJoin per UNION branch; every
-pass is a verbatim reuse, the matrix itself adds only pair-keyed LEFT
-JOINs).
+ann_pq_trained_topk (6 BNLJ passes: two per-subspace codebook-training
+rounds' corpus x <=MxK-broadcast-codebook scoring passes — the
+pq_distance_table shape recorded under ann_pq_adc_topk, re-run per round —
+plus the final codes/query-table pass against the trained codebook; the
+update step is a (m, code, subdim)-keyed hash aggregate, never a join,
+operators/similarity.py::trained_pq_codebook); ann_method_recall_matrix
+(45 passes = the adjudicated sum of its NINE constituent index paths —
+ivfadc_residual's 6, ivfadc_trained's 8, pq_trained's 6 included — plus
+one exact-ground-truth crossJoin per UNION branch; every pass is a
+verbatim reuse, the matrix itself adds only pair-keyed LEFT JOINs).
 """
 
 from __future__ import annotations
