@@ -42,6 +42,7 @@ def run(spark, workdir: str) -> dict:
     assert set(matrix) == {
         "lsh", "ivf", "pq_adc", "ivfadc", "pq_refine", "ivf_trained",
         "ivfadc_residual", "ivfadc_trained", "pq_trained",
+        "ivfadc_residual_refine",
     }
     for r in matrix.values():
         assert r.exact_pairs == n_truth, "every row shares one ground truth"

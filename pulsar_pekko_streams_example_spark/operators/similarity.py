@@ -1465,3 +1465,53 @@ def ann_pq_trained_topk(
         .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "adc_dist", "rnk")
     )
+
+
+def ann_ivfadc_residual_refine_topk(
+    emb: DataFrame, query_filter: str, k: int, r: int, nprobe: int = None
+) -> DataFrame:
+    """The COMPLETE IVFADC+R pipeline (Jégou et al. TPAMI 2011 §V + §VI):
+    residual-encoded IVFADC shortlists ``r`` candidates per query in the
+    compressed domain, then ONLY those r rejoin their full embeddings for
+    an exact-cosine re-rank to the final top-``k`` — the exact structure a
+    billion-scale deployment ships (coarse prune + residual codes + cheap
+    re-rank).  Any true top-k neighbor that survives the shortlist is
+    guaranteed into the refined top-k, so refined recall@k >= residual-ADC
+    recall@k — pinned.  Refine cost is queries x r full vectors, never a
+    second corpus-scan shape; cosine is the shared safe_cos total
+    contract (coalesced to -1, the ann_pq_refine_topk posture)."""
+    short = ann_ivfadc_residual_topk(emb, query_filter, r, nprobe).select(
+        "query_id", "neighbor_id"
+    )
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm")
+    )
+    q = base.filter(F.expr(query_filter)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    n = base.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("embedding").alias("ne"),
+        F.col("nrm").alias("nn"),
+    )
+    rescored = (
+        short.join(n, ["neighbor_id"])
+        .join(F.broadcast(q), ["query_id"])
+        .withColumn(
+            "cosine",
+            F.coalesce(
+                F.expr(safe_cos(DOT.format(a="qe", b="ne"), "qn * nn", "spark")),
+                F.lit(-1.0),
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rescored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "cosine", "rnk")
+    )

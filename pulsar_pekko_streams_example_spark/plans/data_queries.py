@@ -2729,6 +2729,61 @@ def ann_ivfadc_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_ivfadc_residual_topk(emb, ANN_QUERY_FILTER, ANN_K)
 
 
+def _duck_ivfadc_residual_refine_sql(k: int, r: int, nprobe: int) -> str:
+    cos = similarity.safe_cos(
+        _duck_dot("q.embedding", "n.embedding"), "q.nrm * n.nrm", "duckdb"
+    )
+    return f"""
+        WITH short AS (
+          SELECT query_id, neighbor_id
+          FROM ({_duck_ann_ivfadc_residual_sql(r, nprobe)})
+        ),
+        nb2 AS (
+          SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        rescored AS (
+          SELECT s.query_id, s.neighbor_id,
+                 COALESCE({cos}, CAST(-1 AS DOUBLE)) AS cosine
+          FROM short s
+          JOIN nb2 q ON s.query_id = q.vec_id
+          JOIN nb2 n ON s.neighbor_id = n.vec_id
+        )
+        SELECT query_id, neighbor_id, cosine, CAST(rnk AS BIGINT) AS rnk
+        FROM (
+          SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM rescored
+        ) t WHERE rnk <= {k}
+        """
+
+
+@register(
+    "ann_ivfadc_residual_refine_topk",
+    oracle=_duck_ivfadc_residual_refine_sql(
+        ANN_K, PQ_REFINE_R, similarity.IVF_NPROBE
+    ),
+    doc="The COMPLETE IVFADC+R pipeline (Jégou et al. TPAMI 2011 §V + §VI "
+    f"together): residual-encoded IVFADC shortlists {PQ_REFINE_R} "
+    "candidates per query entirely in the compressed domain (coarse "
+    "prune by the strided centroid lists + residual 8-byte codes), "
+    f"then ONLY those {PQ_REFINE_R} rejoin their full embeddings for an "
+    f"exact-cosine re-rank to the top-{ANN_K} — the exact structure a "
+    "billion-scale deployment ships.  Any true top-k neighbor surviving "
+    "the shortlist is guaranteed into the refined top-k (at most k-1 "
+    "vectors beat it globally), so refined recall@k >= residual-ADC "
+    "recall@k, property-pinned.  Refine touches queries x r vectors — "
+    "never a second corpus scan; cosine/tie contracts shared with "
+    "ann_pq_refine_topk.",
+    tags=("similarity", "pq", "ivf", "scale-default", "added-r16"),
+)
+def ann_ivfadc_residual_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_ivfadc_residual_refine_topk(
+        emb, ANN_QUERY_FILTER, ANN_K, PQ_REFINE_R
+    )
+
+
 def _duck_pq_refine_sql(k: int, r: int) -> str:
     cos = similarity.safe_cos(
         _duck_dot("qe", "ne"), "qn * nn", "duckdb"
@@ -2912,7 +2967,7 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _duck_method_recall_sql() -> str:
     """One recall row per approximate index path: exact top-k LEFT JOIN each
-    method's top-k, nine independent WITH-scoped subqueries UNION ALL'd."""
+    method's top-k, ten independent WITH-scoped subqueries UNION ALL'd."""
     methods = {
         "lsh": _duck_ann_lsh_sql(ANN_K),
         "ivf": _duck_ann_ivf_sql(ANN_K, similarity.IVF_NPROBE),
@@ -2929,6 +2984,9 @@ def _duck_method_recall_sql() -> str:
             ANN_K, similarity.IVF_NPROBE, similarity.IVF_TRAIN_ROUNDS
         ),
         "pq_trained": _duck_ann_pq_trained_sql(ANN_K, similarity.PQ_TRAIN_ROUNDS),
+        "ivfadc_residual_refine": _duck_ivfadc_residual_refine_sql(
+            ANN_K, PQ_REFINE_R, similarity.IVF_NPROBE
+        ),
     }
     parts = []
     for name, sql in methods.items():
@@ -2957,7 +3015,8 @@ def _duck_method_recall_sql() -> str:
     doc="The index-selection table: recall@k of EVERY approximate ANN path "
     "in this engine — hyperplane-LSH, IVF (default nprobe), PQ/ADC, "
     "composed IVFADC, ADC+refine, Lloyd's-trained IVF (plain and "
-    "IVFADC-composed), Lloyd's-trained PQ, and residual-encoded IVFADC "
+    "IVFADC-composed), Lloyd's-trained PQ, residual-encoded IVFADC, and "
+    "the complete IVFADC+R refine pipeline "
     "— against the "
     f"same exact-cosine ground truth, one row per method at k={ANN_K}.  "
     "This is the first table a deployment reads when choosing its index: "
@@ -3008,6 +3067,9 @@ def ann_method_recall_matrix(
             emb, qf, ANN_K
         ),
         "pq_trained": lambda: similarity.ann_pq_trained_topk(emb, qf, ANN_K),
+        "ivfadc_residual_refine": lambda: similarity.ann_ivfadc_residual_refine_topk(
+            emb, qf, ANN_K, PQ_REFINE_R
+        ),
     }
     parts = []
     for name, build in methods.items():

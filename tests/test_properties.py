@@ -2679,6 +2679,7 @@ def test_ann_method_recall_matrix_is_consistent_with_per_method_reports(spark):
     assert set(rows) == {
         "lsh", "ivf", "pq_adc", "ivfadc", "pq_refine", "ivf_trained",
         "ivfadc_residual", "ivfadc_trained", "pq_trained",
+        "ivfadc_residual_refine",
     }
     exact = {
         (r.query_id, r.neighbor_id)
@@ -2694,6 +2695,7 @@ def test_ann_method_recall_matrix_is_consistent_with_per_method_reports(spark):
         ("ivfadc_residual", "ann_ivfadc_residual_topk"),
         ("ivfadc_trained", "ann_ivfadc_trained_topk"),
         ("pq_trained", "ann_pq_trained_topk"),
+        ("ivfadc_residual_refine", "ann_ivfadc_residual_refine_topk"),
     ):
         r = rows[m]
         assert r.exact_pairs == len(exact)
@@ -2890,6 +2892,11 @@ def test_residual_ivfadc_recall_dominates_raw_on_standard_corpus(spark):
     }
     assert (
         rows["ivfadc_residual"].recall_micro >= rows["ivfadc"].recall_micro
+    ), rows
+    # the refine stage can only help (shortlist-survivor guarantee)
+    assert (
+        rows["ivfadc_residual_refine"].recall_micro
+        >= rows["ivfadc_residual"].recall_micro
     ), rows
     # structural: residual-path neighbors come only from probed lists
     from pulsar_pekko_streams_example_spark.sources.tables import load_table

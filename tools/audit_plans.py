@@ -117,7 +117,14 @@ operators/similarity.py::trained_pq_codebook); ann_method_recall_matrix
 (45 passes = the adjudicated sum of its NINE constituent index paths —
 ivfadc_residual's 6, ivfadc_trained's 8, pq_trained's 6 included — plus
 one exact-ground-truth crossJoin per UNION branch; every pass is a
-verbatim reuse, the matrix itself adds only pair-keyed LEFT JOINs).
+verbatim reuse, the matrix itself adds only pair-keyed LEFT JOINs);
+ann_ivfadc_residual_refine_topk (6 BNLJ passes: exactly
+ann_ivfadc_residual_topk's recorded passes — the shortlist is reused
+verbatim; the refine stage adds only a neighbor_id equi-join of
+queries x r shortlist rows against embeddings plus the broadcast query
+probe, operators/similarity.py::ann_ivfadc_residual_refine_topk); the
+matrix note accordingly reads 52 = 45 + the refine branch's 6 + its
+exact-ground-truth crossJoin, all previously adjudicated.
 """
 
 from __future__ import annotations
