@@ -799,6 +799,9 @@ PINNED_DOCID = [
     # round-16: -11 ≡ 9 (mod 10) must land in the REMOVED class in both
     # engines (sign-consistent split), and dup id 0 must collapse
     ("corpus_snapshot_diff", "negative-id removal + dup-id collapse"),
+    # round-16: -11 (batch) duplicates -5 (standing) -> a REAL cross-split
+    # dup flows through the bitmap; false_negatives must stay 0
+    ("dedup_bloom_probe_report", "cross-split dup through the bitmap"),
 ]
 
 

@@ -3041,3 +3041,30 @@ def test_decimal_cast_ties_resolve_identically_across_engines(spark):
     assert str(got_spark[5]) == "-182.765314", got_spark[5]
     # totality: NaN/Inf/1e35 are NULL, not errors
     assert got_spark[-4:] == [None, None, None, None]
+
+
+def test_bloom_probe_never_false_negative_and_finds_real_dups(spark):
+    """Bloom structural contract on a corpus with REAL cross-split
+    duplicates: every standing-set member probing the filter must come
+    back positive (a Bloom filter only over-approximates), so true_dups
+    rows are all bloom-positive and false_negatives == 0; ledger columns
+    must tile (positives = true dups found + false positives)."""
+    from pulsar_pekko_streams_example_spark.plans import REGISTRY, all_queries
+
+    all_queries()
+    rows = [(i, f"standing doc number {i}", "en", "web", 20) for i in range(120)]
+    # batch docs (pm 9): half duplicate a standing doc, half are fresh
+    rows += [(9 + 10 * i, f"standing doc number {i}", "en", "web", 20) for i in range(6)]
+    rows += [(69 + 10 * i, f"fresh arrival {i}", "en", "web", 15) for i in range(6)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as base:
+        docs.coalesce(1).write.mode("overwrite").parquet(f"{base}/documents.parquet")
+        r = REGISTRY["dedup_bloom_probe_report"].build(spark, base).collect()[0]
+    assert r.false_negatives == 0, r
+    assert r.true_dups >= 6, r   # the crafted dups flow standing -> batch
+    assert r.bloom_positives == r.true_dups + r.false_positives, r
+    assert 0 < r.bits_set <= 4096, r
