@@ -9,6 +9,8 @@ arcs into the workflow a data team actually runs to cut a corpus release:
     → order_mixing_audit          (MEASURE: is the survivor order clumped?)
     → training_order_generate     (APPLY: stride-interleave order)
     → shard_plan_manifest         (PLAN: ~token-budgeted output shards)
+    → holdout_sample_manifest     (CUT: the per-source eval holdout)
+    → corpus_snapshot_diff core   (AUDIT: what changed vs the ingested set)
 
 Every stage is a registry query (or its tested core); the example asserts
 the cross-stage accounting invariants that make the release trustworthy:
@@ -98,6 +100,43 @@ def run(spark, workdir: str) -> dict:
     full = [r for r in shards if r.tokens >= 1500]
     assert all(r.sources >= 2 for r in full), [(r.shard_id, r.sources) for r in full]
 
+    # 4. CUT the per-source eval holdout from the survivors — fixed-size,
+    # deterministic, re-cuttable (round-16 holdout_sample_manifest core)
+    from pulsar_pekko_streams_example_spark.plans.mldata_queries import (
+        HOLDOUT_PER_SOURCE,
+    )
+    from pulsar_pekko_streams_example_spark.functions import hashing as H
+    from pyspark.sql.window import Window
+
+    hw = Window.partitionBy("source").orderBy(
+        F.expr(H.word_hash("CAST(doc_id AS STRING)", "spark")),
+        F.col("doc_id"),
+        F.expr(f"coalesce({H.word_hash('text', 'spark')}, -1L)"),
+    )
+    holdout = (
+        survivors.select(
+            "source", "doc_id", F.row_number().over(hw).alias("smp_rank")
+        )
+        .filter(F.col("smp_rank") <= HOLDOUT_PER_SOURCE)
+        .collect()
+    )
+    per_holdout = {}
+    for r in holdout:
+        per_holdout[r.source] = per_holdout.get(r.source, 0) + 1
+    # every surviving source contributes exactly min(R, survivors) docs
+    for s_, n in per_src.items():
+        assert per_holdout.get(s_, 0) == min(HOLDOUT_PER_SOURCE, n), (s_, per_holdout)
+    # and the cut is REPRODUCIBLE: a second evaluation yields the same ids
+    holdout2 = {
+        (r.source, r.doc_id)
+        for r in survivors.select(
+            "source", "doc_id", F.row_number().over(hw).alias("smp_rank")
+        )
+        .filter(F.col("smp_rank") <= HOLDOUT_PER_SOURCE)
+        .collect()
+    }
+    assert holdout2 == {(r.source, r.doc_id) for r in holdout}
+
     return {
         "ingested": len(rows),
         "survivors": sum(per_src.values()),
@@ -105,6 +144,7 @@ def run(spark, workdir: str) -> dict:
         "clump_after": audit,
         "shards": len(shards),
         "shard_tokens_total": total_tokens,
+        "holdout_docs": len(holdout),
     }
 
 

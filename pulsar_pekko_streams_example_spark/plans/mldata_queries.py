@@ -143,6 +143,62 @@ def stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Fixed-size per-source holdout sample (round-16): the reservoir-sample
+# shape.  stratified_sample_counts gates a fixed FRACTION per stratum; a
+# release also needs a fixed COUNT per stratum — the R-doc eval/holdout
+# manifest cut from every source regardless of source size.  Deterministic
+# twin of reservoir sampling: rank docs inside each source by a hash of the
+# doc id (uniform, reproducible, engine-identical) and keep the first R.
+# One rank window partitioned by source — no global sort, no rand(); output
+# is <= |sources| x R rows at any corpus size.
+HOLDOUT_PER_SOURCE = 5
+
+
+@register(
+    "holdout_sample_manifest",
+    oracle=f"""
+        WITH ranked AS (
+          SELECT source, doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY source
+                   ORDER BY ({H.word_hash('CAST(doc_id AS VARCHAR)', 'duckdb')}),
+                            doc_id,
+                            coalesce({H.word_hash('text', 'duckdb')}, CAST(-1 AS BIGINT))
+                 ) AS smp_rank
+          FROM documents
+        )
+        SELECT source, doc_id, CAST(smp_rank AS BIGINT) AS smp_rank
+        FROM ranked WHERE smp_rank <= {HOLDOUT_PER_SOURCE}
+        """,
+    doc=f"Fixed-size per-source holdout manifest: the {HOLDOUT_PER_SOURCE} "
+    "docs each source contributes to the eval/holdout split, chosen by a "
+    "deterministic hash rank over the doc id (the reproducible twin of "
+    "reservoir sampling — same manifest on every rerun and partitioning, "
+    "unlike rand()-based df.sample).  Ties on the hash break by (doc_id, "
+    "content fingerprint), so duplicated ids with different texts rank "
+    "deterministically too; the NULL-named source is its own stratum.  "
+    "ONE rank window partitioned by source — no global sort — and the "
+    "output is bounded by |sources| x R rows at any corpus size.  The "
+    "manifest is the artifact a release publishes so its eval split is "
+    "auditable and re-cuttable.",
+    tags=("sampling", "curation", "added-r16"),
+)
+def holdout_sample_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spread(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("source").orderBy(
+        F.expr(H.word_hash("CAST(doc_id AS STRING)", "spark")),
+        F.col("doc_id"),
+        F.expr(f"coalesce({H.word_hash('text', 'spark')}, -1L)"),
+    )
+    return (
+        docs.select(
+            "source", "doc_id", F.row_number().over(w).cast("long").alias("smp_rank")
+        )
+        .filter(F.col("smp_rank") <= HOLDOUT_PER_SOURCE)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Portable HyperLogLog distinct-count sketch (64 registers)
 # ---------------------------------------------------------------------------
 HLL_M = 64  # registers

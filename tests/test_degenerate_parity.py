@@ -802,6 +802,9 @@ PINNED_DOCID = [
     # round-16: -11 (batch) duplicates -5 (standing) -> a REAL cross-split
     # dup flows through the bitmap; false_negatives must stay 0
     ("dedup_bloom_probe_report", "cross-split dup through the bitmap"),
+    # round-16: dup ids tie on every rank key (interchangeable rows),
+    # NULL source is its own stratum, negative ids hash-rank cleanly
+    ("holdout_sample_manifest", "dup/negative ids + NULL-source stratum"),
 ]
 
 
