@@ -1074,7 +1074,13 @@ def ann_ivf_trained_topk(
         "vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm")
     )
     cent = trained_ivf_centroids(emb, rounds).select(
-        F.col("cluster_id").alias("cent_id"),
+        # coalesce to the unreachable -1: cluster_id is the training
+        # argmax pick, and a nullable key here lets a downstream equi-join
+        # push isnotnull(<whole assign fold>) INTO the training crossJoin,
+        # re-evaluating the fold per row as a join residual (the
+        # dup_span_coverage lesson; plan-audited).  Oracle twins carry the
+        # same coalesce in lockstep.
+        F.coalesce(F.col("cluster_id"), F.lit(-1)).alias("cent_id"),
         F.col("centroid").alias("ce"),
         F.expr(_norm("centroid")).alias("cn"),
     )
@@ -1271,7 +1277,13 @@ def ann_ivfadc_trained_topk(
         "vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm")
     )
     cent = trained_ivf_centroids(emb, rounds).select(
-        F.col("cluster_id").alias("cent_id"),
+        # coalesce to the unreachable -1: cluster_id is the training
+        # argmax pick, and a nullable key here lets a downstream equi-join
+        # push isnotnull(<whole assign fold>) INTO the training crossJoin,
+        # re-evaluating the fold per row as a join residual (the
+        # dup_span_coverage lesson; plan-audited).  Oracle twins carry the
+        # same coalesce in lockstep.
+        F.coalesce(F.col("cluster_id"), F.lit(-1)).alias("cent_id"),
         F.col("centroid").alias("ce"),
         F.expr(_norm("centroid")).alias("cn"),
     )

@@ -2133,7 +2133,7 @@ def _duck_ann_ivf_trained_sql(k: int, nprobe: int, rounds: int) -> str:
         ),
         {_duck_lloyds_cent_ctes(rounds)},
         cent AS (
-          SELECT cluster_id AS cent_id, centroid AS ce,
+          SELECT coalesce(cluster_id, -1) AS cent_id, centroid AS ce,
                  sqrt({_duck_dot('centroid', 'centroid')}) AS cn
           FROM tc{rounds}
         ),
@@ -2527,7 +2527,7 @@ def _duck_ann_ivfadc_trained_sql(k: int, nprobe: int, rounds: int) -> str:
         ),
         {_duck_lloyds_cent_ctes(rounds)},
         cent AS (
-          SELECT cluster_id AS cent_id, centroid AS ce,
+          SELECT coalesce(cluster_id, -1) AS cent_id, centroid AS ce,
                  sqrt({_duck_dot('centroid', 'centroid')}) AS cn
           FROM tc{rounds}
         ),
@@ -2947,6 +2947,164 @@ def ann_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank HISTOGRAM before the grid join: the broadcast side is bounded by
     # |centroids| rows (not |queries| x k pairs), so the inequality join
     # stays trivial at any corpus size
+    prh = hit.groupBy("pr").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    per = (
+        grid.join(F.broadcast(prh), F.col("pr") <= F.col("nprobe"), "left")
+        .groupBy("nprobe")
+        .agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("long").alias("found"))
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "nprobe",
+        "exact_pairs",
+        "found",
+        (F.col("exact_pairs") - F.col("found")).cast("long").alias("missed"),
+        F.expr(
+            "CAST(CASE WHEN exact_pairs > 0 "
+            "THEN 1000000 * found div exact_pairs ELSE 0 END AS BIGINT)"
+        ).alias("recall_micro"),
+    )
+
+
+def _duck_ivf_trained_recall_sql() -> str:
+    """ann_ivf_recall_report's SQL with the Lloyd's-trained quantizer
+    swapped in: assignments and probe ranks score against tc{rounds}."""
+    rounds = similarity.IVF_TRAIN_ROUNDS
+    cos = similarity.safe_cos(
+        _duck_dot("b.embedding", "c.ce"), "b.nrm * c.cn", "duckdb"
+    )
+    qcos = similarity.safe_cos(
+        _duck_dot("q.embedding", "c.ce"), "q.nrm * c.cn", "duckdb"
+    )
+    return f"""
+        WITH exact AS (
+          SELECT query_id, neighbor_id FROM ({_ANN_TOPK_ORACLE})
+        ),
+        base AS (
+          SELECT vec_id, embedding, sqrt({_duck_dot('embedding', 'embedding')}) AS nrm
+          FROM embeddings WHERE embedding IS NOT NULL
+        ),
+        {_duck_lloyds_cent_ctes(rounds)},
+        cent AS (
+          SELECT coalesce(cluster_id, -1) AS cent_id, centroid AS ce,
+                 sqrt({_duck_dot('centroid', 'centroid')}) AS cn
+          FROM tc{rounds}
+        ),
+        assign AS (
+          SELECT vec_id, cent_id FROM (
+            SELECT b.vec_id, c.cent_id, ROW_NUMBER() OVER (
+              PARTITION BY b.vec_id ORDER BY {cos} DESC, c.cent_id) AS rn
+            FROM base b CROSS JOIN cent c
+          ) t WHERE rn = 1
+        ),
+        pranks AS (
+          SELECT query_id, cent_id, CAST(pr AS BIGINT) AS pr FROM (
+            SELECT q.vec_id AS query_id, c.cent_id, ROW_NUMBER() OVER (
+              PARTITION BY q.vec_id ORDER BY {qcos} DESC, c.cent_id) AS pr
+            FROM (SELECT * FROM base WHERE {ANN_QUERY_FILTER}) q
+            CROSS JOIN cent c
+          ) t
+        ),
+        hit AS (
+          SELECT e.query_id, p.pr
+          FROM exact e
+          LEFT JOIN assign a ON e.neighbor_id = a.vec_id
+          LEFT JOIN pranks p
+            ON p.query_id = e.query_id AND p.cent_id = a.cent_id
+        ),
+        tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_pairs FROM hit),
+        grid AS (
+          SELECT CAST(g + 1 AS BIGINT) AS nprobe
+          FROM range({IVF_RECALL_MAX_PROBES}) t(g)
+        ),
+        per AS (
+          SELECT nprobe,
+                 CAST(COALESCE(SUM(CASE WHEN h.pr <= grid.nprobe
+                                        THEN 1 END), 0) AS BIGINT) AS found
+          FROM grid LEFT JOIN hit h ON h.pr <= grid.nprobe
+          GROUP BY nprobe
+        )
+        SELECT nprobe, exact_pairs, found,
+               CAST(exact_pairs - found AS BIGINT) AS missed,
+               CAST(CASE WHEN exact_pairs > 0
+                         THEN 1000000 * found // exact_pairs
+                         ELSE 0 END AS BIGINT) AS recall_micro
+        FROM per CROSS JOIN tot
+        """
+
+
+@register(
+    "ann_ivf_trained_recall_report",
+    oracle=_duck_ivf_trained_recall_sql(),
+    doc="The TRAINED quantizer's tuning curve: recall@k per nprobe in "
+    f"1..{IVF_RECALL_MAX_PROBES} for the Lloyd's-trained IVF — the table "
+    "a deployment reads next to ann_ivf_recall_report to see what "
+    "quantizer training buys at EVERY probe depth, not just the matrix's "
+    "default nprobe.  Same one-pass construction (an exact neighbor is "
+    "reachable at nprobe p iff its trained-centroid home list ranks <= p "
+    "among the query's probes); the corpus-sized assignment joins by a "
+    "neighbor_id-keyed shuffle (never broadcast — the ADVICE r15 "
+    "contract), probe ranks stay the bounded broadcast side.  Cross-"
+    "validated: the curve at the default nprobe equals the matrix's "
+    "ivf_trained row, pinned.",
+    tags=("similarity", "ivf", "clustering", "quality", "added-r16"),
+)
+def ann_ivf_trained_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spread(load_table(spark, sf_dir, "embeddings"))
+    exact = similarity.cosine_topk(emb, ANN_QUERY_FILTER, ANN_K).select(
+        "query_id", "neighbor_id"
+    )
+    base = emb.filter(F.col("embedding").isNotNull()).select(
+        "vec_id", "embedding", F.expr(similarity._norm("embedding")).alias("nrm")
+    )
+    cent = similarity.trained_ivf_centroids(emb).select(
+        # coalesce to the unreachable -1: cluster_id is the training
+        # argmax pick, and a nullable key here lets a downstream equi-join
+        # push isnotnull(<whole assign fold>) INTO the training crossJoin,
+        # re-evaluating the fold per row as a join residual (the
+        # dup_span_coverage lesson; plan-audited).  Oracle twins carry the
+        # same coalesce in lockstep.
+        F.coalesce(F.col("cluster_id"), F.lit(-1)).alias("cent_id"),
+        F.col("centroid").alias("ce"),
+        F.expr(similarity._norm("centroid")).alias("cn"),
+    )
+    scored = base.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        "cent_id",
+        F.expr(
+            similarity.safe_cos(
+                similarity.DOT.format(a="embedding", b="ce"), "nrm * cn", "spark"
+            )
+        ).alias("csim"),
+    )
+    assign = (
+        scored.groupBy("vec_id")
+        .agg(
+            F.max(
+                F.struct(F.col("csim").alias("csim"), (-F.col("cent_id")).alias("neg"))
+            ).alias("m")
+        )
+        .select(
+            F.col("vec_id").alias("neighbor_id"), (-F.col("m.neg")).alias("cent_id")
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id")
+    )
+    pranks = (
+        scored.filter(F.expr(ANN_QUERY_FILTER))
+        .select(F.col("vec_id").alias("query_id"), "cent_id", "csim")
+        .withColumn("pr", F.row_number().over(wq).cast("long"))
+        .select("query_id", "cent_id", "pr")
+    )
+    # assignment side is corpus-sized: neighbor_id-keyed shuffle join, never
+    # a broadcast (the ADVICE r15 contract); pranks is the bounded side
+    hit = exact.join(assign, ["neighbor_id"], "left").join(
+        F.broadcast(pranks), ["query_id", "cent_id"], "left"
+    )
+    tot = hit.agg(F.count(F.lit(1)).cast("long").alias("exact_pairs"))
+    grid = spark.range(1, IVF_RECALL_MAX_PROBES + 1).select(
+        F.col("id").alias("nprobe")
+    )
     prh = hit.groupBy("pr").agg(F.count(F.lit(1)).cast("long").alias("cnt"))
     per = (
         grid.join(F.broadcast(prh), F.col("pr") <= F.col("nprobe"), "left")

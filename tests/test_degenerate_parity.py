@@ -325,6 +325,7 @@ PINNED_EMB = [
     ("ann_ivfadc_trained_topk", "trained lists x degenerate PQ codes"),
     ("ann_pq_trained_topk", "codebook training over degenerate subvectors"),
     ("ann_ivfadc_residual_refine_topk", "degenerate shortlist re-rank"),
+    ("ann_ivf_trained_recall_report", "trained-curve ledger on degenerates"),
     ("embedding_near_dup", "NaN/Inf candidate pairs: safe_cos verify"),
     # round-14 hostile-sweep finding: Inf/Inf projection ratio = NaN, and an
     # Inf ratio, both erred the int64 floor cast -> NULL band now

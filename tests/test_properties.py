@@ -3068,3 +3068,36 @@ def test_bloom_probe_never_false_negative_and_finds_real_dups(spark):
     assert r.true_dups >= 6, r   # the crafted dups flow standing -> batch
     assert r.bloom_positives == r.true_dups + r.false_positives, r
     assert 0 < r.bits_set <= 4096, r
+
+
+def test_trained_recall_curve_cross_validates_matrix_and_dominates_late(spark):
+    """ann_ivf_trained_recall_report must agree with the independently
+    computed matrix at the default nprobe (one construction validates the
+    other), be monotone in nprobe, and show the trained curve >= the
+    strided curve at the maximum probe depth (probing every trained list
+    reaches at least as many exact neighbors as probing every strided
+    list reaches on this corpus)."""
+    from pulsar_pekko_streams_example_spark.operators import similarity
+    from pulsar_pekko_streams_example_spark.plans import REGISTRY, all_queries
+
+    all_queries()
+    sf = "/root/testdata/sf0.001"
+    curve = sorted(
+        REGISTRY["ann_ivf_trained_recall_report"].build(spark, sf).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert all(a.found <= b.found for a, b in zip(curve, curve[1:])), curve
+    matrix = {
+        r.method: r
+        for r in REGISTRY["ann_method_recall_matrix"].build(spark, sf).collect()
+    }
+    at_default = next(r for r in curve if r.nprobe == similarity.IVF_NPROBE)
+    assert at_default.found == matrix["ivf_trained"].found, (
+        at_default,
+        matrix["ivf_trained"],
+    )
+    strided = sorted(
+        REGISTRY["ann_ivf_recall_report"].build(spark, sf).collect(),
+        key=lambda r: r.nprobe,
+    )
+    assert curve[-1].found >= strided[-1].found, (curve[-1], strided[-1])

@@ -146,7 +146,7 @@ def test_fingerprint_sees_one_hop_library_edits():
 # or removes a query.  Together with the now-unguarded family imports in
 # plans/__init__.py this makes a silently vanished family (or a surgically
 # deleted register() call) a test failure instead of a quiet coverage drop.
-EXPECTED_REGISTRY_SIZE = 221
+EXPECTED_REGISTRY_SIZE = 222
 
 
 def test_registry_census_is_pinned():

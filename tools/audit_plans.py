@@ -125,6 +125,18 @@ queries x r shortlist rows against embeddings plus the broadcast query
 probe, operators/similarity.py::ann_ivfadc_residual_refine_topk); the
 matrix note accordingly reads 52 = 45 + the refine branch's 6 + its
 exact-ground-truth crossJoin, all previously adjudicated.
+
+Round-16 late additions: ann_ivf_trained_recall_report (16 BNLJ passes:
+the exact-ground-truth queries x corpus crossJoin, the two training
+rounds' assign passes + trained-centroid scoring recorded under
+ann_ivf_trained_topk, the 8-row nprobe grid inequality join against the
+bounded rank histogram, and 1-row scaffolding — every side bounded by
+centroids/grid/1 row).  While landing it the audit caught a REAL
+fold-in-filter: a downstream equi-join on the trained cent_id pushed
+isnotnull(<the whole clustering.assign array_sort fold>) into the
+training crossJoin as a join residual; fixed by coalescing cent_id to the
+unreachable -1 at every trained-cent select (both dialects), which makes
+the key non-nullable so the predicate is elided — re-audited clean.
 """
 
 from __future__ import annotations
