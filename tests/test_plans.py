@@ -415,3 +415,27 @@ def test_null_date_guards_push_to_parquet_scan(spark):
         assert "PushedFilters: [" in plan, name
         pushed = plan.split("PushedFilters:")[1].split("]")[0]
         assert "IsNotNull(o_orderdate)" in pushed, (name, pushed)
+
+
+def test_bloom_probe_plan_is_broadcast_and_aggregate_only(spark):
+    """The Bloom probe's scale contract in the plan (round 16): the filter
+    words build via a hash aggregate, the batch probes them through a
+    BROADCAST join — never a sort-merge shuffle of probe positions against
+    words — and nothing cartesian appears anywhere."""
+    plan = plan_of(REGISTRY["dedup_bloom_probe_report"].build(spark, SF_SMOKE))
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_image_neardup_collapses_before_pairing(spark):
+    """image_neardup_pairs' aggregate-before-expand contract (round 16): the
+    distinct-hash histogram aggregate sits BELOW the band self-join (the
+    doc-pair set never materializes), blobs enter exactly one Python
+    evaluation (the Arrow-batched dHash), and nothing cartesian appears."""
+    plan = plan_of(REGISTRY["image_neardup_pairs"].build(spark, SF_SMOKE))
+    assert "CartesianProduct" not in plan
+    # one mapInPandas for the dHash; the plan may re-plan the subtree per
+    # join side, but no OTHER Python eval may exist
+    assert plan.count("MapInPandas") >= 1
+    assert "BatchEvalPython" not in plan

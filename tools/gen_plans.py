@@ -288,6 +288,39 @@ SHOWCASE = [
         "predicate is exact integer arithmetic inside the scan's codegen "
         "stage.  Corpus-shaped work: one scan, one per-source shuffle.",
     ),
+    (
+        "ann_ivfadc_residual_topk",
+        "Residual-encoded IVFADC (round 16, Jégou §VI complete): residuals "
+        "r = x − c(x) form via the assignment join + broadcast centroid "
+        "table, codes argmin against the broadcast RESIDUAL codebook, and "
+        "query-time scoring is an equi-join of codes against the broadcast "
+        "per-(query, probed-list) tables on (cent_id, m, code) — no corpus "
+        "embedding is touched at query time, exactly the raw-code IVFADC "
+        "shape with one extra broadcast join to form residuals.",
+    ),
+    (
+        "image_neardup_pairs",
+        "Perceptual-hash image near-dup (round 16): blobs stream through "
+        "ONE Arrow-batched mapInPandas (dHash; binary never shuffles), "
+        "collapse to the DISTINCT-hash value histogram BEFORE any pairing, "
+        "and only band-bucket collisions join — the doc-pair set never "
+        "materializes (the simhash aggregate-before-expand shape).",
+    ),
+    (
+        "dedup_bloom_probe_report",
+        "Bloom membership probe (round 16): the standing set folds into "
+        "<= m/63 bitmap words via ONE bit_or hash aggregate; the batch "
+        "probes a BROADCAST word table (left join on word index) and "
+        "verdicts collapse per fingerprint — corpus-shaped work is two "
+        "scans and two hash aggregates, nothing quadratic anywhere.",
+    ),
+    (
+        "corpus_snapshot_diff",
+        "Snapshot diff (round 16): each version collapses to one (doc_id, "
+        "MIN fp) row per id — duplicate ids can never fan out — and the "
+        "diff is ONE doc_id-keyed full outer join carrying pair keys only; "
+        "text never moves past its fingerprint fold.",
+    ),
 ]
 
 
