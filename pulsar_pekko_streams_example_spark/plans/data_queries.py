@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
 from pyspark.sql.window import Window
 
 from pulsar_pekko_streams_example_spark.functions import hashing as H
@@ -3229,42 +3230,63 @@ def ann_method_recall_matrix(
             emb, qf, ANN_K, PQ_REFINE_R
         ),
     }
-    parts = []
-    for name, build in methods.items():
-        m = build().select(
-            F.col("query_id").alias("m_q"), F.col("neighbor_id").alias("m_n")
-        )
-        joined = exact.join(
-            F.broadcast(m),
-            (F.col("query_id") == F.col("m_q"))
-            & (F.col("neighbor_id") == F.col("m_n")),
-            "left",
-        )
-        parts.append(
-            joined.groupBy()
-            .agg(
-                F.count(F.lit(1)).cast("long").alias("exact_pairs"),
-                F.sum(F.expr("CASE WHEN m_q IS NOT NULL THEN 1 ELSE 0 END"))
-                .cast("long")
-                .alias("found"),
-                F.sum(F.expr("CASE WHEN m_q IS NULL THEN 1 ELSE 0 END"))
-                .cast("long")
-                .alias("missed"),
-                F.expr(
-                    "CAST(CASE WHEN count(1) > 0 THEN 1000000 * "
-                    "sum(CASE WHEN m_q IS NOT NULL THEN 1 ELSE 0 END) "
-                    "div count(1) ELSE 0 END AS BIGINT)"
-                ).alias("recall_micro"),
+    # Round-16 optimization (results PROVEN identical vs the unchanged
+    # DuckDB oracle): the original shape planted the exact ground-truth arm
+    # (queries x corpus BNLJ + top-k window) and a full LEFT JOIN + global
+    # aggregate PER METHOD — 10 exact subtrees and 10 aggregations in a
+    # 1301-operator physical plan.  Every method's top-k is unique on
+    # (query_id, neighbor_id) (each path ends in a row_number <= k filter
+    # over deduplicated candidates), so the per-method LEFT JOIN is 1:<=1
+    # and its COUNT(*)/SUM(matched) collapse to |exact| and the INNER-join
+    # match count.  Equivalent single-pass shape: ONE exact arm, ONE
+    # equi-join of exact against the method-tagged UNION of the ten top-k
+    # outputs (<= 10 x queries x k rows), ONE groupBy(method) count, joined
+    # back onto the literal method list so methods with zero matches (and
+    # the empty-ground-truth NULL contract: found/missed are NULL when
+    # exact is empty, exactly as SUM over zero rows) survive.  Plan: 10
+    # BNLJ exact arms -> 1, 10 global aggregates -> 1, ~450 fewer operators.
+    cand = reduce(
+        lambda a, b: a.unionByName(b),
+        [
+            build().select(
+                F.lit(name).alias("method"), "query_id", "neighbor_id"
             )
-            .select(
-                F.lit(name).alias("method"),
-                "exact_pairs",
-                "found",
-                "missed",
-                "recall_micro",
-            )
+            for name, build in methods.items()
+        ],
+    )
+    found = (
+        exact.join(cand, ["query_id", "neighbor_id"])
+        .groupBy("method")
+        .agg(F.count(F.lit(1)).cast("long").alias("fnd"))
+    )
+    tot = exact.groupBy().agg(
+        F.count(F.lit(1)).cast("long").alias("exact_pairs")
+    )
+    names = spark.createDataFrame(
+        [(n,) for n in methods],
+        StructType([StructField("method", StringType())]),
+    )
+    return (
+        names.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(found), ["method"], "left")
+        .select(
+            "method",
+            "exact_pairs",
+            F.expr(
+                "CAST(CASE WHEN exact_pairs > 0 THEN coalesce(fnd, 0) "
+                "ELSE NULL END AS BIGINT)"
+            ).alias("found"),
+            F.expr(
+                "CAST(CASE WHEN exact_pairs > 0 "
+                "THEN exact_pairs - coalesce(fnd, 0) "
+                "ELSE NULL END AS BIGINT)"
+            ).alias("missed"),
+            F.expr(
+                "CAST(CASE WHEN exact_pairs > 0 THEN 1000000 * "
+                "coalesce(fnd, 0) div exact_pairs ELSE 0 END AS BIGINT)"
+            ).alias("recall_micro"),
         )
-    return reduce(lambda a, b: a.unionByName(b), parts)
+    )
 
 
 def _duck_pq_recall_sql() -> str:

@@ -137,6 +137,14 @@ isnotnull(<the whole clustering.assign array_sort fold>) into the
 training crossJoin as a join residual; fixed by coalescing cent_id to the
 unreachable -1 at every trained-cent select (both dialects), which makes
 the key non-nullable so the predicate is elided — re-audited clean.
+
+Round-16 OPTIMIZATION round update: ann_method_recall_matrix drops 52 → 45
+BNLJ passes — the single-pass restructure (one exact ground-truth arm
+joined once against the method-tagged UNION of the ten top-k outputs,
+one groupBy(method) aggregate, oracle-proven identical) removes nine of
+the ten per-branch exact-ground-truth crossJoins; the remaining 45 are
+the adjudicated sum of the ten constituent index paths' own recorded
+passes plus the single exact arm.
 """
 
 from __future__ import annotations
