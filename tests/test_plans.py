@@ -439,3 +439,20 @@ def test_image_neardup_collapses_before_pairing(spark):
     # join side, but no OTHER Python eval may exist
     assert plan.count("MapInPandas") >= 1
     assert "BatchEvalPython" not in plan
+
+
+def test_jaccard_prefix_verify_carries_sizes(spark):
+    """Round-16 optimization pin: jaccard_prefix_pairs carries each doc's
+    shingle-set size ON the prefix candidate rows, so the verify stage needs
+    no standalone sizes aggregate + two re-joins (one fewer corpus-wide
+    posting pass).  The whole dataflow is exactly 5 join operators: postings
+    x dfreq, the prefix self-join, and the two candidate-verification joins
+    against the postings — a regression to the size-rejoin shape adds two
+    more.  Values are pinned exactly by
+    test_jaccard_prefix_pairs_complete_vs_bruteforce."""
+    import re
+
+    plan = plan_of(REGISTRY["dedup_jaccard_prefix"].build(spark, SF_SMOKE))
+    joins = re.findall(r"^\(\d+\)\s+\w*Join", plan, flags=re.M)
+    assert len(joins) <= 5, joins
+    assert "CartesianProduct" not in plan
