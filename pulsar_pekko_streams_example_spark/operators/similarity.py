@@ -231,6 +231,75 @@ def ann_lsh_topk(
     )
 
 
+_PAIR_COS_SCHEMA = StructType(
+    [
+        StructField("vec_a", LongType()),
+        StructField("vec_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
+)
+
+
+def _pair_cosines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched per-pair cosine, bit-identical to the declarative
+    ``safe_cos(DOT(ea, eb), na * nb)`` WITHOUT the totalizing coalesce —
+    NULL propagates (the scored_candidate_pairs contract), so the NULL
+    decision rides in as precomputed booleans (``hna``/``hnb``: the JVM-side
+    ``nrm IS NULL``, true iff the vector has a NULL element) because Arrow
+    maps NULL array elements to NaN and would otherwise conflate the
+    NULL-cosine and NaN→-1 rules.
+
+    Per pair, in the JVM/DuckDB twin order exactly:
+    - either side has a NULL element, or lengths differ (zip_with NULL-pads)
+      → cosine NULL (NaN in the output buffer → Arrow null);
+    - else dot = dimension-ordered left fold (one fused multiply-add per
+      dimension over the batch — same IEEE op sequence as the zip_with
+      aggregate, so doubles are bit-identical);
+    - prod = na * nb (the JVM-computed norms ride in, so the product is the
+      same double); prod == 0 → -1; NaN quotient → -1 (nanvl twin); ±Inf
+      survives."""
+    import numpy as np
+
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        out = np.full(n, np.nan)  # NaN → Arrow null → SQL NULL cosine
+        la = pdf["ea"].map(len).to_numpy(dtype=np.int64)
+        lb = pdf["eb"].map(len).to_numpy(dtype=np.int64)
+        na = pdf["na"].to_numpy(dtype=np.float64)
+        nb = pdf["nb"].to_numpy(dtype=np.float64)
+        clean = (
+            ~pdf["hna"].to_numpy(dtype=bool)
+            & ~pdf["hnb"].to_numpy(dtype=bool)
+            & (la == lb)
+        )
+        ea_cells = pdf["ea"].to_numpy()
+        eb_cells = pdf["eb"].to_numpy()
+        for L in np.unique(la[clean]):
+            rows = np.nonzero(clean & (la == L))[0]
+            if L == 0:
+                dots = np.zeros(rows.size, dtype=np.float64)
+            else:
+                # np.stack over the object array gathers the (n, L) matrix
+                # at C speed — a per-row `.iat` list comprehension here
+                # measured ~3 s per 10^6 gathers, dominating the stage
+                A = np.stack(ea_cells[rows]).astype(np.float64, copy=False)
+                B = np.stack(eb_cells[rows]).astype(np.float64, copy=False)
+                dots = np.zeros(rows.size, dtype=np.float64)
+                for d in range(L):
+                    dots += A[:, d] * B[:, d]
+            prod = na[rows] * nb[rows]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = dots / prod
+            c = np.where(prod == 0.0, -1.0, c)
+            c = np.where(np.isnan(c), -1.0, c)
+            out[rows] = c
+        yield pd.DataFrame(
+            {"vec_a": pdf["vec_a"], "vec_b": pdf["vec_b"], "cosine": out}
+        )
+
+
 def scored_candidate_pairs(
     emb: DataFrame, bands: DataFrame | None = None
 ) -> DataFrame:
@@ -239,22 +308,25 @@ def scored_candidate_pairs(
 
     The shared candidate pipeline behind ``embedding_near_dup`` (which
     filters ``cosine >= threshold``) and the dedup-threshold calibration
-    curve (which histograms ALL pairs).  Split out so a consumer that keeps
-    every pair aggregates DIRECTLY on the scored rows: the cosine fold is a
-    higher-order aggregate expression Catalyst evaluates interpreted (no
-    codegen CSE), so a pass-everything ``filter(cosine >= -inf)`` under an
-    aggregation re-evaluates the 64-dim fold PER PAIR in both the Filter and
-    the grouping key — measured ~2× the query wall at sf0.1.  Consumers:
-    filter only when the filter actually prunes, and never hand the
-    optimizer a deterministic predicate over the cosine (even "post-agg" —
-    a predicate on a grouping column pushes back below the aggregate into
-    the pair join, re-adding the second fold); when NULLs must be excluded,
-    make the expression TOTAL (coalesce to a sentinel) instead.
+    curve (which histograms ALL pairs).  Round-17 (guide §4.2, VERDICT r16
+    ask #5): the per-PAIR cosine is an Arrow-batched numpy fold
+    (``_pair_cosines``) instead of the interpreted 64-dim higher-order
+    aggregate — Catalyst evaluates HOF lambdas interpreted (no codegen, no
+    CSE), which made the per-pair fold the dominant per-row cost of the
+    similarity family (and forced consumers into filter-placement
+    gymnastics: a deterministic predicate over the declarative cosine was
+    pushed below the aggregate and re-evaluated the fold twice per pair —
+    the round-12 lesson).  With the scoring behind an opaque MapInPandas,
+    nothing can push into it, so consumers may filter/group the cosine
+    freely; per-VECTOR folds (norms, signatures) stay declarative in the
+    JVM — they are corpus-sized, not pair-sized.
 
-    NULL contract (lockstep with the DuckDB twin): fully NULL embeddings are
-    excluded; a NULL *element* makes the dot fold NULL and the pair's cosine
-    NULL — downstream filters (threshold, IS NOT NULL) drop it in both
-    engines."""
+    NULL contract (lockstep with the DuckDB twin, unchanged): fully NULL
+    embeddings are excluded; a NULL *element* makes the dot fold NULL and
+    the pair's cosine NULL — downstream filters (threshold, IS NOT NULL)
+    drop it in both engines.  Values are bit-identical to the declarative
+    fold (dimension-ordered accumulation; the JVM-computed norms ride into
+    the division), pinned by the adversarial-embedding parity suite."""
     emb = spread(emb)
     # candidate generation shuffles (band, val, vec_id) only — the embedding
     # arrays re-attach AFTER pair dedup, so the wide columns never fan out
@@ -273,6 +345,10 @@ def scored_candidate_pairs(
         )
         .dropDuplicates(["vec_a", "vec_b"])
     )
+    # nrm IS NULL ⟺ the non-NULL embedding has a NULL element (the norm is
+    # sqrt of the self-dot fold) — the boolean costs no extra fold and lets
+    # the Python side keep NULL-cosine and NaN→-1 distinct (Arrow collapses
+    # NULL elements to NaN inside float64 batches).
     base = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id", "embedding", F.expr(_norm("embedding")).alias("nrm")
     )
@@ -280,19 +356,78 @@ def scored_candidate_pairs(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("ea"),
         F.col("nrm").alias("na"),
+        F.isnull("nrm").alias("hna"),
     )
     eb = base.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("eb"),
         F.col("nrm").alias("nb"),
+        F.isnull("nrm").alias("hnb"),
     )
-    cos = F.expr(safe_cos(DOT.format(a="ea", b="eb"), "na * nb", "spark"))
     return (
         cand.join(ea, ["vec_a"])  # AQE broadcasts when the vector side is small
         .join(eb, ["vec_b"])
-        .withColumn("cosine", cos)
-        .select("vec_a", "vec_b", "cosine")
+        .select("vec_a", "vec_b", "ea", "na", "hna", "eb", "nb", "hnb")
+        .mapInPandas(_pair_cosines, _PAIR_COS_SCHEMA)
     )
+
+
+TOTAL_COS_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType()),
+        StructField("id_b", LongType()),
+        StructField("cosine", DoubleType()),
+    ]
+)
+
+
+def total_pair_cosines(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched twin of ``coalesce(safe_cos(DOT(ea, eb), na * nb), -1)``
+    — the TOTAL contract (cosine_topk / semantic_dedup_probe posture): NULL
+    array, NULL element, ragged lengths, zero norm product and NaN all score
+    -1, so the NULL/NaN conflation in Arrow float batches is harmless here
+    (both rules land on -1) and no flag columns are needed.  Input columns
+    (id_a, id_b, ea, na, eb, nb); dimension-ordered fold, JVM norms ride in
+    — values bit-identical to the declarative expression."""
+    import numpy as np
+
+    for pdf in batches:
+        n = len(pdf)
+        if not n:
+            continue
+        out = np.full(n, -1.0)
+        la = pdf["ea"].map(lambda x: -1 if x is None else len(x)).to_numpy(
+            dtype=np.int64
+        )
+        lb = pdf["eb"].map(lambda x: -1 if x is None else len(x)).to_numpy(
+            dtype=np.int64
+        )
+        na = pdf["na"].to_numpy(dtype=np.float64)  # NULL norm -> NaN -> -1
+        nb = pdf["nb"].to_numpy(dtype=np.float64)
+        clean = (la >= 0) & (la == lb)
+        ea_cells = pdf["ea"].to_numpy()
+        eb_cells = pdf["eb"].to_numpy()
+        for L in np.unique(la[clean]):
+            rows = np.nonzero(clean & (la == L))[0]
+            if L == 0:
+                dots = np.zeros(rows.size, dtype=np.float64)
+            else:
+                # C-speed gather (see _pair_cosines): np.stack over the
+                # object array, never a per-row .iat list comprehension
+                A = np.stack(ea_cells[rows]).astype(np.float64, copy=False)
+                B = np.stack(eb_cells[rows]).astype(np.float64, copy=False)
+                dots = np.zeros(rows.size, dtype=np.float64)
+                for d in range(L):
+                    dots += A[:, d] * B[:, d]
+            prod = na[rows] * nb[rows]
+            with np.errstate(divide="ignore", invalid="ignore"):
+                c = dots / prod
+            c = np.where(prod == 0.0, -1.0, c)
+            c = np.where(np.isnan(c), -1.0, c)
+            out[rows] = c
+        yield pd.DataFrame(
+            {"id_a": pdf["id_a"], "id_b": pdf["id_b"], "cosine": out}
+        )
 
 
 def embedding_near_dup(

@@ -423,7 +423,7 @@ SEMDEDUP_PROBE_MOD = 20    # vec_id % 20 == 0 => probe batch (5%); rest = corpus
     tags=("clustering", "embeddings", "dedup", "similarity", "added-r3"),
 )
 def semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pulsar_pekko_streams_example_spark.operators.similarity import DOT, _norm
+    from pulsar_pekko_streams_example_spark.operators.similarity import _norm
 
     emb = load_table(spark, sf_dir, "embeddings")
     # The probe and member branches each plan their own assign subtree —
@@ -464,23 +464,38 @@ def semantic_dedup_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("m_emb"),
         F.expr(_norm("embedding")).alias("m_nrm"),
     )
-    cos = similarity.safe_cos(
-        DOT.format(a="p_emb", b="m_emb"), "p_nrm * m_nrm", "spark"
-    )
     # salted join: cluster_id has only k distinct values, so a plain shuffle
     # join caps the pair-scoring parallelism at k reducers.  Salting the
     # (large) member side and replicating the (5%) probe side re-buckets the
     # same pairs across k x n_salts partitions — the salt never changes the
     # result, only the layout.
-    # NULL cosine (NULL embedding / NULL element on either side) := -1, the
-    # worst score, in BOTH engines: the min(struct) argmin below ranks a NULL
-    # first field FIRST (best) while the oracle's DESC window ranks it LAST —
-    # without the coalesce one NULL-element member would eat its cluster's
-    # probes on the Spark side only (same contract as clustering.assign).
-    scored = salted_join(members, probes, "cluster_id", n_salts=16).select(
-        "probe_id",
-        "match_id",
-        F.coalesce(F.expr(cos), F.lit(-1.0)).alias("cosine"),
+    # Round-17 (guide §4.2, VERDICT r16 ask #5): the per-PAIR cosine is the
+    # Arrow-batched numpy fold (similarity.total_pair_cosines) instead of
+    # the interpreted 64-dim higher-order aggregate — the fold was this
+    # query's dominant per-pair cost (|probes_c| x |members_c| pairs), and
+    # HOF lambdas run interpreted with no codegen.  Values bit-identical:
+    # dimension-ordered fold, JVM-computed norms ride in, and the TOTAL
+    # contract (NULL embedding / NULL element / ragged / zero norm / NaN
+    # := -1, the worst score) is what the old coalesce(safe_cos, -1)
+    # computed — in BOTH engines: the min(struct) argmin below ranks a NULL
+    # first field FIRST (best) while the oracle's DESC window ranks it LAST,
+    # so totality is still load-bearing (same contract as clustering.assign).
+    scored = (
+        salted_join(members, probes, "cluster_id", n_salts=16)
+        .select(
+            F.col("probe_id").alias("id_a"),
+            F.col("match_id").alias("id_b"),
+            F.col("p_emb").alias("ea"),
+            F.col("p_nrm").alias("na"),
+            F.col("m_emb").alias("eb"),
+            F.col("m_nrm").alias("nb"),
+        )
+        .mapInPandas(similarity.total_pair_cosines, similarity.TOTAL_COS_SCHEMA)
+        .select(
+            F.col("id_a").alias("probe_id"),
+            F.col("id_b").alias("match_id"),
+            "cosine",
+        )
     )
     best = (
         scored.groupBy("probe_id")
