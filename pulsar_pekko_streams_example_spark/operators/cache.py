@@ -86,6 +86,41 @@ def shared_df(
     return df
 
 
+def shared_obj(
+    spark: SparkSession,
+    key: tuple[Hashable, ...],
+    build: Callable[[], object],
+) -> object:
+    """Tuple-valued sibling of ``shared_df`` (round 17, VERDICT r16 ask #4):
+    memoize an arbitrary build RESULT — e.g. the BPE merge chain's
+    ``(words, sym, tops)``, whose frames have different schemas and are
+    already eagerly materialized by the build itself (localCheckpoint) — per
+    (application, key) under the same per-key lock discipline.
+
+    Unlike ``shared_df`` it does NOT persist or count: the builder is
+    responsible for materialization.  ``reset()`` forgets these entries too
+    (the bench's sequential warm pass must measure a REAL rebuild);
+    checkpointed blocks of dropped entries are reclaimed by the
+    ContextCleaner once unreferenced, which is fine — entries here are
+    vocab-bounded, not corpus-sized."""
+    full_key = (spark.sparkContext.applicationId,) + key
+    with _REGISTRY_LOCK:
+        if full_key in _BUILT_OBJ:
+            return _BUILT_OBJ[full_key]
+        key_lock = _BUILDING.setdefault(("obj",) + full_key, threading.Lock())
+    with key_lock:
+        with _REGISTRY_LOCK:
+            if full_key in _BUILT_OBJ:
+                return _BUILT_OBJ[full_key]
+        obj = build()
+        with _REGISTRY_LOCK:
+            _BUILT_OBJ[full_key] = obj
+    return obj
+
+
+_BUILT_OBJ: dict[tuple, object] = {}
+
+
 def reset(spark: SparkSession) -> None:
     """Unpersist and forget every shared subtree built by this application.
 
@@ -107,5 +142,7 @@ def reset(spark: SparkSession) -> None:
     with _REGISTRY_LOCK:
         mine = [k for k in _BUILT if k[0] == app_id]
         dropped = [_BUILT.pop(k) for k in mine]
+        for k in [k for k in _BUILT_OBJ if k[0] == app_id]:
+            _BUILT_OBJ.pop(k)
     for df in dropped:
         df.unpersist(blocking=True)

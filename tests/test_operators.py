@@ -108,6 +108,43 @@ def test_shared_df_memoizes_and_substitution_is_exact(spark):
     assert d_pairs == c_pairs
 
 
+def test_shared_obj_memoizes_and_bpe_chain_substitution_is_exact(spark):
+    """operators/cache.py::shared_obj (round 17): one build per key, reset()
+    forgets (the bench's sequential pass must measure a REAL chain rebuild),
+    and the shared-chain registry paths reproduce the fresh-chain cores
+    exactly — the BPE sharing must be invisible in results."""
+    from pulsar_pekko_streams_example_spark.operators import cache
+    from pulsar_pekko_streams_example_spark.plans import mldata_queries as mq
+
+    builds = []
+
+    def build():
+        builds.append(1)
+        return ("tuple", "valued")
+
+    a = cache.shared_obj(spark, ("t-obj-memo",), build)
+    b = cache.shared_obj(spark, ("t-obj-memo",), build)
+    assert a is b and len(builds) == 1
+    cache.reset(spark)
+    c = cache.shared_obj(spark, ("t-obj-memo",), build)
+    assert c is not None and len(builds) == 2
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    shared_enc = {
+        tuple(r) for r in mq.bpe_encode_stats(spark, SF_CORRECT).collect()
+    }
+    fresh_enc = {tuple(r) for r in mq._bpe_encode_stats(docs).collect()}
+    assert shared_enc == fresh_enc and len(shared_enc) > 0
+    shared_fert = {
+        tuple(r)
+        for r in mq.tokenizer_fertility_by_source(spark, SF_CORRECT).collect()
+    }
+    fresh_fert = {
+        tuple(r) for r in mq._tokenizer_fertility_by_source(docs).collect()
+    }
+    assert shared_fert == fresh_fert and len(shared_fert) > 0
+
+
 def test_ivf_pruned_search_properties(spark):
     """IVF invariants on the synthetic corpus.
 

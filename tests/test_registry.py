@@ -335,4 +335,11 @@ def test_bench_warm_deps_name_real_queries():
 
     for query_name, warm_key in bench.WARM_DEP.items():
         assert query_name in REGISTRY, query_name
-        assert warm_key in {"hot_shingles", "jaccard_pairs", "neardup_cc", "cooc_edges"}
+        assert warm_key in {
+            "hot_shingles",
+            "jaccard_pairs",
+            "neardup_cc",
+            "cooc_edges",
+            # round 17: the shared BPE merge chain (cache.shared_obj)
+            "bpe_chain",
+        }
