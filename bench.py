@@ -324,8 +324,6 @@ def main() -> None:
             warm_builds[key](spark, SF_DIR)
             sequential[key] = round(time.perf_counter() - t0, 3)
 
-    # Scalars FIRST, the per-query dict LAST: a tail-truncated capture
-    # of this line loses per-query detail, not the headline number.
     summary = {
         "metric": "registry_queries_total_wall",
         "value": total,
@@ -344,10 +342,18 @@ def main() -> None:
         # it fits.
         "sequential": sequential,
     }
-    print(json.dumps({**summary, "queries": timings}))
-    # Second, compact line (scalars + sequential only) so a head-truncated
+    # Compact line (scalars + sequential only) FIRST so a head-truncated
     # capture still parses a complete JSON object with the headline value.
     print(json.dumps(summary))
+    # The full per-query dict rides on the LAST line: the driver keeps the
+    # TAIL of stdout and parses the last JSON line into PERF.per_query /
+    # scaling.per_query.  Rounds 15-16 printed these two lines in the
+    # opposite order (full first, compact last — ordered for
+    # head-truncation survival) and the driver's per-query channel read
+    # EMPTY both rounds (PERF_r16: per_query={}, n_common=0).  Measurement
+    # methodology is unchanged — same queries, same timing, same JSON
+    # objects — only the stdout line order is fixed (VERDICT r16 ask #1).
+    print(json.dumps({**summary, "queries": timings}))
 
     # Committed full-detail artifact (round-8 verdict ask #3): the driver's
     # tail-capture of stdout truncates the per-query mix map (~58/176 walls
