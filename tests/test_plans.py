@@ -446,13 +446,16 @@ def test_jaccard_prefix_verify_carries_sizes(spark):
     shingle-set size ON the prefix candidate rows, so the verify stage needs
     no standalone sizes aggregate + two re-joins (one fewer corpus-wide
     posting pass).  The whole dataflow is exactly 5 join operators: postings
-    x dfreq, the prefix self-join, and the two candidate-verification joins
-    against the postings — a regression to the size-rejoin shape adds two
-    more.  Values are pinned exactly by
+    x dfreq, the prefix self-join, the two candidate-verification joins
+    against the postings, and the verified-pair key join — a regression to
+    the size-rejoin shape adds two more (ADVICE r16: assert the exact count,
+    not an upper bound that would also pass if a required join vanished;
+    the r16 census pins 5 at sf0.001, and join COUNT is SF-independent —
+    only the join STRATEGY varies with size).  Values are pinned exactly by
     test_jaccard_prefix_pairs_complete_vs_bruteforce."""
     import re
 
     plan = plan_of(REGISTRY["dedup_jaccard_prefix"].build(spark, SF_SMOKE))
     joins = re.findall(r"^\(\d+\)\s+\w*Join", plan, flags=re.M)
-    assert len(joins) <= 5, joins
+    assert len(joins) == 5, joins
     assert "CartesianProduct" not in plan

@@ -2700,10 +2700,21 @@ def test_ann_method_recall_matrix_is_consistent_with_per_method_reports(spark):
         r = rows[m]
         assert r.exact_pairs == len(exact)
         assert r.found + r.missed == r.exact_pairs
-        got = {
-            (x.query_id, x.neighbor_id)
-            for x in REGISTRY[qname].build(spark, sf).collect()
-        }
+        topk = REGISTRY[qname].build(spark, sf).collect()
+        got = {(x.query_id, x.neighbor_id) for x in topk}
+        # ADVICE r16 invariant pin: the round-16 single-pass matrix rewrite
+        # (ONE inner join + groupBy(method) count replacing ten per-method
+        # LEFT JOIN global aggregates) is equivalent ONLY while every
+        # method's top-k is DISTINCT on (query_id, neighbor_id) — each path
+        # ends in a row_number <= k filter today, but that is convention; a
+        # future method added without dedup would inflate `found`
+        # differently than the old shape.  Assert it on the same frames the
+        # matrix unions.
+        assert len(got) == len(topk), (
+            f"{qname} top-k has duplicate (query_id, neighbor_id) pairs — "
+            "the ann_method_recall_matrix single-pass rewrite requires "
+            "per-method distinctness"
+        )
         assert r.found == len(exact & got), (m, r.found, len(exact & got))
     pq_row = REGISTRY["ann_pq_recall_report"].build(spark, sf).collect()[0]
     assert (rows["pq_adc"].found, rows["pq_adc"].missed) == (
